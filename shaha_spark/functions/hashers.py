@@ -1,0 +1,142 @@
+"""Hash expression registry — the engine's core scalar-function surface.
+
+Mirrors the reference's ``Hasher`` trait + name dispatcher
+(ref /root/reference/src/hasher/mod.rs:7-10, 77-108) as a dict of
+Column builders. Six of nine algorithms compile to pure JVM built-in
+compositions (whole-stage-codegen fast path); keccak256 / ripemd160 /
+blake3 / hash160 fall back to Arrow-batched pandas UDFs because Spark
+has no built-in kernel for them.
+
+Every builder takes a string-or-binary Column and returns a
+``BinaryType`` Column holding the raw digest bytes (the reference
+stores raw bytes, not hex — ref src/storage/parquet.rs:75).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import BinaryType
+
+from shaha_spark.functions.blake3_pure import blake3 as _blake3_digest
+from shaha_spark.functions.keccak import keccak256 as _keccak256_digest
+from shaha_spark.schema import DIGEST_LENGTHS
+
+
+def _to_bytes(value: object) -> bytes:
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    return str(value).encode("utf-8")
+
+
+@pandas_udf(BinaryType())
+def _ripemd160_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: hashlib.new("ripemd160", _to_bytes(v)).digest())
+
+
+@pandas_udf(BinaryType())
+def _keccak256_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: _keccak256_digest(_to_bytes(v)))
+
+
+@pandas_udf(BinaryType())
+def _blake3_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: _blake3_digest(_to_bytes(v)))
+
+
+def _md5(col: Column) -> Column:
+    return F.unhex(F.md5(col))
+
+
+def _sha1(col: Column) -> Column:
+    return F.unhex(F.sha1(col))
+
+
+def _sha256(col: Column) -> Column:
+    return F.unhex(F.sha2(col, 256))
+
+
+def _sha512(col: Column) -> Column:
+    return F.unhex(F.sha2(col, 512))
+
+
+def _hash256(col: Column) -> Column:
+    # SHA256(SHA256(x)) — Bitcoin txid style (ref src/hasher/mod.rs:63-75).
+    return F.unhex(F.sha2(F.unhex(F.sha2(col, 256)), 256))
+
+
+def _ripemd160(col: Column) -> Column:
+    return _ripemd160_udf(col)
+
+
+def _hash160(col: Column) -> Column:
+    # RIPEMD160(SHA256(x)) — Bitcoin address style (ref src/hasher/mod.rs:50-61).
+    # Inner SHA256 stays JVM-side; only the RIPEMD160 hop crosses to Arrow.
+    return _ripemd160_udf(F.unhex(F.sha2(col, 256)))
+
+
+def _keccak256(col: Column) -> Column:
+    return _keccak256_udf(col)
+
+
+def _blake3(col: Column) -> Column:
+    return _blake3_udf(col)
+
+
+#: name -> Column builder; registration order mirrors the reference's
+#: ``available_algorithms`` (ref src/hasher/mod.rs:92-104).
+HASHERS: dict[str, Callable[[Column], Column]] = {
+    "md5": _md5,
+    "sha1": _sha1,
+    "sha256": _sha256,
+    "sha512": _sha512,
+    "keccak256": _keccak256,
+    "ripemd160": _ripemd160,
+    "blake3": _blake3,
+    "hash160": _hash160,
+    "hash256": _hash256,
+}
+
+#: Algorithms whose entire expression runs in the JVM (codegen fast path).
+JVM_NATIVE = frozenset({"md5", "sha1", "sha256", "sha512", "hash256"})
+
+
+def available_algorithms() -> list[str]:
+    """Registry listing (ref src/hasher/mod.rs:92-104)."""
+    return list(HASHERS)
+
+
+def get_hasher(name: str) -> Callable[[Column], Column] | None:
+    """Name dispatch; None for unknown names (ref src/hasher/mod.rs:77-90)."""
+    return HASHERS.get(name)
+
+
+def resolve_hashers(names: list[str]) -> dict[str, Callable[[Column], Column]]:
+    """Validate-and-resolve, erroring like the CLI enum parser
+    (ref src/hasher/mod.rs:106-108, src/cli/build.rs:82-90)."""
+    out: dict[str, Callable[[Column], Column]] = {}
+    for name in names:
+        builder = HASHERS.get(name)
+        if builder is None:
+            raise ValueError(
+                f"unknown algorithm {name!r}; available: {', '.join(HASHERS)}"
+            )
+        out[name] = builder
+    return out
+
+
+def hash_expr(name: str, col: Column) -> Column:
+    """Digest Column for one algorithm applied to ``col``."""
+    builder = HASHERS.get(name)
+    if builder is None:
+        raise ValueError(f"unknown algorithm {name!r}")
+    return builder(col)
+
+
+def digest_length(name: str) -> int:
+    return DIGEST_LENGTHS[name]

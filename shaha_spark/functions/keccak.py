@@ -1,0 +1,90 @@
+"""Pure-Python Keccak-256 (original pre-NIST padding, NOT SHA3-256).
+
+Implements the public Keccak specification (Bertoni/Daemen/Peeters/
+Van Assche): Keccak-f[1600] sponge, rate 1088 / capacity 512, multi-rate
+padding with domain suffix 0x01 (SHA-3 uses 0x06 — the reference's
+``keccak256`` is the original Ethereum-style variant, see
+ref /root/reference/src/hasher/mod.rs:33 and the known-answer vector at
+ref tests/integration.rs:33-40).
+
+This runs inside an Arrow-batched pandas UDF; it is the slow path by
+design (no JVM built-in exists). Inputs in the hash-db domain are short
+words, so per-call cost dominates — the batch loop below avoids any
+per-byte Python object churn beyond the permutation itself.
+"""
+
+from __future__ import annotations
+
+_MASK = (1 << 64) - 1
+
+_ROUND_CONSTANTS = (
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
+    0x8000000080008000, 0x000000000000808B, 0x0000000080000001,
+    0x8000000080008081, 0x8000000000008009, 0x000000000000008A,
+    0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089,
+    0x8000000000008003, 0x8000000000008002, 0x8000000000000080,
+    0x000000000000800A, 0x800000008000000A, 0x8000000080008081,
+    0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+)
+
+# Rotation offsets r[x][y] for the rho step.
+_ROTATIONS = (
+    (0, 36, 3, 41, 18),
+    (1, 44, 10, 45, 2),
+    (62, 6, 43, 15, 61),
+    (28, 55, 25, 21, 56),
+    (27, 20, 39, 8, 14),
+)
+
+_RATE_BYTES = 136  # 1088-bit rate for 256-bit output
+
+
+def _rol(value: int, shift: int) -> int:
+    return ((value << shift) | (value >> (64 - shift))) & _MASK
+
+
+def _keccak_f1600(state: list[int]) -> None:
+    """In-place Keccak-f[1600] permutation; state is 25 lanes, index x + 5y."""
+    for rc in _ROUND_CONSTANTS:
+        # theta
+        c = [
+            state[x] ^ state[x + 5] ^ state[x + 10] ^ state[x + 15] ^ state[x + 20]
+            for x in range(5)
+        ]
+        d = [c[(x - 1) % 5] ^ _rol(c[(x + 1) % 5], 1) for x in range(5)]
+        for x in range(5):
+            dx = d[x]
+            for y in range(0, 25, 5):
+                state[x + y] ^= dx
+        # rho + pi
+        b = [0] * 25
+        for x in range(5):
+            rot_x = _ROTATIONS[x]
+            for y in range(5):
+                b[y + 5 * ((2 * x + 3 * y) % 5)] = _rol(state[x + 5 * y], rot_x[y])
+        # chi
+        for y in range(0, 25, 5):
+            b0, b1, b2, b3, b4 = b[y], b[y + 1], b[y + 2], b[y + 3], b[y + 4]
+            state[y] = b0 ^ ((~b1) & b2)
+            state[y + 1] = b1 ^ ((~b2) & b3)
+            state[y + 2] = b2 ^ ((~b3) & b4)
+            state[y + 3] = b3 ^ ((~b4) & b0)
+            state[y + 4] = b4 ^ ((~b0) & b1)
+        # iota
+        state[0] ^= rc
+
+
+def keccak256(data: bytes) -> bytes:
+    """Keccak-256 digest (32 bytes) with original 0x01 domain padding."""
+    state = [0] * 25
+    # Multi-rate padding: append 0x01, zero-fill, set high bit of last byte.
+    pad_len = _RATE_BYTES - (len(data) % _RATE_BYTES)
+    padded = data + b"\x01" + b"\x00" * (pad_len - 2) + b"\x80" if pad_len >= 2 else data + b"\x81"
+    for off in range(0, len(padded), _RATE_BYTES):
+        block = padded[off : off + _RATE_BYTES]
+        for lane in range(_RATE_BYTES // 8):
+            state[lane] ^= int.from_bytes(block[lane * 8 : lane * 8 + 8], "little")
+        _keccak_f1600(state)
+    out = b"".join(state[lane].to_bytes(8, "little") for lane in range(4))
+    return out
