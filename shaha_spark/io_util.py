@@ -1,0 +1,57 @@
+"""Filesystem helpers that work on any Hadoop-supported scheme.
+
+The sidecar metadata file must land next to the dataset whether that is
+``file:/…`` or ``s3a://…`` — so these go through the JVM Hadoop
+FileSystem API instead of Python's ``open``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    fs, jpath = _fs_and_path(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """File contents, or None if the path does not exist."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        jvm = spark._jvm
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+        )
+    finally:
+        stream.close()
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _fs_and_path(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def delete(spark: SparkSession, path: str) -> None:
+    fs, jpath = _fs_and_path(spark, path)
+    fs.delete(jpath, True)
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, jsrc = _fs_and_path(spark, src)
+    jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    return bool(fs.rename(jsrc, jdst))

@@ -1,0 +1,14 @@
+from shaha_spark.pipeline.append import append_merge  # noqa: F401
+from shaha_spark.pipeline.build import (  # noqa: F401
+    build,
+    dedup_records,
+    dedup_words,
+    hash_fanout,
+    read_hashdb,
+    read_sidecar,
+    sort_for_write,
+    words_from_lines,
+    write_hashdb,
+    write_sidecar,
+)
+from shaha_spark.pipeline.stats import info, scan_stats  # noqa: F401

@@ -1,0 +1,291 @@
+"""The build pipeline: wordlist DataFrame → sorted hash-database Parquet.
+
+Re-expresses the reference's build dataflow (ref
+/root/reference/src/cli/build.rs:81-248) as one declarative Spark plan:
+
+    words → non-empty filter (F1) → dropDuplicates (A1/P12)
+          → multi-algorithm fanout via explode of array<struct> (H17)
+          → dedup on (hash, algorithm) (J2)
+          → [append-merge against an existing DB (J1)]
+          → range-repartition + sort by hash (O1/P3)
+          → ZSTD Parquet with native column bloom filter on `hash` (K1/P1)
+          → sidecar stats JSON (K2/P4/P5)
+
+Scale notes (the parts that matter at 100 TB):
+  * The word dedup and record dedup are the only full shuffles before
+    the required range-repartition for the sorted write; map-side
+    partial aggregation applies to both.
+  * The fanout multiplies rows by n_algorithms AFTER dedup, so each
+    unique word is hashed exactly once per algorithm (ref's
+    dedup-before-hash, build.rs:152-156 / P12) — Catalyst will not
+    reorder a dedup across a UDF for us, so the plan encodes it.
+  * Sorted-by-hash output files give every Parquet row group a tight
+    min/max range on `hash`, which is what makes prefix queries prune
+    (ref build.rs:208 + parquet.rs:493-516); uniformly-distributed
+    digests make range partitioning skew-free by construction.
+  * No driver-side loops: the reference's 100k-row batching
+    (build.rs:16) is replaced by executor partitioning and spill.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shaha_spark import io_util
+from shaha_spark.functions.hashers import resolve_hashers
+from shaha_spark.schema import HASH_DB_SCHEMA, SIDECAR_NAME
+
+#: Target rows per output file — digests are ~47.5 B/record on disk
+#: (BASELINE.md), so 4M records ≈ 190 MB files, a healthy Parquet size.
+DEFAULT_ROWS_PER_FILE = 4_000_000
+
+
+def words_from_lines(lines: DataFrame, column: str = "value") -> DataFrame:
+    """Non-empty-line filter (F1, ref src/source/file.rs:39) → [word]."""
+    return lines.select(F.col(column).alias("word")).filter(F.length("word") > 0)
+
+
+def dedup_words(words: DataFrame) -> DataFrame:
+    """Word-level distinct (A1, ref build.rs:134,152).
+
+    The reference is first-wins over an ordered stream; rows here are
+    identical strings, so any-wins distinct is equivalent.
+    """
+    return words.dropDuplicates(["word"])
+
+
+def hash_fanout(
+    words: DataFrame,
+    algorithms: list[str],
+    source_name: str | None = None,
+    word_col: str = "word",
+) -> DataFrame:
+    """word × M hashers → M hash records (H17, ref build.rs:353-366).
+
+    One pass over the input: M digest expressions are packed into an
+    array<struct> and exploded, so the scan/dedup upstream is not
+    repeated per algorithm.
+    """
+    resolve_hashers(algorithms)  # validate names up front, like the CLI
+    from shaha_spark.functions.hashers import hash_expr
+
+    entries = F.array(
+        *[
+            F.struct(
+                hash_expr(algo, F.col(word_col)).alias("hash"),
+                F.lit(algo).alias("algorithm"),
+            )
+            for algo in algorithms
+        ]
+    )
+    sources = (
+        F.array(F.lit(source_name)) if source_name is not None else F.array().cast("array<string>")
+    )
+    return words.select(
+        F.col(word_col).alias("preimage"),
+        F.explode(entries).alias("entry"),
+    ).select(
+        F.col("entry.hash").alias("hash"),
+        "preimage",
+        F.col("entry.algorithm").alias("algorithm"),
+        sources.alias("sources"),
+    )
+
+
+def dedup_records(records: DataFrame) -> DataFrame:
+    """First-wins dedup on the (hash, algorithm) key (J2, ref build.rs:368-371).
+
+    After word-level dedup, duplicates here only arise from genuine
+    digest collisions between distinct words; kept for semantic parity.
+    """
+    return records.dropDuplicates(["hash", "algorithm"])
+
+
+def sort_for_write(records: DataFrame, num_files: int | None = None) -> DataFrame:
+    """Global sort by hash bytes (O1/P3, ref build.rs:208).
+
+    ``repartitionByRange`` samples the key distribution and assigns
+    ordered, non-overlapping byte ranges to partitions; with the
+    within-partition sort this yields a totally ordered dataset across
+    output files, each row group carrying a tight min/max on `hash`.
+    """
+    if num_files is not None:
+        parts = records.repartitionByRange(num_files, "hash")
+    else:
+        parts = records.repartitionByRange("hash")
+    return parts.sortWithinPartitions("hash", "algorithm")
+
+
+def write_hashdb(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    expected_records: int | None = None,
+) -> None:
+    """Sorted ZSTD Parquet write with a native bloom filter on `hash`.
+
+    The bloom filter replaces the reference's hand-serialized footer
+    bloom (ref parquet.rs:24-29,444-461): Spark's vectorized Parquet
+    reader consults it for equality predicates on `hash`, giving the
+    same point-lookup short-circuit without custom code (P1).
+    """
+    ndv = max(expected_records or 0, 1_000_000)  # ref parquet.rs:28,47-48
+    (
+        df.write.mode(mode)
+        .option("compression", "zstd")
+        .option("parquet.bloom.filter.enabled#hash", "true")
+        .option("parquet.bloom.filter.expected.ndv#hash", str(ndv))
+        .parquet(path)
+    )
+
+
+def write_sidecar(
+    spark: SparkSession,
+    path: str,
+    *,
+    total_records: int,
+    algorithms: list[str],
+    sources: list[str],
+    source_hashes: list[str],
+) -> None:
+    """Sidecar stats JSON — stands in for the reference's Parquet footer
+    key-value metadata (ref parquet.rs:20-26), which the DataFrame
+    writer cannot emit. Written AFTER the data so a missing/stale
+    sidecar degrades to the scan fallback (ref parquet.rs:577-581).
+    """
+    meta = {
+        "total_records": total_records,
+        "algorithms": sorted(set(algorithms)),
+        "sources": sorted(set(sources)),
+        "source_hashes": sorted(set(source_hashes)),
+        "bloom": {"column": "hash", "kind": "parquet-native"},
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "format_version": 1,
+    }
+    io_util.write_text(spark, f"{path.rstrip('/')}/{SIDECAR_NAME}", json.dumps(meta, indent=2))
+
+
+def read_sidecar(spark: SparkSession, path: str) -> dict[str, Any] | None:
+    raw = io_util.read_text(spark, f"{path.rstrip('/')}/{SIDECAR_NAME}")
+    return json.loads(raw) if raw is not None else None
+
+
+def read_hashdb(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-enforced read (the reference errors on schema mismatch,
+    parquet.rs:294-313; passing the explicit schema gives the same
+    guarantee and skips footer schema merging)."""
+    return spark.read.schema(HASH_DB_SCHEMA).parquet(path)
+
+
+def build(
+    spark: SparkSession,
+    words: DataFrame,
+    algorithms: list[str],
+    output_path: str,
+    *,
+    source_name: str = "words",
+    source_hash: str | None = None,
+    append: bool = False,
+    dry_run: bool = False,
+    force: bool = False,
+    num_files: int | None = None,
+    word_col: str = "word",
+) -> dict[str, Any]:
+    """End-to-end build (ref src/cli/build.rs:81-248). Returns the summary
+    stats the reference prints at build.rs:234-248."""
+    resolve_hashers(algorithms)
+    existing_meta = read_sidecar(spark, output_path) if append else None
+
+    # Idempotence gate (P5, ref build.rs:113-125): skip if this exact
+    # source content was already ingested.
+    if (
+        not force
+        and source_hash is not None
+        and existing_meta is not None
+        and source_hash in existing_meta.get("source_hashes", [])
+    ):
+        return {
+            "skipped": True,
+            "reason": "source already in database (use force=True to re-add)",
+            "total_records": existing_meta["total_records"],
+        }
+
+    words = words.select(F.col(word_col).alias("word")).filter(F.length("word") > 0)
+    unique = dedup_words(words)
+
+    if dry_run:
+        # Ref build.rs:253-327: count-only pass, no write.
+        total, n_unique = words.select(
+            F.count(F.lit(1)).alias("t"),
+        ).head()[0], unique.count()
+        return {
+            "dry_run": True,
+            "total_words": total,
+            "unique_words": n_unique,
+            "duplicates": total - n_unique,
+            "records_to_generate": n_unique * len(algorithms),
+        }
+
+    records = dedup_records(hash_fanout(unique, algorithms, source_name))
+
+    merged_sources = [source_name]
+    merged_hashes = [source_hash] if source_hash else []
+    merged_algos = list(algorithms)
+    if append and io_util.exists(spark, output_path):
+        from shaha_spark.pipeline.append import append_merge
+
+        existing = read_hashdb(spark, output_path)
+        records = append_merge(existing, records)
+        if existing_meta:
+            merged_sources += existing_meta.get("sources", [])
+            merged_hashes += existing_meta.get("source_hashes", [])
+            merged_algos += existing_meta.get("algorithms", [])
+
+    target = output_path
+    swap = append and io_util.exists(spark, output_path)
+    if swap:
+        # Spark cannot rewrite its own input in place: write to a temp
+        # sibling, then swap (ref rewrites the single file atomically;
+        # this is the dataset-level equivalent).
+        target = output_path.rstrip("/") + ".__tmp_append__"
+
+    sorted_records = sort_for_write(records, num_files=num_files)
+    write_hashdb(sorted_records, target, mode="overwrite")
+
+    if swap:
+        backup = output_path.rstrip("/") + ".__old__"
+        io_util.delete(spark, backup)
+        io_util.rename(spark, output_path, backup)
+        io_util.rename(spark, target, output_path)
+        io_util.delete(spark, backup)
+
+    # Stats from the written dataset (one cheap metadata-heavy pass —
+    # count satisfies from row-group metadata with aggregate pushdown).
+    written = read_hashdb(spark, output_path)
+    total_records = written.count()
+    write_sidecar(
+        spark,
+        output_path,
+        total_records=total_records,
+        algorithms=merged_algos,
+        sources=merged_sources,
+        source_hashes=[h for h in merged_hashes if h],
+    )
+    return {
+        "skipped": False,
+        "total_records": total_records,
+        "algorithms": sorted(set(merged_algos)),
+        "sources": sorted(set(merged_sources)),
+        "output_path": output_path,
+    }
+
+
+def estimate_num_files(expected_records: int) -> int:
+    return max(1, math.ceil(expected_records / DEFAULT_ROWS_PER_FILE))

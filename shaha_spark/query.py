@@ -1,0 +1,109 @@
+"""Reverse-lookup query path: hash prefix / point → preimages.
+
+Re-expresses the reference's query machinery (ref
+/root/reference/src/storage/parquet.rs:476-570, src/cli/query.rs:68-130)
+as a single filtered DataFrame whose predicates are all pushdown-friendly:
+
+  * full-digest prefix (16/20/32/64 bytes) → EQUALITY on the binary
+    `hash` column. The Parquet reader consults the native column bloom
+    filter (written at build time) and row-group min/max stats — the
+    same short-circuit as the reference's footer bloom
+    (ref parquet.rs:481-487) with zero custom code.
+  * shorter prefix → half-open binary RANGE ``hash >= p AND hash <
+    succ(p)``, which is EXACTLY the set of digests starting with ``p``
+    under bytewise ordering, and prunes row groups via min/max stats on
+    the hash-sorted layout (ref parquet.rs:493-516, 262-272). No
+    residual ``startswith`` is needed: the range form is precise for
+    whole-byte prefixes (the only kind expressible — query input is
+    hex-decoded, ref query.rs:69-70).
+  * optional algorithm equality (F3) and LIMIT with early termination
+    (O2 → CollectLimitExec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shaha_spark.pipeline.build import read_hashdb
+from shaha_spark.schema import FULL_HASH_LENGTHS, hex_to_bytes
+
+
+def prefix_successor(prefix: bytes) -> bytes | None:
+    """Smallest byte string greater than every string prefixed by
+    ``prefix``: increment the last non-0xff byte, dropping the tail.
+    None when the prefix is all 0xff (no upper bound needed)."""
+    buf = bytearray(prefix)
+    while buf and buf[-1] == 0xFF:
+        buf.pop()
+    if not buf:
+        return None
+    buf[-1] += 1
+    return bytes(buf)
+
+
+def prefix_predicate(prefix: bytes, column: str = "hash") -> Column:
+    """Pushdown-friendly predicate for 'digest starts with prefix'.
+
+    Empty prefix matches everything (ref tests/integration.rs:395-396).
+    Full digest lengths use equality (bloom-eligible, mirroring the
+    reference's point-lookup gate at ref parquet.rs:258-260); shorter
+    prefixes the exact half-open range.
+    """
+    col = F.col(column)
+    if len(prefix) == 0:
+        return F.lit(True)
+    if len(prefix) in FULL_HASH_LENGTHS:
+        return col == F.lit(prefix)
+    upper = prefix_successor(prefix)
+    pred = col >= F.lit(prefix)
+    if upper is not None:
+        pred = pred & (col < F.lit(upper))
+    return pred
+
+
+def query(
+    spark: SparkSession,
+    db_path: str,
+    prefix_hex: str,
+    *,
+    algorithm: str | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Reverse lookup over a hash database directory.
+
+    Returns [hash, preimage, algorithm, sources]; collect/format on the
+    caller side (the reference's plain/json/table renderers are
+    driver-side presentation, ref query.rs:132-179).
+    """
+    prefix = hex_to_bytes(prefix_hex)
+    df = read_hashdb(spark, db_path).filter(prefix_predicate(prefix))
+    if algorithm is not None:
+        df = df.filter(F.col("algorithm") == F.lit(algorithm))
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def format_rows(rows, fmt: str = "plain") -> str:
+    """Driver-side result rendering (K4, ref query.rs:132-179)."""
+    import json as _json
+
+    if fmt == "json":
+        return _json.dumps(
+            [
+                {
+                    "hash": r.hash.hex(),
+                    "preimage": r.preimage,
+                    "algorithm": r.algorithm,
+                    "sources": list(r.sources),
+                }
+                for r in rows
+            ],
+            indent=2,
+        )
+    lines = [
+        f"{r.hash.hex()}  {r.algorithm:<10}  {r.preimage}  ({', '.join(r.sources)})"
+        for r in rows
+    ]
+    return "\n".join(lines)
