@@ -1,38 +1,798 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus
+the training-data extension operators) to a (spark, sf_dir) → DataFrame
+callable; ``oracle_sql()`` provides the DuckDB-equivalent ANSI SQL.
+Both sides are generated from the same constants
+(shaha_spark/operators/constants.py), and all floating-point outputs
+are either exact (decimal accumulation cast to double) or rounded
+identically after bit-reproducible sequential folds, so value hashes
+match across engines.
+
+SURVEY §2 coverage map (query name → inventory items):
+    wordlist_scan            S1/F1 (scan + non-empty filter)
+    word_dedup               A1 (word-level distinct)
+    build_sha256             H3 + flagship build projection
+    build_multi_algo         H1/H3 + H17 (multi-algo fanout) + J2
+    build_hash256            H9 (no SQL oracle: DuckDB lacks sha256(BLOB))
+    query_point_lookup       F2 full-digest point lookup (+P1 semantics)
+    query_prefix             F2 prefix lookup
+    query_algo_filter        F3 algorithm equality
+    query_topk_by_hash       O1/O2 (sort by hash + limit)
+    append_merge             J1 (full-outer merge, sources union)
+    db_stats                 A3/A5 (stats aggregate)
+    build_summary            A2/A6 (counts + dry-run estimate)
+    tpch_q1 / tpch_q3        engine-level agg/join capability (bench heads)
+    events_hourly            time-bucketed aggregation
+    events_sessionize        stateful window (gap sessionization)
+    events_json_extract      semi-structured projection
+    dedup_exact              extension: exact dedup
+    dedup_minhash_sigs       extension: MinHash signatures
+    dedup_minhash_pairs      extension: LSH band candidate pairs
+    dedup_ngram_jaccard      extension: n-gram Jaccard verification
+    dedup_simhash            extension: SimHash fingerprints
+    similarity_topk          extension: brute-force cosine top-k
+    similarity_ivf           extension: IVF ANN (no SQL oracle: iterative)
+    embedding_near_dup       extension: cosine near-dup pairs
+    text_token_count         extension: token counting
+    text_quality             extension: quality scoring
+    text_langid              extension: language ID
+    text_fingerprint         extension: order-sensitive fingerprint
+    multimodal_meta          extension: binary decode plumbing (mapInPandas)
+    multimodal_frame_count   extension: frame-sampling fan-out shape
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shaha_spark.operators.constants import (
+    FINGERPRINT_K,
+    LANG_STOPWORDS,
+    LSH_BANDS,
+    LSH_ROWS_PER_BAND,
+    MERSENNE_P,
+    MINHASH_PERMS,
+    QUALITY_STOPWORDS,
+)
+
+# deterministic full-digest constant for the point-lookup query:
+# sha256("the") — "the" is guaranteed by both engines to hash identically;
+# if absent from the corpus both sides return the same empty set.
+POINT_SHA256 = "b9776d7ddf459c9ad5b0e1d6ac61e27befb5e99fd62446677600d7cacef544d0"
+
+SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+_PKG_SHIPPED: set[int] = set()
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship the shaha_spark package to this session's Python workers.
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Queries that pickle Python functions (mapInPandas / pandas UDFs)
+    reference the package by module path; the driver's session may not
+    have it importable on workers. addPyFile distributes a zip that
+    lands on every executor's sys.path — the same mechanism used for a
+    real cluster deploy.
     """
-    return {}
+    key = id(spark)
+    if key in _PKG_SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="shaha_pkg_")
+    zpath = shutil.make_archive(
+        os.path.join(tmp, "shaha_spark_pkg"), "zip", root_dir=root, base_dir="shaha_spark"
+    )
+    spark.sparkContext.addPyFile(zpath)
+    _PKG_SHIPPED.add(key)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    """Timestamp queries assume UTC rendering; the driver's session may
+    not be configured that way, so pin it at query time."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores TIMESTAMP(NANOS), which Spark's Parquet
+    reader rejects; read it as raw int64 nanoseconds (legacy conf) and
+    derive a microsecond epoch — the same truncation DuckDB applies when
+    coercing ns → us."""
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("tus", F.expr("ts DIV 1000"))
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized documents: [word, source, doc_id], empties dropped."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split("text", " ")).alias("word"), "source", "doc_id"
+        )
+        .filter(F.col("word") != "")
+    )
+
+
+def _dwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _words(spark, sf_dir).select("word").distinct()
+
+
+def _hex(col: str = "hash") -> F.Column:
+    return F.lower(F.hex(F.col(col))).alias("hash_hex")
+
+
+def _dec(col: str, prec: str = "decimal(12,2)") -> F.Column:
+    return F.col(col).cast(prec)
+
+
+# --------------------------------------------------------------------
+# Spark-side queries
+# --------------------------------------------------------------------
+
+def q_wordlist_scan(spark, sf_dir):
+    return _words(spark, sf_dir).select("word", "source")
+
+
+def q_word_dedup(spark, sf_dir):
+    return _dwords(spark, sf_dir)
+
+
+def q_build_sha256(spark, sf_dir):
+    return _dwords(spark, sf_dir).select(
+        F.sha2("word", 256).alias("hash_hex"),
+        F.col("word").alias("preimage"),
+        F.lit("sha256").alias("algorithm"),
+    )
+
+
+def _multi_algo(spark, sf_dir):
+    from shaha_spark.pipeline.build import dedup_records, hash_fanout
+
+    records = hash_fanout(_dwords(spark, sf_dir), ["md5", "sha256"])
+    return dedup_records(records).select(
+        _hex(), F.col("preimage"), F.col("algorithm")
+    )
+
+
+def q_build_multi_algo(spark, sf_dir):
+    return _multi_algo(spark, sf_dir)
+
+
+def q_build_hash256(spark, sf_dir):
+    from shaha_spark.pipeline.build import hash_fanout
+
+    return hash_fanout(_dwords(spark, sf_dir), ["hash256"]).select(
+        _hex(), F.col("preimage"), F.col("algorithm")
+    )
+
+
+def q_point_lookup(spark, sf_dir):
+    return q_build_sha256(spark, sf_dir).filter(
+        F.col("hash_hex") == POINT_SHA256
+    )
+
+
+def q_prefix(spark, sf_dir):
+    return q_build_sha256(spark, sf_dir).filter(
+        F.col("hash_hex").startswith("ab")
+    ).select("hash_hex", "preimage")
+
+
+def q_algo_filter(spark, sf_dir):
+    return _multi_algo(spark, sf_dir).filter(F.col("algorithm") == "md5")
+
+
+def q_topk_by_hash(spark, sf_dir):
+    return _multi_algo(spark, sf_dir).orderBy("hash_hex").limit(100)
+
+
+def q_append_merge(spark, sf_dir):
+    from shaha_spark.pipeline.append import append_merge
+    from shaha_spark.pipeline.build import hash_fanout
+
+    words = _words(spark, sf_dir)
+    even = words.filter(F.col("doc_id") % 2 == 0).select("word").distinct()
+    odd = words.filter(F.col("doc_id") % 2 == 1).select("word").distinct()
+    existing = hash_fanout(even, ["sha256"], "even")
+    new = hash_fanout(odd, ["sha256"], "odd")
+    return append_merge(existing, new).select(
+        _hex(),
+        F.col("preimage"),
+        F.col("algorithm"),
+        F.array_join("sources", ",").alias("sources_str"),
+    )
+
+
+def q_db_stats(spark, sf_dir):
+    return _multi_algo(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.count_distinct(F.col("preimage")).alias("n_preimages"),
+        F.array_join(F.sort_array(F.collect_set("algorithm")), ",").alias(
+            "algorithms_str"
+        ),
+    )
+
+
+def q_build_summary(spark, sf_dir):
+    words = _words(spark, sf_dir)
+    return words.agg(
+        F.count(F.lit(1)).alias("total_words"),
+        F.count_distinct(F.col("word")).alias("unique_words"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("word"))).alias("duplicates"),
+        (F.count_distinct(F.col("word")) * 2).alias("records_to_generate"),
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    charge = disc_price * (one + _dec("l_tax", "decimal(4,2)"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    _utc(spark)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_str"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.timestamp_micros(F.col("tus"))),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "tus")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("tus").alias("session_start_us"),
+        F.max("tus").alias("session_end_us"),
+    )
+
+
+def q_events_json(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from shaha_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id", "content_md5")
+
+
+def q_minhash_sigs(spark, sf_dir):
+    from shaha_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from shaha_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    return lsh_candidate_pairs(minhash_signatures(_t(spark, sf_dir, "documents")))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from shaha_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    return ngram_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.5)
+
+
+def q_simhash(spark, sf_dir):
+    from shaha_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_similarity_topk(spark, sf_dir):
+    from shaha_spark.operators.similarity import brute_force_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = brute_force_topk(embs, queries, k=5)
+    return res.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_similarity_ivf(spark, sf_dir):
+    from shaha_spark.operators.similarity import ivf_topk, label_centroids
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = label_centroids(embs)
+    res = ivf_topk(embs, queries, cents, k=5, nprobe=3)
+    return res.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from shaha_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9
+    )
+
+
+def q_text_token_count(spark, sf_dir):
+    from shaha_spark.operators.textops import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    from shaha_spark.operators.textops import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark, sf_dir):
+    from shaha_spark.operators.textops import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from shaha_spark.operators.textops import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from shaha_spark.operators.multimodal import decode_metadata, media_from_documents
+
+    _ensure_pkg(spark)
+    return decode_metadata(media_from_documents(_t(spark, sf_dir, "documents")))
+
+
+def q_multimodal_frame_count(spark, sf_dir):
+    from shaha_spark.operators.multimodal import media_from_documents, sample_frames
+
+    _ensure_pkg(spark)
+    frames = sample_frames(media_from_documents(_t(spark, sf_dir, "documents")))
+    return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+# --------------------------------------------------------------------
+# DuckDB oracle SQL (generated from the same constants)
+# --------------------------------------------------------------------
+
+_WORDS_CTE = """words AS (
+  SELECT w AS word, source, doc_id FROM (
+    SELECT unnest(string_split(text, ' ')) AS w, source, doc_id FROM documents
+  ) WHERE w <> ''
+)"""
+
+_DWORDS_CTE = _WORDS_CTE + ",\ndwords AS (SELECT DISTINCT word FROM words)"
+
+_MULTI_CTE = (
+    _DWORDS_CTE
+    + """,
+multi AS (
+  SELECT md5(word) AS hash_hex, word AS preimage, 'md5' AS algorithm FROM dwords
+  UNION ALL
+  SELECT sha256(word) AS hash_hex, word AS preimage, 'sha256' AS algorithm FROM dwords
+)"""
+)
+
+_TOKS_CTE = """toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t FROM documents
+)"""
+
+_SHINGLES_CTE = (
+    _TOKS_CTE
+    + """,
+sh AS (
+  SELECT doc_id, CASE WHEN len(t) >= 3
+    THEN list_transform(range(1, len(t) - 1), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+    ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+)"""
+)
+
+
+def _h28_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 7)) AS BIGINT)"
+
+
+def _h32_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _sigs_cte() -> str:
+    p = MERSENNE_P
+    mh_cols = ",\n    ".join(
+        f"coalesce(list_min(list_transform(h, v -> ({a} * v + {b}) % {p})), CAST({p} AS BIGINT)) AS mh_{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    return (
+        _SHINGLES_CTE
+        + f""",
+hs AS (
+  SELECT doc_id, list_transform(s, x -> {_h28_sql('x')}) AS h FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+    {mh_cols}
+  FROM hs
+)"""
+    )
+
+
+def _bands_cte() -> str:
+    selects = []
+    for band in range(LSH_BANDS):
+        lo = band * LSH_ROWS_PER_BAND
+        key = " || '-' || ".join(
+            f"CAST(mh_{i} AS VARCHAR)" for i in range(lo, lo + LSH_ROWS_PER_BAND)
+        )
+        selects.append(
+            f"SELECT doc_id, {band} AS band_idx, {key} AS band_key FROM sigs"
+        )
+    return "bands AS (\n  " + "\n  UNION ALL\n  ".join(selects) + "\n)"
+
+
+def _pairs_cte() -> str:
+    return (
+        _sigs_cte()
+        + ",\n"
+        + _bands_cte()
+        + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+    )
+
+
+def _simhash_terms() -> str:
+    terms = []
+    for j in range(32):
+        terms.append(
+            f"CASE WHEN 2 * SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE 0 END) - COUNT(*) > 0 "
+            f"THEN CAST(1 AS BIGINT) << {j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _langid_scores() -> tuple[str, str]:
+    score_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        lst = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+        score_cols.append(
+            f"CAST(len(list_filter(t, w -> list_contains({lst}, w))) AS BIGINT) AS score_{lang}"
+        )
+    langs = sorted(LANG_STOPWORDS)
+    m = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = f"CASE WHEN {m} = 0 THEN 'und' "
+    pred += " ".join(
+        f"WHEN score_{lang} = {m} THEN '{lang}'" for lang in langs[:-1]
+    )
+    pred += f" ELSE '{langs[-1]}' END"
+    return ",\n    ".join(score_cols), pred
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    p = MERSENNE_P
+    k = FINGERPRINT_K
+    stop_en = "[" + ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS) + "]"
+    score_cols, pred = _langid_scores()
+    sql: dict[str, str] = {}
+
+    sql["wordlist_scan"] = f"WITH {_WORDS_CTE} SELECT word, source FROM words"
+    sql["word_dedup"] = f"WITH {_DWORDS_CTE} SELECT word FROM dwords"
+    sql["build_sha256"] = (
+        f"WITH {_DWORDS_CTE} SELECT sha256(word) AS hash_hex, word AS preimage, "
+        "'sha256' AS algorithm FROM dwords"
+    )
+    sql["build_multi_algo"] = f"WITH {_MULTI_CTE} SELECT * FROM multi"
+    sql["query_point_lookup"] = (
+        f"WITH {_DWORDS_CTE} SELECT sha256(word) AS hash_hex, word AS preimage, "
+        f"'sha256' AS algorithm FROM dwords WHERE sha256(word) = '{POINT_SHA256}'"
+    )
+    sql["query_prefix"] = (
+        f"WITH {_DWORDS_CTE} SELECT sha256(word) AS hash_hex, word AS preimage "
+        "FROM dwords WHERE sha256(word) LIKE 'ab%'"
+    )
+    sql["query_algo_filter"] = (
+        f"WITH {_MULTI_CTE} SELECT * FROM multi WHERE algorithm = 'md5'"
+    )
+    sql["query_topk_by_hash"] = (
+        f"WITH {_MULTI_CTE} SELECT * FROM multi ORDER BY hash_hex LIMIT 100"
+    )
+    sql["append_merge"] = f"""WITH {_WORDS_CTE},
+flags AS (
+  SELECT word, bool_or(doc_id % 2 = 0) AS has_even, bool_or(doc_id % 2 = 1) AS has_odd
+  FROM words GROUP BY word
+)
+SELECT sha256(word) AS hash_hex, word AS preimage, 'sha256' AS algorithm,
+  CASE WHEN has_even AND has_odd THEN 'even,odd'
+       WHEN has_even THEN 'even' ELSE 'odd' END AS sources_str
+FROM flags"""
+    sql["db_stats"] = f"""WITH {_MULTI_CTE}
+SELECT count(*) AS total_records,
+       count(DISTINCT preimage) AS n_preimages,
+       string_agg(DISTINCT algorithm, ',' ORDER BY algorithm) AS algorithms_str
+FROM multi"""
+    sql["build_summary"] = f"""WITH {_WORDS_CTE}
+SELECT count(*) AS total_words,
+       count(DISTINCT word) AS unique_words,
+       count(*) - count(DISTINCT word) AS duplicates,
+       count(DISTINCT word) * 2 AS records_to_generate
+FROM words"""
+    sql["tpch_q1"] = """SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+    sql["tpch_q3"] = """SELECT o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+  o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10"""
+    sql["events_hourly"] = """SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+  event_type,
+  count(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2"""
+    sql["events_sessionize"] = f"""WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, tus,
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(tus) AS session_start_us, max(tus) AS session_end_us
+FROM sess GROUP BY user_id, session_id"""
+    sql["events_json_extract"] = (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value FROM events"
+    )
+    sql["dedup_exact"] = (
+        "SELECT min(doc_id) AS doc_id, md5(text) AS content_md5 FROM documents GROUP BY md5(text)"
+    )
+    mh_names = ", ".join(f"mh_{i}" for i in range(len(MINHASH_PERMS)))
+    sql["dedup_minhash_sigs"] = f"WITH {_sigs_cte()} SELECT doc_id, {mh_names} FROM sigs"
+    sql["dedup_minhash_pairs"] = f"WITH {_pairs_cte()} SELECT id_a, id_b FROM pairs"
+    sql["dedup_ngram_jaccard"] = f"""WITH {_pairs_cte()},
+sets AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+j AS (
+  SELECT p.id_a, p.id_b,
+    len(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,
+    len(a.ds) AS la, len(b.ds) AS lb
+  FROM pairs p JOIN sets a ON a.doc_id = p.id_a JOIN sets b ON b.doc_id = p.id_b
+)
+SELECT id_a, id_b,
+  round(CASE WHEN la + lb - inter > 0 THEN CAST(inter AS DOUBLE) / (la + lb - inter) ELSE 0.0 END, 6) AS jaccard
+FROM j
+WHERE round(CASE WHEN la + lb - inter > 0 THEN CAST(inter AS DOUBLE) / (la + lb - inter) ELSE 0.0 END, 6) >= 0.5"""
+    sql["dedup_simhash"] = f"""WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+h AS (SELECT doc_id, {_h32_sql('w')} AS hv FROM tok),
+agg AS (SELECT doc_id, CAST({_simhash_terms()} AS BIGINT) AS sh FROM h GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(a.sh, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    sql["similarity_topk"] = """WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id, round(list_cosine_similarity(cv, qv), 6) AS cosine
+  FROM c, q
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
+    sql["embedding_near_dup"] = """WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.9"""
+    sql["text_token_count"] = f"""SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_pieces
+FROM documents"""
+    sql["text_quality"] = f"""WITH base AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS t FROM documents
+),
+comp AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(t) AS BIGINT) AS n_tokens,
+    CASE WHEN len(t) > 0 THEN CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE) / len(t) ELSE 0.0 END AS mean_token_len,
+    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, w -> list_contains({stop_en}, w))) AS DOUBLE) / len(t) ELSE 0.0 END AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio,
+  0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      + 0.3 * least(mean_token_len / 8.0, 1.0)
+      + 0.3 * least(stopword_ratio / 0.2, 1.0) AS quality
+FROM comp"""
+    sql["text_langid"] = f"""WITH {_TOKS_CTE},
+scored AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM toks
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+  {pred} AS lang_pred
+FROM scored"""
+    sql["text_fingerprint"] = f"""WITH {_TOKS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS p FROM toks
+),
+terms AS (
+  SELECT doc_id, ((p * {k}) % {MERSENNE_P}) * {_h28_sql('w')} % {MERSENNE_P} AS term FROM pos
+),
+agg AS (SELECT doc_id, SUM(term) % {MERSENNE_P} AS fp FROM terms GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(a.fp, 0) AS BIGINT) AS fingerprint
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    sql["multimodal_meta"] = f"""SELECT doc_id AS media_id,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  (['jpeg', 'png', 'webp'])[(strlen(text) % 3) + 1] AS format,
+  CAST(64 + strlen(text) % 512 AS INTEGER) AS width,
+  CAST(64 + (strlen(text) * 31) % 512 AS INTEGER) AS height
+FROM documents"""
+    sql["multimodal_frame_count"] = """SELECT doc_id AS media_id,
+  CAST(least(4, greatest(1, strlen(text) // 32)) AS BIGINT) AS n_frames
+FROM documents"""
+    return sql
+
+
+# --------------------------------------------------------------------
+# Driver entry points
+# --------------------------------------------------------------------
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001: the multi-algorithm
+    hash-database build projection (the engine's core pipeline)."""
+    return q_build_multi_algo(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "wordlist_scan": q_wordlist_scan,
+        "word_dedup": q_word_dedup,
+        "build_sha256": q_build_sha256,
+        "build_multi_algo": q_build_multi_algo,
+        "build_hash256": q_build_hash256,
+        "query_point_lookup": q_point_lookup,
+        "query_prefix": q_prefix,
+        "query_algo_filter": q_algo_filter,
+        "query_topk_by_hash": q_topk_by_hash,
+        "append_merge": q_append_merge,
+        "db_stats": q_db_stats,
+        "build_summary": q_build_summary,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "events_json_extract": q_events_json,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sigs": q_minhash_sigs,
+        "dedup_minhash_pairs": q_minhash_pairs,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_simhash": q_simhash,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ivf": q_similarity_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frame_count": q_multimodal_frame_count,
+    }

@@ -1,0 +1,306 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all declarative DataFrame plans (no Python in the data
+path) designed for the 100 TB regime:
+
+  exact            hash-groupBy on a content digest — one shuffle, map-side
+                   partial agg
+  minhash + LSH    shingle → k permutation-min signatures → band buckets →
+                   candidate pairs from bucket join (never O(n²))
+  simhash          32-bit sign-aggregated fingerprint, hamming-style
+                   near-dup by bucket
+  n-gram jaccard   exact verification on candidate pairs only
+  embedding cosine near-dup over an embedding column
+
+All hashing derives from md5 (cross-engine stable) and the constants in
+operators/constants.py, so every step is reproducible in ANSI SQL for
+the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from shaha_spark.functions.text import h28, h32, perm_hash, shingles, tokens
+from shaha_spark.operators.constants import (
+    LSH_BANDS,
+    LSH_ROWS_PER_BAND,
+    MINHASH_PERMS,
+    SHINGLE_N,
+    SIMHASH_BITS,
+)
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the lowest id per content digest.
+
+    One hash-shuffle on the digest; with AQE the reducer count adapts to
+    the distinct-key cardinality. Returns [id, digest] of survivors.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "content_md5")
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """Per-document MinHash signature: k columns mh_0..mh_{k-1}.
+
+    The signature is computed WITHOUT exploding shingles through a
+    shuffle: shingling and the k permutation-mins are array expressions
+    evaluated per row (whole-stage codegen), so cost is one scan.
+    Documents with no shingle get p (= max sentinel) in every slot.
+    """
+    sh = shingles(tokens(F.col(text_col)), shingle_n)
+    hashed = F.transform(sh, lambda s: h28(s))
+    cols = [F.col(id_col)]
+    for i, (a, b) in enumerate(MINHASH_PERMS):
+        permuted = F.transform(hashed, lambda h: perm_hash(h, a, b))
+        cols.append(
+            F.coalesce(F.array_min(permuted), F.lit(2_147_483_647).cast("long")).alias(f"mh_{i}")
+        )
+    return df.select(*cols)
+
+
+def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Banding: signature → (band_idx, band_key) rows.
+
+    band_key concatenates the band's minhashes; docs sharing a band key
+    are near-dup candidates. Output is LSH_BANDS rows per doc.
+    """
+    bands = []
+    for band in range(LSH_BANDS):
+        lo = band * LSH_ROWS_PER_BAND
+        key = F.concat_ws(
+            "-", *[F.col(f"mh_{i}").cast("string") for i in range(lo, lo + LSH_ROWS_PER_BAND)]
+        )
+        bands.append(F.struct(F.lit(band).alias("band_idx"), key.alias("band_key")))
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs from the band-bucket self-join (the scale path:
+    join keys are band buckets, so cost tracks bucket sizes, not n²).
+
+    Returns distinct [id_a < id_b] pairs.
+    """
+    bands = lsh_bands(signatures, id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_similarity(
+    signatures: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Estimated Jaccard = fraction of matching signature slots, joined
+    onto candidate pairs. Two broadcast-eligible joins against the
+    (narrow) signature table."""
+    k = len(MINHASH_PERMS)
+    sig_a = signatures.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)]
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)]
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches.cast("double") / F.lit(k), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end MinHash near-dup removal: docs whose estimated Jaccard
+    with a LOWER-id doc ≥ threshold are dropped (greedy lowest-id-wins;
+    not full connected components — transitive chains keep their
+    lowest member per direct edge, the standard large-scale shortcut).
+
+    Returns surviving [id_col] rows.
+    """
+    sigs = minhash_signatures(df, text_col, id_col).cache()
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    sims = minhash_similarity(sigs, pairs, id_col)
+    losers = sims.where(F.col("est_jaccard") >= threshold).select(
+        F.col("id_b").alias(id_col)
+    ).distinct()
+    return df.select(id_col).join(losers, id_col, "left_anti")
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash fingerprint: per bit j, sum ±1 over token hashes' bit j;
+    fingerprint bit j is 1 iff the sum is positive.
+
+    Computed as array expressions per row (no explode/shuffle): for
+    each bit, count tokens with that bit set vs. total.
+    """
+    toks = tokens(F.col(text_col))
+    hashed = F.transform(toks, lambda t: h32(t))
+    n = F.size(hashed)
+    # sum_j = (#set) - (#unset) = 2*#set - n  > 0
+    bit_terms = []
+    for j in range(bits):
+        n_set = F.size(F.filter(hashed, lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1))
+        bit_on = (F.lit(2).cast("long") * n_set - n) > 0
+        bit_terms.append(F.when(bit_on, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
+    fp = sum(bit_terms)
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    fingerprints: DataFrame, id_col: str = "doc_id", max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ max_hamming.
+
+    Scale path: block on (max_hamming+1) bit-slices — two fingerprints
+    within the distance bound must agree exactly on at least one slice
+    (pigeonhole), so the self-join runs on slice buckets, never n².
+    """
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    blocks = []
+    for blk in range(n_blocks):
+        mask = ((1 << width) - 1) << (blk * width)
+        if blk == n_blocks - 1:  # last block absorbs remainder bits
+            mask = ((1 << (bits - blk * width)) - 1) << (blk * width)
+        blocks.append(
+            F.struct(
+                F.lit(blk).alias("block_idx"),
+                F.col("simhash").bitwiseAND(F.lit(mask)).alias("block_key"),
+            )
+        )
+    sliced = fingerprints.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*blocks)).alias("b")
+    ).select(id_col, "simhash", F.col("b.block_idx").alias("block_idx"), F.col("b.block_key").alias("block_key"))
+
+    a, b = sliced.alias("a"), sliced.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (
+        a.join(b, ["block_idx", "block_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ------------------------------------------------------ n-gram jaccard
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs.
+
+    Token-shingle sets are built per row (array exprs); the pair join is
+    against the narrow [id, shingle_set] projection. Intended as the
+    verification stage after LSH candidate generation — feeding it n²
+    pairs is a caller bug.
+    """
+    sets_df = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias("sh"),
+    )
+    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_col: str | None = "label",
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column.
+
+    ``bucket_col`` blocks the self-join (an upstream coarse cluster id —
+    here the dataset label; in production an LSH/IVF assignment). With a
+    block the join is bucket-local; without (None) it degrades to the
+    O(n²) cross join — only for small n.
+    """
+    from shaha_spark.operators.similarity import cosine_sim
+
+    norm = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *([F.col(bucket_col)] if bucket_col else []),
+    )
+    a = norm.alias("a")
+    b = norm.alias("b")
+    on = [F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}")] if bucket_col else []
+    joined = a.join(b, on=on if on else None, how="inner") if on else a.crossJoin(b)
+    sim = cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        joined.where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

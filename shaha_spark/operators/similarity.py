@@ -1,0 +1,177 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — the exact baseline; cost n_queries × n,
+    kept sane by broadcasting the (small) query side so the corpus is
+    scanned once with no shuffle before the per-query top-k.
+  * IVF (inverted-file) top-k — the scale path: corpus is bucketed by
+    nearest centroid once (write-time in production), queries probe
+    only ``nprobe`` buckets, cutting the scanned fraction to
+    nprobe/n_centroids.
+
+The dot/norm arithmetic is a strict left-to-right fold in DOUBLE
+(F.aggregate over zip_with), which is bit-reproducible and exactly
+mirrors the DuckDB oracle's list_cosine_similarity semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query.
+
+    The query side is broadcast (it is small by construction); the
+    corpus partitioning is untouched, so the heavy scan is shuffle-free.
+    The only shuffle is the per-query top-k window, keyed by query_id.
+    Ties break deterministically on corpus id.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
+        query_id_col,
+        id_col,
+        F.round(cosine_sim(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine).
+
+    Centroids are broadcast; assignment is a shuffle-free scan + a
+    per-vector argmax (window on id). In production the assignment is
+    persisted/bucketed at write time so queries never recompute it.
+    """
+    c = F.broadcast(centroids.select(centroid_id_col, centroid_vec_col))
+    scored = corpus.crossJoin(c).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(centroid_id_col),
+        cosine_sim(F.col(vec_col), F.col(centroid_vec_col)).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col(centroid_id_col).asc())
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .drop("__r", "__sim")
+    )
+
+
+def label_centroids(
+    corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Mean vector per label — a cheap stand-in for k-means centroids
+    (the IVF structure is identical; swap in real k-means offline)."""
+    exploded = corpus.select(
+        F.col(label_col).alias("centroid_id"), F.posexplode(vec_col).alias("pos", "v")
+    )
+    return (
+        exploded.groupBy("centroid_id", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "centroid_id",
+            F.transform("pm", lambda s: s.getField("m").cast("float")).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` nearest centroids' buckets.
+
+    corpus_assigned (id → centroid bucket) would be precomputed/bucketed
+    at ingest in production; the per-query work is then proportional to
+    the probed buckets only.
+    """
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+    c = F.broadcast(centroids)
+    q_probe = (
+        queries.crossJoin(c)
+        .select(
+            query_id_col,
+            F.col(vec_col).alias("__qvec"),
+            F.col("centroid_id"),
+            cosine_sim(F.col(vec_col), F.col("centroid")).alias("__sim"),
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("__sim").desc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .where(F.col("__r") <= nprobe)
+        .select(query_id_col, "__qvec", "centroid_id")
+    )
+    scored = assigned.join(F.broadcast(q_probe), "centroid_id").select(
+        query_id_col,
+        id_col,
+        F.round(cosine_sim(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

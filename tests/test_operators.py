@@ -1,0 +1,192 @@
+"""Training-data operator tests over the sf0.001 synthetic tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shaha_spark.operators import dedup, multimodal, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark, docs):
+    survivors = dedup.exact_dedup(docs)
+    n_docs = docs.count()
+    n_distinct = docs.select("text").distinct().count()
+    assert survivors.count() == n_distinct <= n_docs
+    # survivors' ids are the min id per text group
+    joined = survivors.join(docs, "doc_id").select("doc_id", "text")
+    mins = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    assert joined.join(mins, ["doc_id", "text"]).count() == n_distinct
+
+
+def test_minhash_signatures_shape(spark, docs):
+    sigs = dedup.minhash_signatures(docs)
+    assert sigs.columns == ["doc_id"] + [f"mh_{i}" for i in range(16)]
+    assert sigs.count() == docs.count()
+    row = sigs.head()
+    assert all(0 <= row[f"mh_{i}"] < 2_147_483_647 for i in range(16))
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a completely different sentence entirely here now")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: [r[f"mh_{i}"] for i in range(16)] for r in dedup.minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(df)).collect()
+    assert (1, 2) in [(p.id_a, p.id_b) for p in pairs]
+
+
+def test_minhash_dedup_drops_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "unrelated words only here nothing shared at all")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup.minhash_dedup(df, threshold=0.7).collect()}
+    assert kept == {1, 3}
+
+
+def test_simhash_and_near_dup(spark):
+    df = spark.createDataFrame(
+        [(1, "spark sql engine fast query plan"),
+         (2, "spark sql engine fast query plans"),  # one token differs
+         (3, "totally different content about cooking recipes")],
+        "doc_id long, text string",
+    )
+    fps = dedup.simhash(df)
+    assert fps.count() == 3
+    vals = {r.doc_id: r.simhash for r in fps.collect()}
+    assert all(0 <= v < 2**32 for v in vals.values())
+    # identical docs → hamming 0
+    df2 = spark.createDataFrame([(1, "a b c"), (2, "a b c")], "doc_id long, text string")
+    pairs = dedup.simhash_near_dup_pairs(dedup.simhash(df2), max_hamming=0).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c x y")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    sims = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard(df, pairs).collect()}
+    assert sims[(1, 2)] == 1.0
+    # shingles(5 tokens, n=3) = 3 shingles; doc3 shares only "a b c" → 1/5
+    assert sims[(1, 3)] == pytest.approx(0.2)
+
+
+def test_embedding_near_dup_pairs(spark, embs):
+    pairs = dedup.embedding_near_dup_pairs(embs, threshold=0.9)
+    for row in pairs.take(5):
+        assert row.id_a < row.id_b
+        assert row.cosine >= 0.9
+
+
+def test_brute_force_topk(spark, embs):
+    queries = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = similarity.brute_force_topk(embs, queries, k=5)
+    rows = res.collect()
+    assert len(rows) == 15  # 3 queries × 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        # self similarity = 1.0 at rank 1
+        assert rs[0].vec_id == q and rs[0].cosine == pytest.approx(1.0)
+        assert all(rs[i].cosine >= rs[i + 1].cosine for i in range(len(rs) - 1))
+
+
+def test_ivf_topk_recall_vs_brute(spark, embs):
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.label_centroids(embs)
+    exact = similarity.brute_force_topk(embs, queries, k=5)
+    approx = similarity.ivf_topk(embs, queries, cents, k=5, nprobe=3)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # self-match must always survive (query's own bucket is its nearest centroid)
+    assert all((q, q) in a for q in range(5))
+
+
+def test_token_count(spark, docs):
+    res = textops.token_count(docs)
+    row = res.join(docs, "doc_id").select("n_tokens", "n_pieces", "text").head()
+    assert row.n_tokens == len([t for t in row.text.split(" ") if t])
+    assert row.n_pieces >= row.n_tokens  # pieces split digits/symbols too
+
+
+def test_quality_score_bounds(spark, docs):
+    res = textops.quality_score(docs)
+    assert res.where((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+    assert res.where(F.col("stopword_ratio") > 1).count() == 0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat with a hat"),
+         (2, "der hund ist nicht auf der matte und"),
+         (3, "le chat est dans la maison avec le chien"),
+         (4, "xyzzy qwerty plugh")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in textops.lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma"), (4, "")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in textops.fingerprint(df).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]  # permutation changes the fingerprint
+    assert fp[4] == 0
+
+
+def test_multimodal_decode_and_frames(spark, docs):
+    media = multimodal.media_from_documents(docs)
+    meta = multimodal.decode_metadata(media)
+    n = docs.count()
+    assert meta.count() == n
+    row = meta.join(media, "media_id").head()
+    assert row.n_bytes == len(bytes(row.payload))
+    assert row.format in ("jpeg", "png", "webp")
+    assert 64 <= row.width < 64 + 512
+
+    frames = multimodal.sample_frames(media.limit(10))
+    fr = frames.collect()
+    assert all(len(bytes(f.frame_bytes)) <= 32 for f in fr)
+    assert {f.media_id for f in fr} == {r.media_id for r in media.limit(10).collect()}
+
+    feats = multimodal.extract_features(media.limit(10), dim=16)
+    frow = feats.head()
+    assert len(frow.feature) == 16
+    assert sum(frow.feature) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_multimodal_real_decode_raises(spark, docs):
+    media = multimodal.media_from_documents(docs.limit(1))
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        multimodal.decode_metadata(media, real_decode=True).collect()

@@ -1,0 +1,90 @@
+"""Differential correctness: every queries() entry vs its DuckDB oracle.
+
+Replicates the driver's t2 gate locally: run the Spark DataFrame and
+the oracle SQL on the same sf-dir parquet, then compare column names,
+row counts, and order-insensitive values. Runs at sf0.001 by default
+(SHAHA_TEST_SF_DIR overrides).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    return v
+
+
+def _sorted_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+def test_every_query_has_callable():
+    assert set(ORACLES) <= set(QUERIES), "oracle without query"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    left = _sorted_rows(spark_rows, spark_cols)
+    right = _sorted_rows(duck_rows, duck_cols)
+    mismatches = [
+        (l, r) for l, r in zip(left, right) if l != r
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["hash_hex", "preimage", "algorithm"]
