@@ -1,0 +1,117 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners cover the engine's three pillars:
+  * the hash-database build pipeline (scan → dedup → multi-algo fanout →
+    sorted ZSTD parquet write with bloom) — the reference's north star;
+    the input multiset is made unique per (word, doc, position) so the
+    build hashes ~270k distinct preimages at sf0.1 instead of the
+    corpus's 31-word vocabulary.
+  * reverse lookups against the built database (point + prefix).
+  * the analytical/extension surface: TPC-H-ish agg + join, windowed
+    sessionization, MinHash LSH pairs, cosine top-k, text quality.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from shaha_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="shaha-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # -------- build pipeline (north star) --------
+    from shaha_spark.pipeline.build import build
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = (
+        docs.select(F.posexplode(F.split("text", " ")).alias("pos", "w"), F.col("doc_id"))
+        .filter(F.col("w") != "")
+        .select(
+            F.concat_ws("_", "w", F.col("doc_id").cast("string"), F.col("pos").cast("string")).alias("word")
+        )
+    )
+    n_words = words.count()
+    tmp = tempfile.mkdtemp(prefix="shaha_bench_")
+    db_path = os.path.join(tmp, "db")
+
+    def run_build():
+        build(spark, words, ["sha256", "md5"], db_path, source_name="bench")
+
+    timed("build_hashdb", run_build)
+    extras["build_words_per_sec"] = round(n_words / timings["build_hashdb"], 1)
+
+    # -------- reverse lookups over the built DB --------
+    import hashlib
+
+    from shaha_spark.query import query
+
+    probe = None
+    for row in words.limit(1).collect():
+        probe = row.word
+    digest = hashlib.sha256(probe.encode()).hexdigest()
+    timed("query_point", lambda: query(spark, db_path, digest).collect())
+    timed("query_prefix", lambda: query(spark, db_path, digest[:4], limit=100).collect())
+
+    # -------- analytical / extension headliners --------
+    qs = entry.queries()
+    actions = {
+        "tpch_q1": lambda df: df.collect(),
+        "tpch_q3": lambda df: df.collect(),
+        "events_sessionize": lambda df: df.count(),
+        "dedup_minhash_pairs": lambda df: df.count(),
+        "dedup_simhash": lambda df: df.count(),
+        "similarity_topk": lambda df: df.collect(),
+        "text_quality": lambda df: df.count(),
+        "dedup_exact": lambda df: df.count(),
+    }
+    for name, action in actions.items():
+        timed(name, lambda n=name, a=action: a(qs[n](spark, SF_DIR)))
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -60,20 +60,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: k columns mh_0..mh_{k-1}.
 
-    The signature is computed WITHOUT exploding shingles through a
-    shuffle: shingling and the k permutation-mins are array expressions
-    evaluated per row (whole-stage codegen), so cost is one scan.
-    Documents with no shingle get p (= max sentinel) in every slot.
+    Shape chosen for scale AND codegen: shingles are exploded so the
+    md5-derived shingle hash is computed ONCE per shingle inside
+    whole-stage codegen (higher-order-function lambdas are interpreted
+    and would re-hash per permutation), then the k permutation-mins are
+    a single groupBy with map-side partial aggregation — the only
+    shuffle carries k longs per document. Documents with no shingle get
+    p (= max sentinel) in every slot via explode_outer + coalesce.
     """
     sh = shingles(tokens(F.col(text_col)), shingle_n)
-    hashed = F.transform(sh, lambda s: h28(s))
-    cols = [F.col(id_col)]
-    for i, (a, b) in enumerate(MINHASH_PERMS):
-        permuted = F.transform(hashed, lambda h: perm_hash(h, a, b))
-        cols.append(
-            F.coalesce(F.array_min(permuted), F.lit(2_147_483_647).cast("long")).alias(f"mh_{i}")
-        )
-    return df.select(*cols)
+    hashed = df.select(
+        F.col(id_col), F.explode_outer(sh).alias("__shingle")
+    ).select(F.col(id_col), h28(F.col("__shingle")).alias("__h"))
+    sentinel = F.lit(2_147_483_647).cast("long")
+    aggs = [
+        F.coalesce(F.min(perm_hash(F.col("__h"), a, b)), sentinel).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -172,20 +176,32 @@ def simhash(
     """SimHash fingerprint: per bit j, sum ±1 over token hashes' bit j;
     fingerprint bit j is 1 iff the sum is positive.
 
-    Computed as array expressions per row (no explode/shuffle): for
-    each bit, count tokens with that bit set vs. total.
+    Same explode + partial-agg shape as MinHash: the token hash is
+    codegen'd once per token, the 32 per-bit ±1 sums combine map-side,
+    and the shuffle carries 32 longs per document. Tokenless documents
+    survive via explode_outer (null hash → sums 0 → fingerprint 0,
+    matching the reference-free semantics of 'no content').
     """
     toks = tokens(F.col(text_col))
-    hashed = F.transform(toks, lambda t: h32(t))
-    n = F.size(hashed)
-    # sum_j = (#set) - (#unset) = 2*#set - n  > 0
-    bit_terms = []
-    for j in range(bits):
-        n_set = F.size(F.filter(hashed, lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1))
-        bit_on = (F.lit(2).cast("long") * n_set - n) > 0
-        bit_terms.append(F.when(bit_on, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
-    fp = sum(bit_terms)
-    return df.select(F.col(id_col), fp.alias("simhash"))
+    hashed = df.select(
+        F.col(id_col), F.explode_outer(toks).alias("__tok")
+    ).select(F.col(id_col), h32(F.col("__tok")).alias("__h"))
+    per_bit = [
+        F.sum(
+            F.when(F.col("__h").isNull(), 0)
+            .when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__s_{j}")
+        for j in range(bits)
+    ]
+    sums = hashed.groupBy(id_col).agg(*per_bit)
+    fp = sum(
+        F.when(F.col(f"__s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(bits)
+    )
+    return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
