@@ -1,0 +1,123 @@
+"""Command-line interface mirroring the reference's verb surface.
+
+    python -m shaha_spark build <spec> -a sha256,md5 -o /path/db [--append]
+        [--dry-run] [--force] [--quiet]
+    python -m shaha_spark query <hex> -d /path/db [-a algo] [-n limit]
+        [--format plain|json]
+    python -m shaha_spark info -d /path/db [--format plain|json]
+    python -m shaha_spark algorithms
+
+Verb parity: ref /root/reference/src/main.rs (Build/Query/Info) +
+cli/build.rs, cli/query.rs, cli/info.rs. Source spec grammar is the
+dispatcher's (see shaha_spark.sources). Exit codes follow the
+reference: query with no matches exits non-zero (ref query.rs:82).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="shaha-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    b = sub.add_parser("build", help="build a hash database from a wordlist source")
+    b.add_argument("spec", help="source: path | - | http(s)://… | seclists:p | aspell:lang")
+    b.add_argument("-a", "--algorithms", default="sha256", help="comma-separated")
+    b.add_argument("-o", "--output", required=True)
+    b.add_argument("--append", action="store_true")
+    b.add_argument("--dry-run", action="store_true")
+    b.add_argument("--force", action="store_true")
+    b.add_argument("--quiet", action="store_true")
+
+    q = sub.add_parser("query", help="reverse-lookup a hash or hash prefix")
+    q.add_argument("prefix_hex")
+    q.add_argument("-d", "--database", required=True)
+    q.add_argument("-a", "--algorithm")
+    q.add_argument("-n", "--limit", type=int)
+    q.add_argument("--format", choices=["plain", "json"], default="plain")
+
+    i = sub.add_parser("info", help="database stats")
+    i.add_argument("-d", "--database", required=True)
+    i.add_argument("--format", choices=["plain", "json"], default="plain")
+
+    sub.add_parser("algorithms", help="list available hash algorithms")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.command == "algorithms":
+        from shaha_spark.functions.hashers import available_algorithms
+
+        print("\n".join(available_algorithms()))
+        return 0
+
+    from shaha_spark.session import get_spark
+
+    spark = get_spark(app_name=f"shaha-{args.command}")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.command == "build":
+            from shaha_spark.pipeline.build import build
+            from shaha_spark.sources import parse_source
+
+            src = parse_source(spark, args.spec)
+            summary = build(
+                spark,
+                src.words,
+                [a.strip() for a in args.algorithms.split(",") if a.strip()],
+                args.output,
+                source_name=src.name,
+                source_hash=src.content_hash,
+                append=args.append,
+                dry_run=args.dry_run,
+                force=args.force,
+            )
+            if not args.quiet:
+                print(json.dumps(summary, indent=2), file=sys.stderr)
+            return 0
+
+        if args.command == "query":
+            from shaha_spark.query import format_rows, query
+
+            try:
+                df = query(
+                    spark,
+                    args.database,
+                    args.prefix_hex,
+                    algorithm=args.algorithm,
+                    limit=args.limit,
+                )
+            except ValueError as err:  # bad hex (ref query.rs:69-70 errors too)
+                print(f"error: {err}", file=sys.stderr)
+                return 2
+            rows = df.collect()
+            if not rows:
+                print("No matches found", file=sys.stderr)
+                return 1  # ref query.rs:82 bails on empty result
+            print(format_rows(rows, args.format))
+            return 0
+
+        if args.command == "info":
+            from shaha_spark.pipeline.stats import info
+
+            meta = info(spark, args.database)
+            if args.format == "json":
+                print(json.dumps(meta, indent=2))
+            else:
+                print(f"Total records: {meta['total_records']:,}")
+                print(f"Algorithms: {', '.join(meta['algorithms'])}")
+                print(f"Sources: {', '.join(meta['sources'])}")
+            return 0
+        raise AssertionError(args.command)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

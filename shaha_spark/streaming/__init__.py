@@ -1,0 +1,2 @@
+from shaha_spark.streaming.build_stream import incremental_build  # noqa: F401
+from shaha_spark.streaming.windows import watermarked_event_counts  # noqa: F401

@@ -1,0 +1,58 @@
+"""Incremental hash-database build via Structured Streaming.
+
+The reference's closest analogue is its unbounded stdin iterator +
+100k-word batching (ref /root/reference/src/source/stdin.rs:26-34,
+src/cli/build.rs:16,149-174). The Spark-native generalization: watch a
+landing directory for new wordlist files and fold each micro-batch into
+the database with the same append-merge semantics as a batch append
+(J1) — exactly-once per file via the streaming checkpoint.
+
+foreachBatch is the right tool (not a plain streaming sink) because the
+merge is a full-outer join against existing state on disk — an
+arbitrary batch transformation, which foreachBatch explicitly permits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def incremental_build(
+    spark: SparkSession,
+    landing_dir: str,
+    db_path: str,
+    algorithms: list[str],
+    *,
+    checkpoint_dir: str,
+    source_name: str = "stream",
+    available_now: bool = False,
+):
+    """Start (and return) the streaming query folding new wordlist files
+    into the hash database. ``available_now=True`` drains what is
+    currently in the landing dir and stops — the batch-test trigger."""
+    from shaha_spark.pipeline.build import build
+
+    lines = spark.readStream.text(landing_dir)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        words = batch.select(F.col("value").alias("word")).filter(F.length("word") > 0)
+        if words.isEmpty():
+            return
+        build(
+            batch.sparkSession,
+            words,
+            algorithms,
+            db_path,
+            source_name=f"{source_name}-batch-{batch_id}",
+            append=True,
+        )
+
+    writer = (
+        lines.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
