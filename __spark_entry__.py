@@ -22,7 +22,9 @@ SURVEY §2 coverage map (query name → inventory items):
     append_merge             J1 (full-outer merge, sources union)
     db_stats                 A3/A5 (stats aggregate)
     build_summary            A2/A6 (counts + dry-run estimate)
-    tpch_q1 / tpch_q3        engine-level agg/join capability (bench heads)
+    tpch_q1 / tpch_q3 / q5   engine-level agg/join capability (bench heads)
+    part_filter              LIKE + range predicate pushdown
+    events_salted_agg        skew-resistant two-phase salted aggregation
     events_hourly            time-bucketed aggregation
     events_sessionize        stateful window (gap sessionization)
     events_json_extract      semi-structured projection
@@ -328,6 +330,46 @@ def q_events_json(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
     )
+
+
+def q_tpch_q5(spark, sf_dir):
+    _utc(spark)
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+def q_part_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%small%") & (F.col("p_size") >= 10))
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    )
+
+
+def q_events_salted_agg(spark, sf_dir):
+    from shaha_spark.operators.skew import salted_count_sum
+
+    ev = _events(spark, sf_dir)
+    return salted_count_sum(ev, ["event_type"], "value")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -655,6 +697,22 @@ FROM sess GROUP BY user_id, session_id"""
     sql["events_json_extract"] = (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value FROM events"
     )
+    sql["tpch_q5"] = """SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name"""
+    sql["part_filter"] = """SELECT p_partkey, p_name, p_brand, p_retailprice
+FROM part WHERE p_name LIKE '%small%' AND p_size >= 10"""
+    sql["events_salted_agg"] = """SELECT event_type,
+  count(*) AS n_rows,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type"""
     sql["dedup_exact"] = (
         "SELECT min(doc_id) AS doc_id, md5(text) AS content_md5 FROM documents GROUP BY md5(text)"
     )
@@ -778,6 +836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_summary": q_build_summary,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "part_filter": q_part_filter,
+        "events_salted_agg": q_events_salted_agg,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json,

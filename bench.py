@@ -86,6 +86,8 @@ def main() -> None:
     actions = {
         "tpch_q1": lambda df: df.collect(),
         "tpch_q3": lambda df: df.collect(),
+        "tpch_q5": lambda df: df.collect(),
+        "events_salted_agg": lambda df: df.collect(),
         "events_sessionize": lambda df: df.count(),
         "dedup_minhash_pairs": lambda df: df.count(),
         "dedup_simhash": lambda df: df.count(),

