@@ -69,6 +69,14 @@ def main() -> None:
     timed("build_hashdb", run_build)
     extras["build_words_per_sec"] = round(n_words / timings["build_hashdb"], 1)
 
+    # bytes/record vs the reference's ~47.5 B/record README datum
+    from shaha_spark.io_util import tree_size
+    from shaha_spark.pipeline.build import read_sidecar
+
+    meta = read_sidecar(spark, db_path) or {}
+    n_records = meta.get("total_records", 1)
+    extras["db_bytes_per_record"] = round(tree_size(spark, db_path) / max(n_records, 1), 2)
+
     # -------- reverse lookups over the built DB --------
     import hashlib
 
@@ -80,6 +88,16 @@ def main() -> None:
     digest = hashlib.sha256(probe.encode()).hexdigest()
     timed("query_point", lambda: query(spark, db_path, digest).collect())
     timed("query_prefix", lambda: query(spark, db_path, digest[:4], limit=100).collect())
+    # prune-effectiveness contrast: the same lookup as a full scan
+    # (filter the hex projection, unpushable) vs the range/bloom path
+    from shaha_spark.pipeline.build import read_hashdb
+
+    timed(
+        "query_full_scan",
+        lambda: read_hashdb(spark, db_path)
+        .filter(F.lower(F.hex("hash")) == digest)
+        .collect(),
+    )
 
     # -------- analytical / extension headliners --------
     qs = entry.queries()

@@ -110,9 +110,12 @@ def main(argv: list[str] | None = None) -> int:
             if args.format == "json":
                 print(json.dumps(meta, indent=2))
             else:
+                from shaha_spark.io_util import human_bytes
+
                 print(f"Total records: {meta['total_records']:,}")
                 print(f"Algorithms: {', '.join(meta['algorithms'])}")
                 print(f"Sources: {', '.join(meta['sources'])}")
+                print(f"Size: {human_bytes(meta.get('file_size_bytes', 0))}")
             return 0
         raise AssertionError(args.command)
     finally:

@@ -51,6 +51,31 @@ def delete(spark: SparkSession, path: str) -> None:
     fs.delete(jpath, True)
 
 
+def tree_size(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
+    """Total bytes of files under ``path`` matching ``suffix``."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return 0
+    total = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if suffix is None or name.endswith(suffix):
+            total += status.getLen()
+    return total
+
+
+def human_bytes(n: int) -> str:
+    """Human-readable size (ref /root/reference/src/cli/info.rs:133-147)."""
+    size = float(n)
+    for unit in ("B", "KB", "MB", "GB", "TB", "PB"):
+        if size < 1024 or unit == "PB":
+            return f"{size:.2f} {unit}" if unit != "B" else f"{int(size)} B"
+        size /= 1024
+    raise AssertionError
+
+
 def rename(spark: SparkSession, src: str, dst: str) -> bool:
     fs, jsrc = _fs_and_path(spark, src)
     jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)

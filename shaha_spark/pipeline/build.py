@@ -165,6 +165,7 @@ def write_sidecar(
         "algorithms": sorted(set(algorithms)),
         "sources": sorted(set(sources)),
         "source_hashes": sorted(set(source_hashes)),
+        "file_size_bytes": io_util.tree_size(spark, path),
         "bloom": {"column": "hash", "kind": "parquet-native"},
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "format_version": 1,
@@ -177,10 +178,23 @@ def read_sidecar(spark: SparkSession, path: str) -> dict[str, Any] | None:
     return json.loads(raw) if raw is not None else None
 
 
-def read_hashdb(spark: SparkSession, path: str) -> DataFrame:
-    """Schema-enforced read (the reference errors on schema mismatch,
-    parquet.rs:294-313; passing the explicit schema gives the same
-    guarantee and skips footer schema merging)."""
+def read_hashdb(spark: SparkSession, path: str, validate: bool = False) -> DataFrame:
+    """Schema-enforced read.
+
+    The reference errors on schema mismatch (parquet.rs:294-313). Spark
+    with an explicit schema would instead silently null out missing
+    columns, so ``validate=True`` reproduces the reference's hard error
+    by checking the file footer schema first (one driver-side footer
+    read, no data scan).
+    """
+    if validate:
+        actual = spark.read.parquet(path).schema
+        expected_names = [f.name for f in HASH_DB_SCHEMA.fields]
+        if [f.name for f in actual.fields] != expected_names:
+            raise ValueError(
+                f"Invalid schema: expected columns {expected_names}, "
+                f"found {[f.name for f in actual.fields]} at {path}"
+            )
     return spark.read.schema(HASH_DB_SCHEMA).parquet(path)
 
 

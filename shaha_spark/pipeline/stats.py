@@ -37,12 +37,23 @@ def scan_stats(spark: SparkSession, path: str) -> dict[str, Any]:
 
 def info(spark: SparkSession, path: str) -> dict[str, Any]:
     """Sidecar fast path, scan fallback (ref parquet.rs:572-582)."""
+    from shaha_spark import io_util
+
     meta = read_sidecar(spark, path)
     if meta is not None:
+        size = meta.get("file_size_bytes")
+        if size is None:  # sidecar predates the field — compute live
+            size = io_util.tree_size(spark, path)
         return {
             "total_records": meta["total_records"],
             "algorithms": meta["algorithms"],
             "sources": meta["sources"],
+            "file_size_bytes": size,
             "from_metadata": True,
         }
-    return {**scan_stats(spark, path), "from_metadata": False}
+
+    return {
+        **scan_stats(spark, path),
+        "file_size_bytes": io_util.tree_size(spark, path),
+        "from_metadata": False,
+    }
