@@ -408,6 +408,21 @@ def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_pairs(spark, sf_dir):
+    from shaha_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    fps = simhash(_t(spark, sf_dir, "documents"))
+    return simhash_near_dup_pairs(fps, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+def q_minhash_survivors(spark, sf_dir):
+    from shaha_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(_t(spark, sf_dir, "documents"), threshold=0.7)
+
+
 def q_similarity_topk(spark, sf_dir):
     from shaha_spark.operators.similarity import brute_force_topk
 
@@ -556,9 +571,15 @@ def _bands_cte() -> str:
             f"CAST(mh_{i} AS VARCHAR)" for i in range(lo, lo + LSH_ROWS_PER_BAND)
         )
         selects.append(
-            f"SELECT doc_id, {band} AS band_idx, {key} AS band_key FROM sigs"
+            f"SELECT doc_id, {band} AS band_idx, {key} AS band_key FROM fsigs"
         )
-    return "bands AS (\n  " + "\n  UNION ALL\n  ".join(selects) + "\n)"
+    # shingle-less docs share the all-sentinel signature; exclude before
+    # banding (mirrors operators/dedup.lsh_candidate_pairs — at scale the
+    # sentinel bucket would be one quadratic mega-bucket)
+    return (
+        f"fsigs AS (SELECT * FROM sigs WHERE mh_0 <> {MERSENNE_P}),\n"
+        "bands AS (\n  " + "\n  UNION ALL\n  ".join(selects) + "\n)"
+    )
 
 
 def _pairs_cte() -> str:
@@ -573,6 +594,8 @@ pairs AS (
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )"""
     )
+
+
 
 
 def _simhash_terms() -> str:
@@ -731,6 +754,32 @@ SELECT id_a, id_b,
   round(CASE WHEN la + lb - inter > 0 THEN CAST(inter AS DOUBLE) / (la + lb - inter) ELSE 0.0 END, 6) AS jaccard
 FROM j
 WHERE round(CASE WHEN la + lb - inter > 0 THEN CAST(inter AS DOUBLE) / (la + lb - inter) ELSE 0.0 END, 6) >= 0.5"""
+    k_perms = len(MINHASH_PERMS)
+    match_terms = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(k_perms)
+    )
+    sql["dedup_minhash_survivors"] = f"""WITH {_pairs_cte()},
+sims AS (
+  SELECT p.id_a, p.id_b,
+    CAST({match_terms} AS DOUBLE) / {k_perms} AS est_jaccard
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b
+),
+losers AS (SELECT DISTINCT id_b AS doc_id FROM sims WHERE round(est_jaccard, 6) >= 0.7)
+SELECT d.doc_id FROM documents d LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL"""
+    sql["dedup_simhash_pairs"] = f"""WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+h AS (SELECT doc_id, {_h32_sql('w')} AS hv FROM tok),
+agg AS (SELECT doc_id, CAST({_simhash_terms()} AS BIGINT) AS sh FROM h GROUP BY doc_id),
+fps AS (
+  SELECT d.doc_id, CAST(coalesce(a.sh, 0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
     sql["dedup_simhash"] = f"""WITH {_TOKS_CTE},
 tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
 h AS (SELECT doc_id, {_h32_sql('w')} AS hv FROM tok),
@@ -847,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_simhash": q_simhash,
+        "dedup_simhash_pairs": q_simhash_pairs,
+        "dedup_minhash_survivors": q_minhash_survivors,
         "similarity_topk": q_similarity_topk,
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,

@@ -102,8 +102,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     """Candidate pairs from the band-bucket self-join (the scale path:
     join keys are band buckets, so cost tracks bucket sizes, not n²).
 
+    Shingle-less documents are excluded BEFORE banding: they all carry
+    the identical all-sentinel signature, which at scale would collapse
+    into one quadratic mega-bucket — and a document with no shingles has
+    no MinHash evidence of similarity to anything anyway.
+
     Returns distinct [id_a < id_b] pairs.
     """
+    signatures = signatures.where(F.col("mh_0") != 2_147_483_647)
     bands = lsh_bands(signatures, id_col)
     a = bands.alias("a")
     b = bands.alias("b")

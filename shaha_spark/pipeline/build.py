@@ -71,6 +71,11 @@ def hash_fanout(
     One pass over the input: M digest expressions are packed into an
     array<struct> and exploded, so the scan/dedup upstream is not
     repeated per algorithm.
+
+    ``source_name=None`` omits the sources column. Keep it omitted
+    through dedup: an array column in the dedup forces Spark into
+    sort-based aggregation (arrays are not hash-agg buffer types), so
+    the build attaches sources AFTER deduplication.
     """
     resolve_hashers(algorithms)  # validate names up front, like the CLI
     from shaha_spark.functions.hashers import hash_expr
@@ -84,27 +89,46 @@ def hash_fanout(
             for algo in algorithms
         ]
     )
-    sources = (
-        F.array(F.lit(source_name)) if source_name is not None else F.array().cast("array<string>")
-    )
-    return words.select(
+    out = words.select(
         F.col(word_col).alias("preimage"),
         F.explode(entries).alias("entry"),
     ).select(
         F.col("entry.hash").alias("hash"),
         "preimage",
         F.col("entry.algorithm").alias("algorithm"),
-        sources.alias("sources"),
     )
+    if source_name is not None:
+        out = out.withColumn("sources", F.array(F.lit(source_name)))
+    return out
 
 
-def dedup_records(records: DataFrame) -> DataFrame:
-    """First-wins dedup on the (hash, algorithm) key (J2, ref build.rs:368-371).
+def dedup_records(records: DataFrame, strict: bool = False) -> DataFrame:
+    """Dedup on the (hash, algorithm) key (J2, ref build.rs:368-371).
 
-    After word-level dedup, duplicates here only arise from genuine
+    After word-level dedup, duplicates here can only arise from genuine
     digest collisions between distinct words; kept for semantic parity.
+
+    Physical shape matters here: Spark's HashAggregateExec supports
+    neither binary grouping keys nor string/binary aggregate buffers, so
+    a naive ``dropDuplicates(["hash", "algorithm"])`` silently becomes a
+    SORT-based aggregate — a full sort of the fanned-out records. The
+    default path instead groups on (hex(hash), algorithm, preimage) with
+    no aggregate functions, which stays a hash aggregate; because the
+    preimage determines the digest, the result differs from first-wins
+    only if two distinct preimages truly collide (2^-128 territory).
+    ``strict=True`` restores exact first-wins at the sort-agg cost.
     """
-    return records.dropDuplicates(["hash", "algorithm"])
+    if strict:
+        return records.dropDuplicates(["hash", "algorithm"])
+    cols = records.columns
+    return (
+        records.withColumn("__hh", F.hex("hash"))
+        .drop("hash")
+        .dropDuplicates(["__hh", "algorithm", "preimage"])
+        .withColumn("hash", F.unhex("__hh"))
+        .drop("__hh")
+        .select(*cols)
+    )
 
 
 def sort_for_write(records: DataFrame, num_files: int | None = None) -> DataFrame:
@@ -128,6 +152,7 @@ def write_hashdb(
     *,
     mode: str = "overwrite",
     expected_records: int | None = None,
+    partition_by_algorithm: bool = False,
 ) -> None:
     """Sorted ZSTD Parquet write with a native bloom filter on `hash`.
 
@@ -135,15 +160,24 @@ def write_hashdb(
     bloom (ref parquet.rs:24-29,444-461): Spark's vectorized Parquet
     reader consults it for equality predicates on `hash`, giving the
     same point-lookup short-circuit without custom code (P1).
+
+    ``partition_by_algorithm=True`` lays the dataset out as Hive
+    partitions ``algorithm=<name>/``, so algorithm-filtered queries
+    prune whole directories (the reference keeps one mixed file and
+    filters row-by-row, parquet.rs:551-553). Files stay hash-sorted
+    within each partition: the range-repartition is hash-major, and the
+    per-task split by algorithm preserves row order.
     """
     ndv = max(expected_records or 0, 1_000_000)  # ref parquet.rs:28,47-48
-    (
+    writer = (
         df.write.mode(mode)
         .option("compression", "zstd")
         .option("parquet.bloom.filter.enabled#hash", "true")
         .option("parquet.bloom.filter.expected.ndv#hash", str(ndv))
-        .parquet(path)
     )
+    if partition_by_algorithm:
+        writer = writer.partitionBy("algorithm")
+    writer.parquet(path)
 
 
 def write_sidecar(
@@ -211,6 +245,7 @@ def build(
     force: bool = False,
     num_files: int | None = None,
     word_col: str = "word",
+    partition_by_algorithm: bool = False,
 ) -> dict[str, Any]:
     """End-to-end build (ref src/cli/build.rs:81-248). Returns the summary
     stats the reference prints at build.rs:234-248."""
@@ -247,7 +282,12 @@ def build(
             "records_to_generate": n_unique * len(algorithms),
         }
 
-    records = dedup_records(hash_fanout(unique, algorithms, source_name))
+    # sources attached AFTER the (hash, algorithm) dedup: keeping the
+    # array column out of the aggregation lets Spark use hash-based
+    # (not sort-based) dedup — see hash_fanout docstring.
+    records = dedup_records(hash_fanout(unique, algorithms)).withColumn(
+        "sources", F.array(F.lit(source_name))
+    )
 
     merged_sources = [source_name]
     merged_hashes = [source_hash] if source_hash else []
@@ -271,7 +311,10 @@ def build(
         target = output_path.rstrip("/") + ".__tmp_append__"
 
     sorted_records = sort_for_write(records, num_files=num_files)
-    write_hashdb(sorted_records, target, mode="overwrite")
+    write_hashdb(
+        sorted_records, target, mode="overwrite",
+        partition_by_algorithm=partition_by_algorithm,
+    )
 
     if swap:
         backup = output_path.rstrip("/") + ".__old__"
