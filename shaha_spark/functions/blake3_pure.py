@@ -116,6 +116,93 @@ def _subtree_cv(chunks: list[bytes], first_index: int) -> tuple[int, ...]:
     return tuple(_compress(_IV, words, 0, _BLOCK_LEN, _PARENT)[:8])
 
 
+def blake3_batch(datas: list[bytes]) -> list[bytes]:
+    """Vectorized BLAKE3 over a batch of single-chunk inputs.
+
+    Inputs ≤ 1024 bytes (one chunk — every realistic wordlist entry) are
+    grouped by block count and compressed with numpy: the 7-round G
+    schedule runs element-wise across all states in a group, so the
+    Python interpreter executes the round function once per GROUP
+    instead of once per input. Multi-chunk inputs (> 1024 B) fall back
+    to the scalar tree implementation.
+    """
+    import numpy as np
+
+    out: list[bytes | None] = [None] * len(datas)
+    groups: dict[int, list[int]] = {}
+    for i, d in enumerate(datas):
+        if len(d) <= _CHUNK_LEN:
+            n_blocks = max(1, -(-len(d) // _BLOCK_LEN))
+            groups.setdefault(n_blocks, []).append(i)
+        else:
+            out[i] = blake3(d)
+
+    u32 = np.uint32
+
+    def rotr(v, s):
+        return (v >> u32(s)) | (v << u32(32 - s))
+
+    def g(st, a, b, c, d, mx, my):
+        st[a] = st[a] + st[b] + mx
+        st[d] = rotr(st[d] ^ st[a], 16)
+        st[c] = st[c] + st[d]
+        st[b] = rotr(st[b] ^ st[c], 12)
+        st[a] = st[a] + st[b] + my
+        st[d] = rotr(st[d] ^ st[a], 8)
+        st[c] = st[c] + st[d]
+        st[b] = rotr(st[b] ^ st[c], 7)
+
+    def compress_batch(cv, words, block_len, flags):
+        """cv: (8, n); words: (16, n); block_len: (n,); flags: scalar."""
+        n = cv.shape[1]
+        st = np.empty((16, n), dtype=np.uint32)
+        st[:8] = cv
+        st[8] = _IV[0]; st[9] = _IV[1]; st[10] = _IV[2]; st[11] = _IV[3]
+        st[12] = 0; st[13] = 0
+        st[14] = block_len
+        st[15] = u32(flags)
+        m = [words[i] for i in range(16)]
+        for round_idx in range(7):
+            g(st, 0, 4, 8, 12, m[0], m[1]); g(st, 1, 5, 9, 13, m[2], m[3])
+            g(st, 2, 6, 10, 14, m[4], m[5]); g(st, 3, 7, 11, 15, m[6], m[7])
+            g(st, 0, 5, 10, 15, m[8], m[9]); g(st, 1, 6, 11, 12, m[10], m[11])
+            g(st, 2, 7, 8, 13, m[12], m[13]); g(st, 3, 4, 9, 14, m[14], m[15])
+            if round_idx < 6:
+                m = [m[p] for p in _MSG_PERMUTATION]
+        return st[:8] ^ st[8:]
+
+    for n_blocks, idxs in groups.items():
+        n = len(idxs)
+        buf = np.zeros((n, n_blocks * _BLOCK_LEN), dtype=np.uint8)
+        lens = np.empty(n, dtype=np.int64)
+        for row, i in enumerate(idxs):
+            d = datas[i]
+            lens[row] = len(d)
+            if d:
+                buf[row, : len(d)] = np.frombuffer(d, dtype=np.uint8)
+        # words for block b: (16, n)
+        cv = np.empty((8, n), dtype=np.uint32)
+        for j in range(8):
+            cv[j] = _IV[j]
+        last_len = (lens - (n_blocks - 1) * _BLOCK_LEN).astype(np.uint32)
+        for blk in range(n_blocks):
+            words = np.ascontiguousarray(
+                buf[:, blk * _BLOCK_LEN : (blk + 1) * _BLOCK_LEN]
+            ).view("<u4").T
+            flags = (_CHUNK_START if blk == 0 else 0)
+            if blk == n_blocks - 1:
+                flags |= _CHUNK_END | _ROOT
+                block_len = last_len
+            else:
+                block_len = np.full(n, _BLOCK_LEN, dtype=np.uint32)
+            res = compress_batch(cv, words, block_len, flags)
+            cv = res[:8]
+        digests = np.ascontiguousarray(cv.T.astype("<u4")).view(np.uint8).reshape(n, 32)
+        for row, i in enumerate(idxs):
+            out[i] = digests[row].tobytes()
+    return out  # type: ignore[return-value]
+
+
 def blake3(data: bytes) -> bytes:
     """BLAKE3 digest, default (unkeyed) mode, 32 bytes."""
     chunks = [data[i : i + _CHUNK_LEN] for i in range(0, len(data), _CHUNK_LEN)] or [b""]
