@@ -139,3 +139,14 @@ def test_half_byte_prefix_unsupported():
 
     with pytest.raises(ValueError):
         hex_to_bytes("abc")
+
+
+def test_empty_wordlist_build(spark, tmp_path):
+    # ref integration.rs:472-481: empty batch -> no data; our dataset-level
+    # equivalent: a valid empty database that queries and reports cleanly
+    path = str(tmp_path / "empty_db")
+    words = spark.createDataFrame([("",), ("",)], "word string")  # all filtered
+    res = build_mod.build(spark, words, ["sha256"], path, source_name="none")
+    assert res["total_records"] == 0
+    assert query(spark, path, "").count() == 0
+    assert info(spark, path)["total_records"] == 0
