@@ -1,1 +1,7 @@
-from shaha_spark.operators import dedup, multimodal, similarity, textops  # noqa: F401
+from shaha_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    skew,
+    textops,
+)

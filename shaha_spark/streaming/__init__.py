@@ -1,2 +1,3 @@
 from shaha_spark.streaming.build_stream import incremental_build  # noqa: F401
+from shaha_spark.streaming.stateful import running_totals  # noqa: F401
 from shaha_spark.streaming.windows import watermarked_event_counts  # noqa: F401

@@ -89,3 +89,41 @@ def test_watermarked_counts_runs_as_stream(spark, tmp_path):
     # drain the final window may be withheld — check what did emit
     got = {(r.event_type, r.n_events) for r in rows}
     assert got <= {("click", 2), ("view", 1)}
+
+
+def test_running_totals_stateful_across_batches(spark, tmp_path):
+    # applyInPandasWithState: state must persist across micro-batches
+    from shaha_spark.streaming import running_totals
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        '{"event_type": "click", "value": 1.5}\n'
+        '{"event_type": "click", "value": 2.5}\n'
+        '{"event_type": "view", "value": 1.0}\n'
+    )
+    stream = spark.readStream.schema("event_type string, value double").json(str(src))
+    out = running_totals(stream)
+    ckpt = str(tmp_path / "ckpt")
+    collected: list = []
+
+    def drain():
+        collected.clear()
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _bid: collected.extend(df.collect())
+            )
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = {r.key: (r.n_events, r.sum_value) for r in collected}
+    assert got == {"click": (2, 4.0), "view": (1, 1.0)}
+
+    # second batch arrives; the checkpointed state store carries totals forward
+    (src / "b2.json").write_text('{"event_type": "click", "value": 6.0}\n')
+    drain()
+    got2 = {r.key: (r.n_events, r.sum_value) for r in collected}
+    assert got2["click"] == (3, 10.0)
