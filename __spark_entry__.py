@@ -5,9 +5,11 @@ the training-data extension operators) to a (spark, sf_dir) → DataFrame
 callable; ``oracle_sql()`` provides the DuckDB-equivalent ANSI SQL.
 Both sides are generated from the same constants
 (shaha_spark/operators/constants.py), and all floating-point outputs
-are either exact (decimal accumulation cast to double) or rounded
-identically after bit-reproducible sequential folds, so value hashes
-match across engines.
+are bit-reproducible across engines: exact decimal accumulation cast to
+double for sums, and sequential-fold / single-division double
+arithmetic everywhere else. Outputs are deliberately NOT rounded —
+round() itself diverges between engines at half-ulp boundaries, while
+the raw doubles are bit-identical.
 
 SURVEY §2 coverage map (query name → inventory items):
     wordlist_scan            S1/F1 (scan + non-empty filter)
@@ -751,9 +753,9 @@ j AS (
   FROM pairs p JOIN sets a ON a.doc_id = p.id_a JOIN sets b ON b.doc_id = p.id_b
 )
 SELECT id_a, id_b,
-  round(CASE WHEN la + lb - inter > 0 THEN CAST(inter AS DOUBLE) / (la + lb - inter) ELSE 0.0 END, 6) AS jaccard
+  CASE WHEN la + lb - inter > 0 THEN CAST(inter AS DOUBLE) / (la + lb - inter) ELSE 0.0 END AS jaccard
 FROM j
-WHERE round(CASE WHEN la + lb - inter > 0 THEN CAST(inter AS DOUBLE) / (la + lb - inter) ELSE 0.0 END, 6) >= 0.5"""
+WHERE CASE WHEN la + lb - inter > 0 THEN CAST(inter AS DOUBLE) / (la + lb - inter) ELSE 0.0 END >= 0.5"""
     k_perms = len(MINHASH_PERMS)
     match_terms = " + ".join(
         f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(k_perms)
@@ -766,7 +768,7 @@ sims AS (
   JOIN sigs sa ON sa.doc_id = p.id_a
   JOIN sigs sb ON sb.doc_id = p.id_b
 ),
-losers AS (SELECT DISTINCT id_b AS doc_id FROM sims WHERE round(est_jaccard, 6) >= 0.7)
+losers AS (SELECT DISTINCT id_b AS doc_id FROM sims WHERE est_jaccard >= 0.7)
 SELECT d.doc_id FROM documents d LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL"""
     sql["dedup_simhash_pairs"] = f"""WITH {_TOKS_CTE},
 tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
@@ -792,7 +794,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
 ),
 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
 scored AS (
-  SELECT query_id, vec_id, round(list_cosine_similarity(cv, qv), 6) AS cosine
+  SELECT query_id, vec_id, list_cosine_similarity(cv, qv) AS cosine
   FROM c, q
 ),
 ranked AS (
@@ -805,9 +807,9 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+       list_cosine_similarity(a.e, b.e) AS cosine
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.9"""
+WHERE list_cosine_similarity(a.e, b.e) >= 0.9"""
     sql["text_token_count"] = f"""SELECT doc_id,
   CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
   CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_pieces

@@ -146,7 +146,7 @@ def minhash_similarity(
         .select(
             "id_a",
             "id_b",
-            F.round(matches.cast("double") / F.lit(k), 6).alias("est_jaccard"),
+            (matches.cast("double") / F.lit(k)).alias("est_jaccard"),
         )
     )
 
@@ -282,9 +282,7 @@ def ngram_jaccard(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 6
-            ).alias("jaccard"),
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)).alias("jaccard"),
         )
     )
 
@@ -322,7 +320,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(sim, 6).alias("cosine"),
+            sim.alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

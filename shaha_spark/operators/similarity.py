@@ -64,7 +64,7 @@ def brute_force_topk(
     scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
         query_id_col,
         id_col,
-        F.round(cosine_sim(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+        cosine_sim(F.col(vec_col), F.col("__qvec")).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -165,7 +165,7 @@ def ivf_topk(
     scored = assigned.join(F.broadcast(q_probe), "centroid_id").select(
         query_id_col,
         id_col,
-        F.round(cosine_sim(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+        cosine_sim(F.col(vec_col), F.col("__qvec")).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
