@@ -374,6 +374,22 @@ def q_events_salted_agg(spark, sf_dir):
     return salted_count_sum(ev, ["event_type"], "value")
 
 
+def q_words_intersect(spark, sf_dir):
+    # set op (§2.8): words appearing in BOTH even- and odd-id documents
+    words = _words(spark, sf_dir)
+    even = words.filter(F.col("doc_id") % 2 == 0).select("word")
+    odd = words.filter(F.col("doc_id") % 2 == 1).select("word")
+    return even.intersect(odd)
+
+
+def q_words_except(spark, sf_dir):
+    # set op (§2.8): words only in even-id documents
+    words = _words(spark, sf_dir)
+    even = words.filter(F.col("doc_id") % 2 == 0).select("word")
+    odd = words.filter(F.col("doc_id") % 2 == 1).select("word")
+    return even.subtract(odd)  # EXCEPT DISTINCT, matching SQL EXCEPT
+
+
 def q_dedup_exact(spark, sf_dir):
     from shaha_spark.operators.dedup import exact_dedup
 
@@ -738,6 +754,14 @@ FROM part WHERE p_name LIKE '%small%' AND p_size >= 10"""
   count(*) AS n_rows,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type"""
+    sql["words_intersect"] = f"""WITH {_WORDS_CTE}
+SELECT word FROM words WHERE doc_id % 2 = 0
+INTERSECT
+SELECT word FROM words WHERE doc_id % 2 = 1"""
+    sql["words_except"] = f"""WITH {_WORDS_CTE}
+SELECT word FROM words WHERE doc_id % 2 = 0
+EXCEPT
+SELECT word FROM words WHERE doc_id % 2 = 1"""
     sql["dedup_exact"] = (
         "SELECT min(doc_id) AS doc_id, md5(text) AS content_md5 FROM documents GROUP BY md5(text)"
     )
@@ -893,6 +917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json,
+        "words_intersect": q_words_intersect,
+        "words_except": q_words_except,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_minhash_sigs,
         "dedup_minhash_pairs": q_minhash_pairs,
