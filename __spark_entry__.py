@@ -374,6 +374,12 @@ def q_events_salted_agg(spark, sf_dir):
     return salted_count_sum(ev, ["event_type"], "value")
 
 
+def q_profile_lineitem(spark, sf_dir):
+    from shaha_spark.operators.profile import numeric_profile
+
+    return numeric_profile(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
 def q_words_intersect(spark, sf_dir):
     # set op (§2.8): words appearing in BOTH even- and odd-id documents
     words = _words(spark, sf_dir)
@@ -754,6 +760,9 @@ FROM part WHERE p_name LIKE '%small%' AND p_size >= 10"""
   count(*) AS n_rows,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type"""
+    from shaha_spark.operators.profile import profile_sql
+
+    sql["profile_lineitem"] = profile_sql("lineitem", "l_extendedprice")
     sql["words_intersect"] = f"""WITH {_WORDS_CTE}
 SELECT word FROM words WHERE doc_id % 2 = 0
 INTERSECT
@@ -917,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json,
+        "profile_lineitem": q_profile_lineitem,
         "words_intersect": q_words_intersect,
         "words_except": q_words_except,
         "dedup_exact": q_dedup_exact,

@@ -8,7 +8,7 @@ the correctness oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from shaha_spark.functions.text import h28, quality_components, tokens

@@ -15,7 +15,6 @@ the plain-directory readers.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def write_bucketed_hashdb(
