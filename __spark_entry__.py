@@ -5,11 +5,13 @@ the training-data extension operators) to a (spark, sf_dir) → DataFrame
 callable; ``oracle_sql()`` provides the DuckDB-equivalent ANSI SQL.
 Both sides are generated from the same constants
 (shaha_spark/operators/constants.py), and all floating-point outputs
-are bit-reproducible across engines: exact decimal accumulation cast to
-double for sums, and sequential-fold / single-division double
-arithmetic everywhere else. Outputs are deliberately NOT rounded —
-round() itself diverges between engines at half-ulp boundaries, while
-the raw doubles are bit-identical.
+are reproducible across engines: exact decimal accumulation cast to
+double for sums, sequential-fold / single-division double arithmetic
+(deliberately UNrounded — round() itself diverges at half-ulp
+boundaries of small-integer ratios) for ratios and scores, and
+round(…, 6) only for cosine similarity, where engine-internal FMA
+accumulation differs in the last ulp but real-valued cosines never sit
+on decimal half-boundaries.
 
 SURVEY §2 coverage map (query name → inventory items):
     wordlist_scan            S1/F1 (scan + non-empty filter)
@@ -827,7 +829,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
 ),
 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
 scored AS (
-  SELECT query_id, vec_id, list_cosine_similarity(cv, qv) AS cosine
+  SELECT query_id, vec_id, round(list_cosine_similarity(cv, qv), 6) AS cosine
   FROM c, q
 ),
 ranked AS (
@@ -840,9 +842,9 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       list_cosine_similarity(a.e, b.e) AS cosine
+       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.e, b.e) >= 0.9"""
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.9"""
     sql["text_token_count"] = f"""SELECT doc_id,
   CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
   CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_pieces

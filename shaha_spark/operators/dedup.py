@@ -320,7 +320,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            sim.alias("cosine"),
+            F.round(sim, 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -10,8 +10,9 @@ Two paths:
     nprobe/n_centroids.
 
 The dot/norm arithmetic is a strict left-to-right fold in DOUBLE
-(F.aggregate over zip_with), which is bit-reproducible and exactly
-mirrors the DuckDB oracle's list_cosine_similarity semantics.
+(F.aggregate over zip_with) — deterministic across runs and cluster
+layouts; exposed cosine values are rounded to 6 decimals for
+cross-engine comparability (see cosine_sim).
 """
 
 from __future__ import annotations
@@ -29,16 +30,26 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
-        )
+def norm2(a: Column) -> Column:
+    """Squared L2 norm (sequential double fold)."""
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
     )
 
 
+def norm(a: Column) -> Column:
+    return F.sqrt(norm2(a))
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # dot / sqrt(na * nb): single sqrt of the product keeps self-similarity
+    # at exactly 1.0 (sqrt(x)*sqrt(x) drifts a ulp above). External engines
+    # (e.g. DuckDB's list_cosine_similarity) use FMA/unrolled accumulation
+    # that differs in the last ulp, so operators exposing cosine VALUES
+    # round to 6 decimals — unlike ratio outputs, cosines of real-valued
+    # data do not land on decimal half-boundaries, so rounding is safe AND
+    # necessary here.
+    return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
 
 
 def brute_force_topk(
@@ -64,7 +75,7 @@ def brute_force_topk(
     scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
         query_id_col,
         id_col,
-        cosine_sim(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        F.round(cosine_sim(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -165,7 +176,7 @@ def ivf_topk(
     scored = assigned.join(F.broadcast(q_probe), "centroid_id").select(
         query_id_col,
         id_col,
-        cosine_sim(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        F.round(cosine_sim(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
