@@ -26,12 +26,16 @@ def _build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("build", help="build a hash database from a wordlist source")
     b.add_argument("spec", help="source: path | - | http(s)://… | seclists:p | aspell:lang")
-    b.add_argument("-a", "--algorithms", default="sha256", help="comma-separated")
-    b.add_argument("-o", "--output", required=True)
+    b.add_argument("-a", "--algorithms", default=None,
+                   help="comma-separated (default: config defaults.algorithms, else sha256)")
+    b.add_argument("-o", "--output", default=None,
+                   help="output dataset dir (default: config defaults.output)")
     b.add_argument("--append", action="store_true")
     b.add_argument("--dry-run", action="store_true")
     b.add_argument("--force", action="store_true")
     b.add_argument("--quiet", action="store_true")
+    b.add_argument("--partition-by-algorithm", action="store_true",
+                   help="hive-partition the dataset by algorithm (partition pruning)")
 
     q = sub.add_parser("query", help="reverse-lookup a hash or hash prefix")
     q.add_argument("prefix_hex")
@@ -57,26 +61,40 @@ def main(argv: list[str] | None = None) -> int:
         print("\n".join(available_algorithms()))
         return 0
 
+    from shaha_spark.config import apply_object_store, load_config
     from shaha_spark.session import get_spark
 
+    cfg = load_config()
     spark = get_spark(app_name=f"shaha-{args.command}")
     spark.sparkContext.setLogLevel("ERROR")
+    apply_object_store(spark, cfg)  # s3a credentials for s3a:// paths
     try:
         if args.command == "build":
             from shaha_spark.pipeline.build import build
             from shaha_spark.sources import parse_source
 
+            # precedence: CLI flag > env/config (ref src/config.rs:97-144)
+            algos = (
+                [a.strip() for a in args.algorithms.split(",") if a.strip()]
+                if args.algorithms
+                else cfg.algorithms
+            )
+            output = args.output or cfg.output
+            if not output:
+                print("error: no output path (use -o or config defaults.output)", file=sys.stderr)
+                return 2
             src = parse_source(spark, args.spec)
             summary = build(
                 spark,
                 src.words,
-                [a.strip() for a in args.algorithms.split(",") if a.strip()],
-                args.output,
+                algos,
+                output,
                 source_name=src.name,
                 source_hash=src.content_hash,
                 append=args.append,
                 dry_run=args.dry_run,
                 force=args.force,
+                partition_by_algorithm=args.partition_by_algorithm,
             )
             if not args.quiet:
                 print(json.dumps(summary, indent=2), file=sys.stderr)
