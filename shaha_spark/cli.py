@@ -42,14 +42,55 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("-d", "--database", required=True)
     q.add_argument("-a", "--algorithm")
     q.add_argument("-n", "--limit", type=int)
-    q.add_argument("--format", choices=["plain", "json"], default="plain")
+    q.add_argument("--format", choices=["plain", "json", "table"], default="plain")
 
     i = sub.add_parser("info", help="database stats")
     i.add_argument("-d", "--database", required=True)
     i.add_argument("--format", choices=["plain", "json"], default="plain")
 
+    # source provider management (ref src/cli/source.rs)
+    s = sub.add_parser("source", help="manage wordlist source providers")
+    ssub = s.add_subparsers(dest="source_command", required=True)
+    sp = ssub.add_parser("pull", help="download/update a provider")
+    sp.add_argument("provider")
+    sl = ssub.add_parser("list", help="list available files from a provider")
+    sl.add_argument("provider")
+    sl.add_argument("path", nargs="?", default="")
+    spp = ssub.add_parser("path", help="show cache path for a provider")
+    spp.add_argument("provider")
+
     sub.add_parser("algorithms", help="list available hash algorithms")
     return p
+
+
+def _run_source(args) -> int:
+    """The catalog verbs are driver-only — no Spark session needed."""
+    from shaha_spark.sources import aspell, seclists
+
+    provider = args.provider
+    if args.source_command == "pull":
+        if provider == "seclists":
+            seclists.ensure_clone()
+            return 0
+        if provider == "aspell":
+            if aspell.aspell_available():
+                print("aspell is installed and ready.", file=sys.stderr)
+                return 0
+            print("aspell is not installed.", file=sys.stderr)
+            return 1
+    elif args.source_command == "list":
+        if provider == "seclists":
+            print("\n".join(seclists.list_wordlists(args.path)))
+            return 0
+        if provider == "aspell":
+            print("\n".join(aspell.list_dicts()))
+            return 0
+    elif args.source_command == "path":
+        if provider == "seclists":
+            print(seclists.cache_dir())
+            return 0
+    print(f"Unknown provider: '{provider}'. Available: seclists, aspell", file=sys.stderr)
+    return 2
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -60,6 +101,9 @@ def main(argv: list[str] | None = None) -> int:
 
         print("\n".join(available_algorithms()))
         return 0
+
+    if args.command == "source":
+        return _run_source(args)
 
     from shaha_spark.config import apply_object_store, load_config
     from shaha_spark.session import get_spark

@@ -86,7 +86,8 @@ def query(
 
 
 def format_rows(rows, fmt: str = "plain") -> str:
-    """Driver-side result rendering (K4, ref query.rs:132-179)."""
+    """Driver-side result rendering (K4, ref query.rs:132-179):
+    plain / json / table (UTF-8 grid, ref query.rs:165-178)."""
     import json as _json
 
     if fmt == "json":
@@ -102,6 +103,24 @@ def format_rows(rows, fmt: str = "plain") -> str:
             ],
             indent=2,
         )
+    if fmt == "table":
+        headers = ["Preimage", "Algorithm", "Sources"]
+        cells = [[r.preimage, r.algorithm, ", ".join(r.sources)] for r in rows]
+        widths = [
+            max(len(headers[i]), *(len(c[i]) for c in cells)) if cells else len(headers[i])
+            for i in range(3)
+        ]
+
+        def line(left: str, mid: str, right: str, fill: str = "─") -> str:
+            return left + mid.join(fill * (w + 2) for w in widths) + right
+
+        def row(values: list[str]) -> str:
+            return "│" + "│".join(f" {v:<{w}} " for v, w in zip(values, widths)) + "│"
+
+        out = [line("┌", "┬", "┐"), row(headers), line("├", "┼", "┤")]
+        out += [row(c) for c in cells]
+        out.append(line("└", "┴", "┘"))
+        return "\n".join(out)
     lines = [
         f"{r.hash.hex()}  {r.algorithm:<10}  {r.preimage}  ({', '.join(r.sources)})"
         for r in rows
