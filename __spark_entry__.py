@@ -46,6 +46,10 @@ SURVEY §2 coverage map (query name → inventory items):
     text_fingerprint         extension: order-sensitive fingerprint
     multimodal_meta          extension: binary decode plumbing (mapInPandas)
     multimodal_frame_count   extension: frame-sampling fan-out shape
+    dedup_minhash_survivors  extension: end-to-end near-dup removal
+    dedup_simhash_pairs      extension: Hamming near-dup pairs
+    words_intersect/except   set operations (§2.8)
+    profile_lineitem         extension: deterministic column profiling
 """
 
 from __future__ import annotations
