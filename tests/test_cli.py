@@ -1,0 +1,91 @@
+"""CLI end-to-end tests via subprocess — mirrors the reference's
+spawn-the-binary test layer (ref tests/integration.rs:668-1047:
+dry-run counts, append flow, idempotence skip, quiet mode, formats).
+
+Each invocation pays a full Spark session startup, so assertions are
+batched into few subprocesses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args: str, expect: int = 0) -> subprocess.CompletedProcess:
+    env = {**os.environ, "PYTHONPATH": REPO, "SPARK_GRAFT_CPUS": "4"}
+    proc = subprocess.run(
+        [sys.executable, "-m", "shaha_spark", *args],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == expect, (args, proc.returncode, proc.stderr[-800:])
+    return proc
+
+
+def test_algorithms_fast_path():
+    out = run_cli("algorithms").stdout.split()
+    assert out == [
+        "md5", "sha1", "sha256", "sha512", "keccak256",
+        "ripemd160", "blake3", "hash160", "hash256",
+    ]
+
+
+@pytest.fixture(scope="module")
+def wordlist(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    w = d / "words.txt"
+    w.write_text("password\npassword\nhello\n\nworld\n")
+    return d, str(w)
+
+
+def test_build_dry_run_counts(wordlist):
+    d, w = wordlist
+    # ref integration.rs:668-707: 3 unique from 4 non-empty lines (1 dup)
+    proc = run_cli("build", w, "-a", "sha256,md5", "-o", str(d / "unused"), "--dry-run")
+    summary = json.loads(proc.stderr[proc.stderr.index("{"):])
+    assert summary == {
+        "dry_run": True, "total_words": 4, "unique_words": 3,
+        "duplicates": 1, "records_to_generate": 6,
+    }
+
+
+def test_build_query_info_append_idempotence(wordlist):
+    d, w = wordlist
+    db = str(d / "db")
+    run_cli("build", w, "-a", "sha256", "-o", db, "--quiet")
+
+    # query hit, all three formats, in one process chain per format
+    import hashlib
+
+    digest = hashlib.sha256(b"password").hexdigest()
+    plain = run_cli("query", digest, "-d", db).stdout
+    assert "password" in plain and digest in plain
+    table = run_cli("query", digest, "-d", db, "--format", "table").stdout
+    assert "│ password │" in table and "Preimage" in table
+    jout = json.loads(run_cli("query", digest, "-d", db, "--format", "json").stdout)
+    assert jout[0]["preimage"] == "password"
+
+    # miss exits 1 with message (ref query.rs:82)
+    miss = run_cli("query", "00" * 32, "-d", db, expect=1)
+    assert "No matches found" in miss.stderr
+
+    # append second list merges; idempotent re-add skips
+    w2 = d / "more.txt"
+    w2.write_text("hello\nhunter2\n")
+    proc = run_cli("build", str(w2), "-a", "sha256", "-o", db, "--append")
+    summary = json.loads(proc.stderr[proc.stderr.index("{"):])
+    assert summary["total_records"] == 4
+    proc = run_cli("build", str(w2), "-a", "sha256", "-o", db, "--append")
+    summary = json.loads(proc.stderr[proc.stderr.index("{"):])
+    assert summary["skipped"] is True  # ref integration.rs:752-793
+
+    info = run_cli("info", "-d", db, "--format", "json").stdout
+    meta = json.loads(info)
+    assert meta["total_records"] == 4
+    assert meta["sources"] == ["more.txt", "words.txt"]
