@@ -1,0 +1,98 @@
+"""Robustness batch: query-path fuzz vs brute force, file: URIs,
+partitioned append, multi-file glob inputs."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from shaha_spark.pipeline.build import build, read_hashdb
+from shaha_spark.query import query
+
+
+@pytest.fixture(scope="module")
+def fuzz_db(spark, tmp_path_factory):
+    rng = random.Random(99)
+    words = list({f"word{rng.randrange(10_000)}" for _ in range(500)})
+    path = str(tmp_path_factory.mktemp("fuzz") / "db")
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    build(spark, df, ["sha256", "md5"], path, source_name="fuzz")
+    digests = []
+    for w in words:
+        digests.append((hashlib.sha256(w.encode()).digest(), w, "sha256"))
+        digests.append((hashlib.md5(w.encode()).digest(), w, "md5"))
+    return path, digests
+
+
+def test_query_prefix_fuzz_vs_brute_force(spark, fuzz_db):
+    """Random prefixes of every length class — including full digests,
+    prefixes taken from real digests, and random bytes — must return
+    exactly the brute-force answer through the pushdown path."""
+    path, digests = fuzz_db
+    rng = random.Random(7)
+    cases = []
+    for _ in range(12):
+        h, _, _ = digests[rng.randrange(len(digests))]
+        ln = rng.choice([1, 2, 3, 4, 8, 15])
+        cases.append(h[:ln])
+    cases += [h for h, _, _ in rng.sample(digests, 4)]  # full digests
+    cases += [bytes(rng.randrange(256) for _ in range(rng.choice([1, 2, 4])))
+              for _ in range(8)]
+    cases += [b"\xff", b"\x00"]
+
+    for prefix in cases:
+        got = {
+            (r.hash, r.preimage, r.algorithm)
+            for r in query(spark, path, prefix.hex()).collect()
+        }
+        if len(prefix) in (16, 32):  # full-length ⇒ point-lookup equality
+            want = {t for t in digests if t[0] == prefix}
+        else:
+            want = {t for t in digests if t[0].startswith(prefix)}
+        assert got == want, f"prefix {prefix.hex()}"
+
+
+def test_build_and_query_via_file_uri(spark, tmp_path):
+    # exercise the Hadoop-FS path with an explicit scheme (s3a:// proxy)
+    path = "file://" + str(tmp_path / "uri_db")
+    words = spark.createDataFrame([("alpha",), ("beta",)], "word string")
+    res = build(spark, words, ["sha256"], path, source_name="uri")
+    assert res["total_records"] == 2
+    digest = hashlib.sha256(b"alpha").hexdigest()
+    assert query(spark, path, digest).count() == 1
+    from shaha_spark.pipeline.stats import info
+
+    meta = info(spark, path)
+    assert meta["from_metadata"] is True and meta["total_records"] == 2
+
+
+def test_partitioned_append(spark, tmp_path):
+    path = str(tmp_path / "pdb")
+    w1 = spark.createDataFrame([("one",), ("two",)], "word string")
+    build(spark, w1, ["sha256", "md5"], path, source_name="w1",
+          partition_by_algorithm=True)
+    w2 = spark.createDataFrame([("two",), ("three",)], "word string")
+    res = build(spark, w2, ["sha256", "md5"], path, source_name="w2",
+                append=True, partition_by_algorithm=True)
+    assert res["total_records"] == 6
+    digest = hashlib.md5(b"two").hexdigest()
+    rows = query(spark, path, digest, algorithm="md5").collect()
+    assert len(rows) == 1
+    assert set(rows[0].sources) == {"w1", "w2"}
+
+
+def test_multi_file_glob_input(spark, tmp_path):
+    (tmp_path / "lists").mkdir()
+    (tmp_path / "lists" / "a.txt").write_text("red\ngreen\n")
+    (tmp_path / "lists" / "b.txt").write_text("green\nblue\n")
+    from shaha_spark.sources.file import file_source
+
+    res = file_source(spark, str(tmp_path / "lists" / "*.txt"))
+    words = sorted(r.word for r in res.words.collect())
+    assert words == ["blue", "green", "green", "red"]
+    path = str(tmp_path / "globdb")
+    build(spark, res.words, ["sha256"], path, source_name="glob")
+    assert read_hashdb(spark, path).count() == 3
