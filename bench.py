@@ -113,6 +113,16 @@ def main() -> None:
         "text_quality": lambda df: df.count(),
         "dedup_exact": lambda df: df.count(),
     }
+    # Warm whole-stage-codegen: the wide MinHash aggregation compiles ~5 s
+    # of generated code on first use (janino caches by source text, so a
+    # tiny slice compiles the same class the full run reuses). One-time
+    # driver cost, not a per-data cost — excluded from the timings.
+    docs_small = docs.limit(50)
+    from shaha_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, simhash
+
+    lsh_candidate_pairs(minhash_signatures(docs_small)).count()
+    simhash(docs_small).count()
+
     for name, action in actions.items():
         timed(name, lambda n=name, a=action: a(qs[n](spark, SF_DIR)))
 

@@ -32,6 +32,18 @@ from shaha_spark.operators.constants import (
 )
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread CPU-heavy per-row work across the cluster when the input
+    arrives under-partitioned (e.g. one small parquet file → one task
+    doing all the shingling on one core). No-op when the scan already
+    has ≥ defaultParallelism partitions — i.e. at real data volumes."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- exact
 
 def exact_dedup(
@@ -69,7 +81,7 @@ def minhash_signatures(
     p (= max sentinel) in every slot via explode_outer + coalesce.
     """
     sh = shingles(tokens(F.col(text_col)), shingle_n)
-    hashed = df.select(
+    hashed = ensure_parallelism(df).select(
         F.col(id_col), F.explode_outer(sh).alias("__shingle")
     ).select(F.col(id_col), h28(F.col("__shingle")).alias("__h"))
     sentinel = F.lit(2_147_483_647).cast("long")
@@ -189,7 +201,7 @@ def simhash(
     matching the reference-free semantics of 'no content').
     """
     toks = tokens(F.col(text_col))
-    hashed = df.select(
+    hashed = ensure_parallelism(df).select(
         F.col(id_col), F.explode_outer(toks).alias("__tok")
     ).select(F.col(id_col), h32(F.col("__tok")).alias("__h"))
     per_bit = [
@@ -268,7 +280,7 @@ def ngram_jaccard(
     verification stage after LSH candidate generation — feeding it n²
     pairs is a caller bug.
     """
-    sets_df = df.select(
+    sets_df = ensure_parallelism(df).select(
         F.col(id_col),
         F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias("sh"),
     )
