@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from shaha_spark.functions.text import h28, h32, perm_hash, shingles, tokens
+from shaha_spark.util import ensure_parallelism
 from shaha_spark.operators.constants import (
     LSH_BANDS,
     LSH_ROWS_PER_BAND,
@@ -31,17 +32,6 @@ from shaha_spark.operators.constants import (
     SIMHASH_BITS,
 )
 
-
-def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Spread CPU-heavy per-row work across the cluster when the input
-    arrives under-partitioned (e.g. one small parquet file → one task
-    doing all the shingling on one core). No-op when the scan already
-    has ≥ defaultParallelism partitions — i.e. at real data volumes."""
-    sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 # ---------------------------------------------------------------- exact

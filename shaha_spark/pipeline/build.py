@@ -266,6 +266,10 @@ def build(
             "total_records": existing_meta["total_records"],
         }
 
+    # NOTE: no forced repartition here — unlike the shingle operators,
+    # the expensive work (hash fanout) runs on the reduce side of the
+    # word-dedup shuffle, which already spreads it across the cluster;
+    # measured: an extra upstream repartition only adds shuffle cost.
     words = words.select(F.col(word_col).alias("word")).filter(F.length("word") > 0)
     unique = dedup_words(words)
 
