@@ -194,6 +194,28 @@ def q_build_hash256(spark, sf_dir):
     )
 
 
+def q_build_all_algos(spark, sf_dir):
+    """All nine digest algorithms over the corpus vocabulary (∪ the
+    reference's canonical "hello"), restricted to the words covered by
+    the known-answer table so the DuckDB side can assert literal
+    expected digests for the algorithms DuckDB cannot compute natively
+    (sha1/sha512/keccak256/ripemd160/blake3/hash160/hash256)."""
+    from shaha_spark.functions.digest_vectors import VECTOR_DIGESTS
+    from shaha_spark.functions.hashers import available_algorithms
+    from shaha_spark.pipeline.build import hash_fanout
+
+    _ensure_pkg(spark)  # keccak/blake3/ripemd160 are pandas UDFs
+    dw = (
+        _dwords(spark, sf_dir)
+        .union(spark.createDataFrame([("hello",)], "word string"))
+        .distinct()
+        .filter(F.col("word").isin(sorted(VECTOR_DIGESTS)))
+    )
+    return hash_fanout(dw, available_algorithms()).select(
+        _hex(), "preimage", "algorithm"
+    )
+
+
 def q_point_lookup(spark, sf_dir):
     return q_build_sha256(spark, sf_dir).filter(
         F.col("hash_hex") == POINT_SHA256
@@ -201,8 +223,11 @@ def q_point_lookup(spark, sf_dir):
 
 
 def q_prefix(spark, sf_dir):
+    # "b9" matches sha256("the") = b977... — a prefix chosen to return
+    # rows, mirroring the reference's prefix round-trip which queries a
+    # prefix of a digest known to exist (ref tests/integration.rs:147-151).
     return q_build_sha256(spark, sf_dir).filter(
-        F.col("hash_hex").startswith("ab")
+        F.col("hash_hex").startswith("b9")
     ).select("hash_hex", "preimage")
 
 
@@ -395,11 +420,14 @@ def q_words_intersect(spark, sf_dir):
 
 
 def q_words_except(spark, sf_dir):
-    # set op (§2.8): words only in even-id documents
+    # set op (§2.8): corpus vocabulary EXCEPT the words of document 0.
+    # (Asymmetric by construction — any even/odd doc split covers the
+    # full vocabulary on both sides and EXCEPTs to the empty set, which
+    # would verify nothing.)
     words = _words(spark, sf_dir)
-    even = words.filter(F.col("doc_id") % 2 == 0).select("word")
-    odd = words.filter(F.col("doc_id") % 2 == 1).select("word")
-    return even.subtract(odd)  # EXCEPT DISTINCT, matching SQL EXCEPT
+    all_words = words.select("word")
+    doc0 = words.filter(F.col("doc_id") == 0).select("word")
+    return all_words.subtract(doc0)  # EXCEPT DISTINCT, matching SQL EXCEPT
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -483,8 +511,12 @@ def q_similarity_ivf(spark, sf_dir):
 def q_embedding_near_dup(spark, sf_dir):
     from shaha_spark.operators.dedup import embedding_near_dup_pairs
 
+    # 0.4 is calibrated to the synthetic fixture, whose max intra-label
+    # cosine is ~0.45-0.47 (random unit-ish vectors, no planted dups);
+    # a production near-dup threshold would be ~0.95. Chosen so the
+    # oracle comparison exercises real pairs instead of the empty set.
     return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 
@@ -638,6 +670,37 @@ def _simhash_terms() -> str:
     return " + ".join(terms)
 
 
+def _all_algos_sql() -> str:
+    """Oracle for build_all_algos: md5/sha256 computed natively by
+    DuckDB; the other seven asserted against the literal known-answer
+    table (provenance: scripts/gen_digest_vectors.py)."""
+    from shaha_spark.functions.digest_vectors import VECTOR_DIGESTS
+
+    vec_words = sorted(VECTOR_DIGESTS)
+    in_list = ", ".join(f"'{w}'" for w in vec_words)
+    rows = []
+    for w in vec_words:
+        for algo, hx in VECTOR_DIGESTS[w].items():
+            if algo in ("md5", "sha256"):
+                continue
+            rows.append(f"('{w}', '{algo}', '{hx}')")
+    values = ",\n  ".join(rows)
+    return f"""WITH {_DWORDS_CTE},
+dw AS (
+  SELECT word FROM (SELECT word FROM dwords UNION SELECT 'hello' AS word)
+  WHERE word IN ({in_list})
+),
+vec(preimage, algorithm, hash_hex) AS (VALUES
+  {values}
+)
+SELECT md5(word) AS hash_hex, word AS preimage, 'md5' AS algorithm FROM dw
+UNION ALL
+SELECT sha256(word) AS hash_hex, word AS preimage, 'sha256' AS algorithm FROM dw
+UNION ALL
+SELECT v.hash_hex, v.preimage, v.algorithm
+FROM vec v JOIN dw ON v.preimage = dw.word"""
+
+
 def _langid_scores() -> tuple[str, str]:
     score_cols = []
     for lang in sorted(LANG_STOPWORDS):
@@ -669,13 +732,14 @@ def oracle_sql() -> dict[str, str]:
         "'sha256' AS algorithm FROM dwords"
     )
     sql["build_multi_algo"] = f"WITH {_MULTI_CTE} SELECT * FROM multi"
+    sql["build_all_algos"] = _all_algos_sql()
     sql["query_point_lookup"] = (
         f"WITH {_DWORDS_CTE} SELECT sha256(word) AS hash_hex, word AS preimage, "
         f"'sha256' AS algorithm FROM dwords WHERE sha256(word) = '{POINT_SHA256}'"
     )
     sql["query_prefix"] = (
         f"WITH {_DWORDS_CTE} SELECT sha256(word) AS hash_hex, word AS preimage "
-        "FROM dwords WHERE sha256(word) LIKE 'ab%'"
+        "FROM dwords WHERE sha256(word) LIKE 'b9%'"
     )
     sql["query_algo_filter"] = (
         f"WITH {_MULTI_CTE} SELECT * FROM multi WHERE algorithm = 'md5'"
@@ -774,9 +838,9 @@ SELECT word FROM words WHERE doc_id % 2 = 0
 INTERSECT
 SELECT word FROM words WHERE doc_id % 2 = 1"""
     sql["words_except"] = f"""WITH {_WORDS_CTE}
-SELECT word FROM words WHERE doc_id % 2 = 0
+SELECT word FROM words
 EXCEPT
-SELECT word FROM words WHERE doc_id % 2 = 1"""
+SELECT word FROM words WHERE doc_id = 0"""
     sql["dedup_exact"] = (
         "SELECT min(doc_id) AS doc_id, md5(text) AS content_md5 FROM documents GROUP BY md5(text)"
     )
@@ -842,13 +906,64 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
+    # IVF ANN: same deterministic construction as operators/similarity.py —
+    # decimal-exact centroid means cast through FLOAT, argmax assignment and
+    # nprobe probing as row_number windows with (sim DESC, id ASC) tiebreaks.
+    sql["similarity_ivf"] = """WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+pos AS (
+  SELECT label, unnest(embedding) AS comp,
+         unnest(range(1, len(embedding) + 1)) AS p
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS centroid_id, p,
+         CAST(CAST(CAST(SUM(CAST(comp AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS FLOAT) AS DOUBLE) AS m
+  FROM pos GROUP BY label, p
+),
+cvec AS (SELECT centroid_id, list(m ORDER BY p) AS cv FROM cent GROUP BY centroid_id),
+assign AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT v.vec_id, v.e, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.e, c.cv) DESC, c.centroid_id ASC
+           ) AS r
+    FROM v CROSS JOIN cvec c
+  ) WHERE r = 1
+),
+probe AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id ASC
+           ) AS r
+    FROM q CROSS JOIN cvec c
+  ) WHERE r <= 3
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, round(list_cosine_similarity(a.e, p.qv), 6) AS cosine
+  FROM assign a JOIN probe p USING (centroid_id)
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
     sql["embedding_near_dup"] = """WITH v AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.e, b.e), 6) AS cosine
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.9"""
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4"""
     sql["text_token_count"] = f"""SELECT doc_id,
   CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
   CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_pieces
@@ -917,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_sha256": q_build_sha256,
         "build_multi_algo": q_build_multi_algo,
         "build_hash256": q_build_hash256,
+        "build_all_algos": q_build_all_algos,
         "query_point_lookup": q_point_lookup,
         "query_prefix": q_prefix,
         "query_algo_filter": q_algo_filter,

@@ -120,13 +120,24 @@ def label_centroids(
     corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:
     """Mean vector per label — a cheap stand-in for k-means centroids
-    (the IVF structure is identical; swap in real k-means offline)."""
+    (the IVF structure is identical; swap in real k-means offline).
+
+    The per-position mean accumulates in DECIMAL (exact, order-free)
+    and divides once in DOUBLE: float summation order varies with
+    partitioning, so a plain avg() would make the centroids — and any
+    assignment decided by a near-tie — depend on the physical plan.
+    """
     exploded = corpus.select(
         F.col(label_col).alias("centroid_id"), F.posexplode(vec_col).alias("pos", "v")
     )
     return (
         exploded.groupBy("centroid_id", "pos")
-        .agg(F.avg("v").alias("m"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
         .groupBy("centroid_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(
