@@ -101,27 +101,38 @@ def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Candidate pairs from the band-bucket self-join (the scale path:
-    join keys are band buckets, so cost tracks bucket sizes, not n²).
+    """Candidate pairs: group band rows into buckets, explode each
+    bucket's id list into its pairs.
+
+    Single-scan shape: the signature subtree (corpus scan → shingle
+    explode → minhash agg → banding) feeds ONE aggregation — a
+    bands-self-join would instead evaluate that whole subtree once per
+    join side, i.e. scan and re-hash the corpus twice. The bucket
+    aggregation carries an array buffer, so Spark plans it sort-based —
+    deliberate: a sort-merge self-join would sort the same band rows
+    anyway, twice, after shuffling twice the volume.
 
     Shingle-less documents are excluded BEFORE banding: they all carry
     the identical all-sentinel signature, which at scale would collapse
     into one quadratic mega-bucket — and a document with no shingles has
-    no MinHash evidence of similarity to anything anyway.
+    no MinHash evidence of similarity to anything anyway. Bucket-size
+    blowup from truly identical documents affects self-join and bucket
+    explode alike (it is the candidate set itself, not plan overhead);
+    run exact_dedup first.
 
     Returns distinct [id_a < id_b] pairs.
     """
     signatures = signatures.where(F.col("mh_0") != 2_147_483_647)
-    bands = lsh_bands(signatures, id_col)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        lsh_bands(signatures, id_col)
+        .groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     return (
-        a.join(b, ["band_idx", "band_key"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -172,6 +183,11 @@ def minhash_dedup(
     losers = sims.where(F.col("est_jaccard") >= threshold).select(
         F.col("id_b").alias(id_col)
     ).distinct()
+    # The loser set is tiny (near-dup ids only); materialize it eagerly
+    # so the signature cache can be released here instead of leaking
+    # storage memory for the session's lifetime in long-running drivers.
+    losers = losers.localCheckpoint(eager=True)
+    sigs.unpersist()
     return df.select(id_col).join(losers, id_col, "left_anti")
 
 
@@ -239,14 +255,24 @@ def simhash_near_dup_pairs(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*blocks)).alias("b")
     ).select(id_col, "simhash", F.col("b.block_idx").alias("block_idx"), F.col("b.block_key").alias("block_key"))
 
-    a, b = sliced.alias("a"), sliced.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    # Same single-scan bucket-explode shape as lsh_candidate_pairs: the
+    # fingerprint subtree feeds one aggregation instead of both sides of
+    # a self-join (which would token-hash the corpus twice).
+    member = F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("fp"))
+    buckets = (
+        sliced.groupBy("block_idx", "block_key")
+        .agg(F.sort_array(F.collect_list(member)).alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
+    exploded = buckets.select(
+        F.explode("ms").alias("a"), F.col("ms")
+    ).select("a", F.explode("ms").alias("b"))
+    xor = F.col("a.fp").bitwiseXOR(F.col("b.fp"))
     return (
-        a.join(b, ["block_idx", "block_key"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        exploded.where(F.col("a.id") < F.col("b.id"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
             F.bit_count(xor).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
@@ -265,27 +291,58 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs.
 
-    Token-shingle sets are built per row (array exprs); the pair join is
-    against the narrow [id, shingle_set] projection. Intended as the
-    verification stage after LSH candidate generation — feeding it n²
-    pairs is a caller bug.
+    Single-scan shape: instead of joining a [id, shingle_set] projection
+    onto both pair sides (which evaluates the shingle subtree once per
+    side), the pair list is unpivoted to (id_a, id_b, member_id, side)
+    rows and joined ONCE against the exploded shingles of the member
+    documents only (semi-join pre-filter, so non-candidate documents are
+    never shingled). Counting per (pair, shingle) then per pair gives
+    |A∩B|, |A|, |B| with set semantics — duplicate shingles collapse in
+    the first aggregation.
+
+    Intended as the verification stage after LSH candidate generation —
+    feeding it n² pairs is a caller bug.
     """
-    sets_df = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias("sh"),
-    )
-    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    stack = pairs.select(
+        "id_a", "id_b", F.col("id_a").alias(id_col), F.lit(1).alias("is_a")
+    ).unionAll(
+        pairs.select(
+            "id_a", "id_b", F.col("id_b").alias(id_col), F.lit(0).alias("is_a")
         )
+    )
+    members = stack.select(id_col).distinct()
+    shingle_rows = (
+        ensure_parallelism(df.join(members, id_col, "left_semi"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("sh"),
+        )
+    )
+    per_shingle = (
+        shingle_rows.join(stack, id_col)
+        .groupBy("id_a", "id_b", "sh")
+        .agg(
+            F.max("is_a").alias("has_a"),
+            F.max(1 - F.col("is_a")).alias("has_b"),
+        )
+    )
+    counted = per_shingle.groupBy("id_a", "id_b").agg(
+        F.sum(F.col("has_a") * F.col("has_b")).alias("inter"),
+        F.sum("has_a").alias("la"),
+        F.sum("has_b").alias("lb"),
+    )
+    union = F.col("la") + F.col("lb") - F.col("inter")
+    scored = counted.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, F.col("inter").cast("double") / union)
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+    # pairs whose documents have no shingles produce no counted rows;
+    # restore them as jaccard 0.0 (the pre-restructure semantics)
+    return pairs.join(scored, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b", F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")
     )
 
 
