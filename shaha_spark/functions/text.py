@@ -61,25 +61,3 @@ def shingles(tok_col: Column, n: int = SHINGLE_N) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def quality_components(text_col: Column) -> dict[str, Column]:
-    """Deterministic quality heuristics over a text column."""
-    toks = tokens(text_col)
-    n_tok = F.size(toks)
-    n_chars = F.length(text_col)
-    from shaha_spark.operators.constants import QUALITY_STOPWORDS
-
-    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    mean_tok_len = F.when(n_tok > 0, (F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    ).cast("double") / n_tok)).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
-    # no rounding: each value is a single IEEE division of exact integer
-    # operands, so it is bit-reproducible across engines as-is (rounding
-    # would actually HURT cross-engine parity at half-ulp boundaries).
-    return {
-        "n_chars": n_chars.cast("bigint"),
-        "n_tokens": n_tok.cast("bigint"),
-        "mean_token_len": mean_tok_len,
-        "stopword_ratio": stop_ratio,
-    }

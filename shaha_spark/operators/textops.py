@@ -11,12 +11,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from shaha_spark.functions.text import h28, quality_components, tokens
+from shaha_spark.functions.text import h28, tokens
 from shaha_spark.operators.constants import (
     FINGERPRINT_K,
     LANG_STOPWORDS,
     MERSENNE_P,
+    QUALITY_STOPWORDS,
 )
+from shaha_spark.util import ensure_parallelism
 
 #: BPE-ish word-piece pattern: runs of letters, runs of digits, or a
 #: single non-space symbol — a crude stand-in for subword tokenizers.
@@ -43,21 +45,50 @@ def quality_score(
 
     score = 0.4·min(n_tokens/100, 1) + 0.3·min(mean_token_len/8, 1)
           + 0.3·min(stopword_ratio/0.2, 1)
-    (arbitrary but fixed weights; the value is the *plumbing* — each
-    component is a codegen'd expression, no UDF).
+    (arbitrary but fixed weights; the value is the *plumbing*).
+
+    Explode + partial-agg shape (same as minhash_signatures): per-token
+    work (length, stopword membership) runs inside whole-stage codegen —
+    higher-order-function lambdas would evaluate interpreted per token —
+    and the groupBy combines map-side, so the shuffle carries three
+    longs per document. n_chars rides along as a grouping key (it is
+    functionally dependent on the document), avoiding a join.
+    Ratios are single IEEE divisions of exact integer operands — bit
+    reproducible across engines unrounded (rounding would actually HURT
+    parity at half-ulp boundaries).
     """
-    comps = quality_components(F.col(text_col))
-    score = (
-        F.lit(0.4) * F.least(comps["n_tokens"].cast("double") / 100.0, F.lit(1.0))
-        + F.lit(0.3) * F.least(comps["mean_token_len"] / 8.0, F.lit(1.0))
-        + F.lit(0.3) * F.least(comps["stopword_ratio"] / 0.2, F.lit(1.0))
-    )
-    return df.select(
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    base = ensure_parallelism(df).select(
         F.col(id_col),
-        comps["n_chars"].alias("n_chars"),
-        comps["n_tokens"].alias("n_tokens"),
-        comps["mean_token_len"].alias("mean_token_len"),
-        comps["stopword_ratio"].alias("stopword_ratio"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        F.explode_outer(tokens(F.col(text_col))).alias("__tok"),
+    )
+    agg = base.groupBy(id_col, "n_chars").agg(
+        F.count("__tok").alias("n_tokens"),  # count() skips the null of tokenless docs
+        F.coalesce(F.sum(F.length("__tok")), F.lit(0)).alias("__sum_len"),
+        F.coalesce(
+            F.sum(F.when(F.array_contains(stop_arr, F.col("__tok")), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("__n_stop"),
+    )
+    n_tok = F.col("n_tokens")
+    mean_tok_len = F.when(
+        n_tok > 0, F.col("__sum_len").cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tok > 0, F.col("__n_stop").cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * F.least(mean_tok_len / 8.0, F.lit(1.0))
+        + F.lit(0.3) * F.least(stop_ratio / 0.2, F.lit(1.0))
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
         score.alias("quality"),
     )
 
@@ -67,18 +98,27 @@ def lang_id(
 ) -> DataFrame:
     """Stopword-overlap language ID: count tokens belonging to each
     language's stopword set; argmax wins, lexicographic tiebreak,
-    'und' (undetermined) when no stopword hits at all."""
-    toks = tokens(F.col(text_col))
-    scores = []
-    for lang in sorted(LANG_STOPWORDS):
-        stop_arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
-        scores.append(
-            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
-                f"score_{lang}"
-            )
-        )
-    scored = df.select(F.col(id_col), *scores)
+    'und' (undetermined) when no stopword hits at all.
+
+    Explode + partial-agg shape: one pass over exploded tokens computes
+    all per-language membership flags in codegen; the groupBy combines
+    map-side (shuffle = one long per language per document)."""
     langs = sorted(LANG_STOPWORDS)
+    base = ensure_parallelism(df).select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("__tok")
+    )
+    aggs = []
+    for lang in langs:
+        stop_arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(F.array_contains(stop_arr, F.col("__tok")), 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias(f"score_{lang}")
+        )
+    scored = base.groupBy(id_col).agg(*aggs)
     best = F.lit("und")
     best_score = F.lit(0)
     # forward lexicographic order + strict '>' ⇒ ties keep the earlier name
@@ -100,16 +140,24 @@ def fingerprint(
     fp = Σ_pos [ ((pos+1)·K mod p) · h28(token_pos) mod p ]  mod p
 
     Position-weighted so permuted documents differ, commutative in the
-    summation so it parallelizes (each term reduced mod p keeps every
-    partial in int64). Documents with no tokens get fp = 0.
+    summation so it parallelizes. Documents with no tokens get fp = 0.
+
+    posexplode + partial-agg shape (the pattern proven for MinHash): the
+    per-token md5 inside h28 runs once per token in whole-stage codegen
+    — the previous zip_with/aggregate lambdas evaluated it interpreted —
+    and the groupBy sum combines map-side, so the shuffle carries one
+    long per document. Each term is < 2^31, so the int64 running sum is
+    safe below ~2^32 tokens per document; the final mod p happens once.
     """
-    toks = tokens(F.col(text_col))
-    indexed = F.zip_with(
-        toks,
-        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
-        lambda t, i: (i.cast("long") * FINGERPRINT_K % MERSENNE_P) * h28(t) % MERSENNE_P,
+    pos_tok = ensure_parallelism(df).select(
+        F.col(id_col), F.posexplode_outer(tokens(F.col(text_col))).alias("__pos", "__tok")
     )
-    fp = F.when(F.size(toks) > 0, F.aggregate(
-        indexed, F.lit(0).cast("long"), lambda acc, v: (acc + v) % MERSENNE_P
-    )).otherwise(F.lit(0).cast("long"))
-    return df.select(F.col(id_col), fp.alias("fingerprint"))
+    term = (
+        (F.col("__pos") + 1).cast("long") * FINGERPRINT_K % MERSENNE_P
+    ) * h28(F.col("__tok")) % MERSENNE_P
+    terms = pos_tok.select(
+        F.col(id_col), F.coalesce(term, F.lit(0).cast("long")).alias("__term")
+    )
+    return terms.groupBy(id_col).agg(
+        (F.sum("__term") % MERSENNE_P).cast("long").alias("fingerprint")
+    )
