@@ -145,23 +145,47 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.command == "query":
-            from shaha_spark.query import format_rows, query
+            from shaha_spark.query import DEFAULT_QUERY_LIMIT, format_rows, query
 
+            # json/table must hold every row in driver memory, so an
+            # unlimited query gets a default cap; plain streams below.
+            limit = args.limit
+            if limit is None and args.format != "plain":
+                limit = DEFAULT_QUERY_LIMIT
             try:
                 df = query(
                     spark,
                     args.database,
                     args.prefix_hex,
                     algorithm=args.algorithm,
-                    limit=args.limit,
+                    limit=limit,
                 )
             except ValueError as err:  # bad hex (ref query.rs:69-70 errors too)
                 print(f"error: {err}", file=sys.stderr)
                 return 2
+            if args.format == "plain":
+                # Stream partition-at-a-time — constant driver memory,
+                # like the reference's row iterator (ref parquet.rs:563-565);
+                # a bare `collect()` of a short prefix on a 100 TB database
+                # would pull millions of rows into the driver.
+                it = df.toLocalIterator()
+                first = next(it, None)
+                if first is None:
+                    print("No matches found", file=sys.stderr)
+                    return 1  # ref query.rs:82 bails on empty result
+                print(format_rows([first], "plain"))
+                for r in it:
+                    print(format_rows([r], "plain"))
+                return 0
             rows = df.collect()
             if not rows:
                 print("No matches found", file=sys.stderr)
                 return 1  # ref query.rs:82 bails on empty result
+            if args.limit is None and len(rows) == DEFAULT_QUERY_LIMIT:
+                print(
+                    f"(showing first {DEFAULT_QUERY_LIMIT} matches; use -n to change)",
+                    file=sys.stderr,
+                )
             print(format_rows(rows, args.format))
             return 0
 

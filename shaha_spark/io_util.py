@@ -80,3 +80,11 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     fs, jsrc = _fs_and_path(spark, src)
     jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
     return bool(fs.rename(jsrc, jdst))
+
+
+def create_marker(spark: SparkSession, path: str) -> bool:
+    """Atomically create an empty marker file; False if it already
+    exists. Backs the append lock (FileSystem.createNewFile is the
+    Hadoop-portable create-if-absent primitive)."""
+    fs, jpath = _fs_and_path(spark, path)
+    return bool(fs.createNewFile(jpath))

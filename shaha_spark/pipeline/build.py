@@ -251,6 +251,19 @@ def build(
     stats the reference prints at build.rs:234-248."""
     resolve_hashers(algorithms)
     existing_meta = read_sidecar(spark, output_path) if append else None
+    if append and existing_meta is None and io_util.exists(spark, output_path):
+        # Sidecar missing (deleted, or a crash between swap and sidecar
+        # write): recover algorithms/sources by scanning, otherwise the
+        # freshly written sidecar would confidently misreport the merged
+        # dataset's provenance through info()'s metadata fast path.
+        from shaha_spark.pipeline.stats import scan_stats
+
+        recovered = scan_stats(spark, output_path)
+        existing_meta = {
+            "algorithms": recovered["algorithms"],
+            "sources": recovered["sources"],
+            "source_hashes": [],  # unknowable without the sidecar
+        }
 
     # Idempotence gate (P5, ref build.rs:113-125): skip if this exact
     # source content was already ingested.
@@ -293,59 +306,90 @@ def build(
         "sources", F.array(F.lit(source_name))
     )
 
-    merged_sources = [source_name]
-    merged_hashes = [source_hash] if source_hash else []
-    merged_algos = list(algorithms)
-    if append and io_util.exists(spark, output_path):
-        from shaha_spark.pipeline.append import append_merge
-
-        existing = read_hashdb(spark, output_path)
-        records = append_merge(existing, records)
-        if existing_meta:
-            merged_sources += existing_meta.get("sources", [])
-            merged_hashes += existing_meta.get("source_hashes", [])
-            merged_algos += existing_meta.get("algorithms", [])
-
-    target = output_path
     swap = append and io_util.exists(spark, output_path)
+    lock_path = None
     if swap:
+        # Serialize concurrent appends to the same output: two builds
+        # interleaving their read-merge-swap sequences would each merge
+        # against the same base and silently drop the other's records.
+        lock_path = output_path.rstrip("/") + ".__append_lock__"
+        if not io_util.create_marker(spark, lock_path):
+            raise RuntimeError(
+                f"another append to {output_path} appears to be in progress "
+                f"(lock file {lock_path} exists); if it is stale from a "
+                "crashed build, delete it and retry"
+            )
+    try:
+        merged_sources = [source_name]
+        merged_hashes = [source_hash] if source_hash else []
+        merged_algos = list(algorithms)
+        if swap:
+            from shaha_spark.pipeline.append import append_merge
+
+            existing = read_hashdb(spark, output_path)
+            records = append_merge(existing, records)
+            if existing_meta:
+                merged_sources += existing_meta.get("sources", [])
+                merged_hashes += existing_meta.get("source_hashes", [])
+                merged_algos += existing_meta.get("algorithms", [])
+
         # Spark cannot rewrite its own input in place: write to a temp
         # sibling, then swap (ref rewrites the single file atomically;
         # this is the dataset-level equivalent).
-        target = output_path.rstrip("/") + ".__tmp_append__"
+        target = output_path if not swap else output_path.rstrip("/") + ".__tmp_append__"
 
-    sorted_records = sort_for_write(records, num_files=num_files)
-    write_hashdb(
-        sorted_records, target, mode="overwrite",
-        partition_by_algorithm=partition_by_algorithm,
-    )
+        # total_records observed ON the write job itself (CollectMetrics
+        # above the final sort) — no post-write read-back pass.
+        from pyspark.sql import Observation
 
-    if swap:
-        backup = output_path.rstrip("/") + ".__old__"
-        io_util.delete(spark, backup)
-        io_util.rename(spark, output_path, backup)
-        io_util.rename(spark, target, output_path)
-        io_util.delete(spark, backup)
+        obs = Observation("build_total_records")
+        sorted_records = sort_for_write(records, num_files=num_files).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
+        write_hashdb(
+            sorted_records, target, mode="overwrite",
+            partition_by_algorithm=partition_by_algorithm,
+        )
 
-    # Stats from the written dataset (one cheap metadata-heavy pass —
-    # count satisfies from row-group metadata with aggregate pushdown).
-    written = read_hashdb(spark, output_path)
-    total_records = written.count()
-    write_sidecar(
-        spark,
-        output_path,
-        total_records=total_records,
-        algorithms=merged_algos,
-        sources=merged_sources,
-        source_hashes=[h for h in merged_hashes if h],
-    )
-    return {
-        "skipped": False,
-        "total_records": total_records,
-        "algorithms": sorted(set(merged_algos)),
-        "sources": sorted(set(merged_sources)),
-        "output_path": output_path,
-    }
+        if swap:
+            # FileSystem.rename reports failure by RETURNING FALSE (and on
+            # some filesystems moves src INTO an existing destination dir);
+            # every step is checked so a failed swap can never silently
+            # nest the temp dataset or leave the DB absent-but-"built".
+            backup = output_path.rstrip("/") + ".__old__"
+            io_util.delete(spark, backup)
+            if not io_util.rename(spark, output_path, backup):
+                raise IOError(
+                    f"append swap failed: could not move {output_path} aside "
+                    f"to {backup}; new data left at {target}"
+                )
+            if not io_util.rename(spark, target, output_path):
+                restored = io_util.rename(spark, backup, output_path)
+                raise IOError(
+                    f"append swap failed: could not move {target} into place"
+                    + ("" if restored else f"; MANUAL RESTORE NEEDED from {backup}")
+                )
+            io_util.delete(spark, backup)
+
+        total_records = int(obs.get["n"])
+        write_sidecar(
+            spark,
+            output_path,
+            total_records=total_records,
+            algorithms=merged_algos,
+            sources=merged_sources,
+            source_hashes=[h for h in merged_hashes if h],
+        )
+        return {
+            "skipped": False,
+            "total_records": total_records,
+            "algorithms": sorted(set(merged_algos)),
+            "sources": sorted(set(merged_sources)),
+            "output_path": output_path,
+        }
+    finally:
+        if lock_path is not None:
+            io_util.delete(spark, lock_path)
 
 
 def estimate_num_files(expected_records: int) -> int:

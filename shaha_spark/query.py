@@ -28,6 +28,12 @@ from pyspark.sql import functions as F
 from shaha_spark.pipeline.build import read_hashdb
 from shaha_spark.schema import FULL_HASH_LENGTHS, hex_to_bytes
 
+#: Applied by the CLI when the user gives no -n and the format must
+#: materialize every row driver-side (json/table). Plain format streams
+#: instead, so it needs no cap. Guards against an unbounded collect()
+#: of a short-prefix match on a 100 TB database.
+DEFAULT_QUERY_LIMIT = 1000
+
 
 def prefix_successor(prefix: bytes) -> bytes | None:
     """Smallest byte string greater than every string prefixed by

@@ -96,3 +96,47 @@ def test_append_twice_same_source_idempotent_sources(spark, tmp_path):
     rows = query(spark, path, "").collect()
     assert len(rows) == 1
     assert rows[0].sources == ["list"]  # array_union dedups
+
+
+def test_append_recovers_metadata_when_sidecar_missing(spark, tmp_path):
+    """A deleted sidecar (or a crash between swap and sidecar write) must
+    not make the post-append sidecar misreport provenance: algorithms and
+    sources of the existing data are recovered by scanning."""
+    from shaha_spark import io_util
+    from shaha_spark.schema import SIDECAR_NAME
+
+    path = str(tmp_path / "db3")
+    w1 = spark.createDataFrame([("hello",), ("world",)], "word string")
+    build_mod.build(spark, w1, ["sha256", "md5"], path, source_name="first")
+    io_util.delete(spark, f"{path}/{SIDECAR_NAME}")
+
+    w2 = spark.createDataFrame([("test",)], "word string")
+    res = build_mod.build(spark, w2, ["sha256"], path, source_name="second", append=True)
+    assert res["total_records"] == 5
+    assert res["algorithms"] == ["md5", "sha256"]
+    assert res["sources"] == ["first", "second"]
+
+    meta = info(spark, path)  # metadata fast path reads the NEW sidecar
+    assert meta["from_metadata"] is True
+    assert meta["algorithms"] == ["md5", "sha256"]
+    assert meta["sources"] == ["first", "second"]
+
+
+def test_concurrent_append_lock(spark, tmp_path):
+    from shaha_spark import io_util
+
+    path = str(tmp_path / "db4")
+    w = spark.createDataFrame([("hello",)], "word string")
+    build_mod.build(spark, w, ["sha256"], path, source_name="base")
+
+    lock = path + ".__append_lock__"
+    assert io_util.create_marker(spark, lock)
+    w2 = spark.createDataFrame([("world",)], "word string")
+    with pytest.raises(RuntimeError, match="append.*in progress"):
+        build_mod.build(spark, w2, ["sha256"], path, source_name="other", append=True)
+    io_util.delete(spark, lock)
+
+    # lock is released after a successful append
+    res = build_mod.build(spark, w2, ["sha256"], path, source_name="other", append=True)
+    assert res["total_records"] == 2
+    assert not io_util.exists(spark, lock)

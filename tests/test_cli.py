@@ -89,3 +89,31 @@ def test_build_query_info_append_idempotence(wordlist):
     meta = json.loads(info)
     assert meta["total_records"] == 4
     assert meta["sources"] == ["more.txt", "words.txt"]
+
+
+def test_query_output_is_bounded_on_large_db(tmp_path):
+    """json/table formats cap an unlimited query at DEFAULT_QUERY_LIMIT
+    (the DB here is larger than the cap); plain streams every row
+    without a driver-side collect. Guards cli.py against the unbounded
+    `collect()` a short prefix would trigger on a 100 TB database."""
+    from shaha_spark.query import DEFAULT_QUERY_LIMIT
+
+    n_words = DEFAULT_QUERY_LIMIT + 100
+    w = tmp_path / "many.txt"
+    w.write_text("".join(f"word-{i:05d}\n" for i in range(n_words)))
+    db = str(tmp_path / "bigdb")
+    run_cli("build", str(w), "-a", "sha256", "-o", db, "--quiet")
+
+    # empty prefix matches everything — json output must stop at the cap
+    proc = run_cli("query", "", "-d", db, "--format", "json")
+    rows = json.loads(proc.stdout)
+    assert len(rows) == DEFAULT_QUERY_LIMIT
+    assert f"first {DEFAULT_QUERY_LIMIT}" in proc.stderr
+
+    # explicit -n still wins
+    jout = json.loads(run_cli("query", "", "-d", db, "--format", "json", "-n", "7").stdout)
+    assert len(jout) == 7
+
+    # plain format streams the full result set
+    plain = run_cli("query", "", "-d", db).stdout
+    assert len(plain.strip().splitlines()) == n_words
