@@ -141,3 +141,67 @@ def test_config_precedence(tmp_path):
     assert cfg.r2.bucket == "env-bucket"  # env overrides all
     assert cfg.algorithms == ["sha1", "sha256"]
     assert r2_uri(cfg, "db.parquet") == "s3a://env-bucket/db.parquet"
+
+
+def test_url_source_streams_to_cache_not_driver(spark, http_server, tmp_path):
+    # the download lands in the cache file and parses via the
+    # distributed spark.read.text path (no createDataFrame row list)
+    _Handler.status, _Handler.body = 200, b"alpha\n\nbeta\n"
+    res = url_source(spark, http_server + "/big.txt", cache_dir=str(tmp_path))
+    assert sorted(r.word for r in res.words.collect()) == ["alpha", "beta"]
+    cached = list(tmp_path.iterdir())
+    assert len(cached) == 1 and cached[0].read_bytes() == b"alpha\n\nbeta\n"
+    assert "FileScan text" in res.words._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def fake_aspell(tmp_path, monkeypatch):
+    """A shim `aspell` on PATH so the real subprocess code paths run in
+    containers without the binary (mirrors ref aspell.rs:82-106, which
+    tests through the spawned process)."""
+    import os as _os
+    import textwrap
+
+    shim = tmp_path / "aspell"
+    shim.write_text(textwrap.dedent("""\
+        #!/bin/sh
+        if [ "$1" = "dicts" ]; then
+          printf 'en\\nen_US\\nde\\n'
+          exit 0
+        fi
+        if [ "$1" = "-d" ] && [ "$3" = "dump" ] && [ "$4" = "master" ]; then
+          printf 'apple\\nbanana\\n\\ncherry\\n'
+          exit 0
+        fi
+        exit 1
+    """))
+    shim.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{tmp_path}{_os.pathsep}{_os.environ['PATH']}")
+    return shim
+
+
+def test_aspell_source_via_shim(spark, fake_aspell):
+    from shaha_spark.sources.aspell import aspell_available, aspell_source, list_dicts
+
+    assert aspell_available()
+    assert list_dicts() == ["de", "en", "en_US"]
+    res = aspell_source(spark, "en")
+    assert sorted(r.word for r in res.words.collect()) == ["apple", "banana", "cherry"]
+    assert res.name == "aspell:en"
+    assert res.content_hash is not None and len(res.content_hash) == 64
+
+
+def test_aspell_dispatch_via_shim(spark, fake_aspell):
+    res = parse_source(spark, "aspell:en")
+    assert res.name == "aspell:en"
+    assert res.words.count() == 3
+
+
+def test_aspell_missing_binary_errors(spark, monkeypatch):
+    monkeypatch.setenv("PATH", "/nonexistent")
+    from shaha_spark.sources.aspell import aspell_source, list_dicts
+
+    with pytest.raises(RuntimeError, match="aspell binary not found"):
+        list_dicts()
+    with pytest.raises(RuntimeError, match="aspell binary not found"):
+        aspell_source(spark, "en")
