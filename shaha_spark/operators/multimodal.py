@@ -5,12 +5,16 @@ metadata struct; heavy per-item work (decode, resize, feature
 extraction, frame sampling) runs in Arrow-batched ``mapInPandas`` so
 each task processes columnar batches, not Python rows.
 
-The actual codec step is STUBBED (this container ships no image/audio
-libraries): ``real_decode=True`` raises NotImplementedError at the
-exact point a Pillow/ffmpeg call would go, while the default
-deterministic fake derives metadata from the payload bytes so the
-Spark-side plumbing — schema, batch iteration, fan-out shape,
-partitioning — is fully real and testable end-to-end.
+The codec layer is tiered by what the container allows: metadata
+decode (``real_decode=True``) parses real PNG / GIF / JPEG container
+headers with the stdlib (no Pillow needed — signature + IHDR / logical
+screen descriptor / SOF scan); any other format raises
+NotImplementedError at the exact point a full codec call would go.
+Pixel-level work (frame extraction) stays stubbed behind the same
+flag — that genuinely needs ffmpeg/Pillow — while the default
+deterministic fake keeps the Spark-side plumbing (schema, batch
+iteration, fan-out shape, partitioning) fully real and testable
+end-to-end.
 """
 
 from __future__ import annotations
@@ -88,21 +92,59 @@ def _fake_decode(payload: bytes) -> tuple[int, str, int, int]:
     return n, fmt, width, height
 
 
+def real_decode_header(payload: bytes) -> tuple[int, str, int, int]:
+    """Stdlib container-header decode for PNG / GIF / JPEG.
+
+    PNG: 8-byte signature, then the IHDR chunk carries width/height as
+    big-endian u32 at offsets 16/20. GIF: 'GIF87a'/'GIF89a', logical
+    screen width/height as little-endian u16 at offsets 6/8. JPEG: walk
+    the marker stream to the first SOF marker (0xFFC0-0xFFCF excluding
+    DHT/DAC C4/C8/CC) and read height/width from its payload. Anything
+    else is where a full codec library (Pillow/libvips) would plug in.
+    """
+    import struct
+
+    payload = bytes(payload)
+    n = len(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and n >= 24 and payload[12:16] == b"IHDR":
+        width, height = struct.unpack(">II", payload[16:24])
+        return n, "png", width, height
+    if payload[:6] in (b"GIF87a", b"GIF89a") and n >= 10:
+        width, height = struct.unpack("<HH", payload[6:10])
+        return n, "gif", width, height
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 <= n:
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                height, width = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return n, "jpeg", width, height
+            i += 2 + seg_len
+        raise NotImplementedError("JPEG without a SOF marker — needs a full codec")
+    raise NotImplementedError(
+        "no stdlib header codec for this payload — a Pillow/libvips call goes here"
+    )
+
+
 def decode_metadata(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Per-item decode → typed metadata, via Arrow-batched mapInPandas.
 
     Batch shape: each pandas DataFrame holds up to
     spark.sql.execution.arrow.maxRecordsPerBatch rows; work is columnar
-    within a batch and parallel across partitions.
+    within a batch and parallel across partitions. ``real_decode=True``
+    parses real PNG/GIF/JPEG headers (see real_decode_header).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = real_decode_header if real_decode else _fake_decode
         for pdf in batches:
-            if real_decode:
-                raise NotImplementedError(
-                    "real image decode requires Pillow/libvips — not in this container"
-                )
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [codec(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
