@@ -163,6 +163,12 @@ def ivf_topk(
     at ingest in production; the per-query work is then proportional to
     the probed buckets only.
     """
+    # Both the assignment and the probe broadcast the centroids, and a
+    # centroid DataFrame DERIVED from the corpus (label_centroids) would
+    # otherwise have its whole derivation — a corpus scan + two
+    # aggregations — evaluated once per broadcast. The table is tiny
+    # (one row per centroid), so materialize it eagerly instead.
+    centroids = centroids.localCheckpoint(eager=True)
     assigned = ivf_assign(corpus, centroids, vec_col, id_col)
     c = F.broadcast(centroids)
     q_probe = (
