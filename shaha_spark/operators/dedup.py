@@ -126,7 +126,9 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     buckets = (
         lsh_bands(signatures, id_col)
         .groupBy("band_idx", "band_key")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        # collect order varies with partitioning, which is fine: the
+        # output is a distinct pair SET, invariant to bucket order
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
     )
     return (
@@ -261,7 +263,7 @@ def simhash_near_dup_pairs(
     member = F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("fp"))
     buckets = (
         sliced.groupBy("block_idx", "block_key")
-        .agg(F.sort_array(F.collect_list(member)).alias("ms"))
+        .agg(F.collect_list(member).alias("ms"))  # pair set: order-invariant
         .where(F.size("ms") >= 2)
     )
     exploded = buckets.select(
