@@ -1,3 +1,7 @@
 from shaha_spark.streaming.build_stream import incremental_build  # noqa: F401
+from shaha_spark.streaming.dedup_stream import (  # noqa: F401
+    stream_exact_dedup,
+    stream_minhash_signatures,
+)
 from shaha_spark.streaming.stateful import running_totals  # noqa: F401
 from shaha_spark.streaming.windows import watermarked_event_counts  # noqa: F401

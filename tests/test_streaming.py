@@ -127,3 +127,79 @@ def test_running_totals_stateful_across_batches(spark, tmp_path):
     drain()
     got2 = {r.key: (r.n_events, r.sum_value) for r in collected}
     assert got2["click"] == (3, 10.0)
+
+
+def test_stream_exact_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the horizon are
+    dropped across micro-batches; state is keyed on the content digest."""
+    from shaha_spark.streaming import stream_exact_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        '{"doc_id": 1, "text": "alpha beta", "ts": "2024-01-01T00:00:00.000Z"}\n'
+        '{"doc_id": 2, "text": "alpha beta", "ts": "2024-01-01T00:01:00.000Z"}\n'
+        '{"doc_id": 3, "text": "gamma", "ts": "2024-01-01T00:02:00.000Z"}\n'
+    )
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").json(str(src))
+    out = stream_exact_dedup(stream, horizon="1 hour")
+    ckpt = str(tmp_path / "ckpt")
+    collected: list = []
+
+    def drain():
+        q = (
+            out.writeStream.foreachBatch(lambda df, _b: collected.extend(df.collect()))
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(r.doc_id for r in collected) == [1, 3]  # doc 2 is a dup of 1
+
+    # a later micro-batch re-sends the same content inside the horizon:
+    # the checkpointed digest state still drops it
+    (src / "b2.json").write_text(
+        '{"doc_id": 4, "text": "alpha beta", "ts": "2024-01-01T00:10:00.000Z"}\n'
+        '{"doc_id": 5, "text": "delta", "ts": "2024-01-01T00:11:00.000Z"}\n'
+    )
+    drain()
+    assert sorted(r.doc_id for r in collected) == [1, 3, 5]
+    digests = {r.doc_id: r.content_md5 for r in collected}
+    import hashlib
+    assert digests[1] == hashlib.md5(b"alpha beta").hexdigest()
+
+
+def test_stream_minhash_signatures_match_batch(spark, tmp_path):
+    """The streamed signature values must equal the batch operator's on
+    the same documents (same explode + partial-min aggregation shape)."""
+    from shaha_spark.operators.dedup import minhash_signatures
+    from shaha_spark.streaming import stream_minhash_signatures
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        '{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog", "ts": "2024-01-01T00:00:00.000Z"}\n'
+        '{"doc_id": 2, "text": "tiny", "ts": "2024-01-01T00:01:00.000Z"}\n'
+    )
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").json(str(src))
+    out = stream_minhash_signatures(stream)
+    collected: list = []
+    # update mode: emit each document's signature as its aggregation
+    # updates (append would withhold rows until the watermark passes)
+    q = (
+        out.writeStream.foreachBatch(lambda df, _b: collected.extend(df.collect()))
+        .outputMode("update").option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    batch_docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "tiny")],
+        "doc_id long, text string",
+    )
+    expected = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(16))
+                for r in minhash_signatures(batch_docs).collect()}
+    got = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(16)) for r in collected}
+    assert got == expected
+    assert got[2] == (2_147_483_647,) * 16  # shingle-less doc -> all-sentinel
