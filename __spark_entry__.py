@@ -508,6 +508,26 @@ def q_similarity_ivf(spark, sf_dir):
     )
 
 
+def q_kmeans_centroids(spark, sf_dir):
+    """Distributed Lloyd k-means (k=4, 2 iterations) — the iterative
+    algorithm fully inside the value-hash gate via a per-iteration
+    chained-CTE oracle. Output exploded to scalars: one row per
+    (centroid, dimension)."""
+    from shaha_spark.operators.kmeans import kmeans_fit
+
+    cents = kmeans_fit(_t(spark, sf_dir, "embeddings"), k=4, iters=2)
+    return cents.select(
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        "n_members",
+        F.posexplode("centroid").alias("pos", "comp"),
+    ).select(
+        "centroid_id",
+        "n_members",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("comp").cast("double").alias("comp"),
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     from shaha_spark.operators.dedup import embedding_near_dup_pairs
 
@@ -699,6 +719,63 @@ SELECT sha256(word) AS hash_hex, word AS preimage, 'sha256' AS algorithm FROM dw
 UNION ALL
 SELECT v.hash_hex, v.preimage, v.algorithm
 FROM vec v JOIN dw ON v.preimage = dw.word"""
+
+
+def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
+    """Chained-CTE oracle for kmeans_fit: one assignment + one
+    decimal-exact mean CTE pair per iteration, mirroring
+    operators/kmeans.py step for step (init = k lowest ids, cosine
+    argmax with id-asc ties, float-rounded means, empty clusters keep
+    the previous centroid)."""
+    parts = [
+        "v AS (SELECT vec_id, embedding AS e FROM embeddings)",
+        """c0 AS (
+  SELECT centroid_id, cv, CAST(0 AS BIGINT) AS n_members FROM (
+    SELECT row_number() OVER (ORDER BY vec_id ASC) AS centroid_id,
+           CAST(e AS DOUBLE[]) AS cv
+    FROM (SELECT vec_id, e FROM v ORDER BY vec_id ASC LIMIT {k})
+  )
+)""".format(k=k),
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i-1}"
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT v.vec_id, v.e, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(CAST(v.e AS DOUBLE[]), c.cv) DESC,
+                      c.centroid_id ASC
+           ) AS r
+    FROM v CROSS JOIN {prev} c
+  ) WHERE r = 1
+)""")
+        # NB: comp must widen to DOUBLE before the DECIMAL cast — DuckDB
+        # scales FLOAT→DECIMAL in float32 arithmetic, losing ~7 digits
+        parts.append(f"""m{i} AS (
+  SELECT centroid_id, p,
+         CAST(CAST(CAST(SUM(CAST(CAST(comp AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS FLOAT) AS DOUBLE) AS m,
+         COUNT(*) AS n
+  FROM (SELECT centroid_id, unnest(e) AS comp,
+               unnest(range(1, len(e) + 1)) AS p FROM a{i})
+  GROUP BY centroid_id, p
+)""")
+        parts.append(f"""c{i} AS (
+  SELECT p.centroid_id,
+         CASE WHEN mv.cv IS NULL THEN p.cv ELSE mv.cv END AS cv,
+         CAST(coalesce(mv.n, 0) AS BIGINT) AS n_members
+  FROM {prev} p LEFT JOIN (
+    SELECT centroid_id, list(m ORDER BY p) AS cv, min(n) AS n
+    FROM m{i} GROUP BY centroid_id
+  ) mv USING (centroid_id)
+)""")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT centroid_id, n_members, p - 1 AS pos, comp FROM (
+  SELECT centroid_id, n_members, unnest(cv) AS comp,
+         unnest(range(1, len(cv) + 1)) AS p
+  FROM c{iters}
+)"""
 
 
 def _langid_scores() -> tuple[str, str]:
@@ -923,7 +1000,7 @@ pos AS (
 ),
 cent AS (
   SELECT label AS centroid_id, p,
-         CAST(CAST(CAST(SUM(CAST(comp AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS FLOAT) AS DOUBLE) AS m
+         CAST(CAST(CAST(SUM(CAST(CAST(comp AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS FLOAT) AS DOUBLE) AS m
   FROM pos GROUP BY label, p
 ),
 cvec AS (SELECT centroid_id, list(m ORDER BY p) AS cv FROM cent GROUP BY centroid_id),
@@ -957,6 +1034,7 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
+    sql["kmeans_centroids"] = _kmeans_sql(k=4, iters=2)
     sql["embedding_near_dup"] = """WITH v AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 )
@@ -1061,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "kmeans_centroids": q_kmeans_centroids,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

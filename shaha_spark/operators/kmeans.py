@@ -1,0 +1,126 @@
+"""Deterministic distributed k-means (Lloyd) over an embedding column.
+
+Replaces the label-derived stand-in centroids (similarity.label_centroids)
+with the real iterative algorithm, shaped for Spark's execution model:
+
+  * each iteration = one broadcast of the k centroids + one shuffle-free
+    corpus scan for the argmax assignment + one partial-agg groupBy for
+    the per-dimension means — the corpus is never shuffled by cluster;
+  * centroids are materialized (localCheckpoint) between iterations so
+    the plan stays one-iteration deep — chaining N lazy iterations would
+    re-derive every previous assignment on each action;
+  * everything is deterministic and cross-engine reproducible: init is
+    the k lowest-id vectors, assignment ties break on centroid id, the
+    means accumulate in DECIMAL (order-free) and round through FLOAT
+    exactly like similarity.label_centroids, and empty clusters keep
+    their previous centroid.
+
+The driver-side loop is ITERATION control only (k broadcasts of k rows);
+all data-plane work is declarative DataFrame ops. An equivalent DuckDB
+oracle is generated per-iteration in __spark_entry__ (chained CTEs), so
+the whole iterative computation sits inside the value-hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from shaha_spark.operators.similarity import cosine_sim
+
+
+def _means(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """Per-centroid decimal-exact mean vector (float-rounded), plus
+    member counts. assigned: [centroid_id, vec_col]."""
+    exploded = assigned.select(
+        "centroid_id", F.posexplode(vec_col).alias("pos", "v")
+    )
+    return (
+        exploded.groupBy("centroid_id", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
+            F.first("n").alias("n_members"),
+        )
+        .select(
+            "centroid_id",
+            F.transform("pm", lambda s: s.getField("m").cast("float")).alias("centroid"),
+            "n_members",
+        )
+    )
+
+
+def assign_nearest(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid (max cosine, id-asc ties) per vector: broadcast
+    centroids, shuffle-free scan, per-vector argmax window."""
+    c = F.broadcast(centroids.select("centroid_id", "centroid"))
+    scored = corpus.crossJoin(c).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        cosine_sim(F.col(vec_col), F.col("centroid")).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd iterations; returns [centroid_id, centroid, n_members].
+
+    centroid_id is 1..k by init order (the k lowest ids). n_members is
+    the assignment count of the FINAL iteration (an empty cluster keeps
+    its previous centroid with n_members = 0).
+    """
+    # distributed top-k by id first (TakeOrderedAndProject), THEN number
+    # the k survivors — a bare global row_number window would funnel the
+    # whole corpus through one task
+    seeds = corpus.select(F.col(id_col), F.col(vec_col)).orderBy(
+        F.col(id_col).asc()
+    ).limit(k)
+    init = (
+        seeds.withColumn(
+            "centroid_id", F.row_number().over(Window.orderBy(F.col(id_col).asc()))
+        )
+        .select("centroid_id", F.col(vec_col).alias("centroid"))
+        .withColumn("n_members", F.lit(0).cast("bigint"))
+    )
+    centroids = init.localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = assign_nearest(corpus, centroids, vec_col, id_col)
+        new = _means(assigned, vec_col)
+        # empty clusters keep their previous centroid (deterministic)
+        merged = (
+            centroids.select("centroid_id", F.col("centroid").alias("prev"))
+            .join(new, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("centroid", "prev").alias("centroid"),
+                F.coalesce("n_members", F.lit(0)).cast("bigint").alias("n_members"),
+            )
+        )
+        centroids = merged.localCheckpoint(eager=True)
+    return centroids

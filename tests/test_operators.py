@@ -258,3 +258,30 @@ def test_multimodal_real_decode_unknown_format_raises(spark, docs):
     media = multimodal.media_from_documents(docs.limit(1))
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.decode_metadata(media, real_decode=True).collect()
+
+
+def test_kmeans_recovers_separable_clusters(spark):
+    """Two well-separated direction clusters: 2 Lloyd iterations from
+    lowest-id seeds must assign every vector to its own cluster's
+    centroid, with counts 3/3 and near-axis means."""
+    from shaha_spark.operators.kmeans import assign_nearest, kmeans_fit
+
+    rows = [
+        (0, [1.0, 0.05, 0.0]), (1, [0.0, 0.1, 1.0]),  # seeds: one per cluster
+        (2, [1.0, -0.05, 0.1]), (3, [0.9, 0.0, -0.1]),
+        (4, [0.1, -0.1, 1.0]), (5, [-0.1, 0.05, 0.9]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_fit(df, k=2, iters=2)
+    got = {r.centroid_id: (r.n_members, list(r.centroid)) for r in cents.collect()}
+    assert set(got) == {1, 2}
+    assert got[1][0] == 3 and got[2][0] == 3
+    # centroid 1 is x-dominant, centroid 2 z-dominant
+    assert got[1][1][0] > 0.9 and abs(got[1][1][2]) < 0.1
+    assert got[2][1][2] > 0.9 and abs(got[2][1][0]) < 0.1
+
+    assigned = {r.vec_id: r.centroid_id for r in assign_nearest(df, cents).collect()}
+    assert assigned == {0: 1, 2: 1, 3: 1, 1: 2, 4: 2, 5: 2}
