@@ -18,7 +18,10 @@ SURVEY §2 coverage map (query name → inventory items):
     word_dedup               A1 (word-level distinct)
     build_sha256             H3 + flagship build projection
     build_multi_algo         H1/H3 + H17 (multi-algo fanout) + J2
-    build_hash256            H9 (no SQL oracle: DuckDB lacks sha256(BLOB))
+    build_hash256            H9 (no SQL oracle: DuckDB lacks sha256(BLOB);
+                             the kernel is verified via build_all_algos)
+    build_all_algos          H1-H9: all nine digests vs DuckDB-native
+                             md5/sha256 + literal known-answer table
     query_point_lookup       F2 full-digest point lookup (+P1 semantics)
     query_prefix             F2 prefix lookup
     query_algo_filter        F3 algorithm equality
@@ -38,7 +41,9 @@ SURVEY §2 coverage map (query name → inventory items):
     dedup_ngram_jaccard      extension: n-gram Jaccard verification
     dedup_simhash            extension: SimHash fingerprints
     similarity_topk          extension: brute-force cosine top-k
-    similarity_ivf           extension: IVF ANN (no SQL oracle: iterative)
+    similarity_ivf           extension: IVF ANN (windowed-argmax oracle)
+    kmeans_centroids         extension: distributed Lloyd k-means
+                             (per-iteration chained-CTE oracle)
     embedding_near_dup       extension: cosine near-dup pairs
     text_token_count         extension: token counting
     text_quality             extension: quality scoring

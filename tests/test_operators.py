@@ -285,3 +285,19 @@ def test_kmeans_recovers_separable_clusters(spark):
 
     assigned = {r.vec_id: r.centroid_id for r in assign_nearest(df, cents).collect()}
     assert assigned == {0: 1, 2: 1, 3: 1, 1: 2, 4: 2, 5: 2}
+
+
+def test_ivf_topk_with_kmeans_centroids(spark, embs):
+    """kmeans_fit centroids slot directly into ivf_topk as the
+    production centroid source (label_centroids is the cheap stand-in)."""
+    from shaha_spark.operators.kmeans import kmeans_fit
+
+    queries = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_fit(embs, k=6, iters=2)
+    res = similarity.ivf_topk(embs, queries, cents, k=5, nprobe=2)
+    rows = res.collect()
+    assert len(rows) == 15
+    got = {(r.query_id, r.vec_id) for r in rows}
+    assert all((q, q) in got for q in range(3))  # self-match survives
