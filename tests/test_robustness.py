@@ -96,3 +96,27 @@ def test_multi_file_glob_input(spark, tmp_path):
     path = str(tmp_path / "globdb")
     build(spark, res.words, ["sha256"], path, source_name="glob")
     assert read_hashdb(spark, path).count() == 3
+
+
+def test_kmeans_more_clusters_than_vectors(spark):
+    # k > n: only n seeds exist; iterations must not fail or invent clusters
+    from shaha_spark.operators.kmeans import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    cents = kmeans_fit(df, k=5, iters=2)
+    rows = cents.collect()
+    assert len(rows) == 2
+    assert {r.centroid_id for r in rows} == {1, 2}
+    assert sum(r.n_members for r in rows) == 2
+
+
+def test_real_decode_truncated_headers_raise(spark):
+    from shaha_spark.operators.multimodal import real_decode_header
+    import pytest as _pytest
+
+    for payload in (b"", b"\x89PNG\r\n\x1a\n", b"\x89PNG\r\n\x1a\nXXXXIHDR",
+                    b"GIF89a", b"\xff\xd8\xff"):
+        with _pytest.raises(NotImplementedError):
+            real_decode_header(payload)
