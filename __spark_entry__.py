@@ -52,6 +52,8 @@ SURVEY §2 coverage map (query name → inventory items):
     multimodal_meta          extension: binary decode plumbing (mapInPandas)
     multimodal_frame_count   extension: frame-sampling fan-out shape
     dedup_minhash_survivors  extension: end-to-end near-dup removal
+    dedup_minhash_cc         extension: transitive (connected-components)
+                             near-dup removal (recursive-CTE oracle)
     dedup_simhash_pairs      extension: Hamming near-dup pairs
     words_intersect/except   set operations (§2.8)
     profile_lineitem         extension: deterministic column profiling
@@ -484,6 +486,12 @@ def q_minhash_survivors(spark, sf_dir):
     from shaha_spark.operators.dedup import minhash_dedup
 
     return minhash_dedup(_t(spark, sf_dir, "documents"), threshold=0.7)
+
+
+def q_dedup_minhash_cc(spark, sf_dir):
+    from shaha_spark.operators.components import minhash_dedup_cc
+
+    return minhash_dedup_cc(_t(spark, sf_dir, "documents"), threshold=0.7)
 
 
 def q_similarity_topk(spark, sf_dir):
@@ -955,6 +963,30 @@ sims AS (
 ),
 losers AS (SELECT DISTINCT id_b AS doc_id FROM sims WHERE est_jaccard >= 0.7)
 SELECT d.doc_id FROM documents d LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL"""
+    # transitive (connected-components) variant: the oracle states the
+    # fixpoint directly — comp(v) = min id reachable from v — as a
+    # recursive CTE, independent of the Spark loop's iteration count
+    sql["dedup_minhash_cc"] = f"""WITH RECURSIVE {_pairs_cte()},
+sims AS (
+  SELECT p.id_a, p.id_b,
+    CAST({match_terms} AS DOUBLE) / {k_perms} AS est_jaccard
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b
+),
+ed AS (
+  SELECT id_a AS src, id_b AS dst FROM sims WHERE est_jaccard >= 0.7
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM sims WHERE est_jaccard >= 0.7
+),
+reach(id, comp) AS (
+  SELECT src, src FROM ed
+  UNION
+  SELECT e.src, r.comp FROM ed e JOIN reach r ON r.id = e.dst
+),
+comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+cc_losers AS (SELECT id AS doc_id FROM comp WHERE comp <> id)
+SELECT d.doc_id FROM documents d LEFT JOIN cc_losers l USING (doc_id) WHERE l.doc_id IS NULL"""
     sql["dedup_simhash_pairs"] = f"""WITH {_TOKS_CTE},
 tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
 h AS (SELECT doc_id, {_h32_sql('w')} AS hv FROM tok),
@@ -1141,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash,
         "dedup_simhash_pairs": q_simhash_pairs,
         "dedup_minhash_survivors": q_minhash_survivors,
+        "dedup_minhash_cc": q_dedup_minhash_cc,
         "similarity_topk": q_similarity_topk,
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,

@@ -1,0 +1,107 @@
+"""Connected components over a candidate-pair edge list, and the
+transitive (component-wise) near-dup dedup built on it.
+
+``minhash_dedup`` is the standard large-scale greedy shortcut: a doc is
+dropped iff it has a direct near-dup edge to a LOWER-id doc. In a star
+1—3, 2—3 (hub = highest id, no 1—2 edge) greedy drops only the hub and
+keeps BOTH satellites, although they sit in one near-dup component. The
+component pass closes that gap: every doc in a connected component of
+the near-dup graph except the component's minimum id is dropped.
+
+Shape for scale: label propagation runs on the EDGE LIST (LSH candidate
+pairs — sparse by construction), never on the corpus; one iteration is
+one join + one partial-agg groupBy, labels materialize between
+iterations (localCheckpoint) so the plan stays one-hop deep; the loop
+exits on a converged fixpoint (count of changed labels = 0, a cheap
+aggregate over the label table). Min-label propagation converges in
+O(component diameter) iterations — near-dup clusters are shallow.
+
+The fixpoint is engine-independent — label(v) = min id reachable from
+v — so the DuckDB oracle states it directly as a recursive CTE, with no
+iteration-count coupling to the Spark loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """[id_a, id_b] undirected edges → [id, comp] with comp = min id in
+    the node's component. Nodes are those appearing in edges; isolated
+    documents (no edges) are simply absent — their component is
+    themselves by definition.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Transitive MinHash near-dup removal: connected components of the
+    est-Jaccard ≥ threshold graph; each component keeps only its
+    minimum id. Returns surviving [id_col] rows.
+
+    Strictly stronger than minhash_dedup's greedy edge rule — a star
+    1—3, 2—3 collapses to {1} here, {1, 2} there.
+    """
+    from shaha_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_similarity,
+    )
+
+    sigs = minhash_signatures(df, text_col, id_col).cache()
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    edges = minhash_similarity(sigs, pairs, id_col).where(
+        F.col("est_jaccard") >= threshold
+    ).select("id_a", "id_b")
+    comps = connected_components(edges)  # materialized at fixpoint
+    sigs.unpersist()
+    losers = comps.where(F.col("comp") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.select(id_col).join(losers, id_col, "left_anti")

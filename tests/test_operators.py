@@ -301,3 +301,37 @@ def test_ivf_topk_with_kmeans_centroids(spark, embs):
     assert len(rows) == 15
     got = {(r.query_id, r.vec_id) for r in rows}
     assert all((q, q) in got for q in range(3))  # self-match survives
+
+
+def test_connected_components_chain(spark):
+    from shaha_spark.operators.components import connected_components
+
+    # two components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {5,6}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (5, 6)], "id_a long, id_b long"
+    )
+    comps = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}
+
+
+def test_minhash_dedup_cc_collapses_stars(spark):
+    """Star 1~3, 2~3 with 1!~2 (hub = highest id): greedy drops only the
+    hub (doc 2 never appears as an edge's id_b), keeping {1, 2}; the
+    component pass keeps only the component minimum {1}. Both keep the
+    unrelated doc. est_jaccards for this fixture (deterministic):
+    (1,3)=0.9375, (2,3)=0.875, (1,2)=0.8125 — threshold 0.85 keeps
+    exactly the two star edges."""
+    from shaha_spark.operators.components import minhash_dedup_cc
+    from shaha_spark.operators.dedup import minhash_dedup
+
+    core = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi")
+    df = spark.createDataFrame(
+        [(1, core + " one two three"), (2, core + " seven eight nine"), (3, core),
+         (9, "unrelated words entirely different from the others here")],
+        "doc_id long, text string",
+    )
+    greedy = {r.doc_id for r in minhash_dedup(df, threshold=0.85).collect()}
+    cc = {r.doc_id for r in minhash_dedup_cc(df, threshold=0.85).collect()}
+    assert greedy == {1, 2, 9}   # hub dropped; doc 2 survives greedily
+    assert cc == {1, 9}          # whole component collapses to its min id
