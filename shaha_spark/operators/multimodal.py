@@ -71,6 +71,17 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("format", StringType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("n_frames", LongType(), False),
+    ]
+)
+
 
 def media_from_documents(df: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as an opaque payload — the
@@ -130,6 +141,57 @@ def real_decode_header(payload: bytes) -> tuple[int, str, int, int]:
     raise NotImplementedError(
         "no stdlib header codec for this payload — a Pillow/libvips call goes here"
     )
+
+
+def real_decode_audio(payload: bytes) -> tuple[int, str, int, int, int]:
+    """Stdlib container-header decode for WAV (RIFF): walk the chunk
+    list to 'fmt ' for channels/sample-rate and 'data' for the frame
+    count. Anything else is where ffmpeg/soundfile would plug in.
+    Returns (n_bytes, format, sample_rate, channels, n_frames)."""
+    import struct
+
+    payload = bytes(payload)
+    n = len(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        channels = sample_rate = bits = None
+        n_frames = 0
+        i = 12
+        while i + 8 <= n:
+            ctype = payload[i : i + 4]
+            (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            if ctype == b"fmt " and i + 16 <= n:
+                channels, sample_rate = struct.unpack("<HI", payload[i + 10 : i + 16])
+                (bits,) = struct.unpack("<H", payload[i + 22 : i + 24])
+            elif ctype == b"data" and channels and bits:
+                n_frames = clen // (channels * (bits // 8))
+            i += 8 + clen + (clen % 2)  # chunks are word-aligned
+        if channels and sample_rate:
+            return n, "wav", sample_rate, channels, n_frames
+        raise NotImplementedError("RIFF without a fmt chunk — needs a full codec")
+    raise NotImplementedError(
+        "no stdlib audio codec for this payload — an ffmpeg/soundfile call goes here"
+    )
+
+
+def decode_audio_metadata(media: DataFrame) -> DataFrame:
+    """Audio tier of the codec boundary: WAV headers parsed for real in
+    Arrow-batched mapInPandas; other formats raise at the codec line."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [real_decode_audio(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_bytes": [d[0] for d in decoded],
+                    "format": [d[1] for d in decoded],
+                    "sample_rate": [d[2] for d in decoded],
+                    "channels": [d[3] for d in decoded],
+                    "n_frames": [d[4] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)
 
 
 def decode_metadata(media: DataFrame, real_decode: bool = False) -> DataFrame:

@@ -335,3 +335,33 @@ def test_minhash_dedup_cc_collapses_stars(spark):
     cc = {r.doc_id for r in minhash_dedup_cc(df, threshold=0.85).collect()}
     assert greedy == {1, 2, 9}   # hub dropped; doc 2 survives greedily
     assert cc == {1, 9}          # whole component collapses to its min id
+
+
+def test_multimodal_real_audio_decode_wav(spark, tmp_path):
+    """Real WAV files (written by the stdlib wave module) decode through
+    the Arrow mapInPandas audio tier; non-audio payloads raise at the
+    codec line."""
+    import io
+    import wave
+
+    def make_wav(rate: int, channels: int, frames: int) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x00\x00" * channels * frames)
+        return buf.getvalue()
+
+    payloads = [(1, make_wav(16000, 1, 1600)), (2, make_wav(44100, 2, 441))]
+    media = spark.createDataFrame(
+        [(i, p, "audio") for i, p in payloads], multimodal.MEDIA_SCHEMA
+    )
+    rows = {r.media_id: r for r in multimodal.decode_audio_metadata(media).collect()}
+    assert (rows[1].format, rows[1].sample_rate, rows[1].channels, rows[1].n_frames) == ("wav", 16000, 1, 1600)
+    assert (rows[2].format, rows[2].sample_rate, rows[2].channels, rows[2].n_frames) == ("wav", 44100, 2, 441)
+    assert rows[1].n_bytes == len(payloads[0][1])
+
+    bad = spark.createDataFrame([(3, b"not audio at all", "audio")], multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.decode_audio_metadata(bad).collect()
