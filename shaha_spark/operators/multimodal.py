@@ -71,6 +71,16 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("format", StringType(), False),
+        StructField("timescale", IntegerType(), False),
+        StructField("duration_ms", LongType(), False),
+    ]
+)
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -171,6 +181,77 @@ def real_decode_audio(payload: bytes) -> tuple[int, str, int, int, int]:
     raise NotImplementedError(
         "no stdlib audio codec for this payload — an ffmpeg/soundfile call goes here"
     )
+
+
+def real_decode_video(payload: bytes) -> tuple[int, str, int, int]:
+    """Stdlib container-header decode for MP4/ISO-BMFF: walk the
+    top-level box list to 'moov', then its children to 'mvhd', and read
+    timescale + duration (version 0: u32s at +12; version 1: u64
+    duration at +20 after u64 times). Anything else is where a full
+    demuxer (ffmpeg) would plug in.
+    Returns (n_bytes, format, timescale, duration_ms)."""
+    import struct
+
+    payload = bytes(payload)
+    n = len(payload)
+
+    def walk(lo: int, hi: int, want: bytes) -> tuple[int, int] | None:
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack(">I", payload[i : i + 4])
+            btype = payload[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", payload[i + 8 : i + 16])
+                body = i + 16
+            if size < 8:
+                return None
+            if btype == want:
+                return body, i + size
+            i += size
+        return None
+
+    if n >= 12 and payload[4:8] == b"ftyp":
+        moov = walk(0, n, b"moov")
+        if moov:
+            mvhd = walk(*moov, b"mvhd")
+            if mvhd:
+                body = mvhd[0]
+                version = payload[body]
+                if version == 1:
+                    timescale, duration = struct.unpack(
+                        ">IQ", payload[body + 20 : body + 32]
+                    )
+                else:
+                    timescale, duration = struct.unpack(
+                        ">II", payload[body + 12 : body + 20]
+                    )
+                ms = duration * 1000 // timescale if timescale else 0
+                return n, "mp4", timescale, ms
+        raise NotImplementedError("MP4 without moov/mvhd — needs a full demuxer")
+    raise NotImplementedError(
+        "no stdlib video codec for this payload — an ffmpeg call goes here"
+    )
+
+
+def decode_video_metadata(media: DataFrame) -> DataFrame:
+    """Video tier of the codec boundary: MP4 mvhd headers parsed for
+    real in Arrow-batched mapInPandas; other formats raise."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [real_decode_video(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_bytes": [d[0] for d in decoded],
+                    "format": [d[1] for d in decoded],
+                    "timescale": [d[2] for d in decoded],
+                    "duration_ms": [d[3] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(run, VIDEO_SCHEMA)
 
 
 def decode_audio_metadata(media: DataFrame) -> DataFrame:

@@ -365,3 +365,34 @@ def test_multimodal_real_audio_decode_wav(spark, tmp_path):
     bad = spark.createDataFrame([(3, b"not audio at all", "audio")], multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.decode_audio_metadata(bad).collect()
+
+
+def test_multimodal_real_video_decode_mp4(spark):
+    """Handcrafted-but-valid MP4 box structure (ftyp + moov/mvhd, both
+    version 0 and version 1 mvhd) decodes through the video tier."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    def mp4(timescale: int, duration: int, version: int) -> bytes:
+        ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        if version == 1:
+            mvhd = box(b"mvhd", b"\x01\x00\x00\x00" + struct.pack(
+                ">QQIQ", 0, 0, timescale, duration) + b"\x00" * 80)
+        else:
+            mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + struct.pack(
+                ">IIII", 0, 0, timescale, duration) + b"\x00" * 80)
+        return ftyp + box(b"moov", mvhd)
+
+    payloads = [(1, mp4(600, 1500, 0)), (2, mp4(90000, 90000 * 7, 1))]
+    media = spark.createDataFrame(
+        [(i, p, "video") for i, p in payloads], multimodal.MEDIA_SCHEMA
+    )
+    rows = {r.media_id: r for r in multimodal.decode_video_metadata(media).collect()}
+    assert (rows[1].format, rows[1].timescale, rows[1].duration_ms) == ("mp4", 600, 2500)
+    assert (rows[2].format, rows[2].timescale, rows[2].duration_ms) == ("mp4", 90000, 7000)
+
+    bad = spark.createDataFrame([(3, b"definitely not video", "video")], multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|codec|demuxer"):
+        multimodal.decode_video_metadata(bad).collect()
