@@ -44,6 +44,8 @@ SURVEY §2 coverage map (query name → inventory items):
     similarity_ivf           extension: IVF ANN (windowed-argmax oracle)
     kmeans_centroids         extension: distributed Lloyd k-means
                              (per-iteration chained-CTE oracle)
+    similarity_ivf_kmeans    extension: end-to-end ANN (k-means training
+                             feeding IVF probing, one composed oracle)
     embedding_near_dup       extension: cosine near-dup pairs
     text_token_count         extension: token counting
     text_quality             extension: quality scoring
@@ -541,6 +543,23 @@ def q_kmeans_centroids(spark, sf_dir):
     )
 
 
+def q_similarity_ivf_kmeans(spark, sf_dir):
+    """End-to-end ANN: k-means training feeds IVF probing — the full
+    train-then-search pipeline inside one oracle comparison."""
+    from shaha_spark.operators.kmeans import kmeans_fit
+    from shaha_spark.operators.similarity import ivf_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_fit(embs, k=4, iters=2)
+    res = ivf_topk(embs, queries, cents, k=5, nprobe=2)
+    return res.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     from shaha_spark.operators.dedup import embedding_near_dup_pairs
 
@@ -734,12 +753,12 @@ SELECT v.hash_hex, v.preimage, v.algorithm
 FROM vec v JOIN dw ON v.preimage = dw.word"""
 
 
-def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
-    """Chained-CTE oracle for kmeans_fit: one assignment + one
+def _kmeans_parts(k: int = 4, iters: int = 2) -> list[str]:
+    """CTE parts for the kmeans_fit oracle: one assignment + one
     decimal-exact mean CTE pair per iteration, mirroring
     operators/kmeans.py step for step (init = k lowest ids, cosine
     argmax with id-asc ties, float-rounded means, empty clusters keep
-    the previous centroid)."""
+    the previous centroid). Final centroids land in CTE ``c{iters}``."""
     parts = [
         "v AS (SELECT vec_id, embedding AS e FROM embeddings)",
         """c0 AS (
@@ -782,13 +801,63 @@ def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
     FROM m{i} GROUP BY centroid_id
   ) mv USING (centroid_id)
 )""")
-    ctes = ",\n".join(parts)
+    return parts
+
+
+def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
+    ctes = ",\n".join(_kmeans_parts(k, iters))
     return f"""WITH {ctes}
 SELECT centroid_id, n_members, p - 1 AS pos, comp FROM (
   SELECT centroid_id, n_members, unnest(cv) AS comp,
          unnest(range(1, len(cv) + 1)) AS p
   FROM c{iters}
 )"""
+
+
+def _ivf_kmeans_sql(k: int = 4, iters: int = 2, nprobe: int = 2, topk: int = 5) -> str:
+    """End-to-end ANN pipeline oracle: the kmeans CTE chain feeds the
+    IVF assignment/probe/rank, so training AND search sit inside one
+    value-hash comparison."""
+    cent = f"c{iters}"
+    parts = _kmeans_parts(k, iters) + [
+        """q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+)""",
+        f"""fassign AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT v.vec_id, v.e, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(CAST(v.e AS DOUBLE[]), c.cv) DESC,
+                      c.centroid_id ASC
+           ) AS r
+    FROM v CROSS JOIN {cent} c
+  ) WHERE r = 1
+)""",
+        f"""probe AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id ASC
+           ) AS r
+    FROM q CROSS JOIN {cent} c
+  ) WHERE r <= {nprobe}
+)""",
+        """scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(CAST(a.e AS DOUBLE[]), p.qv), 6) AS cosine
+  FROM fassign a JOIN probe p USING (centroid_id)
+)""",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {topk}"""
 
 
 def _langid_scores() -> tuple[str, str]:
@@ -1072,6 +1141,7 @@ ranked AS (
 )
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
     sql["kmeans_centroids"] = _kmeans_sql(k=4, iters=2)
+    sql["similarity_ivf_kmeans"] = _ivf_kmeans_sql(k=4, iters=2, nprobe=2, topk=5)
     sql["embedding_near_dup"] = """WITH v AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 )
@@ -1178,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "kmeans_centroids": q_kmeans_centroids,
+        "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
