@@ -59,6 +59,7 @@ SURVEY §2 coverage map (query name → inventory items):
     dedup_simhash_pairs      extension: Hamming near-dup pairs
     words_intersect/except   set operations (§2.8)
     profile_lineitem         extension: deterministic column profiling
+    profile_table            extension: whole-table profile, one pass
 """
 
 from __future__ import annotations
@@ -418,6 +419,17 @@ def q_profile_lineitem(spark, sf_dir):
     from shaha_spark.operators.profile import numeric_profile
 
     return numeric_profile(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile_table(spark, sf_dir):
+    """Whole-table numeric profile: one scan, one aggregation, one row
+    per column (single-pass at any table width)."""
+    from shaha_spark.operators.profile import table_profile
+
+    return table_profile(_t(spark, sf_dir, "lineitem"), PROFILE_COLS)
 
 
 def q_words_intersect(spark, sf_dir):
@@ -992,6 +1004,9 @@ FROM events GROUP BY event_type"""
     from shaha_spark.operators.profile import profile_sql
 
     sql["profile_lineitem"] = profile_sql("lineitem", "l_extendedprice")
+    from shaha_spark.operators.profile import table_profile_sql
+
+    sql["profile_table"] = table_profile_sql("lineitem", PROFILE_COLS)
     sql["words_intersect"] = f"""WITH {_WORDS_CTE}
 SELECT word FROM words WHERE doc_id % 2 = 0
 INTERSECT
@@ -1234,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json,
         "profile_lineitem": q_profile_lineitem,
+        "profile_table": q_profile_table,
         "words_intersect": q_words_intersect,
         "words_except": q_words_except,
         "dedup_exact": q_dedup_exact,

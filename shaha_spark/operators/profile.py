@@ -39,6 +39,73 @@ def numeric_profile(
     )
 
 
+def table_profile(
+    df: DataFrame, columns: list[str], precision: str = "decimal(18,2)"
+) -> DataFrame:
+    """One profile row per column, computed in a SINGLE aggregation pass.
+
+    All columns' count/null/min/max/sum/sumsq aggregates run in one
+    ``agg`` over one scan (a per-column loop would rescan the table per
+    column — the difference between one pass and C passes at 100 TB);
+    the per-column rows then unpivot from the single aggregate row via
+    an array-of-structs explode. Same deterministic decimal arithmetic
+    as :func:`numeric_profile`.
+    """
+    aggs = []
+    for c in columns:
+        dec = F.col(c).cast(precision)
+        aggs += [
+            F.count(F.col(c)).alias(f"__n_{c}"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"),
+            F.min(F.col(c)).cast("double").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("double").alias(f"__mx_{c}"),
+            F.sum(dec).cast("double").alias(f"__s_{c}"),
+            F.sum(dec * dec).cast("double").alias(f"__sq_{c}"),
+        ]
+    one = df.agg(*aggs)
+    structs = []
+    for c in columns:
+        n = F.col(f"__n_{c}")
+        s = F.col(f"__s_{c}")
+        sq = F.col(f"__sq_{c}")
+        mean = s / n
+        var = F.when(n > 1, (sq - s * s / n) / (n - F.lit(1))).otherwise(F.lit(0.0))
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                n.alias("n"),
+                F.col(f"__nn_{c}").alias("n_null"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+                mean.alias("mean_value"),
+                F.sqrt(var).alias("stddev_value"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def table_profile_sql(
+    table: str, columns: list[str], precision: str = "DECIMAL(18,2)"
+) -> str:
+    """DuckDB oracle twin of :func:`table_profile`: the same per-column
+    formulas, one SELECT per column, UNION ALL."""
+    selects = []
+    for c in columns:
+        selects.append(f"""SELECT
+  '{c}' AS column_name,
+  count({c}) AS n,
+  count(CASE WHEN {c} IS NULL THEN 1 END) AS n_null,
+  CAST(min({c}) AS DOUBLE) AS min_value,
+  CAST(max({c}) AS DOUBLE) AS max_value,
+  CAST(SUM(CAST({c} AS {precision})) AS DOUBLE) / count({c}) AS mean_value,
+  sqrt(CASE WHEN count({c}) > 1 THEN
+    (CAST(SUM(CAST({c} AS {precision}) * CAST({c} AS {precision})) AS DOUBLE)
+     - CAST(SUM(CAST({c} AS {precision})) AS DOUBLE) * CAST(SUM(CAST({c} AS {precision})) AS DOUBLE) / count({c}))
+    / (count({c}) - 1) ELSE 0.0 END) AS stddev_value
+FROM {table}""")
+    return "\nUNION ALL\n".join(selects)
+
+
 def profile_sql(table: str, column: str, precision: str = "DECIMAL(18,2)") -> str:
     """DuckDB oracle twin of :func:`numeric_profile` (same formula, same
     op order — do NOT substitute the engine's stddev())."""
