@@ -29,7 +29,8 @@ SURVEY §2 coverage map (query name → inventory items):
     append_merge             J1 (full-outer merge, sources union)
     db_stats                 A3/A5 (stats aggregate)
     build_summary            A2/A6 (counts + dry-run estimate)
-    tpch_q1 / tpch_q3 / q5   engine-level agg/join capability (bench heads)
+    tpch_q1/q3/q5/q6/q18     engine-level agg/join/subquery capability
+                             (q18 = HAVING-subquery semi-join shape)
     part_filter              LIKE + range predicate pushdown
     events_salted_agg        skew-resistant two-phase salted aggregation
     events_hourly            time-bucketed aggregation
@@ -397,6 +398,53 @@ def q_tpch_q5(spark, sf_dir):
         .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """Forecast-revenue shape: tight range + between predicates, all
+    pushdown-eligible, single partial-agg scan."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    revenue = _dec("l_extendedprice") * _dec("l_discount", "decimal(4,2)")
+    return li.agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Large-volume-order shape: HAVING subquery (orders whose total
+    quantity exceeds a threshold) semi-joined back into a three-table
+    rollup — the IN-subquery semantics the reference's SQL surface
+    implies, expressed as aggregate → semi-join."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q"))
+        .where(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_str"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
     )
 
 
@@ -995,6 +1043,26 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
 GROUP BY n_name"""
+    sql["tpch_q6"] = """SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24"""
+    sql["tpch_q18"] = """SELECT c_name, c_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice"""
     sql["part_filter"] = """SELECT p_partkey, p_name, p_brand, p_retailprice
 FROM part WHERE p_name LIKE '%small%' AND p_size >= 10"""
     sql["events_salted_agg"] = """SELECT event_type,
@@ -1243,6 +1311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q18": q_tpch_q18,
         "part_filter": q_part_filter,
         "events_salted_agg": q_events_salted_agg,
         "events_hourly": q_events_hourly,
