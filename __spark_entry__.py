@@ -61,6 +61,8 @@ SURVEY §2 coverage map (query name → inventory items):
     words_intersect/except   set operations (§2.8)
     profile_lineitem         extension: deterministic column profiling
     profile_table            extension: whole-table profile, one pass
+    sample_documents         extension: deterministic hash sampling
+    split_documents          extension: disjoint train/eval/test split
 """
 
 from __future__ import annotations
@@ -470,6 +472,29 @@ def q_profile_lineitem(spark, sf_dir):
 
 
 PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+SPLIT_WEIGHTS = {"eval": 0.05, "test": 0.05, "train": 0.9}
+
+
+def q_sample_documents(spark, sf_dir):
+    """Deterministic 10% document sample (hash-membership, not RNG —
+    reproducible across engines, partitionings, and re-runs)."""
+    from shaha_spark.operators.sampling import hash_sample
+
+    return hash_sample(
+        _t(spark, sf_dir, "documents"), 0.1, "doc_id", salt="r2"
+    ).select("doc_id", "source")
+
+
+def q_split_documents(spark, sf_dir):
+    """Disjoint exhaustive train/eval/test assignment from the same
+    membership hash; per-split counts as the compact verifiable output."""
+    from shaha_spark.operators.sampling import hash_split
+
+    split = hash_split(
+        _t(spark, sf_dir, "documents"), SPLIT_WEIGHTS, "doc_id", salt="r2"
+    )
+    return split.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 def q_profile_table(spark, sf_dir):
@@ -1223,6 +1248,22 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
+    from shaha_spark.operators.sampling import bucket_sql
+
+    sql["sample_documents"] = (
+        "SELECT doc_id, source FROM documents "
+        f"WHERE {bucket_sql('doc_id', 'r2')} < 1000"
+    )
+    # bucket ranges in sorted split-name order: eval [0,500), test
+    # [500,1000), train [1000,10000) — mirrors sampling.hash_split
+    sql["split_documents"] = f"""WITH b AS (
+  SELECT {bucket_sql('doc_id', 'r2')} AS bucket FROM documents
+)
+SELECT CASE WHEN bucket < 500 THEN 'eval'
+            WHEN bucket < 1000 THEN 'test'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1"""
     sql["kmeans_centroids"] = _kmeans_sql(k=4, iters=2)
     sql["similarity_ivf_kmeans"] = _ivf_kmeans_sql(k=4, iters=2, nprobe=2, topk=5)
     sql["embedding_near_dup"] = """WITH v AS (
@@ -1320,6 +1361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json,
         "profile_lineitem": q_profile_lineitem,
         "profile_table": q_profile_table,
+        "sample_documents": q_sample_documents,
+        "split_documents": q_split_documents,
         "words_intersect": q_words_intersect,
         "words_except": q_words_except,
         "dedup_exact": q_dedup_exact,

@@ -1,0 +1,108 @@
+"""Deterministic sampling and splits for training-data pipelines.
+
+``df.sample``/``sampleBy`` draw from a partition-seeded RNG: the
+selected rows change with partitioning, engine, and Spark version —
+unacceptable for reproducible train/eval corpora, and impossible to
+verify against an external oracle. These operators decide membership
+from a cross-engine-stable content hash instead (md5-derived h28, the
+same primitive as the dedup family): a row is in the sample iff
+``h28(key ∥ salt) mod 10000 < fraction·10000``. Properties:
+
+  * reproducible everywhere — any engine that can md5 agrees row-by-row;
+  * stable under repartitioning, appends, and re-runs;
+  * nested fractions: a 5% sample is a subset of a 10% sample with the
+    same salt (membership is a threshold on one hash value);
+  * disjoint splits by bucketing the same hash (train/eval/test).
+
+All pure JVM expressions; the hash is codegen'd per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from shaha_spark.functions.text import h28
+
+#: membership granularity: fractions resolve to 1/10000
+_BUCKETS = 10_000
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    return h28(F.concat(key.cast("string"), F.lit(salt))) % _BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Deterministic ``fraction`` sample keyed on ``key_col``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(_bucket(F.col(key_col), salt) < int(fraction * _BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample a dominant
+    source while keeping all of a rare one). Strata absent from
+    ``fractions`` use ``default_fraction``."""
+    threshold = F.lit(int(default_fraction * _BUCKETS))
+    for value, fraction in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(fraction * _BUCKETS))
+        ).otherwise(threshold)
+    return df.where(_bucket(F.col(key_col), salt) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Disjoint, exhaustive split assignment (train/eval/test …).
+
+    Splits are consecutive bucket ranges of the same hash, in sorted
+    split-name order, so every row lands in exactly one split and the
+    assignment survives appends and re-runs. Weights must sum to 1.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = _bucket(F.col(key_col), salt)
+    expr = None
+    lo = 0
+    names = sorted(weights)
+    for i, name in enumerate(names):
+        hi = _BUCKETS if i == len(names) - 1 else lo + int(weights[name] * _BUCKETS)
+        cond = bucket < hi if expr is None else (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    return df.withColumn(split_col, expr)
+
+
+def h28_sql(expr: str) -> str:
+    """DuckDB twin of the membership hash (see functions/text.h28)."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 7)) AS BIGINT)"
+
+
+def bucket_sql(key_col: str, salt: str = "") -> str:
+    """DuckDB membership-bucket expression for ``key_col``."""
+    keyed = f"concat(CAST({key_col} AS VARCHAR), '{salt}')"
+    return f"{h28_sql(keyed)} % {_BUCKETS}"
+
+
+def hash_sample_sql(
+    table: str, fraction: float, key_col: str, salt: str = ""
+) -> str:
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE {bucket_sql(key_col, salt)} < {int(fraction * _BUCKETS)}"
+    )

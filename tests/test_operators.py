@@ -396,3 +396,39 @@ def test_multimodal_real_video_decode_mp4(spark):
     bad = spark.createDataFrame([(3, b"definitely not video", "video")], multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|codec|demuxer"):
         multimodal.decode_video_metadata(bad).collect()
+
+
+def test_hash_sampling_properties(spark, docs):
+    """Determinism, nesting (5% ⊂ 10% with the same salt), stratified
+    thresholds, and disjoint/exhaustive splits."""
+    from shaha_spark.operators import sampling
+
+    s10 = {r.doc_id for r in sampling.hash_sample(docs, 0.10, "doc_id").select("doc_id").collect()}
+    s10b = {r.doc_id for r in sampling.hash_sample(docs, 0.10, "doc_id").select("doc_id").collect()}
+    s05 = {r.doc_id for r in sampling.hash_sample(docs, 0.05, "doc_id").select("doc_id").collect()}
+    assert s10 == s10b            # deterministic across runs
+    assert s05 <= s10             # nested fractions are subsets
+    n = docs.count()
+    assert 0 < len(s10) < n       # neither empty nor everything
+
+    # different salt → a different (still deterministic) sample
+    salted = {r.doc_id for r in sampling.hash_sample(docs, 0.10, "doc_id", salt="x").select("doc_id").collect()}
+    assert salted != s10
+
+    strat = sampling.stratified_hash_sample(
+        docs, "source", {"web": 1.0}, "doc_id", default_fraction=0.0
+    )
+    got_sources = {r.source for r in strat.select("source").distinct().collect()}
+    assert got_sources <= {"web"}  # only the fully-kept stratum survives
+
+    split = sampling.hash_split(docs, {"train": 0.8, "eval": 0.2}, "doc_id")
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n            # exhaustive
+    assert set(counts) == {"train", "eval"}     # and only these
+    assert counts["train"] > counts["eval"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.hash_sample(docs, 1.5, "doc_id")
+    with _pytest.raises(ValueError):
+        sampling.hash_split(docs, {"a": 0.5, "b": 0.2}, "doc_id")
