@@ -378,6 +378,56 @@ def q_events_json(spark, sf_dir):
     )
 
 
+# attribution window for the interval join: 30 minutes in microseconds
+ATTRIB_WINDOW_US = 30 * 60 * 1_000_000
+
+
+def q_events_asof(spark, sf_dir):
+    """Attribute each purchase to the user's most recent signup at or
+    before it — one union + one window, zero joins (joins.asof_join)."""
+    from shaha_spark.operators.joins import asof_join, dedup_keep_latest
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "tus"
+    )
+    signups = dedup_keep_latest(
+        ev.filter(F.col("event_type") == "signup").select(
+            "user_id", "tus", "event_id", "value"
+        ),
+        ["user_id", "tus"],
+        "event_id",
+    )
+    return asof_join(
+        purchases, signups, "user_id", "tus", ["event_id", "value"]
+    )
+
+
+def q_events_interval(spark, sf_dir):
+    """Purchases landing inside each signup's 30-minute attribution
+    window, via the bucketed equi-join (joins.interval_join) — never a
+    quadratic range join."""
+    from shaha_spark.operators.joins import interval_join
+
+    ev = _events(spark, sf_dir)
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("tus").alias("start_us"),
+        (F.col("tus") + F.lit(ATTRIB_WINDOW_US)).alias("end_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "tus", "value"
+    )
+    joined = interval_join(
+        purchases, intervals, "user_id", "tus", max_len=ATTRIB_WINDOW_US
+    )
+    return joined.groupBy("interval_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
 def q_tpch_q5(spark, sf_dir):
     _utc(spark)
     one = F.lit(1).cast("decimal(4,2)")
@@ -1058,6 +1108,33 @@ FROM sess GROUP BY user_id, session_id"""
     sql["events_json_extract"] = (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value FROM events"
     )
+    sql["events_asof_join"] = """WITH su0 AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id, value,
+    row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'signup'
+),
+su AS (SELECT user_id, tus, event_id, value FROM su0 WHERE rn = 1),
+pu AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT pu.event_id, pu.user_id, pu.tus,
+  su.tus AS asof_tus, su.event_id AS asof_event_id, su.value AS asof_value
+FROM pu ASOF LEFT JOIN su ON pu.user_id = su.user_id AND pu.tus >= su.tus"""
+    sql["events_interval_join"] = f"""WITH iv AS (
+  SELECT event_id AS interval_id, user_id, epoch_us(ts) AS start_us,
+    epoch_us(ts) + {ATTRIB_WINDOW_US} AS end_us
+  FROM events WHERE event_type = 'signup'
+),
+pu AS (
+  SELECT user_id, epoch_us(ts) AS tus, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT iv.interval_id, iv.user_id, count(*) AS n_in_window,
+  CAST(SUM(CAST(pu.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM pu JOIN iv ON pu.user_id = iv.user_id
+  AND pu.tus >= iv.start_us AND pu.tus < iv.end_us
+GROUP BY 1, 2"""
     sql["tpch_q5"] = """SELECT n_name,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
 FROM customer
@@ -1359,6 +1436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json,
+        "events_asof_join": q_events_asof,
+        "events_interval_join": q_events_interval,
         "profile_lineitem": q_profile_lineitem,
         "profile_table": q_profile_table,
         "sample_documents": q_sample_documents,

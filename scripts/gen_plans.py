@@ -82,6 +82,17 @@ NOTES = {
         "Single window shuffle by user_id — the minimal plan for gap "
         "sessionization."
     ),
+    "events_asof_join": (
+        "As-of join without a join: both sides union-tagged, one hash "
+        "shuffle on user_id, one sort, a running last(ignorenulls) window "
+        "resolves every purchase to its most recent signup. No Join node "
+        "in the plan — linear in rows at any per-key right density."
+    ),
+    "events_interval_join": (
+        "Interval join via bucketing: intervals explode to their <=2 "
+        "covered width-W buckets, then an ordinary (key, bucket) hash "
+        "equi-join + exact range refinement. Never NestedLoop/Cartesian."
+    ),
     "events_salted_agg": (
         "Two-phase skew-resistant aggregate: salted partial, then final "
         "combine; result independent of salt width."

@@ -1,0 +1,140 @@
+"""Time-series joins the DataFrame API lacks as primitives: as-of join
+and interval (range) join, both shaped for the 100 TB case.
+
+The reference engine has no time-series join surface; these belong to
+the training-data-pipeline extension set (event logs, feature
+backfills, session attribution).
+
+As-of join — "for each left row, the most recent right row at or
+before it, per key" — is NOT expressed as a join at all: a join on
+``l.t >= r.t`` explodes quadratically per key before a window would
+prune it. Instead both sides are union-tagged and a single
+``last(..., ignorenulls)`` running window per key resolves every left
+row in one shuffle, one sort, zero joins — the plan scales linearly in
+rows regardless of how many right rows precede each left row.
+
+Interval join uses the bucket trick: every interval [start, end) with
+``end - start <= W`` overlaps at most two width-W buckets, so
+exploding intervals to their covered buckets and equi-joining events on
+(key, bucket) bounds the candidate set per event by the true overlap
+degree plus one bucket's worth — never O(n_left × n_right). The
+equi-join is an ordinary shuffle/broadcast hash join Catalyst can
+optimize; the exact range predicate refines candidates afterwards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_keep_latest(
+    df: DataFrame, key_cols: list[str], tie_col: str
+) -> DataFrame:
+    """One row per key, keeping the arg-max of ``tie_col`` — the
+    deterministic tiebreak both the Spark and oracle sides share."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(tie_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    time_col: str,
+    right_value_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: attach to each left row the right row with the
+    greatest ``time_col`` <= the left row's, within ``key_col``.
+
+    ``right`` must be unique per (key, time) — pre-apply
+    :func:`dedup_keep_latest` otherwise. Matched columns come from ONE
+    right row (packed in a struct before the window, so per-column
+    ``last(ignorenulls)`` can never mix rows whose own fields are null).
+
+    Plan: union both sides → one hash shuffle on ``key_col`` → one sort
+    by (time, side) → running ``last`` — linear at any key density, and
+    an equal-timestamp right row sorts before the left row so the match
+    is inclusive.
+    """
+    lcols = [c for c in left.columns]
+    payload = F.struct(
+        F.col(time_col).alias(f"{prefix}{time_col}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key_col),
+        F.col(time_col),
+        F.lit(0).alias("_side"),
+        payload.alias("_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
+    )
+    l_tagged = left.select(
+        F.col(key_col),
+        F.col(time_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_tagged.schema["_r"].dataType).alias("_r"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out_cols: list[Column] = [F.col(f"_l_{c}").alias(c) for c in lcols]
+    out_cols.append(F.col(f"_m.{prefix}{time_col}").alias(f"{prefix}{time_col}"))
+    out_cols.extend(
+        F.col(f"_m.{prefix}{c}").alias(f"{prefix}{c}") for c in right_value_cols
+    )
+    return matched.select(*out_cols)
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    time_col: str,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    max_len: int | None = None,
+) -> DataFrame:
+    """Join events to half-open intervals [start, end) per key without a
+    quadratic range join.
+
+    ``max_len`` is the guaranteed maximum interval length (same unit as
+    ``time_col``); it is the bucket width W, so each interval covers at
+    most two buckets and the candidate equi-join on (key, bucket) stays
+    linear. Returns events ⨝ intervals rows (all columns of both
+    sides); aggregate afterwards as needed.
+    """
+    if max_len is None:
+        raise ValueError("interval_join requires max_len (the bucket width)")
+    w = int(max_len)
+    # integer DIV, not `/`: double division truncation can misplace a
+    # boundary timestamp by one bucket at large epoch values
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"{start_col} DIV {w}"),
+                    F.expr(f"({end_col} - 1) DIV {w}"),
+                )
+            )
+        ),
+    )
+    ev = events.withColumn("_bucket", F.expr(f"{time_col} DIV {w}"))
+    joined = ev.join(iv, on=[key_col, "_bucket"]).filter(
+        (F.col(time_col) >= F.col(start_col)) & (F.col(time_col) < F.col(end_col))
+    )
+    return joined.drop("_bucket")
