@@ -428,6 +428,60 @@ def q_events_interval(spark, sf_dir):
     )
 
 
+def q_events_rollup(spark, sf_dir):
+    """Time-hierarchy rollup (hypertable continuous-aggregate shape):
+    (day, type) → (day) → grand total in one Expand + hash aggregate;
+    NULL grouping levels labelled 'ALL' for cross-engine comparability."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.timestamp_micros(F.col("tus")), "yyyy-MM-dd")
+    )
+    return (
+        ev.rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+#: decontamination n-gram width (the standard exact-overlap guard)
+DECONTAM_NGRAM = 8
+
+
+def q_term_stats(spark, sf_dir):
+    """tf / df / ratio-idf weight per (doc, term) — vocabulary-curation
+    statistics (operators.terms.term_stats)."""
+    from shaha_spark.operators.terms import term_stats
+
+    return term_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: train docs (r2-salted hash split)
+    sharing any 8-gram with the eval split, via a distinct-gram join
+    (operators.terms.decontaminate)."""
+    from shaha_spark.operators.sampling import hash_split
+    from shaha_spark.operators.terms import decontaminate
+
+    split = hash_split(
+        _t(spark, sf_dir, "documents"), SPLIT_WEIGHTS, "doc_id", salt="r2"
+    )
+    out = decontaminate(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "eval"),
+        n=DECONTAM_NGRAM,
+    )
+    return out.select(
+        "doc_id", "n_shared_grams", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
 def q_tpch_q5(spark, sf_dir):
     _utc(spark)
     one = F.lit(1).cast("decimal(4,2)")
@@ -1013,6 +1067,8 @@ def _langid_scores() -> tuple[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from shaha_spark.operators.sampling import bucket_sql
+
     p = MERSENNE_P
     k = FINGERPRINT_K
     stop_en = "[" + ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS) + "]"
@@ -1135,6 +1191,49 @@ SELECT iv.interval_id, iv.user_id, count(*) AS n_in_window,
 FROM pu JOIN iv ON pu.user_id = iv.user_id
   AND pu.tus >= iv.start_us AND pu.tus < iv.end_us
 GROUP BY 1, 2"""
+    sql["events_rollup"] = """WITH base AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, value
+  FROM events
+)
+SELECT coalesce(day, 'ALL') AS day, coalesce(event_type, 'ALL') AS event_type,
+  count(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM base GROUP BY ROLLUP (day, event_type)"""
+    sql["text_term_stats"] = f"""WITH {_WORDS_CTE},
+tf AS (SELECT doc_id, word AS term, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+  CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS weight
+FROM tf JOIN df USING (term) CROSS JOIN n"""
+    g = DECONTAM_NGRAM
+    gram_parts = ", ".join(f"t[i+{j}]" for j in range(g))
+    grams_expr = (
+        f"CASE WHEN len(t) >= {g} THEN list_transform(range(1, len(t) - {g - 2}), "
+        f"i -> concat_ws(' ', {gram_parts})) ELSE CAST([] AS VARCHAR[]) END"
+    )
+    sql["docs_decontaminate"] = f"""WITH {_TOKS_CTE},
+split AS (
+  SELECT doc_id, t, {bucket_sql('doc_id', 'r2')} AS bucket FROM toks
+),
+train_grams AS (
+  SELECT DISTINCT doc_id, unnest({grams_expr}) AS gram
+  FROM split WHERE bucket >= 1000
+),
+eval_grams AS (
+  SELECT DISTINCT unnest({grams_expr}) AS gram
+  FROM split WHERE bucket < 500
+),
+shared AS (
+  SELECT tg.doc_id, count(*) AS n_shared_grams
+  FROM train_grams tg JOIN eval_grams eg USING (gram)
+  GROUP BY 1
+)
+SELECT s.doc_id,
+  coalesce(sh.n_shared_grams, 0) AS n_shared_grams,
+  CAST(coalesce(sh.n_shared_grams, 0) > 0 AS INTEGER) AS contaminated
+FROM split s LEFT JOIN shared sh USING (doc_id)
+WHERE s.bucket >= 1000"""
     sql["tpch_q5"] = """SELECT n_name,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
 FROM customer
@@ -1438,6 +1537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json,
         "events_asof_join": q_events_asof,
         "events_interval_join": q_events_interval,
+        "events_rollup": q_events_rollup,
+        "text_term_stats": q_term_stats,
+        "docs_decontaminate": q_decontaminate,
         "profile_lineitem": q_profile_lineitem,
         "profile_table": q_profile_table,
         "sample_documents": q_sample_documents,

@@ -93,6 +93,21 @@ NOTES = {
         "covered width-W buckets, then an ordinary (key, bucket) hash "
         "equi-join + exact range refinement. Never NestedLoop/Cartesian."
     ),
+    "events_rollup": (
+        "Hierarchy rollup in one Expand + hash aggregate with map-side "
+        "partials — three grouping levels, one shuffle."
+    ),
+    "text_term_stats": (
+        "tf and df from the same exploded subtree (df aggregates the tf "
+        "result, reusing its exchange); corpus-size scalar joins as a "
+        "1-row broadcast, never a single-partition window."
+    ),
+    "docs_decontaminate": (
+        "Distinct n-gram inner join (train × eval grams) with the gram "
+        "assembly codegen'd via lead windows; at 100 TB the gram key "
+        "would be xxhash64'd to shrink shuffle width (string kept here "
+        "for the oracle join)."
+    ),
     "events_salted_agg": (
         "Two-phase skew-resistant aggregate: salted partial, then final "
         "combine; result independent of salt width."

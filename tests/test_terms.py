@@ -1,0 +1,88 @@
+"""Term statistics, n-gram generation, and decontamination semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from shaha_spark.operators.terms import (
+    decontaminate,
+    term_stats,
+    word_ngrams,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b a c"),
+            (2, "a  b"),  # double space → empty token must vanish
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_term_stats_tf_df_weight(spark, docs):
+    rows = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["n_docs"], r["weight"])
+        for r in term_stats(docs).collect()
+    }
+    # 'a': doc1 tf=2, doc2 tf=1; df=2; n_docs=3 (empty doc counts)
+    assert rows[(1, "a")] == (2, 2, 3, 2 * (3 / 2))
+    assert rows[(2, "a")] == (1, 2, 3, 1 * (3 / 2))
+    assert rows[(1, "c")] == (1, 1, 3, 1 * (3 / 1))
+    assert (3, "") not in rows and (2, "") not in rows
+
+
+def test_word_ngrams_window_and_edges(spark, docs):
+    grams = {
+        (r["doc_id"], r["gram"]) for r in word_ngrams(docs, 2).collect()
+    }
+    # doc2's empty middle token must not break adjacency: gram is "a b"
+    assert grams == {(1, "a b"), (1, "b a"), (1, "a c"), (2, "a b")}
+    # n larger than any document → empty, not an error
+    assert word_ngrams(docs, 9).count() == 0
+    with pytest.raises(ValueError):
+        word_ngrams(docs, 0)
+
+
+def test_word_ngrams_distinct(spark):
+    d = spark.createDataFrame([(1, "x y x y x y")], "doc_id bigint, text string")
+    rows = word_ngrams(d, 2).collect()
+    assert sorted(r["gram"] for r in rows) == ["x y", "y x"]
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    train = spark.createDataFrame(
+        [(1, "p q r s"), (2, "unrelated words here now")],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "z p q r s z")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+        for r in decontaminate(train, ev, n=3).collect()
+    }
+    # train doc 1 shares "p q r" and "q r s"; doc 2 shares nothing
+    assert out[1] == (2, True)
+    assert out[2] == (0, False)
+    assert len(out) == 2  # every train row present
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    # a gram repeated in the train doc counts once (distinct pairs)
+    train = spark.createDataFrame([(1, "p q p q p q")], "doc_id bigint, text string")
+    ev = spark.createDataFrame([(9, "p q")], "doc_id bigint, text string")
+    out = decontaminate(train, ev, n=2).collect()[0]
+    assert out["n_shared_grams"] == 1
+
+
+def test_term_stats_single_corpus_scan_for_tf_df(spark, docs):
+    # the tf→df reuse means the exploded corpus subtree must appear once
+    # on the df side via exchange reuse, not as a second full pipeline
+    plan = term_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
