@@ -450,6 +450,120 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """EXISTS → left-semi join: orders (one quarter) with at least one
+    late-shipped lineitem, counted per priority. The semi-join never
+    multiplies rows, so no post-join dedup is needed."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """Outer-join distribution: customers by how many non-urgent orders
+    they placed, zero included — the join predicate lives IN the outer
+    join (a WHERE would silently drop the zero-order customers)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_part_never_shipped(spark, sf_dir):
+    """NOT EXISTS → left-anti join: brands' counts of parts with no
+    bulk shipment (quantity >= 45) in the dataset's last window."""
+    _utc(spark)
+    part = _t(spark, sf_dir, "part")
+    shipped = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+        & (F.col("l_quantity") >= 45)
+    )
+    never = part.join(
+        shipped, F.col("p_partkey") == F.col("l_partkey"), "left_anti"
+    )
+    return never.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+#: the closed event-type vocabulary (pivot needs an explicit list to
+#: stay a single pass — an unlisted pivot triggers a distinct-scan job)
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """Long → wide: per-day event counts, one column per type. The
+    explicit value list keeps pivot single-pass and the output schema
+    static; absent combinations surface as 0, not null."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.timestamp_micros(F.col("tus")), "yyyy-MM-dd")
+    )
+    wide = (
+        ev.groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day", *[F.coalesce(t, F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+def q_events_unpivot(spark, sf_dir):
+    """Wide → long (melt): the pivoted table stacked back to
+    (day, event_type, n_events) — zeros kept, so pivot∘unpivot is the
+    dense day×type grid."""
+    wide = q_events_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["day"],
+        values=EVENT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    )
+
+
+def q_events_percentiles(spark, sf_dir):
+    """Exact p50/p95 of value per event type, explicit-interpolation
+    quantiles (operators.profile.group_quantiles)."""
+    from shaha_spark.operators.profile import group_quantiles
+
+    return group_quantiles(
+        _events(spark, sf_dir), "event_type", "value", [0.5, 0.95]
+    )
+
+
+def q_orders_topk_per_cust(spark, sf_dir):
+    """Grouped top-k: each customer's 3 highest-value orders by ranked
+    window with a deterministic orderkey tiebreak."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
 #: decontamination n-gram width (the standard exact-overlap guard)
 DECONTAM_NGRAM = 8
 
@@ -1067,6 +1181,7 @@ def _langid_scores() -> tuple[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from shaha_spark.operators.profile import group_quantiles_sql
     from shaha_spark.operators.sampling import bucket_sql
 
     p = MERSENNE_P
@@ -1191,6 +1306,57 @@ SELECT iv.interval_id, iv.user_id, count(*) AS n_in_window,
 FROM pu JOIN iv ON pu.user_id = iv.user_id
   AND pu.tus >= iv.start_us AND pu.tus < iv.end_us
 GROUP BY 1, 2"""
+    sql["tpch_q4"] = """SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority"""
+    sql["tpch_q13"] = """WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count"""
+    sql["part_never_shipped"] = """SELECT p_brand, count(*) AS n_parts
+FROM part
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_partkey = p_partkey
+    AND l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+    AND l_quantity >= 45
+)
+GROUP BY p_brand"""
+    pivot_cols = ",\n  ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS \"{t}\""
+        for t in EVENT_TYPES
+    )
+    sql["events_pivot"] = f"""SELECT
+  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  {pivot_cols}
+FROM events GROUP BY 1"""
+    unpivot_arms = "\nUNION ALL\n".join(
+        f"SELECT day, '{t}' AS event_type, \"{t}\" AS n_events FROM wide"
+        for t in EVENT_TYPES
+    )
+    sql["events_unpivot"] = f"""WITH wide AS ({sql["events_pivot"]})
+{unpivot_arms}"""
+    sql["events_percentiles"] = group_quantiles_sql(
+        "events", "event_type", "value", [0.5, 0.95]
+    )
+    sql["orders_topk_per_cust"] = """WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+    ) AS rank
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3"""
     sql["events_rollup"] = """WITH base AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, value
   FROM events
@@ -1540,6 +1706,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "text_term_stats": q_term_stats,
         "docs_decontaminate": q_decontaminate,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q13": q_tpch_q13,
+        "part_never_shipped": q_part_never_shipped,
+        "events_pivot": q_events_pivot,
+        "events_unpivot": q_events_unpivot,
+        "events_percentiles": q_events_percentiles,
+        "orders_topk_per_cust": q_orders_topk_per_cust,
         "profile_lineitem": q_profile_lineitem,
         "profile_table": q_profile_table,
         "sample_documents": q_sample_documents,

@@ -93,6 +93,20 @@ NOTES = {
         "covered width-W buckets, then an ordinary (key, bucket) hash "
         "equi-join + exact range refinement. Never NestedLoop/Cartesian."
     ),
+    "tpch_q4": (
+        "EXISTS compiles to a left-semi hash join with the non-equi "
+        "shipdate predicate as the join condition — no row "
+        "multiplication, no post-join dedup."
+    ),
+    "events_pivot": (
+        "Explicit-value-list pivot: one scan, one hash aggregate with "
+        "map-side partials — no distinct-values pre-pass job."
+    ),
+    "events_percentiles": (
+        "Exact per-group quantiles: one shuffle on the group key, "
+        "per-group sort inherent to exactness, rank selection + "
+        "interpolation in codegen."
+    ),
     "events_rollup": (
         "Hierarchy rollup in one Expand + hash aggregate with map-side "
         "partials — three grouping levels, one shuffle."

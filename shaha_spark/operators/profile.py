@@ -120,3 +120,70 @@ def profile_sql(table: str, column: str, precision: str = "DECIMAL(18,2)") -> st
      - CAST(SUM(CAST({column} AS {precision})) AS DOUBLE) * CAST(SUM(CAST({column} AS {precision})) AS DOUBLE) / count({column}))
     / (count({column}) - 1) ELSE 0.0 END) AS stddev_value
 FROM {table}"""
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+) -> DataFrame:
+    """Exact per-group quantiles with linear interpolation
+    (quantile_cont semantics), one output column ``p<q*100>`` per q.
+
+    The interpolation is spelled out — ``v_lo + (v_hi - v_lo) * frac``
+    on values selected by 0-based rank — rather than delegated to the
+    engine's quantile(), so any engine replaying the same IEEE op
+    sequence reproduces the result bit-for-bit. Tie order within equal
+    values is irrelevant: the ranks select by position and tied
+    positions carry equal values.
+
+    One shuffle on the group key; the per-group sort is inherent to
+    exact quantiles (use a sketch for approximate-at-scale).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    v = F.col(value_col).cast("double")
+    ranked = df.select(
+        F.col(group_col),
+        v.alias("_v"),
+        (F.row_number().over(w) - 1).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("_n"),
+    )
+    aggs = []
+    for q in qs:
+        target = (F.col("_n") - 1).cast("double") * F.lit(float(q))
+        lo = F.floor(target)
+        frac = target - lo
+        v_lo = F.max(F.when(F.col("_rn") == lo, F.col("_v")))
+        v_hi = F.max(F.when(F.col("_rn") == F.ceil(target), F.col("_v")))
+        aggs.append(
+            (v_lo + (v_hi - v_lo) * F.max(frac)).alias(f"p{round(q * 100)}")
+        )
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
+def group_quantiles_sql(
+    table: str, group_col: str, value_col: str, qs: list[float]
+) -> str:
+    """DuckDB oracle twin of :func:`group_quantiles` — the same ranked
+    selection and interpolation op order (NOT the engine's
+    quantile_cont, whose internal arithmetic is unspecified)."""
+    cols = []
+    for q in qs:
+        t = f"(CAST(n - 1 AS DOUBLE) * {float(q)!r})"
+        v_lo = f"max(CASE WHEN rn = CAST(floor({t}) AS BIGINT) THEN v END)"
+        v_hi = f"max(CASE WHEN rn = CAST(ceil({t}) AS BIGINT) THEN v END)"
+        frac = f"max({t} - floor({t}))"
+        cols.append(f"{v_lo} + ({v_hi} - {v_lo}) * {frac} AS p{round(q * 100)}")
+    cols_sql = ",\n  ".join(cols)
+    return f"""WITH r AS (
+  SELECT {group_col}, CAST({value_col} AS DOUBLE) AS v,
+    row_number() OVER (PARTITION BY {group_col} ORDER BY {value_col}) - 1 AS rn,
+    count(*) OVER (PARTITION BY {group_col}) AS n
+  FROM {table}
+)
+SELECT {group_col},
+  {cols_sql}
+FROM r GROUP BY {group_col}"""
