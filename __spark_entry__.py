@@ -564,6 +564,41 @@ def q_orders_topk_per_cust(spark, sf_dir):
     )
 
 
+#: rolling feature window: 7 days in microseconds
+ROLLING_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q_events_rolling(spark, sf_dir):
+    """Per-user trailing-7-day rolling features (count + exact decimal
+    sum) via a RANGE window frame — the standard feature-backfill
+    shape: one shuffle on user_id, no self-join."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "tus", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-ROLLING_WINDOW_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "tus",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum(_dec("value", "decimal(18,2)")).over(w).cast("double").alias("sum_7d"),
+    )
+
+
+def q_events_hll(spark, sf_dir):
+    """Deterministic HyperLogLog distinct estimate (p=6) next to the
+    exact count — the sketch is register-exact across engines
+    (operators.sketch.hll_distinct)."""
+    from shaha_spark.operators.sketch import hll_distinct
+
+    ev = _events(spark, sf_dir)
+    hll = hll_distinct(ev, "event_id", p=6)
+    exact = ev.agg(F.countDistinct("event_id").alias("exact_distinct"))
+    return hll.crossJoin(F.broadcast(exact))
+
+
 #: decontamination n-gram width (the standard exact-overlap guard)
 DECONTAM_NGRAM = 8
 
@@ -1183,6 +1218,7 @@ def _langid_scores() -> tuple[str, str]:
 def oracle_sql() -> dict[str, str]:
     from shaha_spark.operators.profile import group_quantiles_sql
     from shaha_spark.operators.sampling import bucket_sql
+    from shaha_spark.operators.sketch import hll_distinct_sql
 
     p = MERSENNE_P
     k = FINGERPRINT_K
@@ -1357,6 +1393,20 @@ FROM events GROUP BY 1"""
 )
 SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 3"""
+    sql["events_rolling"] = f"""SELECT event_id, user_id, epoch_us(ts) AS tus,
+  count(*) OVER w AS n_7d,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN {ROLLING_WINDOW_US} PRECEDING AND CURRENT ROW
+)"""
+    sql["events_hll_distinct"] = f"""WITH est AS (
+  {hll_distinct_sql('events', 'event_id', p=6)}
+),
+ex AS (SELECT count(DISTINCT event_id) AS exact_distinct FROM events)
+SELECT est.hll_estimate, est.n_registers, ex.exact_distinct
+FROM est CROSS JOIN ex"""
     sql["events_rollup"] = """WITH base AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, value
   FROM events
@@ -1711,6 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_never_shipped": q_part_never_shipped,
         "events_pivot": q_events_pivot,
         "events_unpivot": q_events_unpivot,
+        "events_rolling": q_events_rolling,
+        "events_hll_distinct": q_events_hll,
         "events_percentiles": q_events_percentiles,
         "orders_topk_per_cust": q_orders_topk_per_cust,
         "profile_lineitem": q_profile_lineitem,

@@ -107,6 +107,12 @@ NOTES = {
         "per-group sort inherent to exactness, rank selection + "
         "interpolation in codegen."
     ),
+    "events_hll_distinct": (
+        "HLL as relational ops: hash-aggregate to <=64 register maxima "
+        "(map-side partial max — the shuffle carries at most m rows per "
+        "partition regardless of input size), then one tiny final "
+        "aggregation. The distributed-merge shape of a real sketch."
+    ),
     "events_rollup": (
         "Hierarchy rollup in one Expand + hash aggregate with map-side "
         "partials — three grouping levels, one shuffle."
