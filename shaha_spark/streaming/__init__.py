@@ -4,4 +4,8 @@ from shaha_spark.streaming.dedup_stream import (  # noqa: F401
     stream_minhash_signatures,
 )
 from shaha_spark.streaming.stateful import running_totals  # noqa: F401
-from shaha_spark.streaming.windows import watermarked_event_counts  # noqa: F401
+from shaha_spark.streaming.windows import (  # noqa: F401
+    session_event_counts,
+    sliding_event_counts,
+    watermarked_event_counts,
+)

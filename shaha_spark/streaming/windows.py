@@ -38,3 +38,64 @@ def watermarked_event_counts(
             "n_events",
         )
     )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    slide_duration: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Overlapping (hopping) windows: each event lands in
+    window/slide buckets, so a 1h window sliding every 15min gives a
+    smoothed rate at 4x the row cost — the standard trade-off for
+    near-real-time dashboards. Same bounded-state guarantees as the
+    tumbling variant."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration, slide_duration).alias("win"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def session_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows (native ``session_window``): a session
+    extends while events arrive within ``gap`` of the previous one, so
+    window extents are data-driven rather than aligned. This is the
+    streaming twin of the batch sessionize query — on a stream, Spark
+    merges adjacent session state as late events bridge gaps, and the
+    watermark finalizes (and frees) sessions once no bridging event can
+    arrive."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )

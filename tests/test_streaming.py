@@ -203,3 +203,75 @@ def test_stream_minhash_signatures_match_batch(spark, tmp_path):
     got = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(16)) for r in collected}
     assert got == expected
     assert got[2] == (2_147_483_647,) * 16  # shingle-less doc -> all-sentinel
+
+
+def test_sliding_windows_cover_each_event_n_times(spark, sf_dir):
+    from shaha_spark.streaming import sliding_event_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    out = sliding_event_counts(
+        ev, window_duration="1 hour", slide_duration="15 minutes"
+    )
+    total = out.agg(F.sum("n_events")).head()[0]
+    assert total == ev.count() * 4  # every event in window/slide buckets
+
+
+def test_session_windows_match_batch_sessionize(spark):
+    from shaha_spark.streaming import session_event_counts
+
+    # user 1: two events 10 min apart (one session), then a 2h gap (new
+    # session); user 2: one event
+    rows = [
+        (1, "2024-01-01T00:00:00"),
+        (1, "2024-01-01T00:10:00"),
+        (1, "2024-01-01T02:10:00"),
+        (2, "2024-01-01T05:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = session_event_counts(ev, gap="30 minutes")
+    got = {
+        (r.user_id, r.n_events, r.session_start.isoformat())
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 2, "2024-01-01T00:00:00"),
+        (1, 1, "2024-01-01T02:10:00"),
+        (2, 1, "2024-01-01T05:00:00"),
+    }
+
+
+def test_session_windows_run_as_stream(spark, tmp_path):
+    from shaha_spark.streaming import session_event_counts
+
+    src = tmp_path / "sess_json"
+    src.mkdir()
+    (src / "p1.json").write_text(
+        '{"ts": "2024-01-01T00:00:00.000Z", "user_id": 1}\n'
+        '{"ts": "2024-01-01T00:10:00.000Z", "user_id": 1}\n'
+        '{"ts": "2024-01-01T09:00:00.000Z", "user_id": 9}\n'
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint").json(str(src))
+    )
+    out = session_event_counts(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_counts").collect()
+    got = {(r.user_id, r.n_events) for r in rows}
+    # append mode: only sessions finalized by the watermark emit; the
+    # user-9 event advances the watermark past user 1's session
+    assert got <= {(1, 2), (9, 1)}
+    assert (1, 2) in got  # the early session must have been finalized
