@@ -564,6 +564,24 @@ def q_orders_topk_per_cust(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup ingest: odd-id docs arrive as the new batch
+    and are deduped against the persisted signatures of the even-id
+    corpus (operators.dedup.incremental_minhash_dedup) — surviving
+    new-doc ids."""
+    from shaha_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_minhash_dedup(
+        new_batch, minhash_signatures(existing), threshold=0.7
+    )
+
+
 #: rolling feature window: 7 days in microseconds
 ROLLING_WINDOW_US = 7 * 24 * 3600 * 1_000_000
 
@@ -1532,6 +1550,32 @@ sims AS (
 ),
 losers AS (SELECT DISTINCT id_b AS doc_id FROM sims WHERE est_jaccard >= 0.7)
 SELECT d.doc_id FROM documents d LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL"""
+    sql["dedup_incremental"] = f"""WITH {_sigs_cte()},
+{_bands_cte()},
+cross_pairs AS (
+  SELECT DISTINCT o.doc_id AS id_a, n.doc_id AS id_b
+  FROM bands o JOIN bands n
+    ON o.band_idx = n.band_idx AND o.band_key = n.band_key
+  WHERE o.doc_id % 2 = 0 AND n.doc_id % 2 = 1
+),
+new_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+),
+all_pairs AS (SELECT * FROM cross_pairs UNION SELECT * FROM new_pairs),
+sims AS (
+  SELECT p.id_a, p.id_b,
+    CAST({match_terms} AS DOUBLE) / {k_perms} AS est_jaccard
+  FROM all_pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b
+),
+losers AS (SELECT DISTINCT id_b AS doc_id FROM sims WHERE est_jaccard >= 0.7)
+SELECT d.doc_id FROM documents d LEFT JOIN losers l USING (doc_id)
+WHERE d.doc_id % 2 = 1 AND l.doc_id IS NULL"""
     # transitive (connected-components) variant: the oracle states the
     # fixpoint directly — comp(v) = min id reachable from v — as a
     # recursive CTE, independent of the Spark loop's iteration count
@@ -1779,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_simhash_pairs,
         "dedup_minhash_survivors": q_minhash_survivors,
         "dedup_minhash_cc": q_dedup_minhash_cc,
+        "dedup_incremental": q_dedup_incremental,
         "similarity_topk": q_similarity_topk,
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,

@@ -58,6 +58,13 @@ NOTES = {
         "blocks: token hash codegen'd once per token, 32 per-bit partial "
         "sums, one aggregation per block bucket."
     ),
+    "dedup_incremental": (
+        "Batch-vs-corpus dedup: the new batch is shingled/hashed once "
+        "(cached), the persisted corpus signatures join by band bucket "
+        "in an ordinary equi-join — the corpus is never re-shingled, "
+        "and a small batch broadcasts so the signature store is never "
+        "shuffled."
+    ),
     "similarity_topk": (
         "Query side broadcast, corpus scan shuffle-free; the only "
         "exchange is the per-query top-k window keyed by query_id."

@@ -193,6 +193,59 @@ def minhash_dedup(
     return df.select(id_col).join(losers, id_col, "left_anti")
 
 
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    existing_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Dedup an incoming batch against an already-ingested corpus — the
+    shape production dedup actually runs: signatures for historical
+    documents are computed once at ingest and PERSISTED
+    (``existing_sigs``, schema = :func:`minhash_signatures` output);
+    only the new batch is shingled and hashed here.
+
+    A new document is dropped when its estimated Jaccard is ≥
+    ``threshold`` against (a) any existing document sharing an LSH band
+    bucket — existing corpus always wins — or (b) a lower-id new
+    document (the same greedy shortcut as :func:`minhash_dedup`).
+    Id spaces of the two sides must be disjoint.
+
+    Scale shape: new-vs-existing candidates come from an ordinary
+    equi-join on (band_idx, band_key) — the corpus side is scanned
+    once, and when the batch is small relative to the corpus (the
+    normal regime) AQE broadcasts the batch's bands so the persisted
+    signature store is never shuffled. Returns surviving new-doc ids.
+    """
+    sentinel = 2_147_483_647
+    new_sigs = minhash_signatures(new_docs, text_col, id_col).cache()
+    new_b = lsh_bands(
+        new_sigs.where(F.col("mh_0") != sentinel), id_col
+    ).withColumnRenamed(id_col, "id_b")
+    old_b = lsh_bands(
+        existing_sigs.where(F.col("mh_0") != sentinel), id_col
+    ).withColumnRenamed(id_col, "id_a")
+    cross_pairs = (
+        old_b.join(new_b, ["band_idx", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    all_pairs = cross_pairs.unionByName(
+        lsh_candidate_pairs(new_sigs, id_col)
+    ).distinct()
+    all_sigs = existing_sigs.unionByName(new_sigs)
+    sims = minhash_similarity(all_sigs, all_pairs, id_col)
+    losers = (
+        sims.where(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    new_sigs.unpersist()
+    return new_docs.select(id_col).join(losers, id_col, "left_anti")
+
+
 # -------------------------------------------------------------- simhash
 
 def simhash(

@@ -432,3 +432,31 @@ def test_hash_sampling_properties(spark, docs):
         sampling.hash_sample(docs, 1.5, "doc_id")
     with _pytest.raises(ValueError):
         sampling.hash_split(docs, {"a": 0.5, "b": 0.2}, "doc_id")
+
+
+def test_incremental_minhash_dedup(spark):
+    from shaha_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    existing = spark.createDataFrame(
+        [(0, base), (2, "completely different corpus content with many unique words here")],
+        "doc_id bigint, text string",
+    )
+    new_batch = spark.createDataFrame(
+        [
+            (1, base + " ok"),              # near-copy of existing doc 0 -> dropped
+            (3, "unrelated fresh document about spark partitions and shuffles"),
+            (5, "unrelated fresh document about spark partitions and shuffle"),  # near-copy of 3 -> dropped (3 < 5)
+        ],
+        "doc_id bigint, text string",
+    )
+    survivors = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            new_batch, minhash_signatures(existing), threshold=0.5
+        ).collect()
+    }
+    assert survivors == {3}
