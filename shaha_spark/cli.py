@@ -59,6 +59,17 @@ def _build_parser() -> argparse.ArgumentParser:
     spp = ssub.add_parser("path", help="show cache path for a provider")
     spp.add_argument("provider")
 
+    c = sub.add_parser(
+        "compact", help="merge small files, preserving the hash sort"
+    )
+    c.add_argument("-d", "--database", required=True)
+    c.add_argument(
+        "--target-file-mb", type=int, default=128,
+        help="target size per output file (default 128 MB)",
+    )
+    c.add_argument("--force", action="store_true")
+    c.add_argument("--dry-run", action="store_true", help="print the plan only")
+
     sub.add_parser("algorithms", help="list available hash algorithms")
     return p
 
@@ -187,6 +198,22 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
             print(format_rows(rows, args.format))
+            return 0
+
+        if args.command == "compact":
+            from shaha_spark.pipeline.compact import (
+                compact_hashdb,
+                plan_compaction,
+            )
+
+            target = args.target_file_mb * 1024 * 1024
+            if args.dry_run:
+                print(json.dumps(plan_compaction(spark, args.database, target), indent=2))
+                return 0
+            result = compact_hashdb(
+                spark, args.database, target, force=args.force
+            )
+            print(json.dumps(result, indent=2))
             return 0
 
         if args.command == "info":

@@ -88,3 +88,21 @@ def create_marker(spark: SparkSession, path: str) -> bool:
     Hadoop-portable create-if-absent primitive)."""
     fs, jpath = _fs_and_path(spark, path)
     return bool(fs.createNewFile(jpath))
+
+
+def list_files(
+    spark: SparkSession, path: str, suffix: str = ".parquet"
+) -> list[tuple[str, int]]:
+    """(path, bytes) of files under ``path`` matching ``suffix``,
+    recursively — the compaction planner's input."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath()
+        if suffix is None or p.getName().endswith(suffix):
+            out.append((p.toString(), status.getLen()))
+    return out
