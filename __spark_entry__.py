@@ -450,6 +450,22 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+#: weighted-sampling normalizer: documents cap out near this length
+WEIGHTED_MAX_CHARS = 200.0
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Length-proportional document sampling (importance sampling for
+    training mixes): keep probability = n_chars / 200, decided by the
+    same cross-engine hash as the uniform sampler."""
+    from shaha_spark.operators.sampling import weighted_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_hash_sample(
+        docs, "n_chars", WEIGHTED_MAX_CHARS, "doc_id", salt="wr2"
+    ).select("doc_id", "n_chars")
+
+
 def q_tpch_q4(spark, sf_dir):
     """EXISTS → left-semi join: orders (one quarter) with at least one
     late-shipped lineitem, counted per priority. The semi-join never
@@ -1360,6 +1376,9 @@ SELECT iv.interval_id, iv.user_id, count(*) AS n_in_window,
 FROM pu JOIN iv ON pu.user_id = iv.user_id
   AND pu.tus >= iv.start_us AND pu.tus < iv.end_us
 GROUP BY 1, 2"""
+    sql["sample_weighted"] = f"""SELECT doc_id, n_chars FROM documents
+WHERE CAST({bucket_sql('doc_id', 'wr2')} AS DOUBLE) * {WEIGHTED_MAX_CHARS!r}
+  < CAST(n_chars AS DOUBLE) * 10000.0"""
     sql["tpch_q4"] = """SELECT o_orderpriority, count(*) AS order_count
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1812,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": q_profile_lineitem,
         "profile_table": q_profile_table,
         "sample_documents": q_sample_documents,
+        "sample_weighted": q_sample_weighted,
         "split_documents": q_split_documents,
         "words_intersect": q_words_intersect,
         "words_except": q_words_except,

@@ -106,3 +106,29 @@ def hash_sample_sql(
         f"SELECT * FROM {table} "
         f"WHERE {bucket_sql(key_col, salt)} < {int(fraction * _BUCKETS)}"
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight_col: str,
+    max_weight: float,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling: row kept with probability
+    ``weight / max_weight`` — importance sampling for training-mix
+    construction (e.g. length-proportional document selection), with
+    the same reproducibility guarantees as :func:`hash_sample`.
+
+    The inclusion test is ``bucket * max_weight < weight * BUCKETS``:
+    two single IEEE multiplications and a comparison, no division — the
+    identical expression replays bit-for-bit in any engine. Weights
+    above ``max_weight`` are simply always kept.
+    """
+    if max_weight <= 0:
+        raise ValueError(f"max_weight must be positive, got {max_weight}")
+    bucket = _bucket(F.col(key_col), salt).cast("double")
+    keep = bucket * F.lit(float(max_weight)) < (
+        F.col(weight_col).cast("double") * F.lit(float(_BUCKETS))
+    )
+    return df.where(keep)

@@ -113,3 +113,42 @@ def test_interval_join_is_equi_join(spark):
     )
     # candidate generation is a hash equi-join, never NestedLoop/Cartesian
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    # randomized cross-check against the reference implementation
+    # (pandas.merge_asof, direction="backward" == our semantics);
+    # fixed seeds keep the test deterministic
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        left = pd.DataFrame({
+            "k": rng.integers(0, 5, 40),
+            "t": rng.integers(0, 1000, 40),
+        }).drop_duplicates(["k", "t"])
+        right = pd.DataFrame({
+            "k": rng.integers(0, 5, 30),
+            "t": rng.integers(0, 1000, 30),
+            "rv": rng.normal(size=30),
+        }).drop_duplicates(["k", "t"])
+        expected = pd.merge_asof(
+            left.sort_values("t"),
+            right.sort_values("t"),
+            on="t", by="k", direction="backward", suffixes=("", "_r"),
+        )
+        exp = {
+            (r.k, r.t): (None if pd.isna(r.rv) else round(r.rv, 9))
+            for r in expected.itertuples()
+        }
+        out = asof_join(
+            spark.createDataFrame(left.astype("int64")),
+            spark.createDataFrame(right),
+            "k", "t", ["rv"],
+        ).collect()
+        got = {
+            (r["k"], r["t"]): (None if r["asof_rv"] is None else round(r["asof_rv"], 9))
+            for r in out
+        }
+        assert got == exp

@@ -73,3 +73,18 @@ def test_blake3_concat_vs_parts(parts):
     chunk-tree construction against split-position sensitivity)."""
     whole = b"".join(parts)
     assert blake3(whole) == blake3(bytes(whole))
+
+
+def test_weighted_sample_rate_tracks_weight():
+    # driver-side check of the inclusion rule's proportionality using
+    # the same md5 bucket the operator computes (no Spark needed)
+    import hashlib
+
+    def bucket(key: str, salt: str) -> int:
+        return int(hashlib.md5((key + salt).encode()).hexdigest()[:7], 16) % 10_000
+
+    n = 20000
+    kept_half = sum(1 for i in range(n) if bucket(str(i), "s") * 100.0 < 50.0 * 10000)
+    kept_tenth = sum(1 for i in range(n) if bucket(str(i), "s") * 100.0 < 10.0 * 10000)
+    assert abs(kept_half / n - 0.5) < 0.02
+    assert abs(kept_tenth / n - 0.1) < 0.02
