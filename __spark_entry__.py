@@ -450,6 +450,42 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_profile_correlation(spark, sf_dir):
+    """Deterministic Pearson r between quantity and price — decimal-
+    exact sums, fixed double op sequence (operators.profile.pearson_corr;
+    engine corr() would drift with partitioning)."""
+    from shaha_spark.operators.profile import pearson_corr
+
+    return pearson_corr(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
+#: data-quality rules for lineitem — Spark predicate and SQL twin are
+#: generated from this single table; quantity_under_30 is DELIBERATELY
+#: failing so the report exercises both outcomes
+DQ_LINEITEM_RULES_SQL = {
+    "quantity_positive": "l_quantity > 0",
+    "quantity_under_30": "l_quantity <= 30",
+    "discount_in_range": "l_discount >= 0 AND l_discount <= 1",
+    "shipdate_not_null": "l_shipdate IS NOT NULL",
+    "price_positive": "l_extendedprice > 0",
+    "returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
+}
+
+
+def q_dq_lineitem(spark, sf_dir):
+    """Data-quality gate: six expectations over lineitem in ONE
+    aggregation pass (operators.checks.check_rules)."""
+    from shaha_spark.operators.checks import check_rules
+
+    rules = {
+        name: F.expr(sql_pred)
+        for name, sql_pred in DQ_LINEITEM_RULES_SQL.items()
+    }
+    return check_rules(_t(spark, sf_dir, "lineitem"), rules)
+
+
 #: weighted-sampling normalizer: documents cap out near this length
 WEIGHTED_MAX_CHARS = 200.0
 
@@ -1250,7 +1286,8 @@ def _langid_scores() -> tuple[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from shaha_spark.operators.profile import group_quantiles_sql
+    from shaha_spark.operators.checks import check_rules_sql
+    from shaha_spark.operators.profile import group_quantiles_sql, pearson_corr_sql
     from shaha_spark.operators.sampling import bucket_sql
     from shaha_spark.operators.sketch import hll_distinct_sql
 
@@ -1376,6 +1413,10 @@ SELECT iv.interval_id, iv.user_id, count(*) AS n_in_window,
 FROM pu JOIN iv ON pu.user_id = iv.user_id
   AND pu.tus >= iv.start_us AND pu.tus < iv.end_us
 GROUP BY 1, 2"""
+    sql["profile_correlation"] = pearson_corr_sql(
+        "lineitem", "l_quantity", "l_extendedprice"
+    )
+    sql["dq_lineitem"] = check_rules_sql("lineitem", DQ_LINEITEM_RULES_SQL)
     sql["sample_weighted"] = f"""SELECT doc_id, n_chars FROM documents
 WHERE CAST({bucket_sql('doc_id', 'wr2')} AS DOUBLE) * {WEIGHTED_MAX_CHARS!r}
   < CAST(n_chars AS DOUBLE) * 10000.0"""
@@ -1830,6 +1871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_topk_per_cust": q_orders_topk_per_cust,
         "profile_lineitem": q_profile_lineitem,
         "profile_table": q_profile_table,
+        "profile_correlation": q_profile_correlation,
+        "dq_lineitem": q_dq_lineitem,
         "sample_documents": q_sample_documents,
         "sample_weighted": q_sample_weighted,
         "split_documents": q_split_documents,

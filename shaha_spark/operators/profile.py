@@ -187,3 +187,57 @@ def group_quantiles_sql(
 SELECT {group_col},
   {cols_sql}
 FROM r GROUP BY {group_col}"""
+
+
+def pearson_corr(
+    df: DataFrame, col_x: str, col_y: str, precision: str = "decimal(18,2)"
+) -> DataFrame:
+    """One-row Pearson correlation of two numeric columns.
+
+    Same determinism strategy as the stddev profile: all five sums
+    accumulate exactly in DECIMAL (order-independent), and the final
+    correlation is a fixed sequence of double operations on those exact
+    values — the engine's corr() would instead accumulate doubles
+    per-partition and drift with partitioning.
+    """
+    x = F.col(col_x).cast(precision)
+    y = F.col(col_y).cast(precision)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return agg.select(
+        F.col("n"),
+        ((n * sxy - sx * sy)
+         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+         ).alias("pearson_r"),
+    )
+
+
+def pearson_corr_sql(
+    table: str, col_x: str, col_y: str, precision: str = "DECIMAL(18,2)"
+) -> str:
+    """DuckDB oracle twin of :func:`pearson_corr` (same op order; NOT
+    the engine's corr())."""
+    return f"""WITH s AS (
+  SELECT count(*) AS n,
+    SUM(CAST({col_x} AS {precision})) AS sx,
+    SUM(CAST({col_y} AS {precision})) AS sy,
+    SUM(CAST({col_x} AS {precision}) * CAST({col_x} AS {precision})) AS sxx,
+    SUM(CAST({col_y} AS {precision}) * CAST({col_y} AS {precision})) AS syy,
+    SUM(CAST({col_x} AS {precision}) * CAST({col_y} AS {precision})) AS sxy
+  FROM {table}
+)
+SELECT CAST(n AS BIGINT) AS n,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
+FROM s"""

@@ -36,3 +36,53 @@ def test_group_quantiles_exact_index_no_interpolation(spark):
     )
     row = group_quantiles(df, "g", "v", [0.5]).collect()[0]
     assert row["p50"] == 3.0
+
+
+def test_pearson_corr_matches_numpy(spark):
+    import numpy as np
+
+    from shaha_spark.operators.profile import pearson_corr
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(1, 100, 200).astype(float)
+    y = 2.5 * x + rng.normal(0, 10, 200).round(2)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    r = pearson_corr(df, "x", "y").collect()[0]["pearson_r"]
+    expected = float(np.corrcoef(x, y)[0, 1])
+    assert abs(r - expected) < 1e-9
+
+
+def test_pearson_corr_partitioning_invariant(spark):
+    from shaha_spark.operators.profile import pearson_corr
+
+    df = spark.range(500).selectExpr(
+        "cast(id as double) as x", "cast(id * id as double) as y"
+    )
+    a = pearson_corr(df.repartition(1), "x", "y").collect()[0]["pearson_r"]
+    b = pearson_corr(df.repartition(16), "x", "y").collect()[0]["pearson_r"]
+    assert a == b  # bit-identical: decimal sums are order-exact
+
+
+def test_check_rules_one_pass_and_null_is_violation(spark):
+    from shaha_spark.operators.checks import check_rules
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id bigint, v double"
+    )
+    out = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in check_rules(
+            df, {"v_positive": F.col("v") > 0, "id_not_null": F.col("id").isNotNull()}
+        ).collect()
+    }
+    # NULL predicate counts as a violation (conservative gate)
+    assert out["v_positive"] == (3, 2, 0)
+    assert out["id_not_null"] == (3, 0, 1)
+    # single scan: exactly one aggregate over the input, no union of scans
+    plan = check_rules(
+        df, {"a": F.col("id") > 0, "b": F.col("v") > 0}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
