@@ -1495,11 +1495,11 @@ SELECT coalesce(day, 'ALL') AS day, coalesce(event_type, 'ALL') AS event_type,
 FROM base GROUP BY ROLLUP (day, event_type)"""
     sql["text_term_stats"] = f"""WITH {_WORDS_CTE},
 tf AS (SELECT doc_id, word AS term, count(*) AS tf FROM words GROUP BY 1, 2),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+tfd AS (SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tf),
 n AS (SELECT count(*) AS n_docs FROM documents)
-SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
-  CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS weight
-FROM tf JOIN df USING (term) CROSS JOIN n"""
+SELECT tfd.doc_id, tfd.term, tfd.tf, tfd.df, n.n_docs,
+  CAST(tfd.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(tfd.df AS DOUBLE)) AS weight
+FROM tfd CROSS JOIN n"""
     g = DECONTAM_NGRAM
     gram_parts = ", ".join(f"t[i+{j}]" for j in range(g))
     grams_expr = (

@@ -125,8 +125,8 @@ NOTES = {
         "partials — three grouping levels, one shuffle."
     ),
     "text_term_stats": (
-        "tf and df from the same exploded subtree (df aggregates the tf "
-        "result, reusing its exchange); corpus-size scalar joins as a "
+        "df is a window over tf, so the exploded subtree has ONE lineage (a "
+        "groupBy fork would re-evaluate it per branch); corpus-size scalar joins as a "
         "1-row broadcast, never a single-partition window."
     ),
     "docs_decontaminate": (

@@ -55,10 +55,16 @@ def term_stats(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df as a window over tf, NOT tf.groupBy(term) joined back: a
+    # groupBy fork would make tf a diamond dependency and re-evaluate
+    # the whole explode+aggregate subtree once per branch (two corpus
+    # scans — the same trap the LSH pair generator had). The window
+    # keeps one lineage: tf is computed once, reshuffled by term, and
+    # each row picks up its term's doc count in place.
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        tf.join(df, "term")
+        tf.withColumn("df", df_w)
         .crossJoin(F.broadcast(n))
         .select(
             F.col(id_col),
