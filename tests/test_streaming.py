@@ -275,3 +275,42 @@ def test_session_windows_run_as_stream(spark, tmp_path):
     # user-9 event advances the watermark past user 1's session
     assert got <= {(1, 2), (9, 1)}
     assert (1, 2) in got  # the early session must have been finalized
+
+
+def test_stream_stream_window_join(spark, tmp_path):
+    from shaha_spark.streaming.joins import stream_window_join
+
+    lsrc = tmp_path / "purchases"
+    rsrc = tmp_path / "signups"
+    lsrc.mkdir(); rsrc.mkdir()
+    (lsrc / "p.json").write_text(
+        '{"ts": "2024-01-01T00:20:00.000Z", "user_id": 1, "amount": 9.5}\n'
+        '{"ts": "2024-01-01T02:00:00.000Z", "user_id": 1, "amount": 4.0}\n'
+        '{"ts": "2024-01-01T00:20:00.000Z", "user_id": 2, "amount": 7.0}\n'
+    )
+    (rsrc / "s.json").write_text(
+        '{"ts": "2024-01-01T00:00:00.000Z", "user_id": 1}\n'
+        '{"ts": "2024-01-01T00:10:00.000Z", "user_id": 3}\n'
+    )
+    purchases = spark.readStream.schema(
+        "ts timestamp, user_id bigint, amount double"
+    ).json(str(lsrc))
+    signups = spark.readStream.schema("ts timestamp, user_id bigint").json(str(rsrc))
+    joined = stream_window_join(
+        purchases, signups, "user_id", max_delay="30 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT l_key, l_amount FROM ssj").collect()
+    got = {(r.l_key, r.l_amount) for r in rows}
+    # user 1's 00:20 purchase joins the 00:00 signup (20 min <= 30 min);
+    # the 02:00 purchase is outside the window; user 2 has no signup;
+    # user 3's signup has no purchase
+    assert got == {(1, 9.5)}
