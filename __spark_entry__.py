@@ -450,6 +450,16 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_events_zorder(spark, sf_dir):
+    """32-bit Morton code over (user_id, event time) — the clustering
+    key that bounds every file's bounding box in BOTH dimensions
+    (operators.layout.zorder_value); integer-exact, engine-portable."""
+    from shaha_spark.operators.layout import zorder_value
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "tus")
+    return zorder_value(ev, "user_id", "tus").select("event_id", "zval")
+
+
 def q_profile_correlation(spark, sf_dir):
     """Deterministic Pearson r between quantity and price — decimal-
     exact sums, fixed double op sequence (operators.profile.pearson_corr;
@@ -1287,6 +1297,7 @@ def _langid_scores() -> tuple[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     from shaha_spark.operators.checks import check_rules_sql
+    from shaha_spark.operators.layout import zorder_value_sql
     from shaha_spark.operators.profile import group_quantiles_sql, pearson_corr_sql
     from shaha_spark.operators.sampling import bucket_sql
     from shaha_spark.operators.sketch import hll_distinct_sql
@@ -1413,6 +1424,12 @@ SELECT iv.interval_id, iv.user_id, count(*) AS n_in_window,
 FROM pu JOIN iv ON pu.user_id = iv.user_id
   AND pu.tus >= iv.start_us AND pu.tus < iv.end_us
 GROUP BY 1, 2"""
+    sql["events_zorder"] = zorder_value_sql(
+        "(SELECT event_id, user_id, epoch_us(ts) AS tus FROM events)",
+        "user_id",
+        "tus",
+        "event_id",
+    )
     sql["profile_correlation"] = pearson_corr_sql(
         "lineitem", "l_quantity", "l_extendedprice"
     )
@@ -1867,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": q_events_unpivot,
         "events_rolling": q_events_rolling,
         "events_hll_distinct": q_events_hll,
+        "events_zorder": q_events_zorder,
         "events_percentiles": q_events_percentiles,
         "orders_topk_per_cust": q_orders_topk_per_cust,
         "profile_lineitem": q_profile_lineitem,

@@ -1,0 +1,78 @@
+"""Z-order clustering: Morton math and measured 2-D locality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shaha_spark.operators.layout import ZORDER_BITS, zorder_value
+
+
+def _morton_ref(x: int, y: int) -> int:
+    z = 0
+    for i in range(ZORDER_BITS):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_matches_bitwise_reference(spark):
+    # grid already spanning [0, 2^16): normalization is identity on the
+    # corners, so spread/interleave can be checked against a pure-
+    # Python Morton reference
+    pts = [(0, 0), (65535, 0), (0, 65535), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(pts + [(0, 0)], "x bigint, y bigint")
+    rows = {
+        (r["x"], r["y"]): r["zval"]
+        for r in zorder_value(df, "x", "y").collect()
+    }
+    for x, y in pts:
+        assert rows[(x, y)] == _morton_ref(x, y), (x, y)
+
+
+def test_zorder_constant_column_is_safe(spark):
+    df = spark.createDataFrame([(5, 1), (5, 2)], "x bigint, y bigint")
+    vals = [r["zval"] for r in zorder_value(df, "x", "y").collect()]
+    assert len(vals) == 2  # span=0 dimension maps to 0, no div-by-zero
+
+
+def test_zorder_layout_balances_pruning_across_dimensions(spark, tmp_path):
+    # The Z-order claim, measured: a layout sorted on ONE dimension
+    # prunes perfectly on it and not at all on the other (a query on
+    # the other dim touches every file); the z layout bounds files in
+    # BOTH dims, so the WORST query over {user-only, time-only} touches
+    # a strict subset. sf0.01 (150 users, 10k events, 16 files).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .selectExpr("event_id", "user_id", "ts DIV 1000 AS tus")
+    )
+    z = zorder_value(ev, "user_id", "tus")
+    b = z.agg(F.min("tus").alias("a"), F.max("tus").alias("b")).collect()[0]
+    day = (b["b"] - b["a"]) // 30
+    t_lo, t_hi = b["a"] + 10 * day, b["a"] + 11 * day
+
+    def files_touched(sort_col, path):
+        z.repartitionByRange(16, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        ).write.mode("overwrite").parquet(path)
+        boxes = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+                F.min("tus").alias("tmin"), F.max("tus").alias("tmax"),
+            )
+            .collect()
+        )
+        u = sum(1 for r in boxes if r["umin"] <= 42 <= r["umax"])
+        t = sum(
+            1 for r in boxes if not (r["tmax"] < t_lo or r["tmin"] > t_hi)
+        )
+        return u, t, len(boxes)
+
+    u_lin, t_lin, n = files_touched("tus", str(tmp_path / "by_time"))
+    u_z, t_z, _ = files_touched("zval", str(tmp_path / "by_z"))
+    assert t_lin <= 2 and u_lin == n  # time layout: blind to user queries
+    # z layout: bounded on BOTH dims — worst case strictly better than
+    # the linear layout's full scan
+    assert max(u_z, t_z) <= n // 2, (u_z, t_z, n)
