@@ -450,6 +450,28 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_text_normalize(spark, sf_dir):
+    """Canonical cleanup (lowercase / charset strip / whitespace
+    collapse) — the normalization stage ahead of tokenizers and dedup
+    keys (operators.textops.normalize_text)."""
+    from shaha_spark.operators.textops import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit("  X!? "), F.col("source"))
+    )
+    return normalize_text(docs)
+
+
+def q_words_except_all(spark, sf_dir):
+    """Multiset difference (EXCEPT ALL): word occurrences in even docs
+    minus, per-copy, occurrences in odd docs — bag semantics the plain
+    EXCEPT cannot express."""
+    words = _words(spark, sf_dir)
+    even = words.filter(F.col("doc_id") % 2 == 0).select("word")
+    odd = words.filter(F.col("doc_id") % 2 == 1).select("word")
+    return even.exceptAll(odd)
+
+
 def q_events_zorder(spark, sf_dir):
     """32-bit Morton code over (user_id, event time) — the clustering
     key that bounds every file's bounding box in BOTH dimensions
@@ -1424,6 +1446,13 @@ SELECT iv.interval_id, iv.user_id, count(*) AS n_in_window,
 FROM pu JOIN iv ON pu.user_id = iv.user_id
   AND pu.tus >= iv.start_us AND pu.tus < iv.end_us
 GROUP BY 1, 2"""
+    sql["text_normalize"] = """SELECT doc_id,
+  trim(regexp_replace(regexp_replace(lower(text || '  X!? ' || source), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+FROM documents"""
+    sql["words_except_all"] = f"""WITH {_WORDS_CTE},
+even AS (SELECT word FROM words WHERE doc_id % 2 = 0),
+odd AS (SELECT word FROM words WHERE doc_id % 2 = 1)
+SELECT word FROM even EXCEPT ALL SELECT word FROM odd"""
     sql["events_zorder"] = zorder_value_sql(
         "(SELECT event_id, user_id, epoch_us(ts) AS tus FROM events)",
         "user_id",
@@ -1896,6 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_documents": q_split_documents,
         "words_intersect": q_words_intersect,
         "words_except": q_words_except,
+        "words_except_all": q_words_except_all,
+        "text_normalize": q_text_normalize,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_minhash_sigs,
         "dedup_minhash_pairs": q_minhash_pairs,

@@ -161,3 +161,18 @@ def fingerprint(
     return terms.groupBy(id_col).agg(
         (F.sum("__term") % MERSENNE_P).cast("long").alias("fingerprint")
     )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Canonical text cleanup for dedup keys and tokenizer input:
+    lowercase, strip everything outside [a-z0-9 ], collapse whitespace
+    runs, trim. The regex subset is deliberately dialect-portable
+    (character classes only — identical semantics in Java regex, RE2,
+    and DuckDB), so normalized text is a stable cross-engine join key.
+    """
+    cleaned = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    collapsed = F.trim(F.regexp_replace(cleaned, " +", " "))
+    return df.select(F.col(id_col), collapsed.alias(out_col))
