@@ -43,6 +43,12 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("-a", "--algorithm")
     q.add_argument("-n", "--limit", type=int)
     q.add_argument("--format", choices=["plain", "json", "table"], default="plain")
+    q.add_argument(
+        "--out",
+        help="write matches to this path (parquet/csv/jsonl by extension) "
+        "as a distributed job instead of printing — results never pass "
+        "through the driver",
+    )
 
     i = sub.add_parser("info", help="database stats")
     i.add_argument("-d", "--database", required=True)
@@ -174,6 +180,27 @@ def main(argv: list[str] | None = None) -> int:
             except ValueError as err:  # bad hex (ref query.rs:69-70 errors too)
                 print(f"error: {err}", file=sys.stderr)
                 return 2
+            if args.out:
+                from pyspark.sql import functions as F
+
+                # executor-side write: result size never constrains the
+                # driver, unlike any of the printing formats
+                out = args.out
+                # text formats get hex digests and flattened arrays
+                # (CSV cannot carry array<string>); parquet keeps the
+                # native schema
+                flat = df.withColumn("hash", F.lower(F.hex("hash")))
+                for name, dtype in flat.dtypes:
+                    if dtype.startswith("array"):
+                        flat = flat.withColumn(name, F.array_join(name, ","))
+                if out.endswith(".csv"):
+                    flat.write.mode("overwrite").option("header", "true").csv(out)
+                elif out.endswith(".jsonl") or out.endswith(".json"):
+                    flat.write.mode("overwrite").json(out)
+                else:
+                    df.write.mode("overwrite").parquet(out)
+                print(f"wrote matches to {out}", file=sys.stderr)
+                return 0
             if args.format == "plain":
                 # Stream partition-at-a-time — constant driver memory,
                 # like the reference's row iterator (ref parquet.rs:563-565);

@@ -117,3 +117,30 @@ def test_query_output_is_bounded_on_large_db(tmp_path):
     # plain format streams the full result set
     plain = run_cli("query", "", "-d", db).stdout
     assert len(plain.strip().splitlines()) == n_words
+
+
+def test_query_out_writes_distributed(spark, tmp_path):
+    import hashlib
+    import subprocess
+    import sys
+
+    from shaha_spark.pipeline.build import build
+
+    wdf = spark.createDataFrame([(f"w{i}",) for i in range(50)], "word string")
+    db = str(tmp_path / "outdb")
+    build(spark, wdf, ["sha256"], db)
+    prefix = hashlib.sha256(b"w7").hexdigest()[:2]
+    out_csv = str(tmp_path / "matches.csv")
+    proc = subprocess.run(
+        [sys.executable, "-m", "shaha_spark", "query", prefix, "-d", db,
+         "--out", out_csv],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    back = spark.read.option("header", "true").csv(out_csv)
+    got = {r["preimage"] for r in back.collect()}
+    expected = {
+        f"w{i}" for i in range(50)
+        if hashlib.sha256(f"w{i}".encode()).hexdigest().startswith(prefix)
+    }
+    assert got == expected and "w7" in got

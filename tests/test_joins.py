@@ -152,3 +152,37 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             for r in out
         }
         assert got == exp
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    # bucketed candidates + refinement must equal the plain quadratic
+    # range join on randomized data (fixed seed)
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    events = spark.createDataFrame(
+        [(int(k), int(t)) for k, t in zip(
+            rng.integers(0, 4, 120), rng.integers(0, 2000, 120))],
+        "k bigint, t bigint",
+    ).distinct()
+    iv = []
+    for i in range(25):
+        start = int(rng.integers(0, 1900))
+        iv.append((int(rng.integers(0, 4)), start, start + int(rng.integers(1, 150)), i))
+    intervals = spark.createDataFrame(
+        iv, "k bigint, start_us bigint, end_us bigint, iv_id bigint"
+    )
+    got = {
+        (r["k"], r["t"], r["iv_id"])
+        for r in interval_join(events, intervals, "k", "t", max_len=150).collect()
+    }
+    naive = {
+        (r["k"], r["t"], r["iv_id"])
+        for r in events.alias("e").join(
+            intervals.alias("i"),
+            (F.col("e.k") == F.col("i.k"))
+            & (F.col("e.t") >= F.col("i.start_us"))
+            & (F.col("e.t") < F.col("i.end_us")),
+        ).select(F.col("e.k").alias("k"), "t", "iv_id").collect()
+    }
+    assert got == naive and len(naive) > 15  # 23 matches at this seed
