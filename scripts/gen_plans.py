@@ -124,6 +124,21 @@ NOTES = {
         "Hierarchy rollup in one Expand + hash aggregate with map-side "
         "partials — three grouping levels, one shuffle."
     ),
+    "events_rolling": (
+        "Trailing-window features as one RANGE frame: single shuffle on "
+        "user_id, no self-join — the alternative (events x events range "
+        "join) is quadratic per user."
+    ),
+    "events_zorder": (
+        "Morton code in pure codegen: the min/max bounds join as a "
+        "1-row broadcast and the normalize/spread arithmetic is all "
+        "integer expressions — no UDF, no window."
+    ),
+    "tpch_q13": (
+        "Predicate inside the LEFT OUTER join (a WHERE would drop "
+        "zero-order customers); two hash aggregations, broadcast or "
+        "shuffle chosen by AQE on the join."
+    ),
     "text_term_stats": (
         "df is a window over tf, so the exploded subtree has ONE lineage (a "
         "groupBy fork would re-evaluate it per branch); corpus-size scalar joins as a "
