@@ -80,6 +80,11 @@ def compact_hashdb(
 
     meta = read_sidecar(spark, path)
     df = read_hashdb(spark, path)
+    # an algorithm-partitioned layout must stay partitioned — silently
+    # flattening it would drop directory pruning for algorithm filters
+    partitioned = any(
+        "/algorithm=" in p for p, _ in io_util.list_files(spark, path)
+    )
     tmp = path.rstrip("/") + ".__compact__"
     io_util.delete(spark, tmp)
     write_hashdb(
@@ -87,6 +92,7 @@ def compact_hashdb(
         tmp,
         mode="overwrite",
         expected_records=(meta or {}).get("total_records"),
+        partition_by_algorithm=partitioned,
     )
 
     backup = path.rstrip("/") + ".__old__"

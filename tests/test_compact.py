@@ -80,3 +80,25 @@ def test_compact_cli_verb(spark, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     result = json.loads(proc.stdout)
     assert result["compacted"] is True and result["files_after"] == 1
+
+
+def test_compact_preserves_partitioned_layout(spark, tmp_path):
+    from shaha_spark.io_util import list_files
+
+    wdf = spark.createDataFrame(
+        [(f"word{i:04d}",) for i in range(100)], "word string"
+    )
+    out = str(tmp_path / "pdb")
+    build(
+        spark, wdf, ["sha256", "md5"], out,
+        num_files=8, partition_by_algorithm=True,
+    )
+    assert any("/algorithm=" in p for p, _ in list_files(spark, out))
+    result = compact_hashdb(spark, out, force=True)
+    assert result["compacted"]
+    # still hive-partitioned after the rewrite
+    files = list_files(spark, out)
+    assert files and all("/algorithm=" in p for p, _ in files)
+    back = read_hashdb(spark, out)
+    assert back.count() == 200
+    assert {r["algorithm"] for r in back.select("algorithm").distinct().collect()} == {"md5", "sha256"}
