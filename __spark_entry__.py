@@ -450,6 +450,22 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_docs_quality_filter(spark, sf_dir):
+    """Curation stage: keep documents at or above their source's p25
+    quality — per-stratum quantile filtering in one lineage
+    (operators.profile.group_quantile_filter over quality_score)."""
+    from shaha_spark.operators.profile import group_quantile_filter
+    from shaha_spark.operators.textops import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return group_quantile_filter(q, "source", "quality", 0.25).select(
+        "doc_id", "source", "quality", "q_threshold"
+    )
+
+
 def q_text_normalize(spark, sf_dir):
     """Canonical cleanup (lowercase / charset strip / whitespace
     collapse) — the normalization stage ahead of tokenizers and dedup
@@ -1446,6 +1462,30 @@ SELECT iv.interval_id, iv.user_id, count(*) AS n_in_window,
 FROM pu JOIN iv ON pu.user_id = iv.user_id
   AND pu.tus >= iv.start_us AND pu.tus < iv.end_us
 GROUP BY 1, 2"""
+    qf_t = "(CAST(n - 1 AS DOUBLE) * 0.25)"
+    qf_lo = f"max(CASE WHEN rn = CAST(floor({qf_t}) AS BIGINT) THEN quality END) OVER (PARTITION BY source)"
+    qf_hi = f"max(CASE WHEN rn = CAST(ceil({qf_t}) AS BIGINT) THEN quality END) OVER (PARTITION BY source)"
+    qf_thr = f"{qf_lo} + ({qf_hi} - {qf_lo}) * ({qf_t} - floor({qf_t}))"
+    sql["docs_quality_filter"] = f"""WITH base AS (
+  SELECT doc_id, text, source, list_filter(string_split(text, ' '), t -> t <> '') AS t FROM documents
+),
+comp AS (
+  SELECT doc_id, source,
+    0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+      + 0.3 * least(CASE WHEN len(t) > 0 THEN CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE) / len(t) ELSE 0.0 END / 8.0, 1.0)
+      + 0.3 * least(CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, w -> list_contains({stop_en}, w))) AS DOUBLE) / len(t) ELSE 0.0 END / 0.2, 1.0) AS quality
+  FROM base
+),
+ranked AS (
+  SELECT doc_id, source, quality,
+    row_number() OVER (PARTITION BY source ORDER BY quality) - 1 AS rn,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM comp
+),
+thr AS (
+  SELECT doc_id, source, quality, {qf_thr} AS q_threshold FROM ranked
+)
+SELECT doc_id, source, quality, q_threshold FROM thr WHERE quality >= q_threshold"""
     sql["text_normalize"] = """SELECT doc_id,
   trim(regexp_replace(regexp_replace(lower(text || '  X!? ' || source), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
 FROM documents"""
@@ -1927,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "words_except": q_words_except,
         "words_except_all": q_words_except_all,
         "text_normalize": q_text_normalize,
+        "docs_quality_filter": q_docs_quality_filter,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_minhash_sigs,
         "dedup_minhash_pairs": q_minhash_pairs,

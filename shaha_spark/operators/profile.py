@@ -241,3 +241,41 @@ SELECT CAST(n AS BIGINT) AS n,
   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
 FROM s"""
+
+
+def group_quantile_filter(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: float,
+    threshold_col: str = "q_threshold",
+) -> DataFrame:
+    """Keep rows whose ``value_col`` is >= their group's q-quantile —
+    the 'drop the bottom quartile per source' curation stage.
+
+    Implemented as window functions over ONE lineage of the input: a
+    separate quantile aggregation joined back would make the (often
+    expensive) upstream a diamond dependency and evaluate it twice.
+    Cost is one shuffle on the group key with a per-group sort; the
+    interpolation matches :func:`group_quantiles` exactly, and the
+    applied threshold is kept as ``threshold_col`` for auditability.
+    """
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy(group_col).orderBy(value_col)
+    w_all = Window.partitionBy(group_col)
+    v = F.col(value_col).cast("double")
+    ranked = df.withColumn("_rn", F.row_number().over(w_ord) - 1).withColumn(
+        "_n", F.count(F.lit(1)).over(w_all)
+    )
+    target = (F.col("_n") - 1).cast("double") * F.lit(float(q))
+    lo = F.floor(target)
+    frac = target - lo
+    v_lo = F.max(F.when(F.col("_rn") == lo, v)).over(w_all)
+    v_hi = F.max(F.when(F.col("_rn") == F.ceil(target), v)).over(w_all)
+    thr = v_lo + (v_hi - v_lo) * frac
+    return (
+        ranked.withColumn(threshold_col, thr)
+        .filter(v >= F.col(threshold_col))
+        .drop("_rn", "_n")
+    )

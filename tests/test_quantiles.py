@@ -86,3 +86,26 @@ def test_check_rules_one_pass_and_null_is_violation(spark):
         df, {"a": F.col("id") > 0, "b": F.col("v") > 0}
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_group_quantile_filter_keeps_at_or_above(spark):
+    from shaha_spark.operators.profile import group_quantile_filter
+
+    rows = [("s", float(v)) for v in (1, 2, 3, 4, 100)] + [("t", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = group_quantile_filter(df, "g", "v", 0.25)
+    got = {(r["g"], r["v"]) for r in out.collect()}
+    # group s: p25 of (1,2,3,4,100) = 2.0 → keeps 2,3,4,100; singleton
+    # group t keeps its only row (threshold == the value itself)
+    assert got == {("s", 2.0), ("s", 3.0), ("s", 4.0), ("s", 100.0), ("t", 7.0)}
+    thr = {r["g"]: r["q_threshold"] for r in out.collect()}
+    assert thr["s"] == 2.0 and thr["t"] == 7.0
+
+
+def test_group_quantile_filter_single_lineage(spark):
+    from shaha_spark.operators.profile import group_quantile_filter
+
+    df = spark.createDataFrame([("g", 1.0), ("g", 2.0)], "g string, v double")
+    plan = group_quantile_filter(df, "g", "v", 0.5)._jdf.queryExecution().executedPlan().toString()
+    # windowed threshold, not an aggregate joined back: input scanned once
+    assert plan.count("Scan ExistingRDD") == 1 and "Join" not in plan
