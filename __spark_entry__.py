@@ -450,6 +450,53 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Sessionized funnel: per 30-min-gap session, how far the
+    signup → click → purchase sequence progressed (in session order,
+    at-or-after semantics), counted by furthest stage. Chained running
+    windows over one lineage — no per-stage self-joins."""
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "tus", "event_type")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    ws = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seen_signup = F.max(
+        F.when(F.col("event_type") == "signup", 1).otherwise(0)
+    ).over(ws)
+    click_after = F.when(
+        (F.col("event_type") == "click") & (seen_signup == 1), 1
+    ).otherwise(0)
+    staged = sess.withColumn("s1", seen_signup).withColumn(
+        "s2", F.max(click_after).over(ws)
+    )
+    purchase_after = F.when(
+        (F.col("event_type") == "purchase") & (F.col("s2") == 1), 1
+    ).otherwise(0)
+    staged = staged.withColumn("s3", F.max(purchase_after).over(ws))
+    per_session = staged.groupBy("user_id", "session_id").agg(
+        (F.max("s1") + F.max("s2") + F.max("s3")).alias("funnel_stage")
+    )
+    return per_session.groupBy("funnel_stage").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
+def q_events_histogram(spark, sf_dir):
+    """Equi-width 12-bin histogram of event values — fixed-width
+    shuffle profiling (operators.profile.histogram)."""
+    from shaha_spark.operators.profile import histogram
+
+    return histogram(_events(spark, sf_dir).select("value"), "value", bins=12)
+
+
 def q_docs_quality_filter(spark, sf_dir):
     """Curation stage: keep documents at or above their source's p25
     quality — per-stratum quantile filtering in one lineage
@@ -1336,7 +1383,11 @@ def _langid_scores() -> tuple[str, str]:
 def oracle_sql() -> dict[str, str]:
     from shaha_spark.operators.checks import check_rules_sql
     from shaha_spark.operators.layout import zorder_value_sql
-    from shaha_spark.operators.profile import group_quantiles_sql, pearson_corr_sql
+    from shaha_spark.operators.profile import (
+        group_quantiles_sql,
+        histogram_sql,
+        pearson_corr_sql,
+    )
     from shaha_spark.operators.sampling import bucket_sql
     from shaha_spark.operators.sketch import hll_distinct_sql
 
@@ -1462,6 +1513,42 @@ SELECT iv.interval_id, iv.user_id, count(*) AS n_in_window,
 FROM pu JOIN iv ON pu.user_id = iv.user_id
   AND pu.tus >= iv.start_us AND pu.tus < iv.end_us
 GROUP BY 1, 2"""
+    sql["events_funnel"] = f"""WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, tus, event_type,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+),
+st1 AS (
+  SELECT *, max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id, session_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS s1
+  FROM sess
+),
+st2 AS (
+  SELECT *, max(CASE WHEN event_type = 'click' AND s1 = 1 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id, session_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS s2
+  FROM st1
+),
+st3 AS (
+  SELECT *, max(CASE WHEN event_type = 'purchase' AND s2 = 1 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id, session_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS s3
+  FROM st2
+),
+per_session AS (
+  SELECT user_id, session_id, max(s1) + max(s2) + max(s3) AS funnel_stage
+  FROM st3 GROUP BY 1, 2
+)
+SELECT CAST(funnel_stage AS INTEGER) AS funnel_stage, count(*) AS n_sessions
+FROM per_session GROUP BY 1"""
+    sql["events_histogram"] = histogram_sql(
+        "(SELECT value FROM events)", "value", bins=12
+    )
     qf_t = "(CAST(n - 1 AS DOUBLE) * 0.25)"
     qf_lo = f"max(CASE WHEN rn = CAST(floor({qf_t}) AS BIGINT) THEN quality END) OVER (PARTITION BY source)"
     qf_hi = f"max(CASE WHEN rn = CAST(ceil({qf_t}) AS BIGINT) THEN quality END) OVER (PARTITION BY source)"
@@ -1960,6 +2047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "profile_correlation": q_profile_correlation,
         "dq_lineitem": q_dq_lineitem,
+        "events_histogram": q_events_histogram,
+        "events_funnel": q_events_funnel,
         "sample_documents": q_sample_documents,
         "sample_weighted": q_sample_weighted,
         "split_documents": q_split_documents,

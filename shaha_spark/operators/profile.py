@@ -279,3 +279,63 @@ def group_quantile_filter(
         .filter(v >= F.col(threshold_col))
         .drop("_rn", "_n")
     )
+
+
+def histogram(
+    df: DataFrame, col: str, bins: int = 10
+) -> DataFrame:
+    """Equi-width histogram: [bucket, lo, hi, n] rows, empty buckets
+    omitted.
+
+    Bounds come from a 1-row broadcast aggregate (table statistics in
+    production); bucket assignment is a codegen'd expression and the
+    count is one map-side-partial hash aggregate carrying at most
+    ``bins`` rows per partition into the shuffle — the same
+    fixed-width-shuffle property as the HLL sketch. All arithmetic is
+    a fixed sequence of double ops, reproducible across engines.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    bounds = df.agg(
+        F.min(F.col(col)).cast("double").alias("_mn"),
+        F.max(F.col(col)).cast("double").alias("_mx"),
+    )
+    v = F.col(col).cast("double")
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
+    raw = F.floor((v - F.col("_mn")) / width).cast("long")
+    bucket = F.when(F.col("_mx") > F.col("_mn"),
+                    F.least(raw, F.lit(bins - 1))).otherwise(F.lit(0))
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "_mn", "_mx")
+        .groupBy("bucket", "_mn", "_mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("_mn") + F.col("bucket").cast("double")
+             * ((F.col("_mx") - F.col("_mn")) / F.lit(float(bins)))).alias("lo"),
+            (F.col("_mn") + (F.col("bucket") + 1).cast("double")
+             * ((F.col("_mx") - F.col("_mn")) / F.lit(float(bins)))).alias("hi"),
+            "n",
+        )
+    )
+
+
+def histogram_sql(table: str, col: str, bins: int = 10) -> str:
+    """DuckDB oracle twin of :func:`histogram` — identical bucket and
+    edge arithmetic."""
+    width = f"((b._mx - b._mn) / {float(bins)!r})"
+    raw = f"CAST(floor((CAST({col} AS DOUBLE) - b._mn) / {width}) AS BIGINT)"
+    bucket = f"CASE WHEN b._mx > b._mn THEN least({raw}, {bins - 1}) ELSE 0 END"
+    return f"""WITH b AS (
+  SELECT CAST(min({col}) AS DOUBLE) AS _mn, CAST(max({col}) AS DOUBLE) AS _mx FROM {table}
+),
+g AS (
+  SELECT {bucket} AS bucket, b._mn, b._mx, count(*) AS n
+  FROM {table}, b GROUP BY 1, 2, 3
+)
+SELECT bucket,
+  _mn + CAST(bucket AS DOUBLE) * ((_mx - _mn) / {float(bins)!r}) AS lo,
+  _mn + CAST(bucket + 1 AS DOUBLE) * ((_mx - _mn) / {float(bins)!r}) AS hi,
+  CAST(n AS BIGINT) AS n
+FROM g"""
