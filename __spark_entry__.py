@@ -489,6 +489,35 @@ def q_events_funnel(spark, sf_dir):
     )
 
 
+def q_docs_pagerank(spark, sf_dir):
+    """Fixed-point PageRank over the LSH near-dup candidate graph —
+    document centrality for cluster-representative selection
+    (operators.graph.pagerank_fixed; integer-exact, so the iterative
+    result value-hashes against the chained-CTE oracle)."""
+    from shaha_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from shaha_spark.operators.graph import pagerank_fixed
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    return pagerank_fixed(lsh_candidate_pairs(sigs), iterations=3)
+
+
+def q_events_transitions(spark, sf_dir):
+    """First-order transition counts between consecutive event types
+    per user (lead window) — the Markov-matrix input for behavior
+    modeling; terminal events pair with 'END'."""
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "tus", "event_type")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    nxt = F.coalesce(F.lead("event_type").over(w), F.lit("END"))
+    return (
+        ev.withColumn("next_type", nxt)
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_events_histogram(spark, sf_dir):
     """Equi-width 12-bin histogram of event values — fixed-width
     shuffle profiling (operators.profile.histogram)."""
@@ -1382,6 +1411,7 @@ def _langid_scores() -> tuple[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     from shaha_spark.operators.checks import check_rules_sql
+    from shaha_spark.operators.graph import pagerank_fixed_sql
     from shaha_spark.operators.layout import zorder_value_sql
     from shaha_spark.operators.profile import (
         group_quantiles_sql,
@@ -1513,6 +1543,16 @@ SELECT iv.interval_id, iv.user_id, count(*) AS n_in_window,
 FROM pu JOIN iv ON pu.user_id = iv.user_id
   AND pu.tus >= iv.start_us AND pu.tus < iv.end_us
 GROUP BY 1, 2"""
+    sql["docs_pagerank"] = pagerank_fixed_sql(
+        _pairs_cte() + ",\npr_edges AS (SELECT id_a, id_b FROM pairs)",
+        iterations=3,
+    )
+    sql["events_transitions"] = """WITH nxt AS (
+  SELECT event_type,
+    coalesce(lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 'END') AS next_type
+  FROM events
+)
+SELECT event_type, next_type, count(*) AS n FROM nxt GROUP BY 1, 2"""
     sql["events_funnel"] = f"""WITH ordered AS (
   SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
     CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
@@ -2049,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_lineitem": q_dq_lineitem,
         "events_histogram": q_events_histogram,
         "events_funnel": q_events_funnel,
+        "events_transitions": q_events_transitions,
         "sample_documents": q_sample_documents,
         "sample_weighted": q_sample_weighted,
         "split_documents": q_split_documents,
@@ -2066,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_survivors": q_minhash_survivors,
         "dedup_minhash_cc": q_dedup_minhash_cc,
         "dedup_incremental": q_dedup_incremental,
+        "docs_pagerank": q_docs_pagerank,
         "similarity_topk": q_similarity_topk,
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,

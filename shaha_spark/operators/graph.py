@@ -1,0 +1,116 @@
+"""Iterative graph analytics: deterministic fixed-point PageRank.
+
+Complements the connected-components pass (components.py): CC tells
+you WHICH documents form a near-duplicate cluster, PageRank scores how
+CENTRAL each document is in the candidate graph — a useful signal for
+choosing cluster representatives (keep the hub, drop satellites).
+
+Determinism is the hard part of distributed PageRank: float
+contributions summed in shuffle order drift run-to-run and
+engine-to-engine. Here ranks live in 64-bit FIXED-POINT (units of
+1e-12): contributions divide with integer DIV, damping applies as
+``(85 * x) DIV 100``, and sums are exact integer sums — bit-identical
+on any engine, any partitioning, making the whole iterative
+computation oracle-checkable with chained CTEs.
+
+Scale shape per iteration: one shuffle to aggregate contributions by
+target plus one join back to the node list (both hash, map-side
+partials); plans stay one-iteration-deep via localCheckpoint, exactly
+like the k-means loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale: 1.0 == 10^12 units
+PR_SCALE = 1_000_000_000_000
+
+#: damping factor as an integer percentage (0.85)
+PR_DAMP_PCT = 85
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """PageRank over the UNDIRECTED graph of ``edges`` (each input pair
+    contributes both directions), restricted to nodes with at least one
+    edge. Returns [node, rank_fp] with rank_fp in PR_SCALE units; ranks
+    of isolated documents are undefined here by construction (score
+    them 1/N downstream if needed).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    directed = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = outdeg.select(F.col("src").alias("node"), "outdeg")
+    n_nodes = nodes.count()
+    base = PR_SCALE // n_nodes
+    teleport = (15 * base) // 100
+    ranks = nodes.select(
+        "node", "outdeg", F.lit(base).cast("long").alias("rank_fp")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(directed, ranks.node == directed.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({PR_DAMP_PCT} * coalesce(in_sum, 0)) DIV 100")
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank_fp")
+
+
+def pagerank_fixed_sql(edges_cte: str, iterations: int = 3) -> str:
+    """DuckDB oracle twin: the same fixed-point iterations as chained
+    CTEs. ``edges_cte`` must define ``pr_edges(id_a, id_b)``."""
+    parts = [
+        edges_cte,
+        """directed AS (
+  SELECT id_a AS src, id_b AS dst FROM pr_edges
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pr_edges
+)""",
+        "outdeg AS (SELECT src AS node, count(*) AS outdeg FROM directed GROUP BY 1)",
+        "nn AS (SELECT count(*) AS n FROM outdeg)",
+        f"r0 AS (SELECT node, outdeg, CAST({PR_SCALE} // nn.n AS BIGINT) AS rank_fp FROM outdeg, nn)",
+    ]
+    for i in range(iterations):
+        parts.append(f"""c{i} AS (
+  SELECT d.dst AS node, SUM(r.rank_fp // r.outdeg) AS in_sum
+  FROM r{i} r JOIN directed d ON r.node = d.src
+  GROUP BY 1
+)""")
+        parts.append(f"""r{i + 1} AS (
+  SELECT o.node, o.outdeg,
+    CAST((15 * ({PR_SCALE} // nn.n)) // 100
+         + ({PR_DAMP_PCT} * coalesce(c.in_sum, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM outdeg o LEFT JOIN c{i} c ON o.node = c.node CROSS JOIN nn
+)""")
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT node, rank_fp FROM r{iterations}"

@@ -460,3 +460,29 @@ def test_incremental_minhash_dedup(spark):
         ).collect()
     }
     assert survivors == {3}
+
+
+def test_pagerank_fixed_properties(spark):
+    from shaha_spark.operators.graph import PR_SCALE, pagerank_fixed
+
+    # star graph: hub 1 connected to 2,3,4 — hub must outrank leaves,
+    # and leaves must tie exactly (integer arithmetic, no float drift)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a bigint, id_b bigint"
+    )
+    ranks = {r["node"]: r["rank_fp"] for r in pagerank_fixed(edges, 3).collect()}
+    assert ranks[1] > ranks[2]
+    assert ranks[2] == ranks[3] == ranks[4]
+    # total mass stays near PR_SCALE (integer floor loss only)
+    assert 0.9 * PR_SCALE < sum(ranks.values()) <= PR_SCALE
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from shaha_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from shaha_spark.operators.graph import pagerank_fixed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    a = sorted(map(tuple, pagerank_fixed(pairs.repartition(1), 2).collect()))
+    b = sorted(map(tuple, pagerank_fixed(pairs.repartition(16), 2).collect()))
+    assert a == b  # bit-identical: fixed-point integer arithmetic
