@@ -65,6 +65,12 @@ NOTES = {
         "and a small batch broadcasts so the signature store is never "
         "shuffled."
     ),
+    "docs_pagerank": (
+        "Fixed-point PageRank, final-iteration plan: one contribution "
+        "shuffle + one node join per iteration over localCheckpoint'ed "
+        "shallow lineages (ExistingRDD scans) — integer arithmetic "
+        "end-to-end, no float summation order to drift."
+    ),
     "similarity_topk": (
         "Query side broadcast, corpus scan shuffle-free; the only "
         "exchange is the per-query top-k window keyed by query_id."
