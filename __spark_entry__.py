@@ -897,6 +897,196 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q10(spark, sf_dir):
+    """Returned-item revenue shape (TPC-H Q10 on the reduced schema):
+    fact-to-fact join filtered on both sides, four-table star, top-20
+    by a computed aggregate with a deterministic key tiebreak.  At
+    scale the orders/lineitem join shuffles on orderkey while nation
+    broadcasts; the limit is driver-side only after a global sort of
+    ~|customers| aggregated rows."""
+    _utc(spark)
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Promotion-effect shape (TPC-H Q14): conditional aggregation
+    ratio — two decimal-exact sums in one pass over the join, a single
+    final double division (deterministic: one IEEE op on exact
+    operands).  The part side broadcasts; one scan, no second pass for
+    the denominator."""
+    _utc(spark)
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    agg = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(12,2)")))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias("promo_pct"),
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """Top-supplier shape (TPC-H Q15): aggregate-then-scalar-max
+    subquery.  The max is a one-row aggregate broadcast back onto the
+    per-supplier revenue table (crossJoin of a single row — no
+    shuffle), and the equality compares the exact DECIMAL revenue, so
+    ties and the max itself are bit-deterministic."""
+    _utc(spark)
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("__rev"))
+    best = revenue.agg(F.max("__rev").alias("__best"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("__rev") == F.col("__best"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """Small-quantity-order shape (TPC-H Q17): correlated AVG scalar
+    subquery per part, rewritten as a window over the brand-filtered
+    lineitems — one scan, no diamond self-join (the term_stats
+    lesson).  The threshold ``l_quantity < 0.2 * avg(l_quantity)`` is
+    rearranged to ``5 * qty * cnt < sum_qty`` so the comparison stays
+    in exact DECIMAL arithmetic (no division, no float boundary
+    flips); the single final division by 7.0 is one IEEE op."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "inner",
+    )
+    w = Window.partitionBy("l_partkey")
+    qty = _dec("l_quantity")
+    enriched = li.select(
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.sum(qty).over(w).alias("__sum_qty"),
+        F.count(F.lit(1)).over(w).alias("__cnt"),
+    )
+    small = enriched.filter(
+        qty * F.lit(5) * F.col("__cnt") < F.col("__sum_qty")
+    )
+    return small.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """Disjunctive-predicate shape (TPC-H Q19): OR-of-ANDs spanning
+    both join sides.  Catalyst extracts the common ``p_brand IN``
+    /quantity envelope as pushable conjuncts (PushedFilters on both
+    scans) and evaluates the residual OR post-join; part broadcasts."""
+    _utc(spark)
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Dormant-customer shape (TPC-H Q22 on the reduced schema):
+    uncorrelated scalar AVG subquery (sum-decimal / count — both exact,
+    one IEEE division) feeding a filter, then NOT EXISTS against
+    urgent orders as a broadcast-able anti-join, aggregated per
+    nation.  The anti-join's right side is pre-filtered to urgent
+    orders only, so at 100 TB it ships a fraction of the orders
+    table."""
+    _utc(spark)
+    cust = _t(spark, sf_dir, "customer")
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("__thr")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal").cast("double") > F.col("__thr"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )
+
+
 def q_part_filter(spark, sf_dir):
     return (
         _t(spark, sf_dir, "part")
@@ -1771,6 +1961,73 @@ WHERE o_orderkey IN (
   HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
 )
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice"""
+    sql["tpch_q10"] = """SELECT c_custkey, c_name,
+  CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20"""
+    sql["tpch_q14"] = """WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+)
+SELECT promo_revenue, total_revenue,
+  100.0 * promo_revenue / total_revenue AS promo_pct
+FROM agg"""
+    sql["tpch_q15"] = """WITH revenue AS (
+  SELECT l_suppkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT MAX(rev) FROM revenue)"""
+    sql["tpch_q17"] = """WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (PARTITION BY l_partkey) AS sum_qty,
+    COUNT(*) OVER (PARTITION BY l_partkey) AS cnt
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM brand_li
+WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sum_qty"""
+    sql["tpch_q19"] = """SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)"""
+    sql["tpch_q22"] = """WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS t
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer, thr
+WHERE CAST(c_acctbal AS DOUBLE) > t
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey"""
     sql["part_filter"] = """SELECT p_partkey, p_name, p_brand, p_retailprice
 FROM part WHERE p_name LIKE '%small%' AND p_size >= 10"""
     sql["events_salted_agg"] = """SELECT event_type,
@@ -2063,6 +2320,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "part_filter": q_part_filter,
         "events_salted_agg": q_events_salted_agg,
         "events_hourly": q_events_hourly,
