@@ -1087,6 +1087,74 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_text_vocab(spark, sf_dir):
+    """Top-10 corpus vocabulary (count desc, term asc — deterministic
+    at the cut)."""
+    from shaha_spark.operators.terms import top_vocab
+
+    return top_vocab(_t(spark, sf_dir, "documents"), 10)
+
+
+def q_text_oov(spark, sf_dir):
+    """Per-doc out-of-vocabulary rate against the broadcast top-10
+    vocab — tokenizer-coverage QA for training corpora."""
+    from shaha_spark.operators.terms import oov_rate, top_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return oov_rate(docs, top_vocab(docs, 10))
+
+
+def q_docs_repetition(spark, sf_dir):
+    """Gopher-style repeated-3-gram ratio per document."""
+    from shaha_spark.operators.terms import ngram_repetition
+
+    return ngram_repetition(_t(spark, sf_dir, "documents"), 3)
+
+
+def q_docs_cosine_pairs(spark, sf_dir):
+    """Sparse tf-idf cosine near-dup pairs via the inverted-index
+    postings bucket join (integer-quantized idf keeps every sum exact,
+    so the cosine is bit-deterministic)."""
+    from shaha_spark.operators.terms import tf_cosine_pairs
+
+    return tf_cosine_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
+
+
+def q_events_redact(spark, sf_dir):
+    """Digit-run redaction over the event props payload — the PII
+    scrubbing plumbing (dialect-portable character-class regex)."""
+    from shaha_spark.operators.textops import redact_numbers
+
+    return redact_numbers(_events(spark, sf_dir), "props", id_col="event_id")
+
+
+def q_words_lev_pairs(spark, sf_dir):
+    """Vocabulary typo/variant pairs within edit distance 2 —
+    length-banded blocked join, never O(n²)."""
+    from shaha_spark.operators.dedup import levenshtein_pairs
+
+    return levenshtein_pairs(_dwords(spark, sf_dir), "word", max_dist=2)
+
+
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-seen day,
+    activity counted per (cohort, day-offset) cell. Day indices are
+    integer epoch-microsecond division — exact in both engines. The
+    cohort attaches as a window over the user partition (single
+    lineage, one shuffle on user_id) rather than a groupBy fork."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.expr("tus DIV 86400000000").alias("day")
+    )
+    d = ev.withColumn("cohort_day", F.min("day").over(Window.partitionBy("user_id")))
+    return (
+        d.select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def q_part_filter(spark, sf_dir):
     return (
         _t(spark, sf_dir, "part")
@@ -2028,6 +2096,102 @@ WHERE CAST(c_acctbal AS DOUBLE) > t
     WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
   )
 GROUP BY c_nationkey"""
+    sql["text_vocab"] = """WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM toks WHERE term <> ''
+GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT 10"""
+    sql["text_oov"] = """WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tk2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS n FROM tk2 GROUP BY term
+  ) ORDER BY n DESC, term ASC LIMIT 10
+),
+per AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+    sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tk2 t LEFT JOIN vocab v ON t.term = v.term
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
+  CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
+       ELSE CAST(COALESCE(n_oov, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+  END AS oov_rate
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+    sql["docs_repetition"] = """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+z AS (
+  SELECT doc_id, unnest(l) AS w, unnest(range(1, len(l) + 1)) AS pos FROM toks
+),
+z2 AS (SELECT doc_id, w, pos FROM z WHERE w <> ''),
+g AS (
+  SELECT doc_id,
+    concat_ws(' ', w, lead(w, 1) OVER win, lead(w, 2) OVER win) AS gram,
+    lead(w, 2) OVER win AS last3
+  FROM z2 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+per AS (
+  SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_unique_grams
+  FROM g WHERE last3 IS NOT NULL GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(n_unique_grams, 0) AS BIGINT) AS n_unique_grams,
+  CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+       ELSE CAST(n_grams - n_unique_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+  END AS dup_gram_ratio
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+    sql["docs_cosine_pairs"] = """WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tk2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tk2 GROUP BY 1, 2),
+n AS (SELECT count(*) AS nd FROM documents),
+w AS (
+  SELECT doc_id, term, tf * (nd // df) AS wt
+  FROM (SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tf), n
+),
+norms AS (SELECT doc_id, sum(wt * wt) AS nrm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wt * b.wt) AS dot
+  FROM w a JOIN w b USING (term)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cosv AS (
+  SELECT id_a, id_b,
+    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+  FROM dots
+  JOIN norms na ON na.doc_id = id_a
+  JOIN norms nb ON nb.doc_id = id_b
+)
+SELECT id_a, id_b, cosine FROM cosv WHERE cosine >= 0.9"""
+    sql["events_redact"] = """SELECT event_id,
+  regexp_replace(props, '[0-9]+', '<num>', 'g') AS redacted,
+  CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+FROM events"""
+    sql["words_lev_pairs"] = f"""WITH {_DWORDS_CTE}
+SELECT a.word AS word_a, b.word AS word_b,
+  CAST(levenshtein(a.word, b.word) AS INTEGER) AS dist
+FROM dwords a JOIN dwords b ON a.word < b.word
+WHERE levenshtein(a.word, b.word) <= 2"""
+    sql["events_retention"] = """WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN c USING (user_id)
+GROUP BY 1, 2"""
     sql["part_filter"] = """SELECT p_partkey, p_name, p_brand, p_retailprice
 FROM part WHERE p_name LIKE '%small%' AND p_size >= 10"""
     sql["events_salted_agg"] = """SELECT event_type,
@@ -2326,6 +2490,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "text_vocab": q_text_vocab,
+        "text_oov": q_text_oov,
+        "docs_repetition": q_docs_repetition,
+        "docs_cosine_pairs": q_docs_cosine_pairs,
+        "events_redact": q_events_redact,
+        "words_lev_pairs": q_words_lev_pairs,
+        "events_retention": q_events_retention,
         "part_filter": q_part_filter,
         "events_salted_agg": q_events_salted_agg,
         "events_hourly": q_events_hourly,

@@ -438,3 +438,50 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------------------------- edit-distance pairs
+
+def levenshtein_pairs(
+    df: DataFrame,
+    col: str = "word",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Distinct-value pairs within a Levenshtein edit distance bound —
+    the typo/variant-merging pass of wordlist and vocabulary cleaning.
+
+    Blocking: edit distance ≤ d implies length difference ≤ d, so the
+    right side fans each value out to its d-neighborhood of lengths
+    (bounded 2d+1 fanout) and the join is a plain equi-join on length —
+    never an O(n²) cross join. Each unordered pair meets under both
+    orientations, so ``a < b`` keeps exactly one. The left side is the
+    deduplicated vocabulary (a dimension, not the corpus); Spark's
+    built-in ``levenshtein`` evaluates JVM-side in codegen. At 100 TB
+    the vocabulary is still orders of magnitude smaller than the
+    corpus; for very large vocabularies you add a same-prefix or
+    deletion-neighborhood block on top of the length band.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    vals = df.select(F.col(col).alias("v")).distinct()
+    left = vals.select(F.col("v").alias("v_a"), F.length("v").alias("__len"))
+    right = vals.select(
+        F.col("v").alias("v_b"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.length("v") - max_dist, F.lit(0)),
+                F.length("v") + max_dist,
+            )
+        ).alias("__len"),
+    )
+    return (
+        left.join(right, "__len")
+        .filter(F.col("v_a") < F.col("v_b"))
+        .withColumn("dist", F.levenshtein("v_a", "v_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("v_a").alias("word_a"),
+            F.col("v_b").alias("word_b"),
+            "dist",
+        )
+    )

@@ -118,6 +118,196 @@ def word_ngrams(
     )
 
 
+def top_vocab(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k vocabulary by corpus occurrence count.
+
+    Deterministic: ties at the cut break on the term itself
+    (count desc, term asc). One explode + hash-agg with map-side
+    partials, then a global top-k — TakeOrderedAndProject, so only k
+    rows per partition survive to the driver-side merge, never the
+    full vocabulary."""
+    return (
+        tokens(docs, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocab table.
+
+    The vocab (``term`` column) broadcasts — it is a curated top-k,
+    small by construction — so the token stream is scanned once with a
+    map-side membership probe and one hash-agg by document; no shuffle
+    of the token stream itself beyond the final per-doc aggregation.
+    The rate is one IEEE division of two exact counts."""
+    marked = tokens(docs, text_col, id_col).join(
+        F.broadcast(vocab.select("term").withColumn("__known", F.lit(1))),
+        "term",
+        "left",
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_oov", F.lit(0)).cast("double")
+                / F.coalesce("n_tokens", F.lit(0)).cast("double")
+            )
+            .alias("oov_rate"),
+        )
+    )
+
+
+def ngram_repetition(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repeated word-n-gram ratio (a Gopher-style quality
+    rule: heavily self-repetitive documents are low-value training
+    text).
+
+    Counts every n-gram occurrence (unlike :func:`word_ngrams`, which
+    deduplicates) and reports how many occurrences are repeats of a
+    gram already seen in the same document. Same single-lineage shape
+    as word_ngrams: posexplode → per-doc lead window → one hash-agg;
+    count(distinct) expands inside the same aggregation, no second
+    scan. The ratio is one IEEE division of exact counts."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    if n == 1:
+        assembled = toks.select(F.col(id_col), F.col("w").alias("gram"))
+    else:
+        w = Window.partitionBy(id_col).orderBy("pos")
+        parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
+        assembled = (
+            toks.select(
+                F.col(id_col),
+                F.concat_ws(" ", *parts).alias("gram"),
+                parts[-1].alias("_last"),
+            )
+            .filter(F.col("_last").isNotNull())
+            .select(id_col, "gram")
+        )
+    per_doc = assembled.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_distinct(F.col("gram")).alias("n_unique_grams"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_unique_grams", F.lit(0)).alias("n_unique_grams"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                (F.coalesce("n_grams", F.lit(0)) - F.coalesce("n_unique_grams", F.lit(0))).cast("double")
+                / F.coalesce("n_grams", F.lit(0)).cast("double")
+            )
+            .alias("dup_gram_ratio"),
+        )
+    )
+
+
+def tf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs with high sparse cosine similarity over
+    integer-quantized tf-idf vectors, via an inverted token index.
+
+    Weights are ``tf * (n_docs DIV df)`` — the idf ratio floored to an
+    integer so every dot product and norm is an exact BIGINT sum;
+    cosine then costs exactly three IEEE ops (two correctly-rounded
+    sqrts, one multiply, one divide) on exact operands, making the
+    result bit-deterministic across engines and partitionings. (With
+    true log-idf the float sums would be order-dependent.)
+
+    Scale shape — single lineage, one corpus scan: tf hash-agg → df
+    and per-doc norm attached as windows (no groupBy forks, the
+    term_stats lesson) → group by term into postings → explode both
+    sides of each posting — the same bucket-join construction as the
+    LSH pair generator, so the corpus is never self-joined. The
+    postings list for a term of document frequency f yields f² pair
+    rows: ``max_df`` caps that fanout by dropping stop-terms (the
+    standard prefix-filtering relaxation for sparse similarity); at
+    100 TB you set it so the largest posting fits an executor
+    (quadratic-bucket math identical to LSH — see SCALE.md)."""
+    tf = (
+        tokens(docs, text_col, id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n))
+        .withColumn("wt", F.col("tf") * F.expr("n_docs DIV df"))
+        .withColumn(
+            "nrm", F.sum(F.col("wt") * F.col("wt")).over(Window.partitionBy(id_col))
+        )
+    )
+    if max_df is not None:
+        weighted = weighted.filter(F.col("df") <= max_df)
+    postings = weighted.groupBy("term").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), "wt", "nrm")).alias("ps")
+    )
+    pairs = (
+        postings.select(
+            F.explode("ps").alias("a"), F.col("ps").alias("ps_b")
+        )
+        .select("a", F.explode("ps_b").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .agg(
+            F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"),
+            F.max("a.nrm").alias("nrm_a"),
+            F.max("b.nrm").alias("nrm_b"),
+        )
+    )
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nrm_a").cast("double")) * F.sqrt(F.col("nrm_b").cast("double"))
+    )
+    return (
+        pairs.withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -176,3 +176,30 @@ def normalize_text(
     cleaned = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
     collapsed = F.trim(F.regexp_replace(cleaned, " +", " "))
     return df.select(F.col(id_col), collapsed.alias(out_col))
+
+
+def redact_numbers(
+    df: DataFrame,
+    col: str,
+    token: str = "<num>",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Redact digit runs from a text column — the plumbing for PII-style
+    scrubbing passes (numbers, then emails/phones by swapping the
+    pattern).
+
+    The pattern is character-class-only (``[0-9]+``), chosen for
+    identical semantics across Java regex, RE2, and DuckDB so redacted
+    text remains a stable cross-engine value. Pure JVM expressions in
+    codegen: one regexp_replace for the rewrite plus a length
+    difference for the redacted-character count — no second scan, no
+    Python in the data path."""
+    red = F.regexp_replace(F.col(col), "[0-9]+", token)
+    n_digits = (
+        F.length(F.col(col)) - F.length(F.regexp_replace(F.col(col), "[0-9]", ""))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        red.alias("redacted"),
+        n_digits.alias("n_digits"),
+    )

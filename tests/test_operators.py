@@ -486,3 +486,52 @@ def test_pagerank_partitioning_invariant(spark):
     a = sorted(map(tuple, pagerank_fixed(pairs.repartition(1), 2).collect()))
     b = sorted(map(tuple, pagerank_fixed(pairs.repartition(16), 2).collect()))
     assert a == b  # bit-identical: fixed-point integer arithmetic
+
+
+# -------------------------------------------- edit distance / redact
+
+def test_levenshtein_pairs_matches_bruteforce(spark):
+    words = ["cat", "bat", "cart", "dog", "dig", "elephant", "kitten", "sitting"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    from shaha_spark.operators.dedup import levenshtein_pairs
+
+    got = {(r["word_a"], r["word_b"]): r["dist"] for r in levenshtein_pairs(df, "word", 2).collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        (a, b): lev(a, b)
+        for a in words
+        for b in words
+        if a < b and lev(a, b) <= 2
+    }
+    assert got == want
+    # the length band really blocks: no pair with |len diff| > 2 was considered
+    assert all(abs(len(a) - len(b)) <= 2 for a, b in got)
+
+
+def test_levenshtein_pairs_dedups_input(spark):
+    df = spark.createDataFrame([("aa",), ("aa",), ("ab",)], "word string")
+    from shaha_spark.operators.dedup import levenshtein_pairs
+
+    rows = levenshtein_pairs(df, "word", 1).collect()
+    assert [(r["word_a"], r["word_b"], r["dist"]) for r in rows] == [("aa", "ab", 1)]
+
+
+def test_redact_numbers(spark):
+    df = spark.createDataFrame(
+        [(1, "call 555 then 1234"), (2, "no digits"), (3, "7")],
+        "doc_id bigint, text string",
+    )
+    from shaha_spark.operators.textops import redact_numbers
+
+    got = {r["doc_id"]: (r["redacted"], r["n_digits"]) for r in redact_numbers(df, "text").collect()}
+    assert got[1] == ("call <num> then <num>", 7)
+    assert got[2] == ("no digits", 0)
+    assert got[3] == ("<num>", 1)

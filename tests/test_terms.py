@@ -86,3 +86,69 @@ def test_term_stats_single_corpus_scan_for_tf_df(spark, docs):
     # on the df side via exchange reuse, not as a second full pipeline
     plan = term_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------- new corpus ops
+
+def test_top_vocab_order_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "b b a a c"), (2, "a b")],
+        "doc_id bigint, text string",
+    )
+    from shaha_spark.operators.terms import top_vocab
+
+    rows = [(r["term"], r["n_occurrences"]) for r in top_vocab(docs, 2).collect()]
+    # a and b both occur 3 times; tie breaks on term asc
+    assert rows == [("a", 3), ("b", 3)]
+
+
+def test_oov_rate_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b zz"), (2, ""), (3, "zz zz")],
+        "doc_id bigint, text string",
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "term string")
+    from shaha_spark.operators.terms import oov_rate
+
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"]) for r in oov_rate(docs, vocab).collect()}
+    assert got[1] == (3, 1, pytest.approx(1 / 3))
+    assert got[2] == (0, 0, 0.0)  # empty doc: rate defined as 0, no div-by-zero
+    assert got[3] == (2, 2, 1.0)
+
+
+def test_ngram_repetition_counts_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z x y z x y"), (2, "a b"), (3, "p q r s")],
+        "doc_id bigint, text string",
+    )
+    from shaha_spark.operators.terms import ngram_repetition
+
+    got = {r["doc_id"]: (r["n_grams"], r["n_unique_grams"], r["dup_gram_ratio"]) for r in ngram_repetition(docs, 3).collect()}
+    # doc 1: 6 trigram occurrences, 3 distinct (x y z / y z x / z x y each twice)
+    assert got[1] == (6, 3, pytest.approx(0.5))
+    assert got[2] == (0, 0, 0.0)  # shorter than n → zero grams, not dropped
+    assert got[3] == (2, 2, 0.0)
+
+
+def test_tf_cosine_pairs_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "q r s")],
+        "doc_id bigint, text string",
+    )
+    from shaha_spark.operators.terms import tf_cosine_pairs
+
+    rows = tf_cosine_pairs(docs, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_tf_cosine_pairs_max_df_drops_stop_terms(spark):
+    # 'the' appears in every doc; with max_df=2 it can't generate pairs
+    docs = spark.createDataFrame(
+        [(1, "the a"), (2, "the b"), (3, "the c")],
+        "doc_id bigint, text string",
+    )
+    from shaha_spark.operators.terms import tf_cosine_pairs
+
+    assert tf_cosine_pairs(docs, threshold=0.0, max_df=2).count() == 0
+    assert tf_cosine_pairs(docs, threshold=0.0, max_df=None).count() == 3
