@@ -1155,6 +1155,23 @@ def q_events_retention(spark, sf_dir):
     )
 
 
+def q_events_outliers(spark, sf_dir):
+    """Per-event-type z-score anomaly screen (|z| > 3) with
+    decimal-exact moments and a NaN-safe degenerate-group guard."""
+    from shaha_spark.operators.profile import zscore_outliers
+
+    ev = _events(spark, sf_dir)
+    return zscore_outliers(ev, "value", ["event_type"], "event_id", z=3.0)
+
+
+def q_dedup_minhash_eval(spark, sf_dir):
+    """LSH candidate quality vs exact-Jaccard ground truth: one row of
+    candidate/truth/hit counts with precision and recall."""
+    from shaha_spark.operators.dedup import minhash_eval
+
+    return minhash_eval(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+
+
 def q_part_filter(spark, sf_dir):
     return (
         _t(spark, sf_dir, "part")
@@ -2192,6 +2209,40 @@ SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
 FROM e JOIN c USING (user_id)
 GROUP BY 1, 2"""
+    from shaha_spark.operators.profile import zscore_outliers_sql
+
+    sql["events_outliers"] = zscore_outliers_sql(
+        "events", "value", ["event_type"], "event_id", 3.0
+    )
+    sql["dedup_minhash_eval"] = f"""WITH {_pairs_cte()},
+ex0 AS (SELECT doc_id, unnest(s) AS shv FROM sh),
+ex AS (SELECT DISTINCT doc_id, shv FROM ex0),
+szs AS (
+  SELECT doc_id, shv, COUNT(*) OVER (PARTITION BY doc_id) AS sz FROM ex
+),
+ov AS (
+  SELECT a.doc_id AS t_ia, b.doc_id AS t_ib,
+    count(*) AS inter, max(a.sz) AS la, max(b.sz) AS lb
+  FROM szs a JOIN szs b ON a.shv = b.shv AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT t_ia, t_ib FROM ov
+  WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.5
+),
+j AS (
+  SELECT CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END AS c,
+         CASE WHEN t.t_ia IS NOT NULL THEN 1 ELSE 0 END AS tt
+  FROM pairs p FULL OUTER JOIN truth t ON p.id_a = t.t_ia AND p.id_b = t.t_ib
+)
+SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_candidates,
+  CAST(COALESCE(SUM(tt), 0) AS BIGINT) AS n_true,
+  CAST(COALESCE(SUM(c * tt), 0) AS BIGINT) AS n_hit,
+  CASE WHEN COALESCE(SUM(c), 0) = 0 THEN 1.0
+       ELSE CAST(SUM(c * tt) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) END AS lsh_precision,
+  CASE WHEN COALESCE(SUM(tt), 0) = 0 THEN 1.0
+       ELSE CAST(SUM(c * tt) AS DOUBLE) / CAST(SUM(tt) AS DOUBLE) END AS lsh_recall
+FROM j"""
     sql["part_filter"] = """SELECT p_partkey, p_name, p_brand, p_retailprice
 FROM part WHERE p_name LIKE '%small%' AND p_size >= 10"""
     sql["events_salted_agg"] = """SELECT event_type,
@@ -2497,6 +2548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_redact": q_events_redact,
         "words_lev_pairs": q_words_lev_pairs,
         "events_retention": q_events_retention,
+        "events_outliers": q_events_outliers,
+        "dedup_minhash_eval": q_dedup_minhash_eval,
         "part_filter": q_part_filter,
         "events_salted_agg": q_events_salted_agg,
         "events_hourly": q_events_hourly,

@@ -485,3 +485,97 @@ def levenshtein_pairs(
             "dist",
         )
     )
+
+
+# ------------------------------------------------- candidate-quality eval
+
+def minhash_eval(
+    df: DataFrame,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """Precision/recall of the LSH candidate generator against exact
+    shingle-Jaccard ground truth — the QA gate you run (on a sample)
+    before trusting a banding configuration at full scale.
+
+    Ground truth without an O(n²) join: a pair with Jaccard > 0 must
+    share at least one shingle, so true pairs are generated from an
+    inverted shingle index — group distinct (doc, shingle) rows by
+    shingle and explode each posting into its pairs (the same bucket
+    construction as the LSH join itself), then count shared shingles
+    per pair. |A| and |B| ride along as a window over the doc
+    partition (single lineage, no groupBy fork). The Jaccard compare
+    is one IEEE division of exact integer counts.
+
+    Returns one row: candidate/truth/hit counts plus precision and
+    recall. Empty candidate or truth sets define the corresponding
+    ratio as 1.0 (nothing claimable was missed).
+    """
+    from pyspark.sql import Window
+
+    sh_rows = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("sh"),
+        )
+        .distinct()
+    )
+    sized = sh_rows.withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    postings = sized.groupBy("sh").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sz"))).alias("ps")
+    )
+    overlaps = (
+        postings.select(F.explode("ps").alias("a"), F.col("ps").alias("pb"))
+        .select("a", F.explode("pb").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("a.sz").alias("la"),
+            F.max("b.sz").alias("lb"),
+        )
+    )
+    jacc = F.col("inter").cast("double") / (
+        F.col("la") + F.col("lb") - F.col("inter")
+    ).cast("double")
+    truth = (
+        overlaps.withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.lit(1).alias("__t"))
+    )
+    cand = lsh_candidate_pairs(
+        minhash_signatures(df, text_col, id_col, shingle_n), id_col
+    ).select("id_a", "id_b", F.lit(1).alias("__c"))
+    joined = cand.join(truth, ["id_a", "id_b"], "full_outer")
+    # coalesce the sums: agg over an EMPTY join (no candidates and no
+    # truth) returns NULL sums, not zeros
+    agg = joined.agg(
+        F.coalesce(F.sum(F.coalesce("__c", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_candidates"),
+        F.coalesce(F.sum(F.coalesce("__t", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_true"),
+        F.coalesce(
+            F.sum(F.coalesce("__c", F.lit(0)) * F.coalesce("__t", F.lit(0))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_hit"),
+    )
+    return agg.select(
+        "n_candidates",
+        "n_true",
+        "n_hit",
+        F.when(F.col("n_candidates") == 0, F.lit(1.0))
+        .otherwise(F.col("n_hit").cast("double") / F.col("n_candidates").cast("double"))
+        .alias("lsh_precision"),
+        F.when(F.col("n_true") == 0, F.lit(1.0))
+        .otherwise(F.col("n_hit").cast("double") / F.col("n_true").cast("double"))
+        .alias("lsh_recall"),
+    )

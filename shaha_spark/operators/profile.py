@@ -339,3 +339,97 @@ SELECT bucket,
   _mn + CAST(bucket + 1 AS DOUBLE) * ((_mx - _mn) / {float(bins)!r}) AS hi,
   CAST(n AS BIGINT) AS n
 FROM g"""
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_col: str,
+    z: float = 3.0,
+    precision: str = "decimal(18,2)",
+) -> DataFrame:
+    """Rows whose value deviates more than ``z`` sample standard
+    deviations from their group mean — the basic distributional
+    anomaly screen.
+
+    Single lineage: the per-group sums attach as windows over the
+    group partition (one shuffle, no groupBy fork re-scanning the
+    fact table), accumulate exactly in DECIMAL, and the z-score is a
+    fixed sequence of double ops on those exact values — deterministic
+    across engines and partitionings, unlike a double-accumulated
+    stddev. Degenerate groups (n < 2, or zero variance) are dropped by
+    an explicit ``sd > 0 AND NOT isnan(sd)`` guard BEFORE the
+    division: without it the 0/0 z-score is NaN, and Spark orders NaN
+    greater than every number in comparisons — abs(NaN) > z would be
+    TRUE in Spark and false elsewhere, a silent cross-engine
+    divergence."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast(precision)
+    w = Window.partitionBy(*group_cols)
+    stats = df.select(
+        F.col(id_col),
+        *[F.col(g) for g in group_cols],
+        F.col(value_col),
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum(v).over(w).alias("__s"),
+        F.sum(v * v).over(w).alias("__s2"),
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean = s / n
+    sd = F.sqrt((s2 - s * s / n) / (n - F.lit(1.0)))
+    # singleton groups first (n - 1 = 0 is a hard DIVIDE_BY_ZERO under
+    # ANSI mode, not a NaN) — then the zero-variance / NaN guard
+    guarded = (
+        stats.filter(F.col("__n") >= 2)
+        .withColumn("__sd", sd)
+        .filter((F.col("__sd") > 0) & ~F.isnan(F.col("__sd")))
+    )
+    zscore = (F.col(value_col) - mean) / F.col("__sd")
+    return (
+        guarded.withColumn("zscore", zscore)
+        .filter(F.abs(F.col("zscore")) > z)
+        .select(
+            F.col(id_col),
+            *[F.col(g) for g in group_cols],
+            F.col(value_col),
+            "zscore",
+        )
+    )
+
+
+def zscore_outliers_sql(
+    table: str,
+    value_col: str,
+    group_cols: list[str],
+    id_col: str,
+    z: float = 3.0,
+    precision: str = "DECIMAL(18,2)",
+) -> str:
+    """DuckDB oracle twin of :func:`zscore_outliers` — same window
+    sums, same double op order (NOT the engine's stddev_samp)."""
+    groups = ", ".join(group_cols)
+    return f"""WITH s AS (
+  SELECT {id_col}, {groups}, {value_col},
+    COUNT(*) OVER w AS n,
+    SUM(CAST({value_col} AS {precision})) OVER w AS sv,
+    SUM(CAST({value_col} AS {precision}) * CAST({value_col} AS {precision})) OVER w AS sv2
+  FROM {table}
+  WINDOW w AS (PARTITION BY {groups})
+),
+g AS (
+  SELECT {id_col}, {groups}, {value_col}, n, sv,
+    sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1.0)) AS sd
+  FROM s WHERE n >= 2
+),
+zc AS (
+  SELECT {id_col}, {groups}, {value_col},
+    ({value_col} - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) / sd AS zscore
+  FROM g WHERE sd > 0 AND NOT isnan(sd)
+)
+SELECT {id_col}, {groups}, {value_col}, zscore
+FROM zc WHERE abs(zscore) > {z}"""

@@ -535,3 +535,52 @@ def test_redact_numbers(spark):
     assert got[1] == ("call <num> then <num>", 7)
     assert got[2] == ("no digits", 0)
     assert got[3] == ("<num>", 1)
+
+
+# --------------------------------------------- outliers / lsh eval
+
+def test_zscore_outliers_flags_the_planted_point(spark):
+    rows = [(i, "a", 10.0) for i in range(20)] + [(99, "a", 1000.0)]
+    # degenerate groups: constant (zero variance) and singleton
+    rows += [(200, "const", 5.0), (201, "const", 5.0), (300, "single", 7.0)]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    from shaha_spark.operators.profile import zscore_outliers
+
+    got = zscore_outliers(df, "value", ["event_type"], "event_id", z=3.0).collect()
+    # only the planted outlier; degenerate groups never divide 0/0
+    assert [(r["event_id"], r["event_type"]) for r in got] == [(99, "a")]
+    assert got[0]["zscore"] > 3
+
+
+def test_minhash_eval_perfect_and_empty(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words in this one entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    from shaha_spark.operators.dedup import minhash_eval
+
+    r = minhash_eval(docs, 0.5).collect()[0]
+    assert (r["n_candidates"], r["n_true"], r["n_hit"]) == (1, 1, 1)
+    assert (r["lsh_precision"], r["lsh_recall"]) == (1.0, 1.0)
+
+    # threshold above 1.0: truth is empty; precision 0, recall defined 1.0
+    r2 = minhash_eval(docs, 1.01).collect()[0]
+    assert (r2["n_candidates"], r2["n_true"], r2["n_hit"]) == (1, 0, 0)
+    assert (r2["lsh_precision"], r2["lsh_recall"]) == (0.0, 1.0)
+
+
+def test_minhash_eval_no_shingles_all_empty(spark):
+    # every doc shorter than the shingle width: no candidates, no truth
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d"), (3, "e f")],
+        "doc_id bigint, text string",
+    )
+    from shaha_spark.operators.dedup import minhash_eval
+
+    r = minhash_eval(docs, 0.5).collect()[0]
+    assert (r["n_candidates"], r["n_true"], r["n_hit"]) == (0, 0, 0)
+    assert (r["lsh_precision"], r["lsh_recall"]) == (1.0, 1.0)
