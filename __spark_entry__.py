@@ -793,6 +793,38 @@ def q_events_hll(spark, sf_dir):
     return hll.crossJoin(F.broadcast(exact))
 
 
+#: CMS probe words for the sketch driver query (fixed literals so the
+#: Spark and oracle sides are generated from the same list)
+CMS_PROBE_WORDS = ["the", "a", "and", "data", "of", "zzz-absent"]
+
+
+def q_sketch_cms(spark, sf_dir):
+    """Count-Min frequency estimates for a fixed probe-word list over
+    the document token stream (operators.sketch.cms_frequencies)."""
+    from shaha_spark.functions.text import tokens
+    from shaha_spark.operators.sketch import cms_frequencies
+
+    words = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("w")
+    )
+    return cms_frequencies(words, "w", CMS_PROBE_WORDS)
+
+
+def q_dedup_bloom_screen(spark, sf_dir):
+    """Bloom-filter dedup admission: which documents are possibly
+    already in the corpus (doc_id % 3 == 0 slice)? No false negatives;
+    the bitmap is KB-sized regardless of corpus size
+    (operators.sketch.bloom_membership)."""
+    from shaha_spark.operators.sketch import bloom_membership
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0).select("text")
+    probes = docs.select(F.col("doc_id"), F.col("text"))
+    return bloom_membership(corpus, probes, "text", "doc_id").select(
+        "doc_id", "maybe_in_corpus"
+    )
+
+
 #: decontamination n-gram width (the standard exact-overlap guard)
 DECONTAM_NGRAM = 8
 
@@ -1973,6 +2005,27 @@ WINDOW w AS (
 ex AS (SELECT count(DISTINCT event_id) AS exact_distinct FROM events)
 SELECT est.hll_estimate, est.n_registers, ex.exact_distinct
 FROM est CROSS JOIN ex"""
+    from shaha_spark.operators.sketch import (
+        bloom_membership_sql,
+        cms_frequencies_sql,
+    )
+
+    cms_inner = cms_frequencies_sql(
+        "(SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w "
+        "FROM documents) WHERE w <> '') wq",
+        "w",
+        CMS_PROBE_WORDS,
+    )
+    sql["sketch_cms_words"] = cms_inner
+    bloom_inner = bloom_membership_sql(
+        "SELECT text FROM documents WHERE doc_id % 3 = 0",
+        "SELECT doc_id, text FROM documents",
+        "text",
+        "doc_id",
+    )
+    sql["dedup_bloom_screen"] = (
+        f"SELECT doc_id, maybe_in_corpus FROM ({bloom_inner}) bs"
+    )
     sql["events_rollup"] = """WITH base AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, value
   FROM events
@@ -2567,6 +2620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": q_events_unpivot,
         "events_rolling": q_events_rolling,
         "events_hll_distinct": q_events_hll,
+        "sketch_cms_words": q_sketch_cms,
+        "dedup_bloom_screen": q_dedup_bloom_screen,
         "events_zorder": q_events_zorder,
         "events_percentiles": q_events_percentiles,
         "orders_topk_per_cust": q_orders_topk_per_cust,

@@ -112,3 +112,215 @@ SELECT {_alpha_m2(m)!r} / (SUM(1.0 / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE))
     + CAST({m} - count(*) AS DOUBLE)) AS {out_col},
   count(*) AS n_registers
 FROM regs"""
+
+
+# ---------------------------------------------------------- count-min
+
+def _cms_hash(item, salt: int, width: int):
+    """Row hash for CMS depth ``salt``: md5 of the salted item, reduced
+    to a column index. Same construction in :func:`cms_frequencies_sql`."""
+    return h32(F.concat(F.lit(f"{salt}:"), item)) % F.lit(width)
+
+
+def cms_frequencies(
+    df: DataFrame,
+    col: str,
+    items: list[str],
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min frequency estimates (Cormode & Muthukrishnan 2005)
+    for a literal list of probe ``items`` over ``df[col]``.
+
+    Shape at scale: the sketch is a groupBy over at most
+    ``depth * width`` cells — the shuffle after the map-side partial
+    count carries a bounded number of rows per partition no matter how
+    large the input, and partial sketches merge by cell-wise addition
+    (the same property that makes CMS a streaming/distributed sketch).
+    Probes join against the tiny cell table via broadcast.
+
+    Determinism: integer counters, md5-derived cell indices, and a
+    ``min`` over exact integers — bit-identical in any engine that can
+    md5 (oracle twin below). Estimates only ever over-count.
+    """
+    item = F.col(col).cast("string")
+    cells = (
+        df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        _cms_hash(item, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ])
+            ).alias("c")
+        )
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    probes = spark.createDataFrame([(it,) for it in items], "item string")
+    probe_cells = probes.select(
+        "item",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("row"),
+                    _cms_hash(F.col("item"), d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("c"),
+    ).select("item", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    return (
+        probe_cells.join(F.broadcast(cells), ["row", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("n", F.lit(0))).cast("long").alias("cms_count"))
+        .orderBy("item")
+    )
+
+
+def cms_frequencies_sql(
+    table: str, col: str, items: list[str], depth: int = 4, width: int = 256
+) -> str:
+    """DuckDB oracle twin of :func:`cms_frequencies`."""
+
+    def h(expr: str, d: int) -> str:
+        salted = f"concat('{d}:', CAST({expr} AS VARCHAR))"
+        return (
+            f"CAST(concat('0x', substr(md5({salted}), 1, 8)) AS BIGINT) % {width}"
+        )
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {d} AS row, {h(col, d)} AS bucket FROM {table}"
+        for d in range(depth)
+    )
+    probe_vals = ", ".join(f"('{it}')" for it in items)
+    probe_rows = " UNION ALL ".join(
+        f"SELECT item, {d} AS row, {h('item', d)} AS bucket FROM probes"
+        for d in range(depth)
+    )
+    return f"""WITH cells0 AS ({cell_rows}),
+cells AS (SELECT row, bucket, count(*) AS n FROM cells0 GROUP BY 1, 2),
+probes (item) AS (VALUES {probe_vals}),
+pc AS ({probe_rows})
+SELECT pc.item,
+  CAST(min(COALESCE(cells.n, 0)) AS BIGINT) AS cms_count
+FROM pc LEFT JOIN cells ON pc.row = cells.row AND pc.bucket = cells.bucket
+GROUP BY pc.item
+ORDER BY pc.item"""
+
+
+# ------------------------------------------------------------- bloom
+
+#: Bits per bitmap word: 63, not 64 — DuckDB raises on 1::BIGINT << 63
+#: (sign-bit overflow) where Spark wraps silently, so the portable
+#: construction never shifts past bit 62.
+BLOOM_WORD_BITS = 63
+
+
+def _bloom_positions(item, k: int, m_bits: int) -> list:
+    return [
+        h32(F.concat(F.lit(f"b{i}:"), item)) % F.lit(m_bits) for i in range(k)
+    ]
+
+
+def bloom_membership(
+    corpus: DataFrame,
+    probes: DataFrame,
+    col: str,
+    probe_id: str,
+    m_bits: int = 8192,
+    k: int = 5,
+) -> DataFrame:
+    """Bloom-filter membership screen: for every probe row, whether its
+    ``col`` value is *possibly* in ``corpus[col]`` (false positives at
+    the usual bloom rate, never false negatives).
+
+    The 100 TB use: incremental dedup admission — the bitmap is a few
+    KB regardless of corpus size, so new-batch rows that are definitely
+    novel skip the expensive join against the corpus entirely.
+
+    Shape: corpus → k md5-derived bit positions per row → groupBy word
+    index with a ``bit_or`` aggregate (map-side partial OR; the shuffle
+    carries at most m/63 longs per partition) → tiny bitmap broadcast
+    to the probe side; a probe is "maybe" iff all k bits are set
+    (``bool_and`` over the k looked-up bits).
+    """
+    item_c = F.col(col).cast("string")
+    set_bits = (
+        corpus.select(
+            F.explode(F.array(*_bloom_positions(item_c, k, m_bits))).alias("pos")
+        )
+        .select(
+            (F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+            (F.col("pos") % BLOOM_WORD_BITS).alias("bit"),
+        )
+        .select("word_idx", F.expr("shiftleft(cast(1 as bigint), bit)").alias("m"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("m").alias("word"))
+    )
+    probe_bits = probes.select(
+        F.col(probe_id),
+        F.col(col),
+        F.posexplode(F.array(*_bloom_positions(item_c, k, m_bits))).alias(
+            "i", "pos"
+        ),
+    ).select(
+        probe_id,
+        col,
+        (F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+        F.expr(f"shiftleft(cast(1 as bigint), pos % {BLOOM_WORD_BITS})").alias("m"),
+    )
+    return (
+        probe_bits.join(F.broadcast(set_bits), "word_idx", "left")
+        .withColumn(
+            "hit", F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("m")) != 0
+        )
+        .groupBy(probe_id, col)
+        .agg(F.bool_and("hit").alias("maybe_in_corpus"))
+    )
+
+
+def bloom_membership_sql(
+    corpus_sql: str,
+    probes_sql: str,
+    col: str,
+    probe_id: str,
+    m_bits: int = 8192,
+    k: int = 5,
+) -> str:
+    """DuckDB oracle twin of :func:`bloom_membership`. ``corpus_sql``
+    and ``probes_sql`` are full SELECTs producing the two inputs."""
+
+    def pos(expr: str, i: int) -> str:
+        salted = f"concat('b{i}:', CAST({expr} AS VARCHAR))"
+        return (
+            f"CAST(concat('0x', substr(md5({salted}), 1, 8)) AS BIGINT) % {m_bits}"
+        )
+
+    corpus_pos = " UNION ALL ".join(
+        f"SELECT {pos(col, i)} AS pos FROM corpus" for i in range(k)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT {probe_id}, {col}, {pos(col, i)} AS pos FROM probes"
+        for i in range(k)
+    )
+    w = BLOOM_WORD_BITS
+    return f"""WITH corpus AS ({corpus_sql}),
+probes AS ({probes_sql}),
+cpos AS ({corpus_pos}),
+bitmap AS (
+  SELECT pos // {w} AS word_idx,
+    bit_or(CAST(1 AS BIGINT) << CAST(pos % {w} AS INTEGER)) AS word
+  FROM cpos GROUP BY 1
+),
+ppos AS ({probe_pos}),
+looked AS (
+  SELECT p.{probe_id}, p.{col},
+    (COALESCE(b.word, 0) & (CAST(1 AS BIGINT) << CAST(p.pos % {w} AS INTEGER))) <> 0 AS hit
+  FROM ppos p LEFT JOIN bitmap b ON p.pos // {w} = b.word_idx
+)
+SELECT {probe_id}, {col}, bool_and(hit) AS maybe_in_corpus
+FROM looked GROUP BY 1, 2"""
