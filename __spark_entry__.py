@@ -825,6 +825,23 @@ def q_dedup_bloom_screen(spark, sf_dir):
     )
 
 
+def q_docs_chunked(spark, sf_dir):
+    """Sliding 32-token windows with 8-token overlap over every
+    document (operators.chunking.chunk_documents)."""
+    from shaha_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk=32, overlap=8)
+
+
+def q_docs_packed(spark, sf_dir):
+    """Deterministic concat-packing of documents into 256-token
+    training bins via a distributed running token count
+    (operators.chunking.pack_sequences)."""
+    from shaha_spark.operators.chunking import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), capacity=256)
+
+
 #: decontamination n-gram width (the standard exact-overlap guard)
 DECONTAM_NGRAM = 8
 
@@ -2026,6 +2043,13 @@ FROM est CROSS JOIN ex"""
     sql["dedup_bloom_screen"] = (
         f"SELECT doc_id, maybe_in_corpus FROM ({bloom_inner}) bs"
     )
+    from shaha_spark.operators.chunking import (
+        chunk_documents_sql,
+        pack_sequences_sql,
+    )
+
+    sql["docs_chunked"] = chunk_documents_sql("documents", chunk=32, overlap=8)
+    sql["docs_packed"] = pack_sequences_sql("documents", capacity=256)
     sql["events_rollup"] = """WITH base AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, value
   FROM events
@@ -2622,6 +2646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_distinct": q_events_hll,
         "sketch_cms_words": q_sketch_cms,
         "dedup_bloom_screen": q_dedup_bloom_screen,
+        "docs_chunked": q_docs_chunked,
+        "docs_packed": q_docs_packed,
         "events_zorder": q_events_zorder,
         "events_percentiles": q_events_percentiles,
         "orders_topk_per_cust": q_orders_topk_per_cust,
