@@ -825,6 +825,128 @@ def q_dedup_bloom_screen(spark, sf_dir):
     )
 
 
+def q_events_equidepth(spark, sf_dir):
+    """Per-event-type equi-depth histogram (8 equal-count buckets over
+    value, event_id tiebreak) — operators.profile.equi_depth_histogram."""
+    from shaha_spark.operators.profile import equi_depth_histogram
+
+    return equi_depth_histogram(
+        _events(spark, sf_dir), "event_type", "value", "event_id", buckets=8
+    )
+
+
+def q_tpch_q7(spark, sf_dir):
+    """Volume-shipping shape (TPC-H Q7): bidirectional nation-pair
+    revenue by ship year. Nation and supplier broadcast (small dims);
+    the orders-customer and lineitem-orders joins shuffle on their
+    keys. Decimal-exact revenue."""
+    _utc(spark)
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """National-market-share shape (TPC-H Q8): NATION_3's share of
+    EUROPE-customer PROMO-part revenue by order year — two conditional
+    decimal sums, one final division."""
+    _utc(spark)
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    sn = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cn = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero))
+            .cast("double")
+            .alias("nation_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+        )
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """Product-profit shape (TPC-H Q9, reduced schema: no partsupp →
+    profit is discounted revenue) for parts named like '%gear%',
+    by supplier nation and order year."""
+    _utc(spark)
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("sum_profit"))
+    )
+
+
 def q_docs_chunked(spark, sf_dir):
     """Sliding 32-token windows with 8-token overlap over every
     document (operators.chunking.chunk_documents)."""
@@ -2048,6 +2170,59 @@ FROM est CROSS JOIN ex"""
         pack_sequences_sql,
     )
 
+    from shaha_spark.operators.profile import equi_depth_histogram_sql
+
+    sql["events_equidepth"] = equi_depth_histogram_sql(
+        "events", "event_type", "value", "event_id", buckets=8
+    )
+    _REV = (
+        "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+        "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+    )
+    sql["tpch_q7"] = f"""SELECT sn.n_name AS supp_nation,
+  cn.n_name AS cust_nation,
+  year(l_shipdate) AS l_year,
+  CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3"""
+    sql["tpch_q8"] = f"""WITH j AS (
+  SELECT sn.n_name AS supp_nation, year(o_orderdate) AS o_year,
+    {_REV} AS rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+)
+SELECT o_year,
+  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS nation_revenue,
+  CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+    / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+FROM j GROUP BY 1"""
+    sql["tpch_q9"] = f"""SELECT n_name AS nation,
+  year(o_orderdate) AS o_year,
+  CAST(SUM({_REV}) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2"""
     sql["docs_chunked"] = chunk_documents_sql("documents", chunk=32, overlap=8)
     sql["docs_packed"] = pack_sequences_sql("documents", capacity=256)
     sql["events_rollup"] = """WITH base AS (
@@ -2648,6 +2823,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom_screen": q_dedup_bloom_screen,
         "docs_chunked": q_docs_chunked,
         "docs_packed": q_docs_packed,
+        "events_equidepth": q_events_equidepth,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
         "events_zorder": q_events_zorder,
         "events_percentiles": q_events_percentiles,
         "orders_topk_per_cust": q_orders_topk_per_cust,

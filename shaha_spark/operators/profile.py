@@ -433,3 +433,60 @@ zc AS (
 )
 SELECT {id_col}, {groups}, {value_col}, zscore
 FROM zc WHERE abs(zscore) > {z}"""
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Per-group equi-depth (equal-count) histogram: ``ntile`` buckets
+    over the total order (value, id), each reporting its [lo, hi]
+    value range and row count — the complement of the equi-width
+    :func:`histogram` for skewed distributions.
+
+    The id tiebreak makes the order total, so bucket assignment is
+    deterministic and both engines' NTILE (first buckets take the
+    remainder rows) agree exactly. Scale shape: one shuffle on the
+    group key and a per-group sort — the same inherent cost as
+    :func:`group_quantiles`; groups parallelize across the cluster.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    return (
+        df.select(
+            F.col(group_col),
+            F.col(value_col),
+            F.ntile(buckets).over(w).alias("bucket"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def equi_depth_histogram_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    buckets: int = 8,
+) -> str:
+    """DuckDB oracle twin of :func:`equi_depth_histogram`."""
+    return f"""WITH t AS (
+  SELECT {group_col}, {value_col},
+    ntile({buckets}) OVER (
+      PARTITION BY {group_col} ORDER BY {value_col}, {id_col}
+    ) AS bucket
+  FROM {table}
+)
+SELECT {group_col}, bucket,
+  min({value_col}) AS lo, max({value_col}) AS hi,
+  CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY 1, 2"""

@@ -584,3 +584,18 @@ def test_minhash_eval_no_shingles_all_empty(spark):
     r = minhash_eval(docs, 0.5).collect()[0]
     assert (r["n_candidates"], r["n_true"], r["n_hit"]) == (0, 0, 0)
     assert (r["lsh_precision"], r["lsh_recall"]) == (1.0, 1.0)
+
+
+def test_equi_depth_histogram_counts(spark):
+    from shaha_spark.operators.profile import equi_depth_histogram
+
+    # 10 rows in one group over 3 buckets -> 4/3/3 (first takes remainder)
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(10)],
+        "event_id bigint, event_type string, value double",
+    )
+    got = sorted(
+        (r["bucket"], r["lo"], r["hi"], r["n"])
+        for r in equi_depth_histogram(df, "event_type", "value", "event_id", 3).collect()
+    )
+    assert got == [(1, 0.0, 3.0, 4), (2, 4.0, 6.0, 3), (3, 7.0, 9.0, 3)]
