@@ -947,6 +947,49 @@ def q_tpch_q9(spark, sf_dir):
     )
 
 
+def q_events_dim_salted_join(spark, sf_dir):
+    """Skew-proof fact-dim join (operators.skew.salted_broadcast_join):
+    events join customer on a salted composite key, aggregated per
+    market segment. Salt-invariant — the oracle is the plain join."""
+    from shaha_spark.operators.skew import salted_broadcast_join
+
+    ev = _events(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer")
+    joined = salted_broadcast_join(ev, cust, "user_id", "c_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_users_hll_by_type(spark, sf_dir):
+    """Per-event-type HLL distinct-user estimates
+    (operators.sketch.hll_group_distinct)."""
+    from shaha_spark.operators.sketch import hll_group_distinct
+
+    return hll_group_distinct(_events(spark, sf_dir), "event_type", "user_id", p=6)
+
+
+def q_docs_balanced_sample(spark, sf_dir):
+    """Class-balanced corpus downsample: at most 60 documents per
+    language by deterministic hash rank
+    (operators.sampling.balanced_sample)."""
+    from shaha_spark.operators.sampling import balanced_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return balanced_sample(docs, "lang", 60, "doc_id")
+
+
+def q_events_winsorized(spark, sf_dir):
+    """Per-event-type 5/95 quantile clipping
+    (operators.profile.winsorize)."""
+    from shaha_spark.operators.profile import winsorize
+
+    return winsorize(
+        _events(spark, sf_dir), "event_type", "value", "event_id", 0.05, 0.95
+    )
+
+
 def q_docs_chunked(spark, sf_dir):
     """Sliding 32-token windows with 8-token overlap over every
     document (operators.chunking.chunk_documents)."""
@@ -2223,6 +2266,24 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1, 2"""
+    from shaha_spark.operators.profile import winsorize_sql
+    from shaha_spark.operators.sampling import balanced_sample_sql
+    from shaha_spark.operators.sketch import hll_group_distinct_sql
+
+    sql["events_dim_salted_join"] = """SELECT c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1"""
+    sql["users_hll_by_type"] = hll_group_distinct_sql(
+        "events", "event_type", "user_id", p=6
+    )
+    sql["docs_balanced_sample"] = balanced_sample_sql(
+        "(SELECT doc_id, lang FROM documents) d", "lang", 60, "doc_id"
+    )
+    sql["events_winsorized"] = winsorize_sql(
+        "events", "event_type", "value", "event_id", 0.05, 0.95
+    )
     sql["docs_chunked"] = chunk_documents_sql("documents", chunk=32, overlap=8)
     sql["docs_packed"] = pack_sequences_sql("documents", capacity=256)
     sql["events_rollup"] = """WITH base AS (
@@ -2824,6 +2885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunked": q_docs_chunked,
         "docs_packed": q_docs_packed,
         "events_equidepth": q_events_equidepth,
+        "events_dim_salted_join": q_events_dim_salted_join,
+        "users_hll_by_type": q_users_hll_by_type,
+        "docs_balanced_sample": q_docs_balanced_sample,
+        "events_winsorized": q_events_winsorized,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,

@@ -490,3 +490,63 @@ SELECT {group_col}, bucket,
   min({value_col}) AS lo, max({value_col}) AS hi,
   CAST(count(*) AS BIGINT) AS n
 FROM t GROUP BY 1, 2"""
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Per-group quantile clipping (winsorization): values below the
+    group's ``lo_q`` quantile or above ``hi_q`` snap to the boundary —
+    the standard heavy-tail taming step before scaling/training.
+
+    Reuses :func:`group_quantiles` for the exact interpolated
+    boundaries (deterministic IEEE op sequence), broadcasts the tiny
+    per-group boundary table back onto the rows, and clips with
+    least/greatest — no second sort of the fact table.
+    """
+    bounds = group_quantiles(df, group_col, value_col, [lo_q, hi_q])
+    lo_name = f"p{round(lo_q * 100)}"
+    hi_name = f"p{round(hi_q * 100)}"
+    v = F.col(value_col).cast("double")
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            v.alias(value_col),
+            F.least(F.greatest(v, F.col(lo_name)), F.col(hi_name)).alias(
+                "value_clipped"
+            ),
+            F.col(lo_name).alias("clip_lo"),
+            F.col(hi_name).alias("clip_hi"),
+        )
+    )
+
+
+def winsorize_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> str:
+    """DuckDB oracle twin of :func:`winsorize`, over the
+    :func:`group_quantiles_sql` boundary CTE."""
+    lo_name = f"p{round(lo_q * 100)}"
+    hi_name = f"p{round(hi_q * 100)}"
+    return f"""WITH bounds AS (
+{group_quantiles_sql(table, group_col, value_col, [lo_q, hi_q])}
+)
+SELECT t.{id_col}, t.{group_col},
+  CAST(t.{value_col} AS DOUBLE) AS {value_col},
+  least(greatest(CAST(t.{value_col} AS DOUBLE), b.{lo_name}), b.{hi_name})
+    AS value_clipped,
+  b.{lo_name} AS clip_lo,
+  b.{hi_name} AS clip_hi
+FROM {table} t JOIN bounds b ON t.{group_col} = b.{group_col}"""

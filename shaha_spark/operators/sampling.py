@@ -132,3 +132,47 @@ def weighted_hash_sample(
         F.col(weight_col).cast("double") * F.lit(float(_BUCKETS))
     )
     return df.where(keep)
+
+
+def balanced_sample(
+    df: DataFrame,
+    label_col: str,
+    per_label: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Class-balanced downsample: at most ``per_label`` rows per label,
+    chosen by deterministic hash rank (NOT arbitrary head-of-partition
+    rows — the selection is a stable pseudo-random draw, reproducible
+    across runs, partitionings, and engines).
+
+    One shuffle on the label key; the per-label sort inside the rank
+    window is bounded by the label's row count — for heavily skewed
+    labels combine with :func:`stratified_hash_sample` to pre-thin the
+    giants before the exact top-k rank.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(label_col).orderBy(
+        _bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= per_label)
+        .drop("__rk")
+    )
+
+
+def balanced_sample_sql(
+    table: str, label_col: str, per_label: int, key_col: str, salt: str = ""
+) -> str:
+    """DuckDB oracle twin of :func:`balanced_sample`."""
+    keyed = f"concat(CAST({key_col} AS VARCHAR), '{salt}')"
+    return f"""WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY {label_col}
+    ORDER BY {h28_sql(keyed)} % {_BUCKETS}, {key_col}
+  ) AS rk
+  FROM {table}
+)
+SELECT * EXCLUDE (rk) FROM ranked WHERE rk <= {per_label}"""

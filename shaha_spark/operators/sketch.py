@@ -324,3 +324,72 @@ looked AS (
 )
 SELECT {probe_id}, {col}, bool_and(hit) AS maybe_in_corpus
 FROM looked GROUP BY 1, 2"""
+
+
+def hll_group_distinct(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    p: int = 6,
+    out_col: str = "hll_estimate",
+) -> DataFrame:
+    """Per-group HLL distinct estimates — :func:`hll_distinct` with the
+    group key carried through both aggregations. The shuffle after the
+    partial max carries at most ``m`` register rows per group, so
+    estimating distincts for millions of groups costs one bounded
+    hash-aggregate pass (the built-in exact countDistinct would
+    shuffle every raw value)."""
+    m = 1 << p
+    w_bits = 32 - p
+    h = h32(F.col(col).cast("string"))
+    bucket = (h % m).alias("bucket")
+    w = F.shiftright(h, p)
+    rho = (
+        F.when(w == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits + 1) - F.length(F.conv(w.cast("string"), 10, 2)))
+        .alias("rho")
+    )
+    registers = (
+        df.select(F.col(group_col), bucket, rho)
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    term = F.lit(1.0) / F.expr(
+        "cast(shiftleft(cast(1 as bigint), reg) as double)"
+    )
+    return registers.groupBy(group_col).agg(
+        (
+            F.lit(_alpha_m2(m))
+            / (F.sum(term) + (F.lit(m) - F.count(F.lit(1))).cast("double"))
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_registers"),
+    )
+
+
+def hll_group_distinct_sql(
+    table: str,
+    group_col: str,
+    col: str,
+    p: int = 6,
+    out_col: str = "hll_estimate",
+) -> str:
+    """DuckDB oracle twin of :func:`hll_group_distinct`."""
+    m = 1 << p
+    w_bits = 32 - p
+    h = f"CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    return f"""WITH hashed AS (
+  SELECT {group_col}, {h} % {m} AS bucket,
+    {h} >> {p} AS w
+  FROM {table}
+),
+regs AS (
+  SELECT {group_col}, bucket,
+    max(CASE WHEN w = 0 THEN {w_bits + 1}
+             ELSE {w_bits + 1} - length(bin(w)) END) AS reg
+  FROM hashed GROUP BY 1, 2
+)
+SELECT {group_col},
+  {_alpha_m2(m)!r} / (SUM(1.0 / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE))
+    + CAST({m} - count(*) AS DOUBLE)) AS {out_col},
+  count(*) AS n_registers
+FROM regs GROUP BY {group_col}"""

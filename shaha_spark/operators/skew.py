@@ -68,3 +68,37 @@ def salted_count_sum(
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("__sum_dec").cast("double").alias("sum_value"),
     )
+
+
+def salted_broadcast_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-proof equi-join of a huge skewed fact table against a
+    small dimension: every fact row takes a seeded random salt, the
+    dimension replicates across all ``n_salts`` salt values, and the
+    join key becomes (key, salt) — so a hot key's rows spread over
+    ``n_salts`` tasks instead of one straggler.
+
+    The replicated dimension stays broadcast (size × n_salts must
+    still fit the broadcast threshold); result rows are exactly those
+    of the plain join — the salt never reaches the output, so the
+    operator is oracle-exact against ``fact JOIN dim``. This is the
+    manual form of what AQE skew-join splitting does at shuffle time;
+    it also works where AQE can't see the skew (e.g. downstream of a
+    cached stage).
+    """
+    salted_fact = fact.withColumn(
+        "__salt", (F.rand(seed) * n_salts).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    salted_dim = dim.select("*", salts)
+    joined = salted_fact.join(
+        F.broadcast(salted_dim),
+        (F.col(fact_key) == F.col(dim_key)) & (salted_fact["__salt"] == salted_dim["__salt"]),
+    )
+    return joined.drop("__salt")

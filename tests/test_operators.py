@@ -599,3 +599,52 @@ def test_equi_depth_histogram_counts(spark):
         for r in equi_depth_histogram(df, "event_type", "value", "event_id", 3).collect()
     )
     assert got == [(1, 0.0, 3.0, 4), (2, 4.0, 6.0, 3), (3, 7.0, 9.0, 3)]
+
+
+def test_salted_broadcast_join_matches_plain_join(spark):
+    from shaha_spark.operators.skew import salted_broadcast_join
+
+    # heavy skew: key 1 holds 90% of the fact rows
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(90)] + [(k, 0) for k in range(2, 12)],
+        "k bigint, v bigint",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 15)], "dk bigint, name string"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in salted_broadcast_join(fact, dim, "k", "dk").collect()
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in fact.join(dim, fact.k == dim.dk).collect()
+    )
+    assert got == plain and len(got) == 100
+
+
+def test_balanced_sample_caps_and_is_deterministic(spark):
+    from shaha_spark.operators.sampling import balanced_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 400 else "small") for i in range(420)],
+        "doc_id bigint, lang string",
+    )
+    a = sorted(tuple(r) for r in balanced_sample(df, "lang", 25, "doc_id").collect())
+    b = sorted(tuple(r) for r in balanced_sample(df.repartition(16), "lang", 25, "doc_id").collect())
+    assert a == b
+    from collections import Counter
+    counts = Counter(lang for _, lang in a)
+    assert counts == {"big": 25, "small": 20}
+
+
+def test_winsorize_clips_to_group_bounds(spark):
+    from shaha_spark.operators.profile import winsorize
+
+    rows = [(i, "g", float(i)) for i in range(101)]  # 0..100
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    got = {r["event_id"]: r for r in
+           winsorize(df, "event_type", "value", "event_id", 0.05, 0.95).collect()}
+    assert got[0]["value_clipped"] == 5.0 and got[100]["value_clipped"] == 95.0
+    assert got[50]["value_clipped"] == 50.0
+    assert got[0]["clip_lo"] == 5.0 and got[0]["clip_hi"] == 95.0
