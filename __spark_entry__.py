@@ -85,6 +85,7 @@ from shaha_spark.operators.constants import (
     MINHASH_PERMS,
     QUALITY_STOPWORDS,
 )
+from shaha_spark.util import normalize_event_ts
 
 # deterministic full-digest constant for the point-lookup query:
 # sha256("the") — "the" is guaranteed by both engines to hash identically;
@@ -133,14 +134,18 @@ def _utc(spark: SparkSession) -> None:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table stores TIMESTAMP(NANOS), which Spark's Parquet
-    reader rejects; read it as raw int64 nanoseconds (legacy conf) and
-    derive a microsecond epoch — the same truncation DuckDB applies when
-    coercing ns → us."""
+    """Events with a normalized microsecond-epoch column `tus`.
+
+    The fixture's `ts` encoding has varied across regenerations —
+    TIMESTAMP(NANOS) (readable only as raw int64 under the legacy
+    nanosAsLong conf) or plain micros TIMESTAMP_NTZ — so normalization
+    is delegated to :func:`shaha_spark.util.normalize_event_ts`; with
+    the session pinned to UTC, `unix_micros(ts)` then agrees exactly
+    with DuckDB's `epoch_us(ts)` on the same parquet."""
     _utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("tus", F.expr("ts DIV 1000"))
+    ev = normalize_event_ts(_t(spark, sf_dir, "events"))
+    return ev.withColumn("tus", F.unix_micros(F.col("ts")))
 
 
 def _words(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5,6 +5,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-local TIMESTAMP
+    regardless of how the parquet writer encoded it.
+
+    Three encodings appear in the wild (and across regenerations of the
+    test fixtures): TIMESTAMP(NANOS) read as raw int64 under
+    ``spark.sql.legacy.parquet.nanosAsLong`` (Spark's reader has no
+    nanosecond timestamp type), plain micros TIMESTAMP_NTZ, and an
+    already-local TIMESTAMP. The nanos path truncates ns → us, the same
+    coercion DuckDB applies, so downstream epoch-microsecond math
+    (`unix_micros`) agrees with ``epoch_us(ts)`` on the oracle side;
+    the NTZ path reinterprets the wall-clock in the session timezone
+    (callers pin UTC), which is exactly DuckDB's naive-timestamp view.
+    """
+    from pyspark.sql import functions as F
+
+    kind = dict(df.dtypes)[ts_col]
+    if kind in ("bigint", "long"):
+        # integer DIV, not `/`: float division of int64 nanos loses
+        # precision past 2^53 and would shift timestamps by whole micros
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000"))
+        )
+    if kind == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Spread CPU-heavy per-row work across the cluster when the input
     arrives under-partitioned (e.g. one small parquet/text file → one

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from shaha_spark.operators.layout import ZORDER_BITS, zorder_value
+from shaha_spark.util import normalize_event_ts
 
 
 def _morton_ref(x: int, y: int) -> int:
@@ -41,11 +42,11 @@ def test_zorder_layout_balances_pruning_across_dimensions(spark, tmp_path):
     # the other dim touches every file); the z layout bounds files in
     # BOTH dims, so the WORST query over {user-only, time-only} touches
     # a strict subset. sf0.01 (150 users, 10k events, 16 files).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
+    ev = normalize_event_ts(
         spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-        .selectExpr("event_id", "user_id", "ts DIV 1000 AS tus")
-    )
+    ).select("event_id", "user_id", F.unix_micros("ts").alias("tus"))
     z = zorder_value(ev, "user_id", "tus")
     b = z.agg(F.min("tus").alias("a"), F.max("tus").alias("b")).collect()[0]
     day = (b["b"] - b["a"]) // 30

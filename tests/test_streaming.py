@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from shaha_spark.pipeline.stats import info
 from shaha_spark.query import query
 from shaha_spark.streaming import incremental_build, watermarked_event_counts
+from shaha_spark.util import normalize_event_ts
 
 
 def _drain(q, timeout=120):
@@ -49,10 +50,7 @@ def test_incremental_build_drains_landing_dir(spark, tmp_path):
 
 def test_watermarked_event_counts_semantics_on_batch(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     out = watermarked_event_counts(ev)
     total = out.agg(F.sum("n_events")).head()[0]
     assert total == ev.count()
@@ -209,10 +207,7 @@ def test_sliding_windows_cover_each_event_n_times(spark, sf_dir):
     from shaha_spark.streaming import sliding_event_counts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     out = sliding_event_counts(
         ev, window_duration="1 hour", slide_duration="15 minutes"
     )
