@@ -2834,18 +2834,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering matters: the driver's correctness harness checks the FIRST 50
+    # entries only. Never-driver-verified queries come first, then three S2
+    # anchors, then entries whose last green driver row was round 1. See
+    # tests/test_coverage_guard.py which enforces this invariant.
     return {
+        "sketch_cms_words": q_sketch_cms,
+        "dedup_bloom_screen": q_dedup_bloom_screen,
+        "docs_chunked": q_docs_chunked,
+        "docs_packed": q_docs_packed,
+        "events_equidepth": q_events_equidepth,
+        "events_dim_salted_join": q_events_dim_salted_join,
+        "users_hll_by_type": q_users_hll_by_type,
+        "docs_balanced_sample": q_docs_balanced_sample,
+        "events_winsorized": q_events_winsorized,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "events_zorder": q_events_zorder,
+        "events_percentiles": q_events_percentiles,
+        "orders_topk_per_cust": q_orders_topk_per_cust,
+        "profile_table": q_profile_table,
+        "profile_correlation": q_profile_correlation,
+        "dq_lineitem": q_dq_lineitem,
+        "events_histogram": q_events_histogram,
+        "events_funnel": q_events_funnel,
+        "events_transitions": q_events_transitions,
+        "sample_documents": q_sample_documents,
+        "sample_weighted": q_sample_weighted,
+        "split_documents": q_split_documents,
+        "words_except_all": q_words_except_all,
+        "text_normalize": q_text_normalize,
+        "docs_quality_filter": q_docs_quality_filter,
+        "dedup_minhash_cc": q_dedup_minhash_cc,
+        "dedup_incremental": q_dedup_incremental,
+        "docs_pagerank": q_docs_pagerank,
+        "kmeans_centroids": q_kmeans_centroids,
+        "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
+        "build_multi_algo": q_build_multi_algo,
+        "query_point_lookup": q_point_lookup,
+        "append_merge": q_append_merge,
+        "profile_lineitem": q_profile_lineitem,
+        "words_intersect": q_words_intersect,
+        "words_except": q_words_except,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sigs": q_minhash_sigs,
+        "dedup_minhash_pairs": q_minhash_pairs,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_simhash": q_simhash,
+        "dedup_simhash_pairs": q_simhash_pairs,
+        "dedup_minhash_survivors": q_minhash_survivors,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ivf": q_similarity_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frame_count": q_multimodal_frame_count,
         "wordlist_scan": q_wordlist_scan,
         "word_dedup": q_word_dedup,
         "build_sha256": q_build_sha256,
-        "build_multi_algo": q_build_multi_algo,
         "build_hash256": q_build_hash256,
         "build_all_algos": q_build_all_algos,
-        "query_point_lookup": q_point_lookup,
         "query_prefix": q_prefix,
         "query_algo_filter": q_algo_filter,
         "query_topk_by_hash": q_topk_by_hash,
-        "append_merge": q_append_merge,
         "db_stats": q_db_stats,
         "build_summary": q_build_summary,
         "tpch_q1": q_tpch_q1,
@@ -2885,55 +2940,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": q_events_unpivot,
         "events_rolling": q_events_rolling,
         "events_hll_distinct": q_events_hll,
-        "sketch_cms_words": q_sketch_cms,
-        "dedup_bloom_screen": q_dedup_bloom_screen,
-        "docs_chunked": q_docs_chunked,
-        "docs_packed": q_docs_packed,
-        "events_equidepth": q_events_equidepth,
-        "events_dim_salted_join": q_events_dim_salted_join,
-        "users_hll_by_type": q_users_hll_by_type,
-        "docs_balanced_sample": q_docs_balanced_sample,
-        "events_winsorized": q_events_winsorized,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "events_zorder": q_events_zorder,
-        "events_percentiles": q_events_percentiles,
-        "orders_topk_per_cust": q_orders_topk_per_cust,
-        "profile_lineitem": q_profile_lineitem,
-        "profile_table": q_profile_table,
-        "profile_correlation": q_profile_correlation,
-        "dq_lineitem": q_dq_lineitem,
-        "events_histogram": q_events_histogram,
-        "events_funnel": q_events_funnel,
-        "events_transitions": q_events_transitions,
-        "sample_documents": q_sample_documents,
-        "sample_weighted": q_sample_weighted,
-        "split_documents": q_split_documents,
-        "words_intersect": q_words_intersect,
-        "words_except": q_words_except,
-        "words_except_all": q_words_except_all,
-        "text_normalize": q_text_normalize,
-        "docs_quality_filter": q_docs_quality_filter,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_sigs": q_minhash_sigs,
-        "dedup_minhash_pairs": q_minhash_pairs,
-        "dedup_ngram_jaccard": q_ngram_jaccard,
-        "dedup_simhash": q_simhash,
-        "dedup_simhash_pairs": q_simhash_pairs,
-        "dedup_minhash_survivors": q_minhash_survivors,
-        "dedup_minhash_cc": q_dedup_minhash_cc,
-        "dedup_incremental": q_dedup_incremental,
-        "docs_pagerank": q_docs_pagerank,
-        "similarity_topk": q_similarity_topk,
-        "similarity_ivf": q_similarity_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
-        "kmeans_centroids": q_kmeans_centroids,
-        "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
-        "text_token_count": q_text_token_count,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frame_count": q_multimodal_frame_count,
     }

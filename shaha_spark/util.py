@@ -22,13 +22,18 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     from pyspark.sql import functions as F
 
     kind = dict(df.dtypes)[ts_col]
-    if kind in ("bigint", "long"):
+    if kind == "bigint":
         # integer DIV, not `/`: float division of int64 nanos loses
         # precision past 2^53 and would shift timestamps by whole micros
         return df.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000"))
         )
     if kind == "timestamp_ntz":
+        # The NTZ -> TIMESTAMP cast reinterprets the wall clock in the
+        # session timezone; any zone other than UTC would silently shift
+        # every derived epoch-microsecond value, so pin it here rather
+        # than trusting each caller to.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
