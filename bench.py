@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -27,6 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# Repeated-run protocol: round 2's driver bench ran during machine
+# contention and every query (including byte-identical ones) read
+# ~2x slower than round 1; local re-runs reproduced the r1 numbers.
+# Per-query MEDIAN over REPS runs absorbs that variance.
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
 def main() -> None:
@@ -40,16 +46,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
         t0 = time.perf_counter()
         fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples.setdefault(name, []).append(time.perf_counter() - t0)
 
-    # -------- build pipeline (north star) --------
-    from shaha_spark.pipeline.build import build
+    from shaha_spark.pipeline.build import build, read_hashdb, read_sidecar
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     words = (
@@ -61,23 +66,7 @@ def main() -> None:
     )
     n_words = words.count()
     tmp = tempfile.mkdtemp(prefix="shaha_bench_")
-    db_path = os.path.join(tmp, "db")
 
-    def run_build():
-        build(spark, words, ["sha256", "md5"], db_path, source_name="bench")
-
-    timed("build_hashdb", run_build)
-    extras["build_words_per_sec"] = round(n_words / timings["build_hashdb"], 1)
-
-    # bytes/record vs the reference's ~47.5 B/record README datum
-    from shaha_spark.io_util import tree_size
-    from shaha_spark.pipeline.build import read_sidecar
-
-    meta = read_sidecar(spark, db_path) or {}
-    n_records = meta.get("total_records", 1)
-    extras["db_bytes_per_record"] = round(tree_size(spark, db_path) / max(n_records, 1), 2)
-
-    # -------- reverse lookups over the built DB --------
     import hashlib
 
     from shaha_spark.query import query
@@ -86,20 +75,7 @@ def main() -> None:
     for row in words.limit(1).collect():
         probe = row.word
     digest = hashlib.sha256(probe.encode()).hexdigest()
-    timed("query_point", lambda: query(spark, db_path, digest).collect())
-    timed("query_prefix", lambda: query(spark, db_path, digest[:4], limit=100).collect())
-    # prune-effectiveness contrast: the same lookup as a full scan
-    # (filter the hex projection, unpushable) vs the range/bloom path
-    from shaha_spark.pipeline.build import read_hashdb
 
-    timed(
-        "query_full_scan",
-        lambda: read_hashdb(spark, db_path)
-        .filter(F.lower(F.hex("hash")) == digest)
-        .collect(),
-    )
-
-    # -------- analytical / extension headliners --------
     qs = entry.queries()
     actions = {
         "tpch_q1": lambda df: df.collect(),
@@ -123,8 +99,44 @@ def main() -> None:
     lsh_candidate_pairs(minhash_signatures(docs_small)).count()
     simhash(docs_small).count()
 
-    for name, action in actions.items():
-        timed(name, lambda n=name, a=action: a(qs[n](spark, SF_DIR)))
+    db_path = ""
+    for rep in range(REPS):
+        # -------- build pipeline (north star) --------
+        db_path = os.path.join(tmp, f"db{rep}")
+        timed(
+            "build_hashdb",
+            lambda p=db_path: build(spark, words, ["sha256", "md5"], p, source_name="bench"),
+        )
+
+        # -------- reverse lookups over the built DB --------
+        timed("query_point", lambda: query(spark, db_path, digest).collect())
+        timed("query_prefix", lambda: query(spark, db_path, digest[:4], limit=100).collect())
+        # prune-effectiveness contrast: the same lookup as a full scan
+        # (filter the hex projection, unpushable) vs the range/bloom path
+        timed(
+            "query_full_scan",
+            lambda: read_hashdb(spark, db_path)
+            .filter(F.lower(F.hex("hash")) == digest)
+            .collect(),
+        )
+
+        # -------- analytical / extension headliners --------
+        for name, action in actions.items():
+            timed(name, lambda n=name, a=action: a(qs[n](spark, SF_DIR)))
+
+        if rep < REPS - 1:
+            shutil.rmtree(db_path, ignore_errors=True)
+
+    timings = {n: round(statistics.median(v), 4) for n, v in samples.items()}
+    extras["build_words_per_sec"] = round(n_words / timings["build_hashdb"], 1)
+    extras["bench_reps"] = REPS
+
+    # bytes/record vs the reference's ~47.5 B/record README datum
+    from shaha_spark.io_util import tree_size
+
+    meta = read_sidecar(spark, db_path) or {}
+    n_records = meta.get("total_records", 1)
+    extras["db_bytes_per_record"] = round(tree_size(spark, db_path) / max(n_records, 1), 2)
 
     shutil.rmtree(tmp, ignore_errors=True)
     total = round(sum(timings.values()), 4)

@@ -1,0 +1,97 @@
+"""Regenerate the auto-derived registry section of COVERAGE.md.
+
+COVERAGE.md's prose inventory went stale in round 2 ("74 driver
+queries" while the registry held 101). This script derives the
+registry facts — counts, oracle coverage, driver-verification status
+per query — directly from ``__spark_entry__.queries()`` /
+``oracle_sql()`` and the shipped ``CORRECTNESS_r*.json`` files, and
+rewrites everything between the AUTOGEN markers. A pytest guard
+(tests/test_coverage_guard.py::test_coverage_md_in_sync) fails when
+the committed doc drifts from the generated text.
+
+Usage: python scripts/gen_coverage_registry.py [--check]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BEGIN = "<!-- AUTOGEN:REGISTRY begin (scripts/gen_coverage_registry.py) -->"
+END = "<!-- AUTOGEN:REGISTRY end -->"
+
+DRIVER_WINDOW = 50
+
+
+def generate() -> str:
+    import __spark_entry__ as entry_mod
+
+    keys = list(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+
+    rounds: dict[str, set[str]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path)[len("CORRECTNESS_") : -len(".json")]
+        with open(path) as fh:
+            rounds[rnd] = set(json.load(fh))
+
+    def status(name: str) -> str:
+        seen = [r for r, names in rounds.items() if name in names]
+        return ",".join(seen) if seen else "pending"
+
+    n_oracled = sum(1 for k in keys if k in oracles)
+    lines = [
+        BEGIN,
+        "",
+        "## Driver query registry (auto-generated — do not edit by hand)",
+        "",
+        f"{len(keys)} registered queries; {n_oracled} carry a DuckDB oracle "
+        f"({', '.join(k for k in keys if k not in oracles) or 'none'} "
+        "rows-only). The driver's correctness harness checks the first "
+        f"{DRIVER_WINDOW} entries per round; 'driver rows' lists the rounds "
+        "in which each query had a driver correctness row ('pending' = "
+        "in the current window awaiting its first row).",
+        "",
+        "| # | query | oracle | driver rows |",
+        "|---|---|---|---|",
+    ]
+    for i, k in enumerate(keys, 1):
+        window = " (windowed)" if i <= DRIVER_WINDOW else ""
+        lines.append(
+            f"| {i} | `{k}` | {'yes' if k in oracles else 'rows-only'} "
+            f"| {status(k)}{window} |"
+        )
+    lines += ["", END]
+    return "\n".join(lines)
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+    path = os.path.join(REPO, "COVERAGE.md")
+    with open(path) as fh:
+        doc = fh.read()
+    block = generate()
+    if BEGIN in doc:
+        head, rest = doc.split(BEGIN, 1)
+        _, tail = rest.split(END, 1)
+        new = head + block + tail
+    else:
+        new = doc.rstrip() + "\n\n" + block + "\n"
+    if check:
+        if new != doc:
+            print("COVERAGE.md registry section is stale; rerun "
+                  "scripts/gen_coverage_registry.py", file=sys.stderr)
+            return 1
+        return 0
+    with open(path, "w") as fh:
+        fh.write(new)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -96,8 +96,47 @@ def load_config(
     return Config(r2=r2, algorithms=algorithms, output=env_or("output", defaults.get("output")))
 
 
+#: Committer + transfer settings a 1000-executor job needs on an object
+#: store. Rename on S3 is a COPY+DELETE per file — the default
+#: FileOutputCommitter v1 renames every task's output twice, turning a
+#: 100 TB write's commit into hours of driver-serialized copies and a
+#: window where failures leave partial output. The MAGIC committer
+#:(hadoop-aws ≥3.1) writes each task's data as an incomplete multipart
+#: upload and completes the uploads at job commit: zero renames, atomic
+#: per-file visibility (the same property the reference relies on from
+#: its single-writer R2 PUT, ref src/storage/r2.rs:161-232). Retry and
+#: connection-pool limits sized for transient 503s at fleet scale.
+S3A_SCALE_SETTINGS: dict[str, str] = {
+    "fs.s3a.committer.name": "magic",
+    "fs.s3a.committer.magic.enabled": "true",
+    "fs.s3a.connection.maximum": "96",
+    "fs.s3a.attempts.maximum": "5",
+    "fs.s3a.retry.limit": "7",
+    "fs.s3a.retry.throttle.limit": "20",
+    "fs.s3a.fast.upload": "true",
+    "fs.s3a.fast.upload.buffer": "disk",
+    "fs.s3a.multipart.size": "128M",
+    "fs.s3a.threads.max": "64",
+    # directory-marker retention avoids a DELETE storm per directory
+    "fs.s3a.directory.marker.retention": "keep",
+}
+
+#: Spark-side halves of the committer binding (runtime SQL confs).
+S3A_COMMITTER_SQL_CONF: dict[str, str] = {
+    "spark.sql.sources.commitProtocolClass":
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    "spark.sql.parquet.output.committer.class":
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+}
+
+
 def apply_object_store(spark: SparkSession, cfg: Config) -> None:
-    """Map credentials to s3a settings (replaces ref src/storage/r2.rs:74-111)."""
+    """Map credentials to s3a settings (replaces ref src/storage/r2.rs:74-111).
+
+    When an object store is actually configured, also pins the magic
+    committer + retry/upload tuning (S3A_SCALE_SETTINGS) so the parquet
+    write path is rename-free at any scale.
+    """
     hconf = spark._jsc.hadoopConfiguration()
     if cfg.r2.endpoint:
         hconf.set("fs.s3a.endpoint", cfg.r2.endpoint)
@@ -108,6 +147,28 @@ def apply_object_store(spark: SparkSession, cfg: Config) -> None:
         hconf.set("fs.s3a.secret.key", cfg.r2.secret_access_key)
     if cfg.r2.region:
         hconf.set("fs.s3a.endpoint.region", cfg.r2.region)
+    if cfg.r2.endpoint or cfg.r2.bucket:
+        for key, value in S3A_SCALE_SETTINGS.items():
+            hconf.set(key, value)
+        if cloud_committer_available(spark):
+            for key, value in S3A_COMMITTER_SQL_CONF.items():
+                spark.conf.set(key, value)
+
+
+def cloud_committer_available(spark: SparkSession) -> bool:
+    """True when spark-hadoop-cloud's PathOutputCommitProtocol is on the
+    classpath. Binding the SQL committer confs without it would fail
+    EVERY parquet write (local ones included) with ClassNotFound, so
+    apply_object_store only binds when the class resolves; the hadoop
+    fs.s3a.* half is always safe (consulted only by the S3A filesystem).
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        )
+        return True
+    except Exception:
+        return False
 
 
 def r2_uri(cfg: Config, suffix: str = "") -> str:

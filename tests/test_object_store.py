@@ -94,3 +94,43 @@ def test_build_query_append_round_trip_on_non_default_fs(spark, viewfs):
     assert info(spark, db)["sources"] == ["v1", "v2"]
     rows = query(spark, db, hashlib.sha256(b"test").hexdigest()).collect()
     assert len(rows) == 1 and rows[0].preimage == "test"
+
+
+def test_apply_object_store_pins_scale_committer_settings(spark):
+    """The 100 TB write path: magic committer + retry/upload tuning
+    must land on hadoopConfiguration whenever an object store is
+    configured (rename-free commit — see S3A_SCALE_SETTINGS docstring;
+    ref src/storage/r2.rs:161-232 gets the same atomicity from R2 PUT).
+    """
+    from shaha_spark.config import (
+        S3A_COMMITTER_SQL_CONF,
+        S3A_SCALE_SETTINGS,
+        cloud_committer_available,
+    )
+
+    cfg = Config(r2=R2Config(endpoint="https://acct.r2.example.com", bucket="b"))
+    apply_object_store(spark, cfg)
+    hconf = spark._jsc.hadoopConfiguration()
+    for key, expected in S3A_SCALE_SETTINGS.items():
+        assert hconf.get(key) == expected, key
+    assert hconf.get("fs.s3a.committer.name") == "magic"
+    assert int(hconf.get("fs.s3a.retry.limit")) >= 5
+    assert int(hconf.get("fs.s3a.attempts.maximum")) >= 3
+
+    # SQL committer binding: set iff the cloud-committer class exists;
+    # never half-bound (that combination fails every parquet write).
+    bound = [
+        spark.conf.get(k, None) == v for k, v in S3A_COMMITTER_SQL_CONF.items()
+    ]
+    if cloud_committer_available(spark):
+        assert all(bound)
+    else:
+        assert not any(bound)
+
+
+def test_apply_object_store_no_committer_without_store(spark):
+    hconf = spark._jsc.hadoopConfiguration()
+    for key in ("fs.s3a.committer.name", "fs.s3a.retry.limit"):
+        hconf.unset(key)
+    apply_object_store(spark, Config())
+    assert hconf.get("fs.s3a.committer.name") is None
