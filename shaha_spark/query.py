@@ -25,8 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from shaha_spark.pipeline.build import read_hashdb
-from shaha_spark.schema import FULL_HASH_LENGTHS, hex_to_bytes
+from shaha_spark.pipeline.build import read_hashdb, read_sidecar
+from shaha_spark.schema import DIGEST_LENGTHS, FULL_HASH_LENGTHS, hex_to_bytes
 
 #: Applied by the CLI when the user gives no -n and the format must
 #: materialize every row driver-side (json/table). Plain format streams
@@ -48,18 +48,35 @@ def prefix_successor(prefix: bytes) -> bytes | None:
     return bytes(buf)
 
 
-def prefix_predicate(prefix: bytes, column: str = "hash") -> Column:
+def prefix_predicate(
+    prefix: bytes, column: str = "hash", max_digest_len: int | None = None
+) -> Column:
     """Pushdown-friendly predicate for 'digest starts with prefix'.
 
     Empty prefix matches everything (ref tests/integration.rs:395-396).
-    Full digest lengths use equality (bloom-eligible, mirroring the
-    reference's point-lookup gate at ref parquet.rs:258-260); shorter
-    prefixes the exact half-open range.
+    The reference's row filter is ALWAYS startswith — even a full-length
+    input only uses the footer bloom as a row-group screen, then matches
+    ``hash.starts_with(prefix)`` (ref parquet.rs:481-487, 547) — so a
+    16-byte md5-length query can legitimately hit a 32-byte sha256
+    digest sharing that prefix. The half-open range
+    ``p <= hash < succ(p)`` is EXACTLY startswith under bytewise order,
+    so it is the default for every length.
+
+    The one pushdown upgrade: when the caller proves no digest in the
+    scanned data is longer than the prefix (``max_digest_len``, from the
+    database sidecar's algorithm list), startswith degenerates to
+    equality — which parquet-mr can additionally screen through the
+    native column bloom filter, the same fast path as the reference's
+    point-lookup gate (ref parquet.rs:258-260).
     """
     col = F.col(column)
     if len(prefix) == 0:
         return F.lit(True)
-    if len(prefix) in FULL_HASH_LENGTHS:
+    if (
+        len(prefix) in FULL_HASH_LENGTHS
+        and max_digest_len is not None
+        and len(prefix) >= max_digest_len
+    ):
         return col == F.lit(prefix)
     upper = prefix_successor(prefix)
     pred = col >= F.lit(prefix)
@@ -83,7 +100,20 @@ def query(
     driver-side presentation, ref query.rs:132-179).
     """
     prefix = hex_to_bytes(prefix_hex)
-    df = read_hashdb(spark, db_path).filter(prefix_predicate(prefix))
+    # Longest digest the scan can contain: from the explicit algorithm
+    # filter, else the sidecar's algorithm list. Lets prefix_predicate
+    # use the bloom-eligible equality form when it is provably exact.
+    max_len: int | None = None
+    if algorithm is not None:
+        max_len = DIGEST_LENGTHS.get(algorithm)
+    else:
+        meta = read_sidecar(spark, db_path) or {}
+        algos = meta.get("algorithms") or []
+        lengths = [DIGEST_LENGTHS[a] for a in algos if a in DIGEST_LENGTHS]
+        max_len = max(lengths) if lengths and len(lengths) == len(algos) else None
+    df = read_hashdb(spark, db_path).filter(
+        prefix_predicate(prefix, max_digest_len=max_len)
+    )
     if algorithm is not None:
         df = df.filter(F.col("algorithm") == F.lit(algorithm))
     if limit is not None:

@@ -88,3 +88,77 @@ def test_weighted_sample_rate_tracks_weight():
     kept_tenth = sum(1 for i in range(n) if bucket(str(i), "s") * 100.0 < 10.0 * 10000)
     assert abs(kept_half / n - 0.5) < 0.02
     assert abs(kept_tenth / n - 0.1) < 0.02
+
+
+# ---- full prefix_predicate semantics (not just the range helper) ----
+
+from shaha_spark.query import prefix_predicate  # noqa: E402
+from shaha_spark.schema import FULL_HASH_LENGTHS  # noqa: E402
+
+
+def _predicate_semantics(
+    prefix: bytes, digest: bytes, max_digest_len: int | None = None
+) -> bool:
+    """Pure-Python mirror of prefix_predicate's branches (empty → all;
+    provably-exact full length → equality; else → half-open range)."""
+    if len(prefix) == 0:
+        return True
+    if (
+        len(prefix) in FULL_HASH_LENGTHS
+        and max_digest_len is not None
+        and len(prefix) >= max_digest_len
+    ):
+        return digest == prefix
+    upper = prefix_successor(prefix)
+    return digest >= prefix and (upper is None or digest < upper)
+
+
+@given(
+    st.sampled_from(sorted(FULL_HASH_LENGTHS)),
+    st.data(),
+)
+def test_prefix_predicate_equals_startswith_all_branches(digest_len, data):
+    digest = data.draw(st.binary(min_size=digest_len, max_size=digest_len))
+    prefix_len = data.draw(st.integers(min_value=0, max_value=digest_len))
+    # bias: half the time the prefix IS a prefix of the digest, so the
+    # positive branch is exercised, not just near-certain negatives
+    if data.draw(st.booleans()):
+        prefix = digest[:prefix_len]
+    else:
+        prefix = data.draw(st.binary(min_size=prefix_len, max_size=prefix_len))
+    # default (no digest-length knowledge): always exactly startswith —
+    # including full-length prefixes against LONGER digests, the case
+    # the reference's startswith row filter covers (ref parquet.rs:547)
+    assert _predicate_semantics(prefix, digest) == digest.startswith(prefix)
+    # with digest-length knowledge the equality upgrade stays exact
+    assert (
+        _predicate_semantics(prefix, digest, max_digest_len=digest_len)
+        == digest.startswith(prefix)
+    )
+
+
+def test_prefix_predicate_column_matches_startswith_spark(spark):
+    """Evaluate the actual Column predicate in Spark against startswith
+    over random digests/prefixes — locks the JVM bytewise binary
+    comparison to Python's, covering all three predicate branches."""
+    import random
+
+    rng = random.Random(20260813)
+    digests = [bytes(rng.randrange(256) for _ in range(32)) for _ in range(200)]
+    prefixes = (
+        [b""]
+        + [d[:n] for d in digests[:10] for n in (1, 3, 7, 31, 32)]
+        + [bytes(rng.randrange(256) for _ in range(n)) for n in (1, 2, 4, 32) for _ in range(5)]
+        + [b"\xff", b"\xff\xff", digests[0][:31] + b"\xff"]
+    )
+    df = spark.createDataFrame([(d,) for d in digests], ["hash"])
+    import pyspark.sql.functions as F
+
+    exprs = [
+        F.sum(prefix_predicate(p).cast("int")).alias(f"p{i}")
+        for i, p in enumerate(prefixes)
+    ]
+    counts = df.agg(*exprs).collect()[0]
+    for i, p in enumerate(prefixes):
+        expected = sum(1 for d in digests if d.startswith(p))
+        assert counts[f"p{i}"] == expected, (i, p.hex())
