@@ -1637,6 +1637,217 @@ def q_multimodal_frame_count(spark, sf_dir):
     return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 
+def q_tpch_q2(spark, sf_dir):
+    """Min-cost-supplier shape (TPC-H Q2, reduced schema: lineitem is
+    the part↔supplier bridge): for each 'gear' part, the EUROPE
+    supplier quoting the minimum extended price. Correlated scalar
+    subquery re-expressed as a per-part min + join-back; all dims
+    broadcast."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nat = _t(spark, sf_dir, "nation").join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name", "n_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("p_partkey", "p_name", "s_name", "n_name", _dec("l_extendedprice").alias("price"))
+    )
+    best = offers.groupBy("p_partkey").agg(F.min("price").alias("min_price"))
+    return (
+        offers.join(best, "p_partkey")
+        .filter(F.col("price") == F.col("min_price"))
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.min("s_name").alias("s_name"),
+            F.min("min_price").cast("double").alias("min_price"),
+        )
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """Important-stock shape (TPC-H Q11): per-part shipped value for
+    NATION_1 suppliers, kept when above 0.1% of the nation's total — a
+    HAVING against a global scalar subquery (computed once, broadcast
+    as a one-row literal join, never collected per-group)."""
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    value = _dec("l_extendedprice") * _dec("l_quantity", "decimal(12,2)")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(supp.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(value).alias("part_value"))
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        # part_value > 0.1% of total, kept exact: scale by integer 1000
+        # (decimal x decimal fractions change scale differently across
+        # engines; integer scaling stays within exact decimal arithmetic)
+        .filter(
+            F.col("part_value") * F.lit(1000).cast("decimal(4,0)")
+            > F.col("total_value")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Shipping-priority-audit shape (TPC-H Q12, reduced schema:
+    return-flag classes stand in for ship modes; lateness is shipdate
+    > orderdate + 60 days): per class, count of high- vs low-priority
+    orders among late-shipped lines — join + conditional aggregation."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy(F.col("l_returnflag").alias("ship_class")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """Supplier-diversity shape (TPC-H Q16): distinct suppliers per
+    (brand, type, size) for non-PROMO, non-Brand#9 parts, excluding
+    'complaint' suppliers (names ending in 7) via a broadcast
+    anti-join — the NOT IN subquery shape."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9") & (F.col("p_type") != "PROMO")
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """Excess-share shape (TPC-H Q20, reduced schema): NATION_2
+    suppliers who shipped more than half of some gear part's total
+    shipped quantity — nested aggregation (per-(supp,part) vs
+    per-part) + semi-join into the supplier dim."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    qty = _dec("l_quantity", "decimal(12,2)")
+    per_sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(qty).alias("supp_qty"))
+    per_p = li.groupBy("l_partkey").agg(F.sum(qty).alias("part_qty"))
+    dominant = (
+        per_sp.join(per_p, "l_partkey")
+        .filter(
+            F.col("supp_qty") * F.lit(2).cast("decimal(2,0)") > F.col("part_qty")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return supp.join(
+        dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+
+
+def q_tpch_q21(spark, sf_dir):
+    """Waiting-orders shape (TPC-H Q21): NATION_1 suppliers who were
+    the ONLY late shipper (shipdate > orderdate + 90 days) on a
+    multi-supplier order. EXISTS (another supplier on the order) as a
+    distinct-count condition, NOT EXISTS (another late supplier) as an
+    anti condition — both from one per-order aggregate instead of two
+    correlated subqueries, so lineitem is scanned once for the
+    order-level facts and once for the candidate rows."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supps"
+        ),
+    )
+    sole_late = (
+        lo.filter(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Per-dimension affine uint8 quantization of the embedding matrix
+    (exact-arithmetic codes — see operators/embeddings.py)."""
+    from shaha_spark.operators.embeddings import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_bucket_dedup(spark, sf_dir):
+    """Sign-bit (orthant) bucket dedup of embeddings: lowest id kept
+    per d-bit signature."""
+    from shaha_spark.operators.embeddings import dedup_by_bucket
+
+    return dedup_by_bucket(_t(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_top_pc(spark, sf_dir):
+    """Dominant principal direction by integer-exact power iteration
+    (2 rounds, 2^20 grid) — bit-identical across engines."""
+    from shaha_spark.operators.embeddings import top_principal_component
+
+    return top_principal_component(_t(spark, sf_dir, "embeddings"), iters=2)
+
+
+def q_docs_unigram_logprob(spark, sf_dir):
+    """Per-document average unigram log-likelihood under the corpus LM
+    (cheap fluency/quality score; determinism via per-TERM rounded ln
+    + decimal-exact per-doc sums)."""
+    from shaha_spark.operators.terms import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------
 # DuckDB oracle SQL (generated from the same constants)
 # --------------------------------------------------------------------
@@ -2820,6 +3031,132 @@ FROM documents"""
     sql["multimodal_frame_count"] = """SELECT doc_id AS media_id,
   CAST(least(4, greatest(1, strlen(text) // 32)) AS BIGINT) AS n_frames
 FROM documents"""
+    sql["tpch_q2"] = """WITH offers AS (
+  SELECT p_partkey, p_name, s_name, n_name,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_name LIKE '%gear%' AND r_name = 'EUROPE'
+),
+best AS (SELECT p_partkey, MIN(price) AS min_price FROM offers GROUP BY p_partkey)
+SELECT o.p_partkey, o.p_name,
+       MIN(o.s_name) AS s_name,
+       CAST(MIN(b.min_price) AS DOUBLE) AS min_price
+FROM offers o JOIN best b ON o.p_partkey = b.p_partkey AND o.price = b.min_price
+GROUP BY o.p_partkey, o.p_name"""
+    sql["tpch_q11"] = """WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM pv, (SELECT SUM(part_value) AS total_value FROM pv)
+WHERE part_value * 1000 > total_value"""
+    sql["tpch_q12"] = """SELECT l_returnflag AS ship_class,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag"""
+    sql["tpch_q16"] = """SELECT p_brand, p_type, p_size,
+  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_type, p_size"""
+    sql["tpch_q20"] = """WITH g AS (
+  SELECT l_suppkey, l_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%gear%'
+),
+per_sp AS (SELECT l_suppkey, l_partkey, SUM(qty) AS supp_qty FROM g GROUP BY l_suppkey, l_partkey),
+per_p AS (SELECT l_partkey, SUM(qty) AS part_qty FROM g GROUP BY l_partkey),
+dominant AS (
+  SELECT DISTINCT l_suppkey FROM per_sp JOIN per_p USING (l_partkey)
+  WHERE supp_qty * 2 > part_qty
+)
+SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2' AND s_suppkey IN (SELECT l_suppkey FROM dominant)"""
+    sql["tpch_q21"] = """WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supps
+  FROM lo GROUP BY l_orderkey
+),
+sole AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lo JOIN per_order USING (l_orderkey)
+  WHERE is_late AND n_supps >= 2 AND n_late_supps = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM sole
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+GROUP BY s_name"""
+    _EMB_STATS = """v AS (SELECT vec_id, embedding AS e FROM embeddings),
+x AS (SELECT vec_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS p FROM v),
+s AS (SELECT p, CAST(min(x) AS DOUBLE) AS mn, CAST(max(x) AS DOUBLE) AS mx FROM x GROUP BY p)"""
+    sql["embedding_quantize"] = f"""WITH {_EMB_STATS}
+SELECT vec_id, p - 1 AS pos,
+  CASE WHEN mx = mn THEN 0
+       ELSE LEAST(255, CAST(FLOOR((CAST(x AS DOUBLE) - mn) / (mx - mn) * 256.0) AS INTEGER))
+  END AS code
+FROM x JOIN s USING (p)"""
+    sql["embedding_bucket_dedup"] = f"""WITH {_EMB_STATS},
+sig AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN CAST(x AS DOUBLE) >= (mn + mx) / 2.0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM x JOIN s USING (p) GROUP BY vec_id
+)
+SELECT bucket, MIN(vec_id) AS keep_id, COUNT(*) AS n_members FROM sig GROUP BY bucket"""
+    # integer-exact power iteration: mirrors operators/embeddings.py
+    # step for step (decimal-exact float-rounded means -> 2^20 grid ->
+    # two exact matvecs in HUGEINT/DEC38 -> one rounded normalization)
+    sql["embedding_top_pc"] = """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+x AS (SELECT vec_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS p FROM v),
+m AS (
+  SELECT p,
+         CAST(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS FLOAT) AS DOUBLE) AS m
+  FROM x GROUP BY p
+),
+g AS (
+  SELECT vec_id, p, CAST(FLOOR((CAST(x AS DOUBLE) - m) * 1048576.0) AS BIGINT) AS xq
+  FROM x JOIN m USING (p)
+),
+d1 AS (SELECT vec_id, SUM(CAST(xq AS HUGEINT)) AS dot FROM g GROUP BY vec_id),
+u1 AS (SELECT p, SUM(CAST(xq AS HUGEINT) * dot) AS u FROM g JOIN d1 USING (vec_id) GROUP BY p),
+d2 AS (SELECT vec_id, SUM(CAST(xq AS HUGEINT) * u) AS dot FROM g JOIN u1 USING (p) GROUP BY vec_id),
+u2 AS (SELECT p, SUM(CAST(xq AS HUGEINT) * dot) AS u FROM g JOIN d2 USING (vec_id) GROUP BY p),
+mx AS (SELECT MAX(ABS(u)) AS sc FROM u2)
+SELECT p - 1 AS pos, ROUND(CAST(u AS DOUBLE) / CAST(sc AS DOUBLE), 9) AS comp FROM u2, mx"""
+    sql["docs_unigram_logprob"] = f"""WITH {_WORDS_CTE},
+toks AS (SELECT doc_id, word AS term FROM words),
+lm AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+lp AS (
+  SELECT term,
+         CAST(ROUND(LN(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)), 8) AS DECIMAL(20,8)) AS lp
+  FROM lm, (SELECT SUM(tf) AS total FROM lm)
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+FROM toks JOIN lp USING (term)
+GROUP BY doc_id"""
     return sql
 
 
@@ -2871,6 +3208,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pagerank": q_docs_pagerank,
         "kmeans_centroids": q_kmeans_centroids,
         "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "embedding_quantize": q_embedding_quantize,
+        "embedding_bucket_dedup": q_embedding_bucket_dedup,
+        "embedding_top_pc": q_embedding_top_pc,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
         "build_multi_algo": q_build_multi_algo,
         "query_point_lookup": q_point_lookup,
         "append_merge": q_append_merge,

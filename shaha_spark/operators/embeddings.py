@@ -1,0 +1,231 @@
+"""Embedding-matrix operators: int8 quantization, sign-bit bucket
+dedup, and a top-principal-component power iteration.
+
+These extend the similarity/dedup family (operators/similarity.py,
+operators/dedup.py) with the storage- and preprocessing-side pieces a
+training-data pipeline needs before ANN indexing: shrink vectors 4×
+(quantize), drop near-identical vectors cheaply (bucket dedup), and
+characterize the corpus's dominant direction (top PC — the building
+block for PCA whitening and spectral diagnostics).
+
+Scale notes (100 TB):
+  * every per-dimension statistic is ONE aggregation with map-side
+    partials over ``d`` JVM expressions — no explode shuffle of
+    n×d rows, no Python;
+  * the corpus is never collected; only d-sized statistics (64 numbers)
+    reach the driver, mirroring the kmeans centroid loop
+    (operators/kmeans.py);
+  * the power iteration is integer-exact (the pagerank trick,
+    operators/graph.py): vectors are centered and quantized onto a
+    2^20 grid, so every sum is exact integer/decimal arithmetic and
+    the result is bit-identical across engines, partitionings, and
+    retries. Two matvec rounds keep the decimal(38) accumulators in
+    range up to ~10^6 rows per run; production would renormalize
+    between rounds.
+
+No reference counterpart (the reference is a hash CLI); part of the
+LLM-pipeline extension surface alongside operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point grid for the integer-exact power iteration: 2^20.
+#: Multiplying a double by a power of two is EXACT, so quantization is
+#: deterministic; 20 fractional bits keep centered float32 embeddings
+#: well inside bigint during the first matvec.
+GRID = 1 << 20
+
+
+def _dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from one row (schema-level lookup; the
+    arrays are fixed-width by construction)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).head()
+    if row is None:
+        raise ValueError("empty embedding table")
+    return int(row.d)
+
+
+def dim_stats(df: DataFrame, vec_col: str = "embedding") -> list[tuple[float, float]]:
+    """[(min, max)] per dimension in ONE aggregation pass (2d columns,
+    map-side combine; nothing but 2d floats reaches the driver)."""
+    d = _dim(df, vec_col)
+    aggs = []
+    for p in range(d):
+        comp = F.element_at(F.col(vec_col), p + 1)
+        aggs.append(F.min(comp).alias(f"mn{p}"))
+        aggs.append(F.max(comp).alias(f"mx{p}"))
+    row = df.agg(*aggs).head()
+    return [(float(row[f"mn{p}"]), float(row[f"mx{p}"])) for p in range(d)]
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension affine uint8 quantization: code_p = min(255,
+    floor((x_p - min_p) / (max_p - min_p) * 256)); degenerate
+    dimensions (min == max) code to 0.
+
+    Every step is exact or correctly-rounded IEEE arithmetic
+    (float32 inputs are exact doubles; ×256 is exact), so codes are
+    bit-identical across engines — no round-half ambiguity.
+    Returns (id, pos, code) exploded for oracle comparison; the packed
+    array form is a trivial ``collect_list`` away.
+    """
+    stats = dim_stats(df, vec_col)
+    mins = F.array(*[F.lit(mn).cast("double") for mn, _ in stats])
+    spans = F.array(*[F.lit(mx - mn).cast("double") for mn, mx in stats])
+    codes = F.zip_with(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), mins, lambda x, mn: x - mn
+        ),
+        spans,
+        lambda delta, span: F.when(span == 0.0, F.lit(0)).otherwise(
+            F.least(F.lit(255), F.floor(delta / span * F.lit(256.0)).cast("int"))
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(codes).alias("pos", "code"),
+    ).select(
+        F.col(id_col),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
+def bucket_signature(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """1-bit-per-dimension signature: '1' where x_p >= midpoint_p.
+
+    The coarsest useful quantization — a d-character bucket key that
+    groups vectors agreeing on every dimension's half. Comparisons of
+    exact doubles, so deterministic.
+    """
+    stats = dim_stats(df, vec_col)
+    mids = F.array(*[F.lit((mn + mx) / 2.0).cast("double") for mn, mx in stats])
+    bits = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        mids,
+        lambda x, mid: F.when(x >= mid, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return df.select(
+        F.col(id_col), F.array_join(bits, "").alias("bucket")
+    )
+
+
+def dedup_by_bucket(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Keep the lowest id per sign-bucket — O(n) near-dup screening.
+
+    One hash shuffle on the bucket key. Buckets are 2^d-sparse, so
+    collisions mean 'same orthant relative to the per-dim midpoints',
+    a strictly coarser (cheaper, recall-1.0-for-exact-dups) screen
+    than MinHash/SimHash over text (operators/dedup.py).
+    """
+    sig = bucket_signature(df, vec_col, id_col)
+    return (
+        sig.groupBy("bucket")
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+def _mean_grid(df: DataFrame, vec_col: str) -> list[float]:
+    """Per-dimension decimal-exact mean, rounded to float32 (the same
+    cross-engine determinism recipe as the kmeans centroid means)."""
+    d = _dim(df, vec_col)
+    aggs = [
+        (
+            F.sum(
+                F.element_at(F.col(vec_col), p + 1)
+                .cast("double")
+                .cast("decimal(25,10)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("float")
+        .alias(f"m{p}")
+        for p in range(d)
+    ]
+    row = df.agg(*aggs).head()
+    return [float(row[f"m{p}"]) for p in range(d)]
+
+
+def centered_grid(df: DataFrame, vec_col: str = "embedding") -> tuple[DataFrame, list[float]]:
+    """Center each vector on the per-dim mean and quantize onto the
+    2^20 integer grid: xq_p = floor((x_p - m_p) * 2^20) as bigint.
+
+    x_p and m_p are float32 values — exact as doubles — so the
+    subtraction is correctly rounded, the power-of-two scaling exact,
+    and the floor deterministic: the grid matrix is bit-identical on
+    any engine. Everything downstream is integer arithmetic.
+    """
+    means = _mean_grid(df, vec_col)
+    marr = F.array(*[F.lit(m).cast("double") for m in means])
+    xq = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        marr,
+        lambda x, m: F.floor((x - m) * F.lit(float(GRID))).cast("bigint"),
+    )
+    return df.withColumn("__xq", xq), means
+
+
+def _matvec(df: DataFrame, v: list[int]) -> list[int]:
+    """One exact power-iteration step u = Aᵀ(A v) on the grid matrix.
+
+    All sums run in decimal(38,0): after the first round the v
+    components reach ~n·2^48, so the second round's per-row dot
+    (2^87-ish at sf0.1) is far past bigint. Bounds: with |xq| ≤ 2^21
+    and two rounds, |u| ≤ n²·d²·2^63 — inside decimal(38) (~2^126)
+    up to ~10^5 rows; more rows or rounds need an interleaved
+    renormalization (documented, not needed at test scale).
+    Only d decimals return to the driver."""
+    # string literals: v components can exceed long range mid-iteration
+    varr = F.array(*[F.lit(str(int(c))).cast("decimal(38,0)") for c in v])
+    dot = F.aggregate(
+        F.zip_with(F.col("__xq"), varr, lambda x, y: x.cast("decimal(38,0)") * y),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: acc + t,
+    )
+    d = len(v)
+    with_dot = df.select("__xq", dot.alias("__dot"))
+    aggs = [
+        F.sum(
+            F.element_at(F.col("__xq"), p + 1).cast("decimal(38,0)")
+            * F.col("__dot")
+        ).alias(f"u{p}")
+        for p in range(d)
+    ]
+    row = with_dot.agg(*aggs).head()
+    return [int(row[f"u{p}"]) for p in range(d)]
+
+
+def top_principal_component(
+    df: DataFrame, vec_col: str = "embedding", iters: int = 2
+) -> DataFrame:
+    """Dominant eigenvector of the centered Gram matrix XᵀX by ``iters``
+    exact power-iteration rounds from the all-ones start.
+
+    Integer-exact end to end; the single inexact step is the FINAL
+    normalization u / max|u| (one correctly-rounded IEEE division per
+    component, rounded to 9 decimals). Returns (pos, comp) rows with
+    comp in [-1, 1] and the max-magnitude component exactly ±1.
+    """
+    grid, _means = centered_grid(df, vec_col)
+    grid = grid.select("__xq").localCheckpoint(eager=True)
+    v = [1] * _dim(df, vec_col)
+    for _ in range(iters):
+        v = _matvec(grid, v)
+    scale = float(max(abs(c) for c in v))
+    rows = [(p, round(c / scale, 9)) for p, c in enumerate(v)]
+    spark = df.sparkSession
+    return spark.createDataFrame(rows, "pos bigint, comp double")

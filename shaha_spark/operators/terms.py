@@ -338,3 +338,42 @@ def decontaminate(
             (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average unigram log-likelihood under the corpus's
+    own unigram LM — the classic cheap fluency/quality score (a
+    monotone transform of unigram perplexity).
+
+    Determinism recipe: the only transcendental step, ``ln(tf/total)``,
+    is evaluated once per VOCABULARY term (not per token) and rounded
+    to 8 decimals — libm implementations agree far beyond that — then
+    per-document totals are decimal-exact sums of those rounded values,
+    so engine/partitioning cannot reorder anything inexact. The final
+    average is one correctly-rounded division.
+
+    Scale: one token explode + hash-agg for the LM (map-side partials),
+    the per-term table is vocabulary-sized (broadcastable), and the
+    score pass is a broadcast join + one hash-agg on the doc id.
+    """
+    toks = tokens(docs, text_col, id_col)
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = lm.agg(F.sum("tf").alias("total"))
+    lp = lm.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(
+            F.log(F.col("tf").cast("double") / F.col("total").cast("double")), 8
+        )
+        .cast("decimal(20,8)")
+        .alias("lp"),
+    )
+    return (
+        toks.join(F.broadcast(lp), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Embedding operators: quantization, bucket dedup, top PC.
+
+Correctness against numpy (an independent oracle, complementing the
+DuckDB twins in __spark_entry__), plus the determinism guarantees the
+module's docstrings promise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shaha_spark.operators.embeddings import (
+    GRID,
+    dedup_by_bucket,
+    dim_stats,
+    quantize_int8,
+    top_principal_component,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def matrix(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    return np.array([r.embedding for r in rows], dtype=np.float32)
+
+
+def test_quantize_codes_match_numpy(emb, matrix):
+    x = matrix.astype(np.float64)
+    mn = x.min(axis=0)
+    mx = x.max(axis=0)
+    span = mx - mn
+    span[span == 0] = 1.0
+    expected = np.minimum(255, np.floor((x - mn) / span * 256.0)).astype(np.int64)
+    got = {
+        (r.vec_id, r.pos): r.code
+        for r in quantize_int8(emb).collect()
+    }
+    n, d = x.shape
+    assert len(got) == n * d
+    for i in range(n):
+        for p in range(d):
+            assert got[(i, p)] == expected[i, p], (i, p)
+
+
+def test_quantize_is_deterministic(emb):
+    a = sorted(map(tuple, quantize_int8(emb).collect()))
+    b = sorted(map(tuple, quantize_int8(emb.repartition(7)).collect()))
+    assert a == b
+
+
+def test_bucket_dedup_keeps_min_id_and_partitions_rows(emb):
+    out = dedup_by_bucket(emb).collect()
+    total = sum(r.n_members for r in out)
+    assert total == emb.count()
+    # keep_id must be a member mapping to its own bucket
+    from shaha_spark.operators.embeddings import bucket_signature
+
+    sig = {r.vec_id: r.bucket for r in bucket_signature(emb).collect()}
+    for r in out:
+        assert sig[r.keep_id] == r.bucket
+
+
+def test_dim_stats_match_numpy(emb, matrix):
+    stats = dim_stats(emb)
+    mn = matrix.min(axis=0)
+    mx = matrix.max(axis=0)
+    for p, (lo, hi) in enumerate(stats):
+        assert lo == pytest.approx(float(mn[p]), abs=0)
+        assert hi == pytest.approx(float(mx[p]), abs=0)
+
+
+def test_top_pc_aligns_with_numpy_eigenvector(emb, matrix):
+    """2 exact power rounds from all-ones must land close to the true
+    dominant eigenvector of the quantized centered Gram matrix."""
+    x = matrix.astype(np.float64)
+    m = x.mean(axis=0).astype(np.float32).astype(np.float64)
+    xq = np.floor((x - m) * GRID)
+    gram = xq.T @ xq
+    v = gram @ (gram @ np.ones(x.shape[1]))
+    v = v / np.abs(v).max()
+
+    got = top_principal_component(emb, iters=2).collect()
+    got_v = np.zeros(x.shape[1])
+    for r in got:
+        got_v[r.pos] = r.comp
+    cos = float(v @ got_v / (np.linalg.norm(v) * np.linalg.norm(got_v)))
+    assert cos > 0.999999, cos
+    assert np.abs(got_v).max() == pytest.approx(1.0)
+
+
+def test_top_pc_is_deterministic_across_partitionings(emb):
+    a = sorted(map(tuple, top_principal_component(emb, iters=2).collect()))
+    b = sorted(
+        map(tuple, top_principal_component(emb.repartition(13), iters=2).collect())
+    )
+    assert a == b
