@@ -1848,6 +1848,58 @@ def q_docs_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+#: per-language target mixture for docs_mix_resample — chosen to keep
+#: all of the smallest stratum while thinning the dominant one; the
+#: SQL twin is generated from this same dict.
+MIX_RATES: dict[str, float] = {"en": 0.5, "de": 1.0, "es": 0.75, "fr": 0.25, "zh": 0.1}
+
+
+def q_docs_gopher_filter(spark, sf_dir):
+    """Gopher-style rule-based quality filter: per-doc metrics, one
+    flag per rule, conjunctive keep decision
+    (operators.textops.gopher_rules; Rae et al. 2021 §A.1.1)."""
+    from shaha_spark.operators.textops import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_mix_resample(spark, sf_dir):
+    """Domain-mixture construction: per-language deterministic
+    hash-sampling to target rates — downsample the dominant language,
+    keep rare ones (operators.sampling.stratified_hash_sample)."""
+    from shaha_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_hash_sample(docs, "lang", MIX_RATES, "doc_id", salt="mix")
+
+
+def q_docs_dup_grams(spark, sf_dir):
+    """Per-document corpus-duplicate 5-gram fraction — span-level
+    boilerplate detection complementing whole-doc MinHash
+    (operators.terms.dup_gram_stats)."""
+    from shaha_spark.operators.terms import dup_gram_stats
+
+    return dup_gram_stats(_t(spark, sf_dir, "documents"), n=5)
+
+
+def q_docs_bigram_logprob(spark, sf_dir):
+    """Per-document average bigram conditional log-likelihood under the
+    corpus's own bigram LM — order-sensitive fluency scoring
+    (operators.terms.bigram_logprob)."""
+    from shaha_spark.operators.terms import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_bpe_pairs(spark, sf_dir):
+    """Top-20 adjacent character-pair frequencies over the vocabulary —
+    the count table for one BPE merge step, tokenizer-training support
+    (operators.terms.bpe_pair_counts)."""
+    from shaha_spark.operators.terms import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), k=20)
+
+
 # --------------------------------------------------------------------
 # DuckDB oracle SQL (generated from the same constants)
 # --------------------------------------------------------------------
@@ -3157,6 +3209,67 @@ SELECT doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
 FROM toks JOIN lp USING (term)
 GROUP BY doc_id"""
+    stops_in = "(" + ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS) + ")"
+    sql["docs_gopher_filter"] = f"""WITH {_WORDS_CTE},
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, SUM(len(word)) AS sum_len,
+    SUM(CASE WHEN regexp_matches(word, '[a-zA-Z]') THEN 1 ELSE 0 END) AS n_alpha,
+    SUM(CASE WHEN regexp_matches(word, '[^a-zA-Z0-9]') THEN 1 ELSE 0 END) AS n_sym,
+    SUM(CASE WHEN word IN {stops_in} THEN 1 ELSE 0 END) AS n_stop
+  FROM words GROUP BY 1),
+m AS (
+  SELECT d.doc_id,
+    CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+    CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN CAST(a.sum_len AS DOUBLE) / a.n_tokens ELSE 0.0 END AS mean_token_len,
+    CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN CAST(a.n_sym AS DOUBLE) / a.n_tokens ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN CAST(a.n_alpha AS DOUBLE) / a.n_tokens ELSE 0.0 END AS alpha_ratio,
+    CAST(coalesce(a.n_stop, 0) AS BIGINT) AS n_stopwords
+  FROM documents d LEFT JOIN agg a USING (doc_id))
+SELECT *,
+  pass_count * pass_mean_len * pass_symbols * pass_alpha * pass_stopwords AS keep
+FROM (SELECT *,
+  CAST(n_tokens >= 20 AND n_tokens <= 90 AS INTEGER) AS pass_count,
+  CAST(mean_token_len >= 3.0 AND mean_token_len <= 10.0 AS INTEGER) AS pass_mean_len,
+  CAST(symbol_ratio <= 0.1 AS INTEGER) AS pass_symbols,
+  CAST(alpha_ratio >= 0.8 AS INTEGER) AS pass_alpha,
+  CAST(n_stopwords >= 2 AS INTEGER) AS pass_stopwords FROM m)"""
+    mix_cases = " ".join(
+        f"WHEN lang = '{v}' THEN {int(r * 10_000)}"
+        for v, r in sorted(MIX_RATES.items())
+    )
+    sql["docs_mix_resample"] = f"""SELECT doc_id, lang, source FROM documents
+WHERE {bucket_sql('doc_id', 'mix')} < CASE {mix_cases} ELSE 0 END"""
+    g = 5
+    gram_parts = ", ".join(f"t[i+{j}]" for j in range(g))
+    grams5 = (
+        f"CASE WHEN len(t) >= {g} THEN list_transform(range(1, len(t) - {g - 2}), "
+        f"i -> concat_ws(' ', {gram_parts})) ELSE CAST([] AS VARCHAR[]) END"
+    )
+    sql["docs_dup_grams"] = f"""WITH {_TOKS_CTE},
+grams AS (SELECT DISTINCT doc_id, unnest({grams5}) AS gram FROM toks),
+gd AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS gdf FROM grams)
+SELECT doc_id, count(*) AS n_grams,
+  CAST(SUM(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+  CAST(SUM(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_fraction
+FROM gd GROUP BY doc_id"""
+    sql["docs_bigram_logprob"] = f"""WITH {_TOKS_CTE},
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+cc AS (SELECT w1, w2, c2, SUM(c2) OVER (PARTITION BY w1) AS c1 FROM c2),
+lp AS (SELECT w1, w2,
+  CAST(ROUND(LN(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)), 8) AS DECIMAL(20,8)) AS lp FROM cc)
+SELECT doc_id, count(*) AS n_bigrams,
+  CAST(SUM(lp) AS DOUBLE) / count(*) AS avg_logprob
+FROM pairs JOIN lp USING (w1, w2) GROUP BY doc_id"""
+    sql["docs_bpe_pairs"] = f"""WITH {_WORDS_CTE},
+vocab AS (SELECT word AS term, count(*) AS freq FROM words GROUP BY 1),
+pr AS (SELECT substr(term, i, 2) AS pair, freq
+       FROM (SELECT term, freq, unnest(range(1, len(term))) AS i FROM vocab
+             WHERE len(term) >= 2))
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM pr GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""
     return sql
 
 
@@ -3218,6 +3331,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_bucket_dedup": q_embedding_bucket_dedup,
         "embedding_top_pc": q_embedding_top_pc,
         "docs_unigram_logprob": q_docs_unigram_logprob,
+        "docs_gopher_filter": q_docs_gopher_filter,
+        "docs_mix_resample": q_docs_mix_resample,
+        "docs_dup_grams": q_docs_dup_grams,
+        "docs_bigram_logprob": q_docs_bigram_logprob,
+        "docs_bpe_pairs": q_docs_bpe_pairs,
         "build_multi_algo": q_build_multi_algo,
         "query_point_lookup": q_point_lookup,
         "append_merge": q_append_merge,

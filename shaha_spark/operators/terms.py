@@ -340,6 +340,138 @@ def decontaminate(
     )
 
 
+def dup_gram_stats(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document corpus-duplicate n-gram fraction: of each document's
+    distinct word n-grams, how many appear in at least one OTHER
+    document. High fractions flag boilerplate/mirrored text that exact
+    whole-document dedup misses — the n-gram-level complement to
+    MinHash (span-level duplication, not whole-doc similarity).
+
+    Scale shape: gram document-frequency is a count window over the
+    distinct (doc, gram) pairs — a single lineage (the same
+    no-diamond rule as :func:`term_stats`), one shuffle on the gram
+    key, then one hash-agg back on the doc id. At 100 TB hash grams to
+    64-bit first (xxhash64) to shrink the shuffle; the string key is
+    kept so the DuckDB oracle joins on the same value.
+    """
+    from pyspark.sql import Window as W
+
+    grams = word_ngrams(docs, n, text_col, id_col)
+    gdf = F.count(F.lit(1)).over(W.partitionBy("gram"))
+    per = grams.withColumn("__gdf", gdf)
+    agg = per.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("__gdf") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.col("n_dup_grams").cast("bigint").alias("n_dup_grams"),
+        (
+            F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double")
+        ).alias("dup_fraction"),
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average bigram conditional log-likelihood under the
+    corpus's own bigram LM — the next step up from
+    :func:`unigram_logprob` as a cheap fluency score (sensitive to word
+    ORDER, which the unigram score cannot see).
+
+    lp(w1 w2) = ln( c(w1,w2) / c(w1,·) ) where c(w1,·) counts w1 as a
+    bigram start, so the conditional distribution sums to exactly 1 and
+    no smoothing is needed when scoring the corpus against itself.
+
+    Same determinism recipe as the unigram scorer: ``ln`` is evaluated
+    once per distinct BIGRAM, rounded to 8 decimals, and per-document
+    totals are decimal-exact sums of the rounded values; the final
+    average is one correctly-rounded division. The start-count is a sum
+    window over the bigram counts (single lineage, no diamond); the LM
+    table is bigram-vocabulary-sized and broadcast for the score join.
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    wnd = W.partitionBy(id_col).orderBy("pos")
+    pairs = (
+        toks.select(
+            F.col(id_col),
+            F.col("w").alias("w1"),
+            F.lead("w", 1).over(wnd).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = F.sum("c2").over(W.partitionBy("w1"))
+    lp = c2.withColumn("__c1", c1).select(
+        "w1",
+        "w2",
+        F.round(
+            F.log(F.col("c2").cast("double") / F.col("__c1").cast("double")), 8
+        )
+        .cast("decimal(20,8)")
+        .alias("lp"),
+    )
+    return (
+        pairs.join(F.broadcast(lp), ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+        )
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adjacent character-pair frequencies over the corpus vocabulary —
+    the count table behind one BPE merge step (tokenizer training
+    support). Returns the top ``k`` pairs with a total deterministic
+    order (count desc, pair asc), so the result is a stable SET.
+
+    Scale shape: pair counting runs over the DISTINCT vocabulary
+    weighted by term frequency, not over every token occurrence — at
+    100 TB the vocabulary is millions of rows while the corpus is
+    trillions of tokens, so the explode fans out of the small side.
+    The per-term pair enumeration (sequence + substring) is pure
+    whole-stage codegen; the final top-k is a TakeOrderedAndProject,
+    never a global sort.
+    """
+    vocab = (
+        tokens(docs, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        vocab.filter(F.length("term") >= 2)
+        .select(
+            "freq",
+            F.col("term"),
+            F.explode(F.sequence(F.lit(1), F.length("term") - 1)).alias("i"),
+        )
+        .select(
+            F.substring(F.col("term"), F.col("i"), F.lit(2)).alias("pair"), "freq"
+        )
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").alias("cnt"))
+    return agg.orderBy(F.col("cnt").desc(), F.col("pair")).limit(k)
+
+
 def unigram_logprob(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

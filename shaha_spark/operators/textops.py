@@ -132,6 +132,90 @@ def lang_id(
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021, §A.1.1):
+    token-count bounds, mean-token-length bounds, symbol-token ratio,
+    alphabetic-token ratio, and a minimum stopword-hit count. Returns
+    every document with its metrics, one 0/1 flag per rule, and the
+    conjunctive ``keep`` decision — the caller filters or audits.
+
+    One explode + map-side-combining hash-agg computes every metric in
+    a single pass (same shape as :func:`quality_score`); all per-token
+    predicates are character-class-only regexes with identical
+    semantics in Java regex and DuckDB's RE2, so the oracle replays the
+    flags bit-for-bit. Ratios are single IEEE divisions of exact
+    integer operands compared against shared literals — no rounding, no
+    drift.
+    """
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    base = ensure_parallelism(df).select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("__tok")
+    )
+    agg = base.groupBy(id_col).agg(
+        F.count("__tok").alias("n_tokens"),
+        F.coalesce(F.sum(F.length("__tok")), F.lit(0)).alias("__sum_len"),
+        F.coalesce(
+            F.sum(F.when(F.col("__tok").rlike("[a-zA-Z]"), 1).otherwise(0)), F.lit(0)
+        ).alias("__n_alpha"),
+        F.coalesce(
+            F.sum(F.when(F.col("__tok").rlike("[^a-zA-Z0-9]"), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("__n_sym"),
+        F.coalesce(
+            F.sum(F.when(F.array_contains(stop_arr, F.col("__tok")), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("__n_stop"),
+    )
+    n_tok = F.col("n_tokens")
+    mean_len = F.when(
+        n_tok > 0, F.col("__sum_len").cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    sym_ratio = F.when(
+        n_tok > 0, F.col("__n_sym").cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n_tok > 0, F.col("__n_alpha").cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    with_metrics = agg.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        F.col("__n_stop").cast("bigint").alias("n_stopwords"),
+    )
+    p_count = (
+        (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
+    ).cast("int")
+    p_mean = (
+        (F.col("mean_token_len") >= min_mean_len)
+        & (F.col("mean_token_len") <= max_mean_len)
+    ).cast("int")
+    p_sym = (F.col("symbol_ratio") <= max_symbol_ratio).cast("int")
+    p_alpha = (F.col("alpha_ratio") >= min_alpha_ratio).cast("int")
+    p_stop = (F.col("n_stopwords") >= min_stop_hits).cast("int")
+    return with_metrics.select(
+        "*",
+        p_count.alias("pass_count"),
+        p_mean.alias("pass_mean_len"),
+        p_sym.alias("pass_symbols"),
+        p_alpha.alias("pass_alpha"),
+        p_stop.alias("pass_stopwords"),
+        (p_count * p_mean * p_sym * p_alpha * p_stop).alias("keep"),
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

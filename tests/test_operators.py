@@ -648,3 +648,34 @@ def test_winsorize_clips_to_group_bounds(spark):
     assert got[0]["value_clipped"] == 5.0 and got[100]["value_clipped"] == 95.0
     assert got[50]["value_clipped"] == 50.0
     assert got[0]["clip_lo"] == 5.0 and got[0]["clip_hi"] == 95.0
+
+
+def test_gopher_rules_flags_and_keep(spark):
+    docs = spark.createDataFrame(
+        [
+            # 25 tokens incl. 'the a' twice → every rule passes
+            (1, "the a " * 2 + "word " * 21),
+            (2, "short doc the a"),                  # fails count (4 < 20)
+            (3, " ".join(["the", "a"] + ["x"] * 30)),  # mean len 1.4 < 3 → fails
+            (4, ""),                                  # empty: all zero metrics
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in textops.gopher_rules(docs).collect()}
+    assert got[1]["keep"] == 1 and got[1]["pass_count"] == 1
+    assert got[2]["keep"] == 0 and got[2]["pass_count"] == 0
+    assert got[2]["pass_stopwords"] == 1
+    assert got[3]["keep"] == 0 and got[3]["pass_mean_len"] == 0
+    assert got[4]["n_tokens"] == 0 and got[4]["keep"] == 0
+
+
+def test_gopher_rules_symbol_and_alpha_ratios(spark):
+    docs = spark.createDataFrame(
+        [(1, "the a " + "#### $$$$ " * 10 + "w " * 15)],
+        "doc_id bigint, text string",
+    )
+    row = textops.gopher_rules(docs).collect()[0]
+    # 37 tokens: 20 pure-symbol (#### / $$$$), 17 alphabetic
+    assert row["n_tokens"] == 37
+    assert row["pass_symbols"] == 0 and row["pass_alpha"] == 0
+    assert row["keep"] == 0

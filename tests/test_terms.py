@@ -152,3 +152,64 @@ def test_tf_cosine_pairs_max_df_drops_stop_terms(spark):
 
     assert tf_cosine_pairs(docs, threshold=0.0, max_df=2).count() == 0
     assert tf_cosine_pairs(docs, threshold=0.0, max_df=None).count() == 3
+
+
+def test_dup_gram_stats_flags_shared_spans(spark):
+    from shaha_spark.operators.terms import dup_gram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t u"),      # grams: pqrst, qrstu
+            (2, "z p q r s t"),      # grams: zpqrs, pqrst  (shares pqrst with 1)
+            (3, "m n o p q"),        # one gram, unique
+            (4, "a b"),              # < n tokens → no grams → absent
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_fraction"])
+        for r in dup_gram_stats(docs, n=5).collect()
+    }
+    assert got[1] == (2, 1, pytest.approx(0.5))
+    assert got[2] == (2, 1, pytest.approx(0.5))
+    assert got[3] == (1, 0, 0.0)
+    assert 4 not in got
+
+
+def test_bigram_logprob_conditional_model(spark):
+    import math
+
+    from shaha_spark.operators.terms import bigram_logprob
+
+    # corpus bigrams: (a,b) x2, (b,a) x1, (b,c) x1
+    # c1: a→2?? no: 'a' starts (a,b),(a,b) → c1(a)=2; 'b' starts (b,a),(b,c) → c1(b)=2
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b c")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_logprob(docs).collect()
+    }
+    lp_ab = round(math.log(2 / 2), 8)   # (a,b): c2=2, c1(a)=2
+    lp_ba = round(math.log(1 / 2), 8)   # (b,a)
+    lp_bc = round(math.log(1 / 2), 8)   # (b,c)
+    assert got[1] == (2, pytest.approx((lp_ab + lp_ba) / 2))
+    assert got[2] == (2, pytest.approx((lp_ab + lp_bc) / 2))
+
+
+def test_bpe_pair_counts_vocab_weighted(spark):
+    from shaha_spark.operators.terms import bpe_pair_counts
+
+    # vocab: 'abab' freq 2, 'ab' freq 1, 'x' freq 3 (too short → no pairs)
+    docs = spark.createDataFrame(
+        [(1, "abab ab x x"), (2, "abab x")],
+        "doc_id bigint, text string",
+    )
+    rows = bpe_pair_counts(docs, k=10).collect()
+    got = {r["pair"]: r["cnt"] for r in rows}
+    # 'abab' pairs: ab, ba, ab → ab x2, ba x1 (weighted by freq 2)
+    # 'ab' pairs: ab x1 (freq 1)
+    assert got == {"ab": 2 * 2 + 1, "ba": 2}
+    # deterministic total order: count desc then pair asc
+    assert [r["pair"] for r in rows] == ["ab", "ba"]
