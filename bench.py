@@ -131,6 +131,17 @@ def main() -> None:
     extras["build_words_per_sec"] = round(n_words / timings["build_hashdb"], 1)
     extras["bench_reps"] = REPS
 
+    # blake3 kernel throughput (numpy-vectorized pandas UDF) — recorded
+    # as an extra, NOT added to the headline total, so totals stay
+    # comparable across rounds.
+    from shaha_spark.functions.hashers import hash_expr
+
+    t0 = time.perf_counter()
+    words.select(
+        F.length(hash_expr("blake3", F.col("word").cast("binary"))).alias("l")
+    ).agg(F.sum("l")).collect()
+    extras["blake3_words_per_sec"] = round(n_words / (time.perf_counter() - t0), 1)
+
     # bytes/record vs the reference's ~47.5 B/record README datum
     from shaha_spark.io_util import tree_size
 

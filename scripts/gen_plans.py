@@ -174,6 +174,33 @@ NOTES = {
         "MapInPandas node over the scan — Arrow batches, no row-at-a-time "
         "Python."
     ),
+    "docs_gopher_filter": (
+        "All five Gopher rule metrics from ONE explode + map-side-"
+        "combining hash-agg (one scan, one shuffle of five longs per "
+        "doc); rule flags are pure projections — no second pass, no "
+        "Python."
+    ),
+    "docs_mix_resample": (
+        "Per-stratum hash-threshold membership is a single codegen'd "
+        "filter above the scan — zero shuffles, trivially "
+        "partition-parallel at any scale."
+    ),
+    "docs_dup_grams": (
+        "Gram document-frequency as a count window over distinct "
+        "(doc, gram) pairs — single lineage (no groupBy diamond that "
+        "would re-run the gram assembly), one shuffle on the gram key, "
+        "one hash-agg back on doc_id."
+    ),
+    "docs_bigram_logprob": (
+        "Bigram LM table built by window-over-counts (single lineage), "
+        "broadcast for the scoring join; ln evaluated once per distinct "
+        "bigram, decimal-exact per-doc sums."
+    ),
+    "docs_bpe_pairs": (
+        "Pair counting fans out of the DISTINCT vocabulary (small side) "
+        "weighted by term frequency, not the token stream; final top-k "
+        "is TakeOrderedAndProject, never a global sort."
+    ),
 }
 
 
