@@ -1,0 +1,135 @@
+"""Seeded-random differential tests for the round-3 curation operators:
+a pure-Python mirror computes the expected result over randomized
+corpora (symbols, stopwords, repeats, empty docs), and one Spark job
+per operator must reproduce it exactly. Complements the DuckDB oracle
+(engine-vs-engine) with an engine-vs-specification check.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+import pytest
+
+STOPS = ["the", "a", "and", "is", "not", "of", "to", "in", "with", "for"]
+WORDS = STOPS + ["alpha", "beta", "gamma", "delta", "x", "##", "a1b2", "zz9",
+                 "$ymbol", "...", "word", "longishtoken"]
+
+
+def _corpus(seed: int, n_docs: int = 60):
+    rng = random.Random(seed)
+    docs = []
+    for i in range(n_docs):
+        n = rng.choice([0, 1, 3, 15, 25, 40, 95])
+        toks = [rng.choice(WORDS) for _ in range(n)]
+        # force some shared 5-gram spans between consecutive docs
+        if i % 7 == 0 and len(toks) >= 5:
+            toks[:5] = ["p", "q", "r", "s", "t"]
+        docs.append((i, " ".join(toks)))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = _corpus(20260813)
+    return rows, spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t]
+
+
+def test_gopher_rules_matches_python_reference(spark, corpus):
+    rows, df = corpus
+    from shaha_spark.operators.textops import gopher_rules
+
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert set(got) == {i for i, _ in rows}
+    for i, text in rows:
+        toks = _tokens(text)
+        n = len(toks)
+        mean_len = (sum(len(t) for t in toks) / n) if n else 0.0
+        n_alpha = sum(1 for t in toks if any(c.isascii() and c.isalpha() for c in t))
+        n_sym = sum(1 for t in toks if any(not (c.isascii() and c.isalnum()) for c in t))
+        n_stop = sum(1 for t in toks if t in STOPS)
+        g = got[i]
+        assert g["n_tokens"] == n
+        assert g["mean_token_len"] == pytest.approx(mean_len)
+        assert g["n_stopwords"] == n_stop
+        exp = {
+            "pass_count": int(20 <= n <= 90),
+            "pass_mean_len": int(3.0 <= mean_len <= 10.0),
+            "pass_symbols": int((n_sym / n if n else 0.0) <= 0.1),
+            "pass_alpha": int((n_alpha / n if n else 0.0) >= 0.8),
+            "pass_stopwords": int(n_stop >= 2),
+        }
+        for key, v in exp.items():
+            assert g[key] == v, (i, key, g)
+        assert g["keep"] == math.prod(exp.values())
+
+
+def test_dup_gram_stats_matches_python_reference(spark, corpus):
+    rows, df = corpus
+    from shaha_spark.operators.terms import dup_gram_stats
+
+    n = 5
+    per_doc = {
+        i: {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+        for i, text in rows
+        for toks in [_tokens(text)]
+    }
+    gram_df = Counter(g for grams in per_doc.values() for g in grams)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_fraction"])
+        for r in dup_gram_stats(df, n=n).collect()
+    }
+    for i, grams in per_doc.items():
+        if not grams:
+            assert i not in got
+            continue
+        dup = sum(1 for g in grams if gram_df[g] >= 2)
+        assert got[i] == (len(grams), dup, pytest.approx(dup / len(grams)))
+
+
+def test_bigram_logprob_matches_python_reference(spark, corpus):
+    rows, df = corpus
+    from shaha_spark.operators.terms import bigram_logprob
+
+    pairs_by_doc = {
+        i: list(zip(toks, toks[1:]))
+        for i, text in rows
+        for toks in [_tokens(text)]
+    }
+    c2 = Counter(p for ps in pairs_by_doc.values() for p in ps)
+    c1 = Counter()
+    for (w1, _), c in c2.items():
+        c1[w1] += c
+    lp = {p: round(math.log(c / c1[p[0]]), 8) for p, c in c2.items()}
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_logprob(df).collect()
+    }
+    for i, ps in pairs_by_doc.items():
+        if not ps:
+            assert i not in got
+            continue
+        assert got[i][0] == len(ps)
+        assert got[i][1] == pytest.approx(sum(lp[p] for p in ps) / len(ps))
+        # conditional model sanity: log-likelihood of observed data <= 0
+        assert got[i][1] <= 1e-12
+
+
+def test_bpe_pair_counts_matches_python_reference(spark, corpus):
+    rows, df = corpus
+    from shaha_spark.operators.terms import bpe_pair_counts
+
+    vocab = Counter(t for _, text in rows for t in _tokens(text))
+    expect = Counter()
+    for term, freq in vocab.items():
+        for j in range(len(term) - 1):
+            expect[term[j : j + 2]] += freq
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["pair"], r["cnt"]) for r in bpe_pair_counts(df, k=20).collect()]
+    assert got == top
