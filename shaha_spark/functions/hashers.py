@@ -46,10 +46,33 @@ def _keccak256_udf(s: pd.Series) -> pd.Series:
     return pd.Series(_keccak256_batch([_to_bytes(v) for v in s]), index=s.index)
 
 
+#: resolved lazily PER WORKER PROCESS (None = not yet probed): the
+#: native wheel may exist on executors but not the driver or vice
+#: versa, so the probe must run where the UDF runs.
+_BLAKE3_KERNEL: Callable[[list[bytes]], list[bytes]] | None = None
+
+
+def _blake3_digests(datas: list[bytes]) -> list[bytes]:
+    """Batch BLAKE3 with a pluggable native fast path: the ``blake3``
+    wheel (Rust kernel, ~GB/s) when importable, else the numpy-batched
+    pure-Python kernel. Both produce identical spec-vector-tested
+    digests; the pure kernel keeps the engine dependency-free."""
+    global _BLAKE3_KERNEL
+    if _BLAKE3_KERNEL is None:
+        try:
+            from blake3 import blake3 as native  # type: ignore[import-not-found]
+
+            _BLAKE3_KERNEL = lambda ds: [native(d).digest() for d in ds]
+        except ImportError:
+            _BLAKE3_KERNEL = _blake3_batch
+    return _BLAKE3_KERNEL(datas)
+
+
 @pandas_udf(BinaryType())
 def _blake3_udf(s: pd.Series) -> pd.Series:
-    # numpy-vectorized over the Arrow batch (~300x the scalar tree)
-    return pd.Series(_blake3_batch([_to_bytes(v) for v in s]), index=s.index)
+    # numpy-vectorized over the Arrow batch (~300x the scalar tree),
+    # or the native wheel when present (see _blake3_digests)
+    return pd.Series(_blake3_digests([_to_bytes(v) for v in s]), index=s.index)
 
 
 def _md5(col: Column) -> Column:

@@ -70,3 +70,39 @@ def test_empty_and_unicode_and_long(spark):
     ).collect()
     for row in rows:
         assert row.h == hashlib.sha256(row.word.encode("utf-8")).digest()
+
+
+def test_blake3_native_fast_path_selection(monkeypatch):
+    """_blake3_digests prefers an importable `blake3` wheel and falls
+    back to the pure kernel; both paths must agree digest-for-digest."""
+    import sys
+    import types
+
+    from shaha_spark.functions import hashers
+    from shaha_spark.functions.blake3_pure import blake3 as pure
+
+    # fake native module whose digests come from the (vector-tested)
+    # pure kernel, plus a call recorder proving the native path ran
+    calls = []
+
+    class _H:
+        def __init__(self, data):
+            self._d = data
+
+        def digest(self):
+            calls.append(len(self._d))
+            return pure(self._d)
+
+    fake = types.ModuleType("blake3")
+    fake.blake3 = _H
+    monkeypatch.setitem(sys.modules, "blake3", fake)
+    monkeypatch.setattr(hashers, "_BLAKE3_KERNEL", None)
+    data = [b"", b"abc", b"x" * 2000]
+    assert hashers._blake3_digests(data) == [pure(d) for d in data]
+    assert calls == [0, 3, 2000]
+
+    # absent wheel → pure numpy batch kernel, same digests
+    monkeypatch.setitem(sys.modules, "blake3", None)
+    monkeypatch.setattr(hashers, "_BLAKE3_KERNEL", None)
+    monkeypatch.delitem(sys.modules, "blake3")
+    assert hashers._blake3_digests(data) == [pure(d) for d in data]
