@@ -123,3 +123,170 @@ def compact_hashdb(
         "compacted": True,
         "files_after": after["n_files"],
     }
+
+
+# ------------------------------------------------------------ slices
+
+def _local(path: str) -> str | None:
+    """Local-filesystem form of a Hadoop path, or None if remote."""
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    if "://" not in path and not path.startswith("viewfs:"):
+        return path
+    return None
+
+
+def plan_slice_compaction(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    small_ratio: float = 0.5,
+) -> dict[str, Any]:
+    """Plan per-slice compaction: contiguous runs of undersized files.
+
+    The global hash sort makes every file a disjoint [min, max] hash
+    range, so any contiguous-in-range subset can be rewritten
+    independently without touching (or re-sorting) the rest — at 100 TB
+    this is the difference between rewriting gigabytes and rewriting
+    the dataset. Planning is driver-side footer metadata only: each
+    candidate file's min `hash` statistic orders the run; no data is
+    read. Partitioned layouts are sliced per partition directory
+    (ranges from different ``algorithm=`` partitions interleave and
+    must never merge).
+
+    Requires a local filesystem (footers are read with pyarrow); on an
+    object store, plan whole-dataset compaction (:func:`plan_compaction`)
+    or per-partition-dir compaction instead.
+    """
+    import os
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    small = int(target_file_bytes * small_ratio)
+    by_dir: dict[str, list[tuple[str, int]]] = defaultdict(list)
+    for p, sz in io_util.list_files(spark, path):
+        by_dir[os.path.dirname(p)].append((p, sz))
+
+    slices: list[dict[str, Any]] = []
+    for d, files in sorted(by_dir.items()):
+        keyed = []
+        for p, sz in files:
+            lp = _local(p)
+            if lp is None:
+                raise ValueError(
+                    f"slice planning needs local parquet footers, got {p}; "
+                    "use plan_compaction/compact_hashdb for remote stores"
+                )
+            md = pq.ParquetFile(lp).metadata
+            col_idx = md.schema.to_arrow_schema().names.index("hash")
+            lo = md.row_group(0).column(col_idx).statistics.min
+            keyed.append((lo, p, sz))
+        keyed.sort()
+        run: list[tuple[str, int]] = []
+        run_bytes = 0
+
+        def flush():
+            nonlocal run, run_bytes
+            if len(run) >= 2:
+                slices.append({"dir": d, "files": run, "bytes": run_bytes})
+            run, run_bytes = [], 0
+
+        for _, p, sz in keyed:
+            if sz >= small or run_bytes + sz > int(target_file_bytes * 1.5):
+                flush()
+            if sz < small:
+                run.append((p, sz))
+                run_bytes += sz
+        flush()
+    return {
+        "n_slices": len(slices),
+        "slice_files": sum(len(s["files"]) for s in slices),
+        "slice_bytes": sum(s["bytes"] for s in slices),
+        "slices": slices,
+        "needed": bool(slices),
+    }
+
+
+def compact_slices(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    max_slices: int | None = None,
+) -> dict[str, Any]:
+    """Rewrite each fragmented hash-range slice into one sorted file.
+
+    Per-slice swap protocol (no directory swap — the rest of the
+    dataset keeps serving): the replacement file lands in the dataset
+    directory under an ``_incoming`` name (underscore-prefixed files
+    are invisible to parquet readers), the originals are deleted, and
+    the replacement is renamed visible. A crash before the deletes
+    leaves only invisible extras; the delete→rename window is one
+    file-level metadata op per slice. A transactional table format
+    would close even that window — noted in SCALE.md; this is the
+    honest ceiling of a directory-layout store.
+
+    ``max_slices`` bounds one maintenance run (schedule by
+    fragmentation score at scale); slices are processed worst-first
+    (most files first).
+    """
+    import os
+    import uuid
+
+    plan = plan_slice_compaction(spark, path, target_file_bytes)
+    todo = sorted(plan["slices"], key=lambda s: -len(s["files"]))
+    if max_slices is not None:
+        todo = todo[:max_slices]
+    if not todo:
+        return {**plan, "compacted": 0}
+
+    done = 0
+    for s in todo:
+        files = [p for p, _ in s["files"]]
+        df = spark.read.parquet(*files)
+        sort_cols = ["hash"] + (["algorithm"] if "algorithm" in df.columns else [])
+        n_rows = df.count()
+        tmp = s["dir"].rstrip("/") + f"/.__slice_{uuid.uuid4().hex[:8]}__"
+        (
+            df.coalesce(1)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .option("parquet.bloom.filter.enabled#hash", "true")
+            .option(
+                "parquet.bloom.filter.expected.ndv#hash",
+                str(max(n_rows, 1_000_000)),
+            )
+            .parquet(tmp)
+        )
+        part = next(
+            p for p, _ in io_util.list_files(spark, tmp) if p.endswith(".parquet")
+        )
+        stem = f"slice-{uuid.uuid4().hex[:12]}.zstd.parquet"
+        incoming = s["dir"].rstrip("/") + f"/_incoming-{stem}"
+        if not io_util.rename(spark, part, incoming):
+            io_util.delete(spark, tmp)
+            raise IOError(f"slice compaction: could not stage {incoming}")
+        for p in files:
+            io_util.delete(spark, p)
+        final = s["dir"].rstrip("/") + f"/{stem}"
+        if not io_util.rename(spark, incoming, final):
+            raise IOError(
+                f"slice compaction: staged file {incoming} could not be "
+                f"made visible; originals removed — rename it to {final} "
+                "manually"
+            )
+        io_util.delete(spark, tmp)
+        done += 1
+
+    meta = read_sidecar(spark, path)
+    if meta is not None:
+        write_sidecar(
+            spark,
+            path,
+            total_records=meta["total_records"],
+            algorithms=meta.get("algorithms", []),
+            sources=meta.get("sources", []),
+            source_hashes=meta.get("source_hashes", []),
+        )
+    return {**plan, "compacted": done}

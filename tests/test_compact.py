@@ -102,3 +102,107 @@ def test_compact_preserves_partitioned_layout(spark, tmp_path):
     back = read_hashdb(spark, out)
     assert back.count() == 200
     assert {r["algorithm"] for r in back.select("algorithm").distinct().collect()} == {"md5", "sha256"}
+
+
+def test_slice_plan_groups_contiguous_small_files(spark, tmp_path):
+    from shaha_spark.pipeline.compact import plan_slice_compaction
+
+    out = _fragmented_db(spark, tmp_path)  # 16 small range-adjacent files
+    plan = plan_slice_compaction(spark, out, target_file_bytes=64 << 20)
+    assert plan["needed"]
+    # all 16 files are tiny vs the 1 MB target → batched into slices,
+    # every slice has >= 2 files
+    assert plan["slice_files"] == 16
+    assert all(len(s["files"]) >= 2 for s in plan["slices"])
+
+
+def test_slice_compaction_rewrites_only_slices(spark, tmp_path):
+    from shaha_spark.io_util import list_files
+    from shaha_spark.pipeline.compact import compact_slices
+
+    out = _fragmented_db(spark, tmp_path)
+    before = read_hashdb(spark, out)
+    before_hashes = sorted(r["hash"] for r in before.select("hash").collect())
+    meta_before = read_sidecar(spark, out)
+
+    result = compact_slices(spark, out, target_file_bytes=64 << 20)
+    assert result["compacted"] == result["n_slices"] > 0
+
+    files = [p for p, _ in list_files(spark, out)]
+    assert len(files) < 16
+    assert not any("_incoming" in p for p in files)  # staging cleaned up
+
+    after = read_hashdb(spark, out)
+    after_hashes = [r["hash"] for r in after.select("hash").collect()]
+    assert sorted(after_hashes) == before_hashes
+    meta_after = read_sidecar(spark, out)
+    assert meta_after["total_records"] == meta_before["total_records"]
+
+
+def test_slice_compaction_preserves_per_file_sort_and_queries(spark, tmp_path):
+    import hashlib
+
+    from shaha_spark.io_util import list_files
+    from shaha_spark.pipeline.compact import compact_slices
+    from shaha_spark.query import query
+
+    out = _fragmented_db(spark, tmp_path)
+    compact_slices(spark, out, target_file_bytes=64 << 20)
+
+    # every remaining file is internally hash-sorted and files are
+    # pairwise range-disjoint (the prefix-scan pruning invariant)
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for p, _ in list_files(spark, out):
+        lp = p[len("file:"):] if p.startswith("file:") else p
+        t = pq.read_table(lp, columns=["hash"])
+        h = [bytes(v) for v in t.column("hash").to_pylist()]
+        assert h == sorted(h), p
+        ranges.append((h[0], h[-1], p))
+    ranges.sort()
+    for (lo_a, hi_a, pa), (lo_b, hi_b, pb) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, (pa, pb)
+
+    target = hashlib.sha256(b"word0042").hexdigest()
+    rows = query(spark, out, target).collect()
+    assert len(rows) == 1 and rows[0]["preimage"] == "word0042"
+
+
+def test_slice_compaction_respects_max_slices(spark, tmp_path):
+    from shaha_spark.pipeline.compact import compact_slices, plan_slice_compaction
+
+    out = _fragmented_db(spark, tmp_path)
+    # ~1 MB/file (bloom-dominated) x 16; an 8 MB target caps each slice
+    # at 12 MB, so the 16 files split across >= 2 slices
+    plan = plan_slice_compaction(spark, out, target_file_bytes=8 << 20)
+    assert plan["n_slices"] >= 2
+    result = compact_slices(spark, out, target_file_bytes=8 << 20, max_slices=1)
+    assert result["compacted"] == 1
+    again = plan_slice_compaction(spark, out, target_file_bytes=8 << 20)
+    assert again["n_slices"] < plan["n_slices"]
+
+
+def test_slice_compaction_partitioned_never_merges_across_partitions(spark, tmp_path):
+    from shaha_spark.io_util import list_files
+    from shaha_spark.pipeline.compact import compact_slices
+
+    wdf = spark.createDataFrame(
+        [(f"word{i:04d}",) for i in range(100)], "word string"
+    )
+    out = str(tmp_path / "pdb2")
+    build(
+        spark, wdf, ["sha256", "md5"], out,
+        num_files=8, partition_by_algorithm=True,
+    )
+    result = compact_slices(spark, out, target_file_bytes=64 << 20)
+    assert result["compacted"] > 0
+    files = list_files(spark, out)
+    assert files and all("/algorithm=" in p for p, _ in files)
+    back = read_hashdb(spark, out)
+    assert back.count() == 200
+    by_algo = {
+        r["algorithm"]: r["n"]
+        for r in back.groupBy("algorithm").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_algo == {"md5": 100, "sha256": 100}
