@@ -75,6 +75,15 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--force", action="store_true")
     c.add_argument("--dry-run", action="store_true", help="print the plan only")
+    c.add_argument(
+        "--slices", action="store_true",
+        help="rewrite only fragmented hash-range slices instead of the "
+        "whole dataset (local filesystems; plans from footer metadata)",
+    )
+    c.add_argument(
+        "--max-slices", type=int, default=None,
+        help="bound one maintenance run to the N worst slices",
+    )
 
     sub.add_parser("algorithms", help="list available hash algorithms")
     return p
@@ -230,16 +239,32 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "compact":
             from shaha_spark.pipeline.compact import (
                 compact_hashdb,
+                compact_slices,
                 plan_compaction,
+                plan_slice_compaction,
             )
 
             target = args.target_file_mb * 1024 * 1024
             if args.dry_run:
-                print(json.dumps(plan_compaction(spark, args.database, target), indent=2))
+                if args.slices:
+                    plan = plan_slice_compaction(spark, args.database, target)
+                    plan["slices"] = [
+                        {"dir": s["dir"], "n_files": len(s["files"]), "bytes": s["bytes"]}
+                        for s in plan["slices"]
+                    ]
+                else:
+                    plan = plan_compaction(spark, args.database, target)
+                print(json.dumps(plan, indent=2))
                 return 0
-            result = compact_hashdb(
-                spark, args.database, target, force=args.force
-            )
+            if args.slices:
+                result = compact_slices(
+                    spark, args.database, target, max_slices=args.max_slices
+                )
+                result["slices"] = len(result.pop("slices", []))
+            else:
+                result = compact_hashdb(
+                    spark, args.database, target, force=args.force
+                )
             print(json.dumps(result, indent=2))
             return 0
 

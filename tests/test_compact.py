@@ -206,3 +206,27 @@ def test_slice_compaction_partitioned_never_merges_across_partitions(spark, tmp_
         for r in back.groupBy("algorithm").agg(F.count("*").alias("n")).collect()
     }
     assert by_algo == {"md5": 100, "sha256": 100}
+
+
+def test_compact_cli_slices_verb(spark, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    out = _fragmented_db(spark, tmp_path)
+    base = [sys.executable, "-m", "shaha_spark", "compact", "-d", out,
+            "--target-file-mb", "64", "--slices"]
+    dry = subprocess.run(
+        base + ["--dry-run"], capture_output=True, text=True,
+        cwd="/root/repo", timeout=300,
+    )
+    assert dry.returncode == 0, dry.stderr[-2000:]
+    plan = json.loads(dry.stdout)
+    assert plan["needed"] and plan["slice_files"] == 16
+
+    proc = subprocess.run(
+        base, capture_output=True, text=True, cwd="/root/repo", timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout)
+    assert result["compacted"] >= 1
