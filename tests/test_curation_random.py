@@ -133,3 +133,58 @@ def test_bpe_pair_counts_matches_python_reference(spark, corpus):
     top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = [(r["pair"], r["cnt"]) for r in bpe_pair_counts(df, k=20).collect()]
     assert got == top
+
+
+# ---- physical plan shape guards (no jobs run; plans only) ----
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_mix_resample_plan_is_shuffle_free(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["docs_mix_resample"](spark, SF))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_gopher_plan_single_agg_no_sort_fallback(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["docs_gopher_filter"](spark, SF))
+    assert "SortAggregate" not in plan  # metrics stay in hash aggregation
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 1  # one corpus pass for all 5 rules
+
+
+def test_bpe_pairs_plan_uses_topk_not_global_sort(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["docs_bpe_pairs"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_dup_grams_plan_single_corpus_scan(spark):
+    import __spark_entry__ as entry
+
+    # the df-count window rides the SAME lineage as the gram assembly —
+    # a groupBy diamond would show up as a second scan
+    plan = _plan(entry.queries()["docs_dup_grams"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_bigram_plan_broadcasts_lm_table(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["docs_bigram_logprob"](spark, SF))
+    assert "BroadcastHashJoin" in plan  # LM table joins broadcast-side
+    assert "EvalPython" not in plan
+    # pairs subtree feeds the LM build AND the scoring join: two corpus
+    # scans by design (the LM table is the small side); never more
+    assert plan.count("Scan parquet") <= 2
