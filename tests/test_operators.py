@@ -679,3 +679,29 @@ def test_gopher_rules_symbol_and_alpha_ratios(spark):
     assert row["n_tokens"] == 37
     assert row["pass_symbols"] == 0 and row["pass_alpha"] == 0
     assert row["keep"] == 0
+
+
+def test_minhash_mass_duplicates_bounded_by_exact_dedup_prepass(spark):
+    """The documented hot-bucket mitigation (SCALE.md, dedup.py): a
+    mass-identical family produces C(n,2) LSH candidates — the
+    candidate set IS quadratic because the duplicates are real — but
+    the recommended composition (exact_dedup first) collapses the
+    family to one survivor, bounding candidates by genuine near-dups.
+    """
+    import pyspark.sql.functions as F
+
+    clones = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(100)]
+    distinct = [
+        (1000 + i, f"unique{i} tokens nothing shares these spans {i} at all {i}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(clones + distinct, "doc_id bigint, text string")
+
+    naive = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs)).count()
+    assert naive >= 100 * 99 // 2  # the clone family alone is quadratic
+
+    survivors = dedup.exact_dedup(docs)  # 1 id per content digest
+    kept = docs.join(survivors.select("doc_id"), "doc_id")
+    assert kept.count() == 21
+    composed = dedup.lsh_candidate_pairs(dedup.minhash_signatures(kept)).count()
+    assert composed < 25  # only genuine near-dups (if any) remain
