@@ -105,3 +105,56 @@ def minhash_dedup_cc(
         F.col("id").alias(id_col)
     )
     return df.select(id_col).join(losers, id_col, "left_anti")
+
+
+def keep_best_per_component(
+    df: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Quality-aware transitive near-dup removal: within each connected
+    component of the est-Jaccard ≥ threshold graph, keep the HIGHEST-
+    scoring member (ties broken by lowest id) instead of the arbitrary
+    minimum id — the curation-pipeline survivor rule ("of N mirrored
+    copies, keep the cleanest").
+
+    ``score`` is any [id_col, score_col] frame (e.g.
+    textops.quality_score output); only component members join against
+    it, so the score pass can be lazy/pre-filtered. Isolated documents
+    (no near-dup edge) always survive.
+
+    Scale shape: component labels come from the same label-propagation
+    pass as :func:`minhash_dedup_cc`; the survivor choice is one
+    row_number window over (component), whose partitions are component-
+    sized — at 100 TB mega-components are the thing to cap upstream
+    (see SCALE.md), not the window.
+    """
+    from pyspark.sql import Window
+
+    from shaha_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_similarity,
+    )
+
+    sigs = minhash_signatures(df, text_col, id_col).cache()
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    edges = minhash_similarity(sigs, pairs, id_col).where(
+        F.col("est_jaccard") >= threshold
+    ).select("id_a", "id_b")
+    comps = connected_components(edges)  # materialized at fixpoint
+    sigs.unpersist()
+
+    w = Window.partitionBy("comp").orderBy(
+        F.col(score_col).desc(), F.col("id").asc()
+    )
+    member_losers = (
+        comps.join(score.select(F.col(id_col).alias("id"), score_col), "id")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+    return df.select(id_col).join(member_losers, id_col, "left_anti")

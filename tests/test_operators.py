@@ -705,3 +705,46 @@ def test_minhash_mass_duplicates_bounded_by_exact_dedup_prepass(spark):
     assert kept.count() == 21
     composed = dedup.lsh_candidate_pairs(dedup.minhash_signatures(kept)).count()
     assert composed < 25  # only genuine near-dups (if any) remain
+
+
+def test_keep_best_per_component_prefers_quality_over_id(spark):
+    from shaha_spark.operators.components import keep_best_per_component
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                    # near-dup family {1,2,3}
+            (2, base + " lambda"),
+            (3, base),
+            (9, "totally different content with nothing shared here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    score = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.2), (9, 0.5)],
+        "doc_id bigint, quality double",
+    )
+    kept = {
+        r["doc_id"]
+        for r in keep_best_per_component(docs, score, threshold=0.5).collect()
+    }
+    # highest-quality member (2) survives, NOT the minimum id (1);
+    # the isolated doc (9) always survives
+    assert kept == {2, 9}
+
+
+def test_keep_best_per_component_tie_breaks_lowest_id(spark):
+    from shaha_spark.operators.components import keep_best_per_component
+
+    base = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(5, base), (3, base), (8, base)], "doc_id bigint, text string"
+    )
+    score = spark.createDataFrame(
+        [(5, 0.7), (3, 0.7), (8, 0.7)], "doc_id bigint, quality double"
+    )
+    kept = {
+        r["doc_id"]
+        for r in keep_best_per_component(docs, score, threshold=0.5).collect()
+    }
+    assert kept == {3}
