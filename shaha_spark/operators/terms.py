@@ -340,6 +340,30 @@ def decontaminate(
     )
 
 
+def top_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` ratio-idf-weighted terms per document (deterministic
+    tiebreak: weight desc, term asc) — per-doc keyword extraction for
+    corpus browsing/labeling. One row_number window over the
+    :func:`term_stats` output; partitions are document-vocabulary-sized
+    (bounded by document length), so the window never sees more than
+    one document's terms.
+    """
+    from pyspark.sql import Window as W
+
+    ts = term_stats(docs, text_col, id_col)
+    w = W.partitionBy(id_col).orderBy(F.col("weight").desc(), F.col("term").asc())
+    return (
+        ts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "weight", "rank")
+    )
+
+
 def dup_gram_stats(
     docs: DataFrame,
     n: int = 5,

@@ -262,6 +262,42 @@ def normalize_text(
     return df.select(F.col(id_col), collapsed.alias(out_col))
 
 
+#: default PII-style pattern classes, ordered. Deliberately restricted
+#: to a regex subset (character classes, +, {m,n}, literal @ and dots)
+#: with identical semantics in Java regex and RE2-family engines, so
+#: redacted text stays a stable cross-engine value. Order matters:
+#: classes apply sequentially, and earlier rewrites consume their text
+#: (an email's digits are gone before the number pass runs).
+REDACT_PATTERNS: dict[str, str] = {
+    "email": "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]",
+    "phone": "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "number": "[0-9]+",
+}
+
+
+def redact_patterns(
+    df: DataFrame,
+    col: str,
+    patterns: dict[str, str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-class scrubbing pass: each pattern class rewrites to its
+    own ``<name>`` token, applied in dict order in ONE projection —
+    chained regexp_replace stays a single codegen'd expression, no
+    second scan per class. Per-class match counts ride along (counted
+    on the class's input text, i.e. after earlier classes consumed
+    theirs) so a pipeline can audit scrubbing volume per class.
+    """
+    if patterns is None:
+        patterns = REDACT_PATTERNS
+    cur = F.col(col)
+    counts = []
+    for name, pat in patterns.items():
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, f"<{name}>")
+    return df.select(F.col(id_col), cur.alias("redacted"), *counts)
+
+
 def redact_numbers(
     df: DataFrame,
     col: str,

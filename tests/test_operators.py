@@ -748,3 +748,22 @@ def test_keep_best_per_component_tie_breaks_lowest_id(spark):
         for r in keep_best_per_component(docs, score, threshold=0.5).collect()
     }
     assert kept == {3}
+
+
+def test_redact_patterns_multiclass_ordered(spark):
+    from shaha_spark.operators.textops import redact_patterns
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.user@example.com or call 555-867-5309 room 42"),
+            (2, "no pii here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in redact_patterns(docs, "text").collect()}
+    assert got[1]["redacted"] == "mail <email> or call <phone> room <number>"
+    # email digits were consumed by the email class, phone by the phone
+    # class — the number class only sees '42'
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_number"]) == (1, 1, 1)
+    assert got[2]["redacted"] == "no pii here"
+    assert (got[2]["n_email"], got[2]["n_phone"], got[2]["n_number"]) == (0, 0, 0)

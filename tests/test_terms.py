@@ -213,3 +213,27 @@ def test_bpe_pair_counts_vocab_weighted(spark):
     assert got == {"ab": 2 * 2 + 1, "ba": 2}
     # deterministic total order: count desc then pair asc
     assert [r["pair"] for r in rows] == ["ab", "ba"]
+
+
+def test_top_keywords_rare_terms_win(spark):
+    from shaha_spark.operators.terms import top_keywords
+
+    # 'common' is in every doc (df=3, weight=tf*1); 'rare' only in doc 1
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare rare other"),
+            (2, "common other"),
+            (3, "common common"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["weight"])
+        for r in top_keywords(docs, k=2).collect()
+    }
+    # doc 1: rare tf=2 df=1 -> weight 6; other tf=1 df=2 -> 1.5; common 1
+    assert got[(1, 1)] == ("rare", 6.0)
+    assert got[(1, 2)] == ("other", 1.5)
+    # doc 3: only 'common' (tf=2, df=3 -> weight 2.0); no rank-2 row
+    assert got[(3, 1)] == ("common", 2.0)
+    assert (3, 2) not in got
