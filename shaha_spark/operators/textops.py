@@ -275,6 +275,21 @@ REDACT_PATTERNS: dict[str, str] = {
 }
 
 
+def redact_exprs(col: str, patterns: dict[str, str] | None = None):
+    """(redacted Column, [per-class count Columns]) for ``patterns``
+    applied in dict order — the shared expression core of
+    :func:`redact_patterns` and the streaming curation stage (both
+    sides stay a single codegen'd projection)."""
+    if patterns is None:
+        patterns = REDACT_PATTERNS
+    cur = F.col(col)
+    counts = []
+    for name, pat in patterns.items():
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, f"<{name}>")
+    return cur, counts
+
+
 def redact_patterns(
     df: DataFrame,
     col: str,
@@ -288,14 +303,8 @@ def redact_patterns(
     on the class's input text, i.e. after earlier classes consumed
     theirs) so a pipeline can audit scrubbing volume per class.
     """
-    if patterns is None:
-        patterns = REDACT_PATTERNS
-    cur = F.col(col)
-    counts = []
-    for name, pat in patterns.items():
-        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
-        cur = F.regexp_replace(cur, pat, f"<{name}>")
-    return df.select(F.col(id_col), cur.alias("redacted"), *counts)
+    redacted, counts = redact_exprs(col, patterns)
+    return df.select(F.col(id_col), redacted.alias("redacted"), *counts)
 
 
 def redact_numbers(

@@ -309,3 +309,47 @@ def test_stream_stream_window_join(spark, tmp_path):
     # the 02:00 purchase is outside the window; user 2 has no signup;
     # user 3's signup has no purchase
     assert got == {(1, 9.5)}
+
+
+def test_stream_curate_matches_batch_byte_for_byte(spark, tmp_path):
+    """The stateless curation stage (mixture admit + redaction) must
+    produce identical rows on a stream and on the same data as a batch
+    — hash membership and regex rewrites are batch-invariant."""
+    from shaha_spark.streaming.curation import stream_curate
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            f'{{"doc_id": {i}, "lang": "{l}", "text": "contact u{i}@example.com id {i}00"}}'
+            for i, l in enumerate(["en", "de", "fr", "en", "en", "de", "fr", "en"])
+        )
+    )
+    rates = {"en": 0.5, "de": 1.0, "fr": 0.0}
+    schema = "doc_id long, lang string, text string"
+
+    batch = spark.read.schema(schema).json(str(src))
+    expected = sorted(
+        (r["doc_id"], r["redacted"], r["n_email"], r["n_number"])
+        for r in stream_curate(batch, mix_rates=rates).collect()
+    )
+    assert expected, "rates must admit at least one doc"
+    assert all("<email>" in t for _, t, _, _ in expected)
+    assert not any(any(c.isdigit() for c in t) for _, t, _, _ in expected)
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = stream_curate(stream, mix_rates=rates)
+    assert out.isStreaming
+    collected: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, _b: collected.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["redacted"], r["n_email"], r["n_number"]) for r in collected
+    )
+    assert got == expected
