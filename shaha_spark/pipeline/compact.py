@@ -18,6 +18,7 @@ target, so a no-op compaction costs one directory listing.
 
 from __future__ import annotations
 
+import json
 import math
 from typing import Any
 
@@ -208,6 +209,48 @@ def plan_slice_compaction(
     }
 
 
+#: sidecar manifest name per staged slice file: records the swap so a
+#: crash between "delete originals" and "rename visible" rolls forward
+MANIFEST_SUFFIX = ".manifest.json"
+
+
+def recover_slices(spark: SparkSession, path: str) -> dict[str, int]:
+    """Finish or undo slice swaps interrupted by a crash.
+
+    * staged ``_incoming`` file WITH a manifest: the swap committed —
+      roll forward (delete any surviving originals, rename the
+      replacement visible, drop the manifest);
+    * staged file WITHOUT a manifest: the swap never committed — the
+      originals are all still live, so the stage is redundant; drop it.
+
+    Idempotent; called automatically by :func:`compact_slices`.
+    """
+    import os
+
+    entries = io_util.list_files(spark, path, suffix=None)
+    names = {p for p, _ in entries}
+    rolled = dropped = 0
+    for p in sorted(names):
+        base = os.path.basename(p)
+        if base.startswith("_incoming-") and p.endswith(MANIFEST_SUFFIX):
+            manifest = json.loads(io_util.read_text(spark, p) or "{}")
+            incoming = p[: -len(MANIFEST_SUFFIX)]
+            for orig in manifest.get("originals", []):
+                io_util.delete(spark, orig)
+            if incoming in names:
+                if not io_util.rename(spark, incoming, manifest["final"]):
+                    raise IOError(
+                        f"slice recovery: could not make {incoming} visible"
+                    )
+            io_util.delete(spark, p)
+            rolled += 1
+        elif base.startswith("_incoming-") and not p.endswith(MANIFEST_SUFFIX):
+            if p + MANIFEST_SUFFIX not in names:
+                io_util.delete(spark, p)
+                dropped += 1
+    return {"rolled_forward": rolled, "dropped_stages": dropped}
+
+
 def compact_slices(
     spark: SparkSession,
     path: str,
@@ -219,12 +262,16 @@ def compact_slices(
     Per-slice swap protocol (no directory swap — the rest of the
     dataset keeps serving): the replacement file lands in the dataset
     directory under an ``_incoming`` name (underscore-prefixed files
-    are invisible to parquet readers), the originals are deleted, and
-    the replacement is renamed visible. A crash before the deletes
-    leaves only invisible extras; the delete→rename window is one
-    file-level metadata op per slice. A transactional table format
-    would close even that window — noted in SCALE.md; this is the
-    honest ceiling of a directory-layout store.
+    are invisible to parquet readers), a manifest records the swap
+    about to happen, the originals are deleted, the replacement is
+    renamed visible, the manifest is dropped. Any crash is recoverable
+    by :func:`recover_slices` (run automatically at the start of every
+    compaction): incoming WITHOUT manifest → originals are intact,
+    drop the stage; incoming WITH manifest → the swap was committed,
+    roll it FORWARD (finish the deletes, make the replacement
+    visible). A transactional table format would collapse the whole
+    protocol into one commit — noted in SCALE.md; this is the honest
+    ceiling of a directory-layout store.
 
     ``max_slices`` bounds one maintenance run (schedule by
     fragmentation score at scale); slices are processed worst-first
@@ -233,12 +280,13 @@ def compact_slices(
     import os
     import uuid
 
+    recovered = recover_slices(spark, path)
     plan = plan_slice_compaction(spark, path, target_file_bytes)
     todo = sorted(plan["slices"], key=lambda s: -len(s["files"]))
     if max_slices is not None:
         todo = todo[:max_slices]
     if not todo:
-        return {**plan, "compacted": 0}
+        return {**plan, "compacted": 0, "recovered": recovered}
 
     done = 0
     for s in todo:
@@ -264,18 +312,26 @@ def compact_slices(
         )
         stem = f"slice-{uuid.uuid4().hex[:12]}.zstd.parquet"
         incoming = s["dir"].rstrip("/") + f"/_incoming-{stem}"
+        final = s["dir"].rstrip("/") + f"/{stem}"
         if not io_util.rename(spark, part, incoming):
             io_util.delete(spark, tmp)
             raise IOError(f"slice compaction: could not stage {incoming}")
+        # commit point: once the manifest exists, recovery rolls this
+        # swap FORWARD (deletes finished, replacement made visible)
+        io_util.write_text(
+            spark,
+            incoming + MANIFEST_SUFFIX,
+            json.dumps({"originals": files, "final": final}),
+        )
         for p in files:
             io_util.delete(spark, p)
-        final = s["dir"].rstrip("/") + f"/{stem}"
         if not io_util.rename(spark, incoming, final):
             raise IOError(
                 f"slice compaction: staged file {incoming} could not be "
-                f"made visible; originals removed — rename it to {final} "
-                "manually"
+                f"made visible; its manifest will roll the swap forward "
+                "on the next run"
             )
+        io_util.delete(spark, incoming + MANIFEST_SUFFIX)
         io_util.delete(spark, tmp)
         done += 1
 
@@ -289,4 +345,4 @@ def compact_slices(
             sources=meta.get("sources", []),
             source_hashes=meta.get("source_hashes", []),
         )
-    return {**plan, "compacted": done}
+    return {**plan, "compacted": done, "recovered": recovered}

@@ -230,3 +230,58 @@ def test_compact_cli_slices_verb(spark, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     result = json.loads(proc.stdout)
     assert result["compacted"] >= 1
+
+
+def test_recover_drops_uncommitted_stage(spark, tmp_path):
+    """Crash BEFORE the manifest: originals all live, the staged file is
+    redundant — recovery drops it and data is unchanged."""
+    import shutil
+
+    from shaha_spark.pipeline.compact import compact_slices, recover_slices
+
+    out = _fragmented_db(spark, tmp_path)
+    n_before = read_hashdb(spark, out).count()
+    some = next(p for p, _ in __import__("shaha_spark.io_util", fromlist=["x"]).list_files(spark, out))
+    local = some[len("file:"):] if some.startswith("file:") else some
+    staged = f"{out}/_incoming-slice-deadbeef.zstd.parquet"
+    shutil.copy(local, staged)
+
+    rec = recover_slices(spark, out)
+    assert rec == {"rolled_forward": 0, "dropped_stages": 1}
+    assert read_hashdb(spark, out).count() == n_before
+    # and compact_slices sweeps it implicitly too (idempotent)
+    result = compact_slices(spark, out, target_file_bytes=64 << 20)
+    assert result["recovered"]["dropped_stages"] == 0
+
+
+def test_recover_rolls_forward_committed_swap(spark, tmp_path):
+    """Crash AFTER the manifest + original deletes but BEFORE the staged
+    file went visible: the staged file holds the only copy — recovery
+    must make it visible, never drop it."""
+    import json
+    import os
+
+    from shaha_spark import io_util
+    from shaha_spark.pipeline.compact import MANIFEST_SUFFIX, recover_slices
+
+    out = _fragmented_db(spark, tmp_path)
+    n_before = read_hashdb(spark, out).count()
+    files = [p for p, _ in io_util.list_files(spark, out)]
+    victim = files[0]
+    d = os.path.dirname(victim)
+    incoming = f"{d}/_incoming-slice-cafebabe.zstd.parquet"
+    final = f"{d}/slice-cafebabe.zstd.parquet"
+    # simulate: victim was merged into `incoming`, then deleted; crash
+    # before the visibility rename
+    assert io_util.rename(spark, victim, incoming)
+    io_util.write_text(
+        spark, incoming + MANIFEST_SUFFIX,
+        json.dumps({"originals": [victim], "final": final}),
+    )
+
+    rec = recover_slices(spark, out)
+    assert rec == {"rolled_forward": 1, "dropped_stages": 0}
+    assert read_hashdb(spark, out).count() == n_before  # nothing lost
+    names = [p for p, _ in io_util.list_files(spark, out)]
+    assert any(p.endswith("slice-cafebabe.zstd.parquet") for p in names)
+    assert not any("_incoming" in p for p in names)
