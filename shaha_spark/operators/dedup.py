@@ -579,3 +579,127 @@ def minhash_eval(
         .otherwise(F.col("n_hit").cast("double") / F.col("n_true").cast("double"))
         .alias("lsh_recall"),
     )
+
+
+# ------------------------------------------------- semantic dedup
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.98,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication" — public method, re-expressed on
+    Spark primitives).
+
+    Two stages, both already scale-shaped:
+
+      1. k-means clustering of the embeddings (:func:`~shaha_spark.
+         operators.kmeans.kmeans_fit` — per iteration one broadcast of
+         k centroids + one shuffle-free assignment scan);
+      2. within-cluster cosine near-dup pairs with the CLUSTER id as
+         the blocking key (:func:`embedding_near_dup_pairs`) — the
+         self-join is cluster-local, never the O(n²) cross join, and a
+         pair is only ever compared once. Greedy lowest-id-wins
+         survivor selection, the same convention as
+         :func:`minhash_dedup`.
+
+    At 100 TB the cluster count k scales with the corpus (SemDeDup
+    uses ~10⁵ clusters for web scale) so each cluster-local join stays
+    bounded; the clustering itself is linear scans. Returns surviving
+    ``[id_col]`` rows.
+    """
+    from shaha_spark.operators.kmeans import assign_nearest, kmeans_fit
+
+    centroids = kmeans_fit(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    assigned = assign_nearest(df, centroids, vec_col=vec_col, id_col=id_col)
+    pairs = embedding_near_dup_pairs(
+        assigned,
+        vec_col=vec_col,
+        id_col=id_col,
+        bucket_col="centroid_id",
+        threshold=threshold,
+    )
+    losers = (
+        pairs.select(F.col("id_b").alias(id_col)).distinct().localCheckpoint(eager=True)
+    )
+    return df.select(id_col).join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------- line-level dedup
+
+def dedup_duplicate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+    drop_empty_docs: bool = True,
+) -> DataFrame:
+    """Corpus-level exact line deduplication (the RefinedWeb / Falcon
+    recipe for boilerplate removal): a line appearing in ``min_docs``
+    or more DISTINCT documents is removed from every document, and the
+    remaining lines are re-joined in their original order.
+
+    Repeats of a line INSIDE one document do not make it a corpus
+    duplicate (in-doc repetition is scored by
+    :func:`~shaha_spark.operators.terms.ngram_repetition` instead);
+    when a corpus-duplicated line is removed it is removed everywhere,
+    including its in-doc repeats.
+
+    Shuffle budget (the whole operator, at any scale): one explode +
+    hash-shuffle on the line value for the distinct-doc count, one
+    shuffle join of the exploded lines against the duplicated-line set
+    (both sides keyed on the line), and one hash-shuffle on the doc id
+    to reassemble — no window over the full corpus, no driver
+    round-trip. The duplicated-line set is usually far smaller than
+    the corpus (only lines crossing the threshold), so AQE typically
+    turns the middle join into a broadcast.
+
+    Returns ``[id_col, text_col]`` with the cleaned text; documents
+    whose every line was removed are dropped when ``drop_empty_docs``
+    (the Falcon behavior), else kept with an empty string.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "__pos", "__line"
+        ),
+    )
+    dup_lines = (
+        lines.select(id_col, "__line")
+        .distinct()
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__line")
+    )
+    kept = lines.join(dup_lines, "__line", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s.getField("__line"),
+                ),
+                sep,
+            ).alias(text_col)
+        )
+    )
+    if drop_empty_docs:
+        # a doc with zero surviving lines never reaches the groupBy, but
+        # one whose survivors are all empty strings rebuilds to ""
+        return rebuilt.where(F.col(text_col) != "")
+    # keep fully-scrubbed docs: restore ids the anti-join removed entirely
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
+    )

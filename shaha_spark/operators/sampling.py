@@ -176,3 +176,142 @@ def balanced_sample_sql(
   FROM {table}
 )
 SELECT * EXCLUDE (rk) FROM ranked WHERE rk <= {per_label}"""
+
+
+# ----------------------------------------- DSIR-style importance resampling
+
+def _hashed_grams(
+    docs: DataFrame, text_col: str, id_col: str, num_buckets: int, salt: str
+) -> DataFrame:
+    """(id, bucket) rows — hashed unigram + bigram bag features WITH
+    multiplicity (the DSIR feature space). One posexplode + one lead
+    window + one explode; the per-token array carries the token and its
+    right-bigram so both gram orders come out of a single lineage."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    wnd = Window.partitionBy(id_col).orderBy("pos")
+    with_next = toks.select(
+        F.col(id_col),
+        F.col("w"),
+        F.lead("w", 1).over(wnd).alias("w2"),
+    )
+    grams = with_next.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.col("w2").isNotNull(),
+                F.array(F.col("w"), F.concat_ws(" ", "w", "w2")),
+            ).otherwise(F.array(F.col("w")))
+        ).alias("gram"),
+    )
+    return grams.select(
+        F.col(id_col),
+        (h28(F.concat(F.col("gram"), F.lit(salt))) % num_buckets).alias("bucket"),
+    )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    salt: str = "",
+) -> DataFrame:
+    """Per-document DSIR importance log-weight (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — public
+    method re-expressed on Spark primitives):
+
+        w(doc) = ln p_target(doc) − ln p_raw(doc)
+
+    under hashed bag-of-ngrams (unigram+bigram) models with add-one
+    smoothing over ``num_buckets`` hashed features. Documents that look
+    more like the ``target`` distribution than the raw corpus score
+    positive.
+
+    Determinism recipe (the same one as
+    :func:`~shaha_spark.operators.terms.unigram_logprob`): each
+    bucket's smoothed log-probability is a single ``ln`` of one IEEE
+    division, rounded to 8 decimals, cast to decimal; per-document
+    totals are decimal-exact sums of those rounded per-bucket
+    log-ratios, so partitioning and engine cannot reorder anything
+    inexact.
+
+    Scale shape: the bucket log-ratio table has at most ``num_buckets``
+    rows (broadcast); the raw corpus is exploded ONCE into hashed gram
+    instances and aggregated with map-side partials; the target side —
+    in DSIR practice a small high-quality corpus — contributes one more
+    hash-agg. No shuffle is keyed on anything wider than the 28-bit
+    bucket id.
+
+    Returns ``[id_col, n_grams, logweight]``.
+    """
+    raw_grams = _hashed_grams(docs, text_col, id_col, num_buckets, salt)
+    tgt_grams = _hashed_grams(target, text_col, id_col, num_buckets, salt)
+    cr = raw_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    ct = tgt_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    tot_r = cr.agg(F.sum("cr").alias("tr"))
+    tot_t = ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    # every bucket a scored doc can hit appears in cr (docs ⊇ each doc);
+    # buckets unseen in the target smooth to ct=0
+    lam = (
+        cr.join(ct, "bucket", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "bucket",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce("ct", F.lit(0)) + 1).cast("double")
+                        / (F.col("tt") + num_buckets).cast("double")
+                    ),
+                    8,
+                ).cast("decimal(20,8)")
+                - F.round(
+                    F.log(
+                        (F.col("cr") + 1).cast("double")
+                        / (F.col("tr") + num_buckets).cast("double")
+                    ),
+                    8,
+                ).cast("decimal(20,8)")
+            ).alias("lam"),
+        )
+    )
+    return (
+        raw_grams.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lam").cast("double").alias("logweight"),
+        )
+    )
+
+
+def importance_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic top-k DSIR selection: the ``k`` documents whose
+    importance log-weight is highest (ties broken on the id). A
+    rank-based selection rather than DSIR's Gumbel-noise sampling so
+    the selected set is reproducible and oracle-checkable; the ordering
+    statistic is the same.
+
+    The top-k is a distributed TakeOrderedAndProject (per-partition
+    heaps, k·partitions rows to the driver-side merge) — fine for the
+    usual "select millions from billions" k. For selections too large
+    to TakeOrdered, filter :func:`importance_weights` on a threshold
+    instead (one codegen'd filter, no ordering).
+    """
+    w = importance_weights(docs, target, text_col, id_col, num_buckets, salt)
+    return w.orderBy(F.col("logweight").desc(), F.col(id_col).asc()).limit(k)

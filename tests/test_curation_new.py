@@ -1,0 +1,231 @@
+"""Round-3 late additions: SemDeDup, corpus line dedup, DSIR resampling.
+
+Each operator gets a behavioral unit test plus (where the semantics are
+SQL-expressible) an inline DuckDB parity check using the same portable
+determinism recipe the registry oracles use — these are the round-4
+registration candidates listed in ROUND3.md.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from shaha_spark.operators import dedup, sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# ----------------------------------------------------------- semantic_dedup
+
+def test_semantic_dedup_removes_planted_near_dups(spark, embs):
+    # plant two exact copies of existing vectors with higher ids
+    base = embs.select("vec_id", "embedding")
+    n = base.count()
+    copies = (
+        base.orderBy("vec_id")
+        .limit(2)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    planted = base.unionByName(copies)
+    survivors = dedup.semantic_dedup(planted, k=4, iters=2, threshold=0.999999)
+    ids = {r.vec_id for r in survivors.collect()}
+    # the copies (higher ids) lose to their originals
+    assert not any(i >= 1_000_000 for i in ids)
+    # only near-identical vectors may be dropped — the two copies for
+    # sure, plus any natural exact-dups in the corpus
+    assert n - 2 <= len(ids) <= n
+
+
+def test_semantic_dedup_no_dups_keeps_everything(spark, embs):
+    # threshold above any natural similarity: nothing should drop
+    # (cosine rounds to 6 decimals, so 1.0 only for exact duplicates;
+    # drop natural exact-dups from the corpus first)
+    uniq = embs.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    n = uniq.count()
+    survivors = dedup.semantic_dedup(uniq, k=4, iters=1, threshold=1.0)
+    assert survivors.count() == n
+
+
+# ----------------------------------------------------- dedup_duplicate_lines
+
+def _line_docs(spark):
+    rows = [
+        Row(doc_id=1, text="keep one\nboilerplate footer\nunique a"),
+        Row(doc_id=2, text="boilerplate footer\nunique b"),
+        Row(doc_id=3, text="unique c\nboilerplate footer\nboilerplate footer"),
+        Row(doc_id=4, text="boilerplate footer"),
+        Row(doc_id=5, text="solo doc entirely unique"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_dedup_duplicate_lines_removes_cross_doc_lines(spark):
+    out = dedup.dedup_duplicate_lines(_line_docs(spark), min_docs=2)
+    got = {r.doc_id: r.text for r in out.collect()}
+    # 'boilerplate footer' appears in 4 distinct docs -> removed everywhere,
+    # including doc 3's in-doc repeat; doc 4 becomes empty and is dropped
+    assert got == {
+        1: "keep one\nunique a",
+        2: "unique b",
+        3: "unique c",
+        5: "solo doc entirely unique",
+    }
+
+
+def test_dedup_duplicate_lines_keep_empty_docs(spark):
+    out = dedup.dedup_duplicate_lines(
+        _line_docs(spark), min_docs=2, drop_empty_docs=False
+    )
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert got[4] == ""
+    assert len(got) == 5
+
+
+def test_dedup_duplicate_lines_in_doc_repeat_not_corpus_dup(spark):
+    rows = [
+        Row(doc_id=1, text="la\nla\nla"),
+        Row(doc_id=2, text="other"),
+    ]
+    out = dedup.dedup_duplicate_lines(spark.createDataFrame(rows), min_docs=2)
+    got = {r.doc_id: r.text for r in out.collect()}
+    # 'la' repeats inside doc 1 only -> appears in 1 distinct doc -> kept
+    assert got == {1: "la\nla\nla", 2: "other"}
+
+
+def test_dedup_duplicate_lines_duckdb_parity(spark, docs, sf_dir):
+    """Whole-doc texts are single 'lines' here (testdata has no newlines),
+    which exercises the degenerate-but-valid case: exact-duplicate texts
+    across >=2 docs are scrubbed entirely."""
+    out = dedup.dedup_duplicate_lines(docs, min_docs=2).orderBy("doc_id")
+    got = [(r.doc_id, r.text) for r in out.collect()]
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH lines AS (
+          SELECT doc_id, text AS line
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        ), dup AS (
+          SELECT line FROM (
+            SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+          ) WHERE nd >= 2
+        )
+        SELECT doc_id, line AS text FROM lines
+        WHERE line NOT IN (SELECT line FROM dup) AND line <> ''
+        ORDER BY doc_id
+        """
+    ).fetchall()
+    assert got == [(int(a), b) for a, b in want]
+
+
+# ------------------------------------------------------- DSIR resampling
+
+def test_importance_weights_prefer_target_like_docs(spark, docs):
+    # target = the English slice; English docs should on average score
+    # higher than non-English ones
+    target = docs.filter(F.col("lang") == "en")
+    w = sampling.importance_weights(docs, target)
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+    avg = {
+        r.is_en: r.m
+        for r in joined.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("logweight").alias("m"))
+        .collect()
+    }
+    assert avg[True] > avg[False]
+
+
+def test_importance_weights_every_doc_scored(spark, docs):
+    target = docs.filter(F.col("lang") == "en")
+    w = sampling.importance_weights(docs, target)
+    # every doc with at least one token gets a row
+    n_nonempty = docs.filter(F.trim("text") != "").count()
+    assert w.count() == n_nonempty
+
+
+def test_importance_resample_topk_deterministic(spark, docs):
+    target = docs.filter(F.col("lang") == "en")
+    a = sampling.importance_resample(docs, target, k=25)
+    b = sampling.importance_resample(docs, target, k=25)
+    ra = [(r.doc_id, r.logweight) for r in a.collect()]
+    rb = [(r.doc_id, r.logweight) for r in b.collect()]
+    assert ra == rb
+    assert len(ra) == 25
+    # nested-prefix property of rank selection: top-10 is a prefix of top-25
+    c = sampling.importance_resample(docs, target, k=10)
+    assert [(r.doc_id, r.logweight) for r in c.collect()] == ra[:10]
+
+
+def test_importance_weights_duckdb_parity(spark, docs, sf_dir):
+    """Cross-engine check of the full hashed-ngram + rounded-ln recipe —
+    the exact SQL shape a round-4 registry oracle will use."""
+    target = docs.filter(F.col("lang") == "en")
+    got = {
+        r.doc_id: (r.n_grams, round(r.logweight, 6))
+        for r in sampling.importance_weights(docs, target).collect()
+    }
+    B = 4096
+    grams_cte = """
+        toks AS (
+          SELECT doc_id, lang, w, pos FROM (
+            SELECT doc_id, lang, unnest(ts) AS w,
+                   unnest(range(1, len(ts) + 1)) AS pos
+            FROM (SELECT doc_id, lang,
+                         list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                  FROM read_parquet('{p}/documents.parquet'))
+          )
+        ),
+        withnext AS (
+          SELECT doc_id, lang, w,
+                 lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM toks
+        ),
+        grams AS (
+          SELECT doc_id, lang, w AS gram FROM withnext
+          UNION ALL
+          SELECT doc_id, lang, concat(w, ' ', w2) AS gram
+          FROM withnext WHERE w2 IS NOT NULL
+        ),
+        bucketed AS (
+          SELECT doc_id, lang,
+                 CAST(concat('0x', substr(md5(concat(gram, '')), 1, 7)) AS BIGINT)
+                   % {B} AS bucket
+          FROM grams
+        )
+    """.format(p=sf_dir, B=B)
+    sql = f"""
+        WITH {grams_cte},
+        cr AS (SELECT bucket, count(*) AS cr FROM bucketed GROUP BY bucket),
+        ct AS (SELECT bucket, count(*) AS ct FROM bucketed
+               WHERE lang = 'en' GROUP BY bucket),
+        tr AS (SELECT sum(cr) AS tr FROM cr),
+        tt AS (SELECT coalesce(sum(ct), 0) AS tt FROM ct),
+        lam AS (
+          SELECT cr.bucket,
+                 CAST(round(ln((coalesce(ct.ct, 0) + 1)::DOUBLE
+                              / (tt.tt + {B})::DOUBLE), 8) AS DECIMAL(20,8))
+               - CAST(round(ln((cr.cr + 1)::DOUBLE
+                              / (tr.tr + {B})::DOUBLE), 8) AS DECIMAL(20,8))
+                 AS lam
+          FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket, tr, tt
+        )
+        SELECT b.doc_id, count(*) AS n_grams,
+               CAST(sum(lam.lam) AS DOUBLE) AS logweight
+        FROM bucketed b JOIN lam ON b.bucket = lam.bucket
+        GROUP BY b.doc_id
+    """
+    want = {
+        int(d): (int(n), round(lw, 6))
+        for d, n, lw in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == want
