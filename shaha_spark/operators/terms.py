@@ -533,3 +533,132 @@ def unigram_logprob(
             (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------- BPE training
+
+def _merge_pair_expr(sym_col, left: str, right: str):
+    """Greedy left-to-right non-overlapping merge of adjacent
+    ``(left, right)`` symbols — one fold (``F.aggregate``) in
+    whole-stage codegen, the exact merge rule of the original BPE
+    algorithm (Sennrich et al. 2016): scan symbols once; whenever the
+    accumulator's last symbol is ``left`` and the incoming one is
+    ``right``, replace the pair with their concatenation. A freshly
+    merged token can never re-merge as ``left`` within the same pass
+    (``left + right != left`` for non-empty ``right``)."""
+    merged = left + right
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _adjacent_pairs(syms_col):
+    """struct(l, r) array of adjacent symbol pairs; [] for singleton
+    symbol lists (``sequence(1, 0)`` would DESCEND, not be empty)."""
+    return F.when(
+        F.size(syms_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms_col) - 1),
+            lambda i: F.struct(
+                F.element_at(syms_col, i).alias("l"),
+                F.element_at(syms_col, i + 1).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> list[tuple[int, str, str, str, int]]:
+    """Train ``num_merges`` BPE merges over the corpus vocabulary —
+    the full iterative loop behind :func:`bpe_pair_counts` (which is
+    one step's count table). Returns the learned merge list
+    ``[(step, left, right, merged, pair_count), ...]`` in merge order;
+    stops early when no pair reaches ``min_count``.
+
+    Ties on the pair count break lexicographically on (left, right) so
+    the merge sequence is deterministic across engines and runs.
+
+    Execution model (the k-means pattern): the driver loop is
+    ITERATION control only — each step is one distributed pair-count
+    over the frequency-weighted vocabulary (explode of the SMALL
+    distinct-term side, map-side-combining hash-agg, top-1 via
+    TakeOrderedAndProject) plus one codegen'd fold applying the merge;
+    the symbol table is localCheckpoint'ed per step so the plan stays
+    one-iteration deep. The only driver transfer is the single winning
+    pair per step.
+    """
+    if num_merges < 0:
+        raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    vocab = (
+        tokens(docs, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = vocab.select(
+        "freq", F.split("term", "").alias("syms")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        top = (
+            syms.select("freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_count:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((step, l, r, l + r, cnt))
+        syms = syms.withColumn(
+            "syms", _merge_pair_expr(F.col("syms"), l, r)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a learned BPE merge list: apply each
+    merge in training order to every word. Returns
+    ``[id_col, term, pieces array<string>]`` — one row per token
+    OCCURRENCE, each carrying its BPE pieces.
+
+    Scale trick: merges are applied to the DISTINCT vocabulary (each
+    word encoded exactly once, however many times it occurs — at 100 TB
+    the vocabulary is millions of rows against trillions of token
+    occurrences), then joined back to the token stream on the term.
+    The merge chain is pure codegen folds; the symbol table is
+    checkpointed every 10 merges so plan depth stays bounded for long
+    merge lists.
+    """
+    toks = tokens(docs, text_col, id_col)
+    enc = toks.select("term").distinct().select(
+        "term", F.split("term", "").alias("pieces")
+    )
+    # accept either bare (left, right) pairs or bpe_train's
+    # (step, left, right, merged, count) rows
+    pairs = [(m[1], m[2]) if len(m) == 5 else (m[0], m[1]) for m in merges]
+    for i, (l, r) in enumerate(pairs):
+        enc = enc.withColumn("pieces", _merge_pair_expr(F.col("pieces"), l, r))
+        if (i + 1) % 10 == 0:
+            enc = enc.localCheckpoint(eager=True)
+    return toks.join(enc, "term").select(id_col, "term", "pieces")

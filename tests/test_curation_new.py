@@ -229,3 +229,76 @@ def test_importance_weights_duckdb_parity(spark, docs, sf_dir):
         for d, n, lw in duckdb.connect().execute(sql).fetchall()
     }
     assert got == want
+
+
+# ------------------------------------------------------------ BPE training
+
+def _ref_bpe(word_freqs: dict[str, int], num_merges: int, min_count: int = 2):
+    """Independent pure-Python BPE reference (Sennrich-style greedy
+    left-to-right merging, ties lexicographic on the pair)."""
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for step in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((step, l, r, l + r, cnt))
+        for w in syms:
+            s, out = syms[w], []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, syms
+
+
+def _word_freqs(docs):
+    rows = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    return {r.w: r["count"] for r in rows}
+
+
+def test_bpe_train_matches_reference(spark, docs):
+    from shaha_spark.operators import terms
+
+    got = terms.bpe_train(docs, num_merges=8)
+    want, _ = _ref_bpe(_word_freqs(docs), 8)
+    assert got == want
+
+
+def test_bpe_encode_matches_reference(spark, docs):
+    from shaha_spark.operators import terms
+
+    merges = terms.bpe_train(docs, num_merges=6)
+    enc = terms.bpe_encode(docs, merges)
+    _, ref_syms = _ref_bpe(_word_freqs(docs), 6)
+    got = {r.term: list(r.pieces) for r in
+           enc.select("term", "pieces").distinct().collect()}
+    assert got == {w: s for w, s in ref_syms.items()}
+    # every occurrence row reassembles to its term
+    bad = enc.filter(F.array_join("pieces", "") != F.col("term")).count()
+    assert bad == 0
+
+
+def test_bpe_encode_accepts_bare_pairs(spark):
+    from shaha_spark.operators import terms
+
+    d = spark.createDataFrame([Row(doc_id=1, text="banana bandana")])
+    enc = terms.bpe_encode(d, [("a", "n"), ("b", "an")])
+    got = {r.term: list(r.pieces) for r in enc.collect()}
+    assert got == {"banana": ["ban", "an", "a"], "bandana": ["ban", "d", "an", "a"]}
