@@ -1,0 +1,210 @@
+"""Product-quantization (PQ) approximate nearest neighbor — the
+memory-scale path beyond IVF (Jégou et al. 2011, "Product quantization
+for nearest neighbor search" — public method re-expressed on Spark
+primitives).
+
+Why PQ at 100 TB: brute force scans full vectors (dim doubles/row);
+IVF cuts the scanned FRACTION but still reads full vectors inside the
+probed buckets. PQ compresses each vector to ``m`` single-byte-ish
+codes (one per subspace), so the scan reads m ints instead of dim
+floats — a 10-50× cut in scan width — and scores candidates from a
+precomputed per-query lookup table of sub-dot-products (asymmetric
+distance computation, ADC). In production PQ composes with IVF
+(IVF-PQ): bucket first, then PQ-score inside buckets; the two
+operators here are deliberately orthogonal so that composition is a
+plain function chain.
+
+Execution shapes:
+
+  * ``pq_train`` — per subspace, the deterministic
+    :func:`~shaha_spark.operators.kmeans.kmeans_fit` on the sliced
+    subvectors. The driver loop is over the m subspaces (iteration
+    control only); every data pass is a shuffle-free broadcast-assign
+    scan + partial-agg means, inherited from kmeans.
+  * ``pq_encode`` — ONE corpus scan: the m×k codebook broadcasts, each
+    row computes its m nearest sub-centroids entirely inside
+    higher-order expressions (no explode, no shuffle), and carries its
+    exact vector norm alongside so cosine can be reconstructed at
+    query time.
+  * ``pq_topk`` — queries × codebook (both small) build the per-query
+    ADC table driver-free; the corpus codes join the broadcast table
+    and each row's approximate dot is an m-term fold over its codes.
+    One shuffle total: the per-query top-k window.
+
+Determinism: all arithmetic is the same strict left-to-right double
+fold as :mod:`~shaha_spark.operators.similarity`; assignment ties
+break on centroid id. No RNG anywhere (kmeans seeds are the lowest-id
+rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from shaha_spark.operators.kmeans import kmeans_fit
+from shaha_spark.operators.similarity import dot, norm
+
+
+def _subvec(vec_col, sub: int, sub_dim: int):
+    """1-based slice of subspace ``sub`` (0-based index)."""
+    return F.slice(vec_col, sub * sub_dim + 1, sub_dim)
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train per-subspace codebooks: the vector dimension is split into
+    ``m`` contiguous subspaces and each gets a deterministic k-means
+    codebook. Returns ``[sub_id, centroid_id, centroid]`` with
+    ``m × k`` rows (broadcastable by construction).
+
+    dim must be divisible by m (PQ's usual constraint; pad upstream if
+    not).
+    """
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = first["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    books = []
+    for sub in range(m):
+        sliced = corpus.select(
+            F.col(id_col), _subvec(F.col(vec_col), sub, sub_dim).alias(vec_col)
+        )
+        cb = kmeans_fit(sliced, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+        books.append(
+            cb.select(
+                F.lit(sub).alias("sub_id"), "centroid_id", "centroid"
+            )
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    # m*k rows — pin them so downstream broadcasts don't re-run m kmeans
+    return out.localCheckpoint(eager=True)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as ``m`` codes (nearest sub-centroid per
+    subspace, max sub-dot with id-asc ties) plus its exact L2 norm.
+    Returns ``[id_col, codes array<int>, vnorm double]``.
+
+    One shuffle-free corpus scan: the codebook is collected once
+    (m × k rows — the PQ contract) into a literal array so the argmax
+    over sub-centroids runs inside whole-stage codegen per row, with no
+    explode and no join at all.
+    """
+    rows = codebooks.select("sub_id", "centroid_id", "centroid").collect()
+    m = 1 + max(r["sub_id"] for r in rows)
+    sub_dim = len(rows[0]["centroid"])
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(r["sub_id"], []).append(r)
+    for sub in by_sub:
+        by_sub[sub].sort(key=lambda r: r["centroid_id"])
+
+    def best_code(sub: int):
+        subv = _subvec(F.col(vec_col), sub, sub_dim)
+        # struct(-dot, centroid_id) minimum = max dot, ties id-asc
+        cands = F.array(
+            *[
+                F.struct(
+                    (-dot(subv, F.array(*[F.lit(float(x)) for x in r["centroid"]])))
+                    .alias("nd"),
+                    F.lit(r["centroid_id"]).alias("cid"),
+                )
+                for r in by_sub[sub]
+            ]
+        )
+        return F.array_min(cands).getField("cid")
+
+    return corpus.select(
+        F.col(id_col),
+        F.array(*[best_code(s) for s in range(m)]).alias("codes"),
+        norm(F.col(vec_col)).alias("vnorm"),
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: approximate cosine between each query
+    and each encoded corpus vector, scored from the per-query table of
+    query-subvector × sub-centroid dot products.
+
+    ``approx_dot(q, x) = Σ_sub table[q, sub, code_sub(x)]`` and
+    ``approx_cosine = approx_dot / (‖q‖ · ‖x‖)`` using the exact norms
+    (stored at encode time — the standard ADC-with-true-norms variant,
+    which keeps self-matches at rank 1).
+
+    The ADC table is ``n_queries × m × k`` rows — built from two
+    broadcast-sized inputs and itself broadcast; the corpus-code scan
+    aggregates its m (sub, code) entries against the table via an
+    explode + hash-agg keyed on (query, id): the explode fans out m
+    small int rows per corpus vector (m ≪ dim — this is exactly the
+    width PQ saved), partial aggregation combines map-side, and the
+    only full shuffle is the per-query top-k window over already-
+    aggregated (query, id) scores.
+    """
+    sub_dim_row = codebooks.select(F.size("centroid").alias("d")).first()
+    if sub_dim_row is None:
+        raise ValueError("empty codebooks")
+    sub_dim = sub_dim_row["d"]
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    adc = (
+        q.crossJoin(F.broadcast(codebooks))
+        .select(
+            query_id_col,
+            "__qnorm",
+            "sub_id",
+            F.col("centroid_id").alias("code"),
+            dot(
+                _subvec(F.col("__qv"), F.col("sub_id"), sub_dim), F.col("centroid")
+            ).alias("__pdot"),
+        )
+    )
+    exploded = codes.select(
+        F.col(id_col),
+        F.col("vnorm"),
+        F.posexplode("codes").alias("sub_id", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(adc), ["sub_id", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(
+            (
+                F.sum("__pdot") / (F.first("__qnorm") * F.first("vnorm"))
+            ).alias("approx_cosine")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("approx_cosine", 6).alias("approx_cosine"), "rank")
+    )

@@ -302,3 +302,70 @@ def test_bpe_encode_accepts_bare_pairs(spark):
     enc = terms.bpe_encode(d, [("a", "n"), ("b", "an")])
     got = {r.term: list(r.pieces) for r in enc.collect()}
     assert got == {"banana": ["ban", "an", "a"], "bandana": ["ban", "d", "an", "a"]}
+
+
+# ------------------------------------------------- product quantization
+
+def test_pq_roundtrip_on_centroid_vectors(spark):
+    """If corpus vectors ARE sub-centroid concatenations, PQ scoring is
+    EXACT: the top hit for a query equal to a corpus vector is itself
+    with approx_cosine == 1."""
+    from shaha_spark.operators import pq
+
+    import itertools
+    base = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    rows = [
+        Row(vec_id=i, embedding=a + b)
+        for i, (a, b) in enumerate(itertools.product(base, base))
+    ]
+    corpus = spark.createDataFrame(rows)
+    books = pq.pq_train(corpus, m=2, k=4, iters=3)
+    assert books.count() == 8
+    codes = pq.pq_encode(corpus, books)
+    queries = corpus.limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = pq.pq_topk(codes, books, queries, k=3)
+    best = {r.query_id: (r.vec_id, r.approx_cosine)
+            for r in top.filter("rank = 1").collect()}
+    for qid, (vid, cos) in best.items():
+        assert vid == qid and cos == 1.0, (qid, vid, cos)
+
+
+def test_pq_recall_vs_brute_force(spark, embs):
+    from shaha_spark.operators import pq, similarity
+
+    corpus = embs.select("vec_id", "embedding")
+    books = pq.pq_train(corpus, m=16, k=16, iters=2)
+    codes = pq.pq_encode(corpus, books)
+    queries = corpus.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = pq.pq_topk(codes, books, queries, k=10)
+    exact = similarity.brute_force_topk(corpus, queries, k=10)
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    # the sf0.001 embeddings are near-isotropic noise — the hardest
+    # case for PQ; recall@10 far above chance (10/500 = 0.02) is the
+    # functional bar (measured 0.475 at m=16,k=16)
+    assert recall >= 0.4, recall
+
+
+def test_pq_encode_shuffle_free(spark, embs):
+    from shaha_spark.operators import pq
+
+    corpus = embs.select("vec_id", "embedding")
+    books = pq.pq_train(corpus, m=4, k=8, iters=1)
+    codes = pq.pq_encode(corpus, books)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "pq_encode must be a shuffle-free scan"
+    assert "EvalPython" not in plan
+    # codes are within range, m per vector
+    row = codes.first()
+    assert len(row.codes) == 4 and all(1 <= c <= 8 for c in row.codes)
