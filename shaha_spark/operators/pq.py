@@ -208,3 +208,116 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("approx_cosine", 6).alias("approx_cosine"), "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: the production large-scale ANN composition — coarse IVF
+    bucketing restricts WHICH vectors are scored (nprobe/n_centroids of
+    the corpus), PQ codes restrict HOW WIDE each scored row is (m ints
+    instead of dim floats). This function is a plain chain of the two
+    orthogonal operators:
+
+      1. :func:`~shaha_spark.operators.similarity.ivf_assign` buckets
+         the corpus by nearest coarse centroid (write-time in
+         production — the same caveat as ivf_topk);
+      2. :func:`pq_encode` compresses every vector to codes + norm
+         (also write-time in production);
+      3. each query probes its ``nprobe`` nearest coarse buckets and
+         PQ-scores ONLY the codes inside them via the broadcast ADC
+         table; the per-query top-k window is the single full shuffle.
+
+    Residual encoding (classic IVF-PQ quantizes vector − centroid) is
+    deliberately not used: cosine scoring with true stored norms does
+    not decompose over residuals, and the plain-code variant keeps both
+    operators reusable standalone.
+    """
+    from shaha_spark.operators.similarity import cosine_sim, ivf_assign
+
+    coarse = coarse_centroids.localCheckpoint(eager=True)
+    assigned = ivf_assign(corpus, coarse, vec_col, id_col)
+    codes = pq_encode(corpus, codebooks, vec_col, id_col)
+    bucketed_codes = codes.join(
+        assigned.select(id_col, "centroid_id"), id_col
+    )
+    q_probe = (
+        queries.crossJoin(F.broadcast(coarse))
+        .select(
+            query_id_col,
+            F.col(vec_col),
+            F.col("centroid_id"),
+            cosine_sim(F.col(vec_col), F.col("centroid")).alias("__sim"),
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("__sim").desc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .where(F.col("__r") <= nprobe)
+        .select(query_id_col, "centroid_id")
+    )
+    # keep only codes in probed buckets, then delegate scoring; the
+    # probe pairs are (query, bucket) — broadcast-joined, so the corpus
+    # code table is filtered in place with no extra shuffle
+    probed = bucketed_codes.join(
+        F.broadcast(q_probe), "centroid_id"
+    ).select(id_col, "codes", "vnorm", query_id_col)
+    sub_dim_row = codebooks.select(F.size("centroid").alias("d")).first()
+    sub_dim = sub_dim_row["d"]
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    adc = (
+        q.crossJoin(F.broadcast(codebooks))
+        .select(
+            query_id_col,
+            "__qnorm",
+            "sub_id",
+            F.col("centroid_id").alias("code"),
+            dot(
+                _subvec(F.col("__qv"), F.col("sub_id"), sub_dim), F.col("centroid")
+            ).alias("__pdot"),
+        )
+    )
+    exploded = probed.select(
+        query_id_col,
+        F.col(id_col),
+        F.col("vnorm"),
+        F.posexplode("codes").alias("sub_id", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(adc), [query_id_col, "sub_id", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(
+            (
+                F.sum("__pdot") / (F.first("__qnorm") * F.first("vnorm"))
+            ).alias("approx_cosine")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("approx_cosine", 6).alias("approx_cosine"),
+            "rank",
+        )
+    )

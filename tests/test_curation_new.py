@@ -369,3 +369,49 @@ def test_pq_encode_shuffle_free(spark, embs):
     # codes are within range, m per vector
     row = codes.first()
     assert len(row.codes) == 4 and all(1 <= c <= 8 for c in row.codes)
+
+
+def test_ivf_pq_topk_self_match(spark, embs):
+    from shaha_spark.operators import kmeans, pq
+
+    corpus = embs.select("vec_id", "embedding")
+    coarse = kmeans.kmeans_fit(corpus, k=4, iters=1)
+    books = pq.pq_train(corpus, m=16, k=16, iters=1)
+    queries = corpus.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = pq.ivf_pq_topk(corpus, queries, coarse, books, k=5, nprobe=2)
+    rows = top.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, rs in by_q.items():
+        assert len(rs) == 5
+        # every query's own vector is in a probed bucket (nprobe=2 and
+        # assignment uses the same centroids), so it must appear; with
+        # exact self-ADC it ranks first
+        top1 = [r for r in rs if r.rank == 1][0]
+        assert top1.vec_id == qid, (qid, top1)
+
+
+def test_ivf_pq_subset_of_pq(spark, embs):
+    """IVF-PQ results are PQ results restricted to probed buckets: every
+    (query, id, score) IVF-PQ returns must carry the same approx_cosine
+    the pure-PQ scorer assigns."""
+    from shaha_spark.operators import kmeans, pq
+
+    corpus = embs.select("vec_id", "embedding")
+    coarse = kmeans.kmeans_fit(corpus, k=4, iters=1)
+    books = pq.pq_train(corpus, m=8, k=8, iters=1)
+    codes = pq.pq_encode(corpus, books)
+    queries = corpus.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = {
+        (r.query_id, r.vec_id): r.approx_cosine
+        for r in pq.pq_topk(codes, books, queries, k=500).collect()
+    }
+    ivf = pq.ivf_pq_topk(corpus, queries, coarse, books, k=10, nprobe=2).collect()
+    for r in ivf:
+        assert full[(r.query_id, r.vec_id)] == r.approx_cosine
