@@ -188,3 +188,135 @@ def test_bigram_plan_broadcasts_lm_table(spark):
     # pairs subtree feeds the LM build AND the scoring join: two corpus
     # scans by design (the LM table is the small side); never more
     assert plan.count("Scan parquet") <= 2
+
+
+def _line_corpus(seed: int, n_docs: int = 40):
+    rng = random.Random(seed)
+    pool = ["header", "footer text", "copyright 2020", "body %d", "la la",
+            "", "x", "subscribe now", "unique-%d-%d"]
+    docs = []
+    for i in range(n_docs):
+        n = rng.choice([1, 2, 4, 7])
+        lines = []
+        for j in range(n):
+            t = rng.choice(pool)
+            lines.append(t % ((i, j) if t.count("%d") == 2 else i)
+                         if "%d" in t else t)
+        docs.append((i, "\n".join(lines)))
+    return docs
+
+
+def test_dedup_duplicate_lines_matches_python_reference(spark):
+    from shaha_spark.operators.dedup import dedup_duplicate_lines
+
+    rows = _line_corpus(20260814)
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for min_docs in (2, 3):
+        got = {
+            r["doc_id"]: r["text"]
+            for r in dedup_duplicate_lines(df, min_docs=min_docs).collect()
+        }
+        # pure-Python mirror
+        docs_per_line: dict[str, set[int]] = {}
+        for i, text in rows:
+            for ln in text.split("\n"):
+                docs_per_line.setdefault(ln, set()).add(i)
+        dup = {ln for ln, ds in docs_per_line.items() if len(ds) >= min_docs}
+        want = {}
+        for i, text in rows:
+            kept = [ln for ln in text.split("\n") if ln not in dup]
+            joined = "\n".join(kept)
+            if joined:
+                want[i] = joined
+        assert got == want, f"min_docs={min_docs}"
+
+
+def test_bpe_train_random_corpus_matches_reference(spark):
+    from shaha_spark.operators.terms import bpe_train
+
+    rng = random.Random(20260815)
+    alphabet = "abcd"
+    words = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+             for _ in range(120)]
+    rows = [(i, " ".join(rng.choices(words, k=rng.randint(0, 12))))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # reference: Sennrich-style greedy merge, ties lexicographic
+    freqs = Counter(t for _, text in rows for t in text.split(" ") if t)
+    syms = {w: list(w) for w in freqs}
+    want = []
+    for step in range(1, 7):
+        counts: Counter = Counter()
+        for w, f in freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        want.append((step, l, r, l + r, cnt))
+        for w in syms:
+            out = []
+            for x in syms[w]:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms[w] = out
+    assert bpe_train(df, num_merges=6) == want
+
+
+def test_importance_weights_random_corpus_matches_reference(spark):
+    from shaha_spark.operators.sampling import importance_weights
+    import hashlib
+    from decimal import Decimal
+
+    rng = random.Random(20260816)
+    rows = [
+        (i, " ".join(rng.choices(WORDS, k=rng.randint(0, 20))),
+         rng.choice(["en", "de"]))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    target = df.filter("lang = 'en'")
+    B = 512
+    got = {
+        r["doc_id"]: (r["n_grams"], round(r["logweight"], 6))
+        for r in importance_weights(df, target, num_buckets=B).collect()
+    }
+
+    def buckets(text: str) -> list[int]:
+        toks = [t for t in text.split(" ") if t]
+        grams = []
+        for i, t in enumerate(toks):
+            grams.append(t)
+            if i + 1 < len(toks):
+                grams.append(t + " " + toks[i + 1])
+        return [int(hashlib.md5(g.encode()).hexdigest()[:7], 16) % B
+                for g in grams]
+
+    cr: Counter = Counter()
+    ct: Counter = Counter()
+    per_doc: dict[int, list[int]] = {}
+    for i, text, lang in rows:
+        bs = buckets(text)
+        per_doc[i] = bs
+        cr.update(bs)
+        if lang == "en":
+            ct.update(bs)
+    tr, tt = sum(cr.values()), sum(ct.values())
+    lam = {
+        b: (Decimal(str(round(math.log((ct.get(b, 0) + 1) / (tt + B)), 8)))
+            - Decimal(str(round(math.log((cr[b] + 1) / (tr + B)), 8))))
+        for b in cr
+    }
+    want = {}
+    for i, _, _ in rows:
+        bs = per_doc[i]
+        if not bs:
+            continue
+        want[i] = (len(bs), round(float(sum(lam[b] for b in bs)), 6))
+    assert got == want
