@@ -163,6 +163,84 @@ def balanced_sample(
     )
 
 
+def temperature_rates(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.7,
+    budget: int | None = None,
+) -> DataFrame:
+    """Per-stratum sampling rates for temperature-based mixture
+    construction (the multilingual-corpus recipe: sample stratum ``l``
+    proportionally to ``p_l^alpha``, flattening dominant strata and
+    boosting rare ones as ``alpha`` drops below 1).
+
+    Given stratum counts ``c_l`` (empirical shares ``p_l = c_l / N``),
+    the target mixture is ``q_l = p_l^alpha / sum(p^alpha)``; with a
+    total document ``budget`` (default N), the per-stratum keep rate is
+    ``min(1, budget * q_l / c_l)``. Returns one row per stratum:
+    ``(stratum, n_docs, rate)``.
+
+    Scale shape: one map-side-combining hash-agg down to L stratum rows
+    plus an unpartitioned sum window over those L rows (L = number of
+    languages/domains — config-sized, so the single-partition window is
+    a non-issue). No collect; feed the result straight into
+    :func:`temperature_resample`'s broadcast join.
+    """
+    from pyspark.sql import Window
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    powed = counts.withColumn(
+        "__pa", F.pow(F.col("n_docs").cast("double") / total, float(alpha))
+    ).withColumn("__N", total)
+    z = F.sum("__pa").over(Window.partitionBy())
+    budget_col = F.lit(budget).cast("double") if budget is not None else F.col(
+        "__N"
+    ).cast("double")
+    return powed.select(
+        "stratum",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            budget_col
+            * (F.col("__pa") / z)
+            / F.col("n_docs").cast("double"),
+        ).alias("rate"),
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.7,
+    budget: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically resample to the temperature mixture: broadcast
+    the L-row :func:`temperature_rates` table, keep a row iff its hash
+    bucket clears ``floor(rate * BUCKETS)``. Same stability guarantees
+    as :func:`hash_sample` (subset-nesting, engine-agnostic); the rate
+    join is an explicit broadcast so no shuffle touches the corpus.
+    """
+    rates = temperature_rates(df, strata_col, alpha, budget).select(
+        F.col("stratum"), F.floor(F.col("rate") * _BUCKETS).alias("__thr")
+    )
+    joined = df.join(
+        F.broadcast(rates), df[strata_col] == rates["stratum"], "left"
+    )
+    return (
+        joined.where(
+            _bucket(F.col(key_col), salt) < F.coalesce(F.col("__thr"), F.lit(0))
+        )
+        .drop("stratum", "__thr")
+    )
+
+
 def balanced_sample_sql(
     table: str, label_col: str, per_label: int, key_col: str, salt: str = ""
 ) -> str:

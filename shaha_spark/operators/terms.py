@@ -402,6 +402,113 @@ def dup_gram_stats(
     )
 
 
+def remove_dup_gram_spans(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Exact-substring span REMOVAL at n-gram granularity: rewrite each
+    document's text with every token that participates in a
+    corpus-duplicate n-gram deleted, keeping the rest in order.
+    :func:`dup_gram_stats` only *scores* span-level duplication; this is
+    the surgical complement (the "remove duplicated substrings" step of
+    suffix-array training-data dedup, approximated at whole-token n-gram
+    granularity so it stays a pure relational plan).
+
+    A gram is duplicate when it occurs in >= ``min_doc_freq`` distinct
+    documents. Every token position covered by any occurrence of a
+    duplicate gram is dropped; documents with no surviving tokens come
+    back with empty ``clean_text`` (never silently vanish).
+
+    Scale shape: token positions are densified by one per-doc window
+    (single shuffle on the doc id, shared by the gram-assembly leads);
+    gram doc-frequency is a count window over distinct (doc, gram) —
+    same single-lineage recipe as :func:`dup_gram_stats`; coverage is a
+    bounded explode (n rows per duplicate-gram occurrence) followed by
+    an anti-join on (doc, idx); reassembly is one hash-agg with an
+    in-memory ``array_sort`` bounded by document length. No collect, no
+    global sort, no cross join. At 100 TB hash grams to 64-bit before
+    the duplicate-gram join to shrink the shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            F.col(id_col),
+            (F.row_number().over(W.partitionBy(id_col).orderBy("pos")) - 1).alias(
+                "idx"
+            ),
+            "w",
+        )
+    )
+    wnd = W.partitionBy(id_col).orderBy("idx")
+    parts = [F.col("w")] + [F.lead("w", i).over(wnd) for i in range(1, n)]
+    occ = (
+        toks.select(
+            F.col(id_col),
+            F.col("idx"),
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    docgrams = occ.select(id_col, "gram").distinct()
+    dup_grams = (
+        docgrams.withColumn(
+            "__df", F.count(F.lit(1)).over(W.partitionBy("gram"))
+        )
+        .filter(F.col("__df") >= min_doc_freq)
+        .select("gram")
+        .distinct()
+    )
+    covered = (
+        occ.join(dup_grams, "gram")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("idx"), F.col("idx") + F.lit(n - 1))).alias(
+                "idx"
+            ),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            (
+                F.coalesce(F.col("n_tokens"), F.lit(0))
+                - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
 def bigram_logprob(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
