@@ -1,0 +1,95 @@
+"""End-to-end batch corpus curation: the CCNet/RefinedWeb-style recipe
+composed from the operator families, one call from raw documents to a
+training-ready corpus.
+
+Stage order (each stage optional, all deterministic):
+
+  1. redaction        — multi-class pattern scrubbing (textops.redact_exprs)
+  2. line dedup       — corpus-duplicate line removal (dedup.dedup_duplicate_lines)
+  3. quality gate     — Gopher rule filter (textops.gopher_rules)
+  4. exact dedup      — lowest-id survivor per content digest (dedup.exact_dedup)
+  5. mixture          — temperature resampling per stratum (sampling.temperature_resample)
+
+Scale shape: redaction is a zero-shuffle codegen'd projection; line
+dedup and the quality gate are each one explode + doc-id-keyed
+reassembly; exact dedup is one digest-keyed agg; the mixture stage is a
+broadcast filter. Every join in the chain keys on the SAME doc id, so
+the doc-id hash partitioning established by the first reassembly is
+reused by Spark for the later joins (exchange reuse) instead of
+re-shuffling per stage. No collect, no global sort, no Python in the
+data path — the whole pipeline is one lazy plan, so Catalyst prunes
+columns through every stage and AQE sizes the reducers once, at run
+time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from shaha_spark.operators.dedup import dedup_duplicate_lines, exact_dedup
+from shaha_spark.operators.sampling import temperature_resample
+from shaha_spark.operators.textops import gopher_rules, redact_exprs
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    patterns: dict[str, str] | None = None,
+    line_dedup: bool = True,
+    min_line_docs: int = 2,
+    line_sep: str = "\n",
+    gopher: bool = True,
+    exact: bool = True,
+    mix_col: str | None = None,
+    mix_alpha: float = 0.7,
+    mix_budget: int | None = None,
+    salt: str = "curate",
+) -> DataFrame:
+    """Run the curation chain; returns the surviving documents with the
+    same columns as the input (``text_col`` rewritten by the redaction
+    and line-dedup stages).
+
+    Stages toggle independently: ``patterns=None`` skips redaction,
+    ``mix_col=None`` skips the mixture stage. The result is lazy — one
+    action executes the whole chain.
+    """
+    out = docs
+    other_cols = [c for c in docs.columns if c != text_col]
+
+    if patterns is not None:
+        redacted, _counts = redact_exprs(text_col, patterns)
+        out = out.select(*other_cols, redacted.alias(text_col))
+
+    if line_dedup:
+        cleaned = dedup_duplicate_lines(
+            out,
+            text_col=text_col,
+            id_col=id_col,
+            min_docs=min_line_docs,
+            sep=line_sep,
+        )
+        out = cleaned.join(out.select(*other_cols), id_col)
+
+    if gopher:
+        keep_ids = (
+            gopher_rules(out, text_col=text_col, id_col=id_col)
+            .where(F.col("keep") == 1)
+            .select(id_col)
+        )
+        out = out.join(keep_ids, id_col, "left_semi")
+
+    if exact:
+        survivors = exact_dedup(out, text_col=text_col, id_col=id_col).select(
+            id_col
+        )
+        out = out.join(survivors, id_col, "left_semi")
+
+    if mix_col is not None:
+        out = temperature_resample(
+            out, mix_col, id_col, alpha=mix_alpha, budget=mix_budget, salt=salt
+        )
+
+    return out.select(*docs.columns)
