@@ -142,6 +142,17 @@ def main() -> None:
     ).agg(F.sum("l")).collect()
     extras["blake3_words_per_sec"] = round(n_words / (time.perf_counter() - t0), 1)
 
+    # end-to-end curation chain (redact → line dedup → Gopher gate →
+    # exact dedup → temperature mixture) — an extra for the same reason.
+    from shaha_spark.pipeline.curate import curate_corpus
+
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    curate_corpus(
+        docs, patterns={"num": "[0-9]+"}, mix_col="lang", mix_alpha=0.7
+    ).count()
+    extras["curate_docs_per_sec"] = round(n_docs / (time.perf_counter() - t0), 1)
+
     # bytes/record vs the reference's ~47.5 B/record README datum
     from shaha_spark.io_util import tree_size
 

@@ -203,6 +203,49 @@ NOTES = {
     ),
 }
 
+#: operators not (yet) in the driver registry — built directly.
+#: name → (note, builder(spark, sf_dir) -> DataFrame)
+EXTRA = {
+    "remove_dup_gram_spans": (
+        "Span removal: one doc-keyed window (position densify + gram "
+        "leads share the shuffle), single-lineage gram-count window, "
+        "bounded coverage explode, anti-join on (doc, idx), one "
+        "reassembly hash-agg. No CartesianProduct, no Python.",
+        lambda spark, sf: __import__(
+            "shaha_spark.operators.terms", fromlist=["terms"]
+        ).remove_dup_gram_spans(
+            spark.read.parquet(f"{sf}/documents.parquet"), n=5
+        ),
+    ),
+    "temperature_resample": (
+        "The L-row rate table (one hash-agg + window over L strata rows) "
+        "broadcasts into a BroadcastHashJoin; the corpus side is a "
+        "shuffle-free scan + codegen'd hash-threshold filter.",
+        lambda spark, sf: __import__(
+            "shaha_spark.operators.sampling", fromlist=["sampling"]
+        ).temperature_resample(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            "lang",
+            "doc_id",
+            alpha=0.7,
+        ),
+    ),
+    "curate_corpus": (
+        "The whole curation chain is ONE plan: redaction folds into the "
+        "first projection, line dedup and the Gopher gate are doc-keyed "
+        "agg/join stages reusing the same hash partitioning, exact dedup "
+        "is one digest-keyed agg, and the mixture stage is a broadcast "
+        "filter on top.",
+        lambda spark, sf: __import__(
+            "shaha_spark.pipeline.curate", fromlist=["curate"]
+        ).curate_corpus(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            patterns={"num": "[0-9]+"},
+            mix_col="lang",
+        ),
+    ),
+}
+
 
 def main() -> None:
     from shaha_spark.session import get_spark
@@ -224,8 +267,13 @@ def main() -> None:
         "— single-scan pair generation (one signature subtree, not one per\n"
         "self-join side) and codegen'd per-token hashing in the text ops.\n"
     )
-    for name, note in NOTES.items():
-        df = queries[name](spark, SF_DIR)
+    builders = {name: None for name in NOTES}
+    builders.update({name: b for name, (_, b) in EXTRA.items()})
+    notes = dict(NOTES)
+    notes.update({name: n for name, (n, _) in EXTRA.items()})
+    for name, note in notes.items():
+        builder = builders[name]
+        df = builder(spark, SF_DIR) if builder else queries[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
@@ -234,7 +282,7 @@ def main() -> None:
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as fh:
         fh.write(out.getvalue())
-    print(f"wrote {path} ({len(NOTES)} plans)")
+    print(f"wrote {path} ({len(notes)} plans)")
 
 
 if __name__ == "__main__":
