@@ -1,0 +1,533 @@
+"""Round-4 staged registrations.
+
+Every operator shipped in round 3 WITHOUT a driver registry slot (the
+50-row correctness window was exactly full of never-verified queries)
+gets its `(spark, sf_dir) -> DataFrame` callable and DuckDB oracle SQL
+here, locally verified by tests/test_oracle_r4.py with the driver's
+exact comparison. Round-4 merge is mechanical: move these entries to
+the FRONT of `__spark_entry__.queries()` / `oracle_sql()` (they have
+never had a driver row) and push round-3-verified entries behind them.
+
+`docs_bpe_encode` is deliberately oracle-less (iterative merge loop —
+non-SQL-expressible; the driver records its weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from __spark_entry__ import _kmeans_parts, _pairs_cte, _t
+from shaha_spark.operators.constants import MINHASH_PERMS, QUALITY_STOPWORDS
+from shaha_spark.operators.sampling import bucket_sql, h28_sql
+
+# ----------------------------------------------------------- queries
+
+LOGREG_DIM = 64
+#: fixed deterministic demo weights for the scoring registration:
+#: w_i = ((i*37) % 21 - 10) / 10  in [-1.0, 1.0]
+LOGREG_WEIGHTS = [((i * 37) % 21 - 10) / 10.0 for i in range(LOGREG_DIM)]
+
+
+def q_docs_line_dedup(spark, sf_dir):
+    """Corpus-duplicate line removal (operators.dedup.dedup_duplicate_lines).
+    Testdata texts are single-line, which exercises the degenerate-but-
+    valid case: exact-duplicate texts across >=2 docs scrub entirely."""
+    from shaha_spark.operators.dedup import dedup_duplicate_lines
+
+    return dedup_duplicate_lines(_t(spark, sf_dir, "documents"), min_docs=2)
+
+
+def q_docs_dup_span_removed(spark, sf_dir):
+    """Exact-substring span removal at 5-gram granularity
+    (operators.terms.remove_dup_gram_spans)."""
+    from shaha_spark.operators.terms import remove_dup_gram_spans
+
+    return remove_dup_gram_spans(_t(spark, sf_dir, "documents"), n=5)
+
+
+def q_docs_temperature_rates(spark, sf_dir):
+    """Per-language temperature-mixture sampling rates, alpha=0.7
+    (operators.sampling.temperature_rates)."""
+    from shaha_spark.operators.sampling import temperature_rates
+
+    return temperature_rates(_t(spark, sf_dir, "documents"), "lang", 0.7)
+
+
+def q_docs_temperature_resample(spark, sf_dir):
+    """Deterministic resample to the alpha=0.7 temperature mixture
+    (operators.sampling.temperature_resample)."""
+    from shaha_spark.operators.sampling import temperature_resample
+
+    return temperature_resample(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", alpha=0.7
+    )
+
+
+def q_docs_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights of every doc against the English
+    slice as target (operators.sampling.importance_weights)."""
+    from shaha_spark.operators.sampling import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return importance_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+def q_docs_dsir_topk(spark, sf_dir):
+    """Deterministic top-25 DSIR selection
+    (operators.sampling.importance_resample)."""
+    from shaha_spark.operators.sampling import importance_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    return importance_resample(docs, docs.filter(F.col("lang") == "en"), k=25)
+
+
+def q_docs_top_keywords(spark, sf_dir):
+    """Top-3 ratio-idf keywords per document
+    (operators.terms.top_keywords)."""
+    from shaha_spark.operators.terms import top_keywords
+
+    return top_keywords(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_docs_redact(spark, sf_dir):
+    """Two-class redaction (digit runs, shouted words) with per-class
+    match counts (operators.textops.redact_patterns)."""
+    from shaha_spark.operators.textops import redact_patterns
+
+    return redact_patterns(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        {"num": "[0-9]+", "shout": "[A-Z][A-Z]+"},
+    )
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup survivor selection: highest quality_score
+    per connected component wins
+    (operators.components.keep_best_per_component)."""
+    from shaha_spark.operators.components import keep_best_per_component
+    from shaha_spark.operators.textops import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return keep_best_per_component(
+        docs, quality_score(docs), score_col="quality", threshold=0.7
+    )
+
+
+def q_docs_hashed_features(spark, sf_dir):
+    """Hashed bag-of-words tf features, exploded to (doc, idx, val)
+    rows (operators.classifier.hashed_features)."""
+    from shaha_spark.operators.classifier import hashed_features
+
+    feats = hashed_features(_t(spark, sf_dir, "documents"), dim=LOGREG_DIM)
+    return feats.select(
+        "doc_id", F.explode("feats").alias("p")
+    ).select("doc_id", F.col("p.idx").alias("idx"), F.col("p.val").alias("val"))
+
+
+def q_docs_logreg_score(spark, sf_dir):
+    """Classifier scoring under the fixed demo weight vector
+    (operators.classifier.logreg_score); probability rounded to 6
+    decimals — the margin is a sequential idx-ordered fold on both
+    engines, so the rounding is belt-and-braces."""
+    from shaha_spark.operators.classifier import hashed_features, logreg_score
+
+    feats = hashed_features(_t(spark, sf_dir, "documents"), dim=LOGREG_DIM)
+    scored = logreg_score(feats, LOGREG_WEIGHTS, 0.0)
+    return scored.select(
+        "doc_id", F.round("quality_prob", 6).alias("quality_prob")
+    )
+
+
+def q_emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means (k=4, 2 Lloyd iterations) then cluster-blocked
+    cosine near-dup pruning (operators.dedup.semantic_dedup)."""
+    from shaha_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=4, iters=2, threshold=0.98
+    )
+
+
+def q_docs_bpe_encode(spark, sf_dir):
+    """BPE round trip: train 8 merges on the corpus vocabulary, encode
+    every token occurrence (operators.terms.bpe_train / bpe_encode).
+    Iterative — registered rows-only (no SQL oracle)."""
+    from shaha_spark.operators.terms import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, bpe_train(docs, num_merges=8))
+    return enc.select(
+        "doc_id", "term", F.concat_ws(" ", "pieces").alias("pieces_joined")
+    )
+
+
+def q_docs_curated(spark, sf_dir):
+    """The composed curation chain (pipeline.curate.curate_corpus):
+    line dedup -> Gopher gate -> exact dedup (redaction and mixture off
+    so the oracle stays a pure stage-twin chain)."""
+    from shaha_spark.pipeline.curate import curate_corpus
+
+    return curate_corpus(_t(spark, sf_dir, "documents"))
+
+
+def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "docs_line_dedup": q_docs_line_dedup,
+        "docs_dup_span_removed": q_docs_dup_span_removed,
+        "docs_temperature_rates": q_docs_temperature_rates,
+        "docs_temperature_resample": q_docs_temperature_resample,
+        "docs_dsir_weights": q_docs_dsir_weights,
+        "docs_dsir_topk": q_docs_dsir_topk,
+        "docs_top_keywords": q_docs_top_keywords,
+        "docs_redact": q_docs_redact,
+        "dedup_keep_best": q_dedup_keep_best,
+        "docs_hashed_features": q_docs_hashed_features,
+        "docs_logreg_score": q_docs_logreg_score,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "docs_bpe_encode": q_docs_bpe_encode,
+        "docs_curated": q_docs_curated,
+    }
+
+
+# ------------------------------------------------------------ oracles
+
+_LINES_CTE = """lines AS (
+  SELECT doc_id, text AS line FROM documents
+),
+dupl AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+  ) WHERE nd >= 2
+),
+ld AS (
+  SELECT doc_id, line AS text FROM lines
+  WHERE line NOT IN (SELECT line FROM dupl) AND line <> ''
+)"""
+
+_TEMP_RATES_CTE = """counts AS (
+  SELECT lang AS stratum, count(*) AS n_docs FROM documents GROUP BY lang
+),
+powed AS (
+  SELECT stratum, n_docs,
+         pow(n_docs::DOUBLE / sum(n_docs) OVER (), 0.7) AS pa,
+         sum(n_docs) OVER () AS n
+  FROM counts
+),
+rates AS (
+  SELECT stratum, n_docs,
+         least(1.0, n::DOUBLE * (pa / sum(pa) OVER ()) / n_docs::DOUBLE) AS rate
+  FROM powed
+)"""
+
+
+def _dsir_weights_sql(num_buckets: int = 4096) -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id, lang, w, pos FROM (
+    SELECT doc_id, lang, unnest(ts) AS w,
+           unnest(range(1, len(ts) + 1)) AS pos
+    FROM (SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS ts
+          FROM documents)
+  )
+),
+withnext AS (
+  SELECT doc_id, lang, w,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, lang, w AS gram FROM withnext
+  UNION ALL
+  SELECT doc_id, lang, concat(w, ' ', w2) AS gram
+  FROM withnext WHERE w2 IS NOT NULL
+),
+bucketed AS (
+  SELECT doc_id, lang,
+         {h28_sql("concat(gram, '')")} % {num_buckets} AS bucket
+  FROM grams
+),
+cr AS (SELECT bucket, count(*) AS cr FROM bucketed GROUP BY bucket),
+ct AS (SELECT bucket, count(*) AS ct FROM bucketed
+       WHERE lang = 'en' GROUP BY bucket),
+tr AS (SELECT sum(cr) AS tr FROM cr),
+tt AS (SELECT coalesce(sum(ct), 0) AS tt FROM ct),
+lam AS (
+  SELECT cr.bucket,
+         CAST(round(ln((coalesce(ct.ct, 0) + 1)::DOUBLE
+                      / (tt.tt + {num_buckets})::DOUBLE), 8) AS DECIMAL(20,8))
+       - CAST(round(ln((cr.cr + 1)::DOUBLE
+                      / (tr.tr + {num_buckets})::DOUBLE), 8) AS DECIMAL(20,8))
+         AS lam
+  FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket, tr, tt
+),
+w AS (
+  SELECT b.doc_id, count(*) AS n_grams,
+         CAST(sum(lam.lam) AS DOUBLE) AS logweight
+  FROM bucketed b JOIN lam ON b.bucket = lam.bucket
+  GROUP BY b.doc_id
+)"""
+
+
+_GOPHER_STOPS_IN = "(" + ", ".join(
+    f"'{w}'" for w in QUALITY_STOPWORDS
+) + ")"
+
+_QUALITY_STOPS_LIST = "[" + ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS) + "]"
+
+
+def oracle_sql_r4() -> dict[str, str]:
+    sql: dict[str, str] = {}
+
+    sql["docs_line_dedup"] = f"""WITH {_LINES_CTE}
+SELECT doc_id, text FROM ld"""
+
+    sql["docs_dup_span_removed"] = """WITH toks0 AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(l) AS w, unnest(range(0, len(l))) AS idx FROM toks0
+), grams AS (
+  SELECT doc_id, idx,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+           || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS gram,
+         lead(w, 4) OVER win AS last_w
+  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY idx)
+), occ AS (
+  SELECT doc_id, idx, gram FROM grams WHERE last_w IS NOT NULL
+), dupg AS (
+  SELECT gram FROM (
+    SELECT gram, count(*) OVER (PARTITION BY gram) AS df
+    FROM (SELECT DISTINCT doc_id, gram FROM occ)
+  ) WHERE df >= 2 GROUP BY gram
+), covered AS (
+  SELECT DISTINCT o.doc_id, o.idx + s.i AS idx
+  FROM occ o JOIN dupg USING (gram),
+       UNNEST(generate_series(0, 4)) AS s(i)
+), kept AS (
+  SELECT t.doc_id, t.idx, t.w FROM toks t
+  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+  WHERE c.idx IS NULL
+), agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY idx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(t.n_tokens, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN tot t USING (doc_id)"""
+
+    sql["docs_temperature_rates"] = f"""WITH {_TEMP_RATES_CTE}
+SELECT stratum, n_docs, rate FROM rates"""
+
+    sql["docs_temperature_resample"] = f"""WITH {_TEMP_RATES_CTE},
+thr AS (
+  SELECT stratum, CAST(floor(rate * 10000) AS BIGINT) AS thr FROM rates
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN thr t ON d.lang = t.stratum
+WHERE {bucket_sql('doc_id', '')} < coalesce(t.thr, 0)"""
+
+    sql["docs_dsir_weights"] = (
+        _dsir_weights_sql() + "\nSELECT doc_id, n_grams, logweight FROM w"
+    )
+
+    sql["docs_dsir_topk"] = (
+        _dsir_weights_sql()
+        + "\nSELECT doc_id, n_grams, logweight FROM w"
+        + "\nORDER BY logweight DESC, doc_id ASC LIMIT 25"
+    )
+
+    sql["docs_top_keywords"] = """WITH words AS (
+  SELECT w AS word, doc_id FROM (
+    SELECT unnest(string_split(text, ' ')) AS w, doc_id FROM documents
+  ) WHERE w <> ''
+),
+tf AS (SELECT doc_id, word AS term, count(*) AS tf FROM words GROUP BY 1, 2),
+tfd AS (
+  SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tf
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ts AS (
+  SELECT tfd.doc_id, tfd.term, tfd.tf, tfd.df,
+         CAST(tfd.tf AS DOUBLE)
+           * (CAST(n.n_docs AS DOUBLE) / CAST(tfd.df AS DOUBLE)) AS weight
+  FROM tfd CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, weight, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY weight DESC, term ASC
+  ) AS rank FROM ts
+) WHERE rank <= 3"""
+
+    sql["docs_redact"] = """SELECT doc_id,
+  regexp_replace(
+    regexp_replace(text, '[0-9]+', '<num>', 'g'),
+    '[A-Z][A-Z]+', '<shout>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+  CAST(len(regexp_extract_all(
+    regexp_replace(text, '[0-9]+', '<num>', 'g'),
+    '[A-Z][A-Z]+')) AS BIGINT) AS n_shout
+FROM documents"""
+
+    k_perms = len(MINHASH_PERMS)
+    match_terms = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(k_perms)
+    )
+    sql["dedup_keep_best"] = f"""WITH RECURSIVE {_pairs_cte()},
+sims AS (
+  SELECT p.id_a, p.id_b,
+    CAST({match_terms} AS DOUBLE) / {k_perms} AS est_jaccard
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b
+),
+ed AS (
+  SELECT id_a AS src, id_b AS dst FROM sims WHERE est_jaccard >= 0.7
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM sims WHERE est_jaccard >= 0.7
+),
+reach(id, comp) AS (
+  SELECT src, src FROM ed
+  UNION
+  SELECT e.src, r.comp FROM ed e JOIN reach r ON r.id = e.dst
+),
+comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+qbase AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS qt
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    0.4 * least(CAST(len(qt) AS DOUBLE) / 100.0, 1.0)
+  + 0.3 * least(
+      CASE WHEN len(qt) > 0
+        THEN CAST(list_sum(list_transform(qt, w -> length(w))) AS DOUBLE)
+             / len(qt) ELSE 0.0 END / 8.0, 1.0)
+  + 0.3 * least(
+      CASE WHEN len(qt) > 0
+        THEN CAST(len(list_filter(qt,
+               w -> list_contains({_QUALITY_STOPS_LIST}, w))) AS DOUBLE)
+             / len(qt) ELSE 0.0 END / 0.2, 1.0) AS quality
+  FROM qbase
+),
+ranked AS (
+  SELECT c.id, row_number() OVER (
+    PARTITION BY c.comp ORDER BY q.quality DESC, c.id ASC
+  ) AS rk
+  FROM comp c JOIN q ON q.doc_id = c.id
+),
+losers AS (SELECT id AS doc_id FROM ranked WHERE rk > 1)
+SELECT d.doc_id FROM documents d LEFT JOIN losers l USING (doc_id)
+WHERE l.doc_id IS NULL"""
+
+    feat_cte = f"""words AS (
+  SELECT w AS word, doc_id FROM (
+    SELECT unnest(string_split(text, ' ')) AS w, doc_id FROM documents
+  ) WHERE w <> ''
+),
+feat AS (
+  SELECT doc_id,
+         CAST({h28_sql("concat(word, '')")} % {LOGREG_DIM} AS INTEGER) AS idx,
+         count(*) AS c
+  FROM words GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(c) AS n FROM feat GROUP BY doc_id),
+fv AS (
+  SELECT f.doc_id, f.idx,
+         CAST(f.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS val
+  FROM feat f JOIN tot t USING (doc_id)
+)"""
+
+    sql["docs_hashed_features"] = f"""WITH {feat_cte}
+SELECT doc_id, idx, val FROM fv"""
+
+    # w_i = ((i*37) % 21 - 10) / 10.0 — exactly LOGREG_WEIGHTS. The
+    # ordered sum replays Spark's sequential idx-ordered fold.
+    sql["docs_logreg_score"] = f"""WITH {feat_cte},
+m AS (
+  SELECT doc_id,
+         sum(val * ((CAST(idx AS BIGINT) * 37) % 21 - 10) / 10.0
+             ORDER BY idx) AS margin
+  FROM fv GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-coalesce(m.margin, 0.0))), 6)
+         AS quality_prob
+FROM documents d LEFT JOIN m USING (doc_id)"""
+
+    kparts = ",\n".join(_kmeans_parts(k=4, iters=2))
+    sql["emb_semantic_dedup"] = f"""WITH {kparts},
+af AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT v.vec_id, v.e, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(CAST(v.e AS DOUBLE[]), c.cv) DESC,
+                      c.centroid_id ASC
+           ) AS r
+    FROM v CROSS JOIN c2 c
+  ) WHERE r = 1
+),
+prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(
+           CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])), 6) AS cosine
+  FROM af a JOIN af b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+),
+losers AS (SELECT DISTINCT id_b AS vec_id FROM prs WHERE cosine >= 0.98)
+SELECT e2.vec_id FROM embeddings e2 LEFT JOIN losers l USING (vec_id)
+WHERE l.vec_id IS NULL"""
+
+    sql["docs_curated"] = f"""WITH {_LINES_CTE},
+w AS (
+  SELECT doc_id, w2 AS word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w2 FROM ld
+  ) WHERE w2 <> ''
+),
+gagg AS (
+  SELECT doc_id, count(*) AS n_tokens, SUM(len(word)) AS sum_len,
+    SUM(CASE WHEN regexp_matches(word, '[a-zA-Z]') THEN 1 ELSE 0 END)
+      AS n_alpha,
+    SUM(CASE WHEN regexp_matches(word, '[^a-zA-Z0-9]') THEN 1 ELSE 0 END)
+      AS n_sym,
+    SUM(CASE WHEN word IN {_GOPHER_STOPS_IN} THEN 1 ELSE 0 END) AS n_stop
+  FROM w GROUP BY 1
+),
+gm AS (
+  SELECT ld.doc_id,
+    coalesce(a.n_tokens, 0) AS n_tokens,
+    CASE WHEN coalesce(a.n_tokens, 0) > 0
+      THEN CAST(a.sum_len AS DOUBLE) / a.n_tokens ELSE 0.0 END AS mean_len,
+    CASE WHEN coalesce(a.n_tokens, 0) > 0
+      THEN CAST(a.n_sym AS DOUBLE) / a.n_tokens ELSE 0.0 END AS sym_ratio,
+    CASE WHEN coalesce(a.n_tokens, 0) > 0
+      THEN CAST(a.n_alpha AS DOUBLE) / a.n_tokens ELSE 0.0 END AS alpha_ratio,
+    coalesce(a.n_stop, 0) AS n_stop
+  FROM ld LEFT JOIN gagg a USING (doc_id)
+),
+keepers AS (
+  SELECT doc_id FROM gm
+  WHERE n_tokens >= 20 AND n_tokens <= 90
+    AND mean_len >= 3.0 AND mean_len <= 10.0
+    AND sym_ratio <= 0.1 AND alpha_ratio >= 0.8 AND n_stop >= 2
+),
+g AS (SELECT ld.doc_id, ld.text FROM ld JOIN keepers USING (doc_id)),
+ex AS (SELECT md5(text) AS dg, min(doc_id) AS doc_id FROM g GROUP BY 1),
+surv AS (SELECT g.doc_id, g.text FROM g JOIN ex ON ex.doc_id = g.doc_id)
+SELECT s.doc_id, s.text, d.lang, d.source, d.n_chars
+FROM surv s JOIN documents d USING (doc_id)"""
+
+    return sql

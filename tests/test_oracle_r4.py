@@ -1,0 +1,85 @@
+"""Round-4 staged registrations vs their DuckDB oracles — the same
+comparison as tests/test_oracle.py (the driver's t2 gate), run over
+`_r4_staging.queries_r4()` / `oracle_sql_r4()` so every backlog
+operator is locally green before it enters the driver window.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import _r4_staging as staging
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    return v
+
+
+def _sorted_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+ORACLES = staging.oracle_sql_r4()
+QUERIES = staging.queries_r4()
+
+
+def test_every_oracle_has_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_only_bpe_is_oracle_less():
+    # non-SQL-expressible registrations must stay the explicit exception
+    assert set(QUERIES) - set(ORACLES) == {"docs_bpe_encode"}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_staged_query_matches_oracle(spark, duck, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_cols = sdf.columns
+    srows = _sorted_rows([tuple(r) for r in sdf.collect()], spark_cols)
+    ores = duck.execute(ORACLES[name]).fetchall()
+    ocols = [d[0] for d in duck.description]
+    orows = _sorted_rows(ores, ocols)
+    assert sorted(spark_cols) == sorted(ocols), (spark_cols, ocols)
+    assert len(srows) == len(orows), (len(srows), len(orows))
+    assert srows == orows
+
+
+def test_bpe_encode_rows_only(spark, sf_dir):
+    out = QUERIES["docs_bpe_encode"](spark, sf_dir)
+    assert out.columns == ["doc_id", "term", "pieces_joined"]
+    n = out.count()
+    assert n > 0
+    # every occurrence keeps its pieces; concatenating pieces restores
+    # the term (merge application never loses characters)
+    from pyspark.sql import functions as F
+
+    bad = out.where(
+        F.replace(F.col("pieces_joined"), F.lit(" "), F.lit("")) != F.col("term")
+    ).count()
+    assert bad == 0
