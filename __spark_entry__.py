@@ -2042,25 +2042,34 @@ SELECT v.hash_hex, v.preimage, v.algorithm
 FROM vec v JOIN dw ON v.preimage = dw.word"""
 
 
-def _kmeans_parts(k: int = 4, iters: int = 2) -> list[str]:
+def _kmeans_parts(
+    k: int = 4,
+    iters: int = 2,
+    prefix: str = "",
+    src: str = "SELECT vec_id, embedding AS e FROM embeddings",
+) -> list[str]:
     """CTE parts for the kmeans_fit oracle: one assignment + one
     decimal-exact mean CTE pair per iteration, mirroring
     operators/kmeans.py step for step (init = k lowest ids, cosine
     argmax with id-asc ties, float-rounded means, empty clusters keep
-    the previous centroid). Final centroids land in CTE ``c{iters}``."""
+    the previous centroid). Final centroids land in CTE
+    ``{prefix}c{iters}``. ``prefix``/``src`` let callers chain several
+    independent fits in one statement (the PQ per-subspace codebooks:
+    src slices the vector, prefix namespaces the CTEs)."""
+    p_ = prefix
     parts = [
-        "v AS (SELECT vec_id, embedding AS e FROM embeddings)",
-        """c0 AS (
+        f"{p_}v AS ({src})",
+        """{p}c0 AS (
   SELECT centroid_id, cv, CAST(0 AS BIGINT) AS n_members FROM (
     SELECT row_number() OVER (ORDER BY vec_id ASC) AS centroid_id,
            CAST(e AS DOUBLE[]) AS cv
-    FROM (SELECT vec_id, e FROM v ORDER BY vec_id ASC LIMIT {k})
+    FROM (SELECT vec_id, e FROM {p}v ORDER BY vec_id ASC LIMIT {k})
   )
-)""".format(k=k),
+)""".format(k=k, p=p_),
     ]
     for i in range(1, iters + 1):
-        prev = f"c{i-1}"
-        parts.append(f"""a{i} AS (
+        prev = f"{p_}c{i-1}"
+        parts.append(f"""{p_}a{i} AS (
   SELECT vec_id, e, centroid_id FROM (
     SELECT v.vec_id, v.e, c.centroid_id,
            row_number() OVER (
@@ -2068,26 +2077,26 @@ def _kmeans_parts(k: int = 4, iters: int = 2) -> list[str]:
              ORDER BY list_cosine_similarity(CAST(v.e AS DOUBLE[]), c.cv) DESC,
                       c.centroid_id ASC
            ) AS r
-    FROM v CROSS JOIN {prev} c
+    FROM {p_}v v CROSS JOIN {prev} c
   ) WHERE r = 1
 )""")
         # NB: comp must widen to DOUBLE before the DECIMAL cast — DuckDB
         # scales FLOAT→DECIMAL in float32 arithmetic, losing ~7 digits
-        parts.append(f"""m{i} AS (
+        parts.append(f"""{p_}m{i} AS (
   SELECT centroid_id, p,
          CAST(CAST(CAST(SUM(CAST(CAST(comp AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS FLOAT) AS DOUBLE) AS m,
          COUNT(*) AS n
   FROM (SELECT centroid_id, unnest(e) AS comp,
-               unnest(range(1, len(e) + 1)) AS p FROM a{i})
+               unnest(range(1, len(e) + 1)) AS p FROM {p_}a{i})
   GROUP BY centroid_id, p
 )""")
-        parts.append(f"""c{i} AS (
+        parts.append(f"""{p_}c{i} AS (
   SELECT p.centroid_id,
          CASE WHEN mv.cv IS NULL THEN p.cv ELSE mv.cv END AS cv,
          CAST(coalesce(mv.n, 0) AS BIGINT) AS n_members
   FROM {prev} p LEFT JOIN (
     SELECT centroid_id, list(m ORDER BY p) AS cv, min(n) AS n
-    FROM m{i} GROUP BY centroid_id
+    FROM {p_}m{i} GROUP BY centroid_id
   ) mv USING (centroid_id)
 )""")
     return parts

@@ -165,6 +165,50 @@ def q_docs_bpe_encode(spark, sf_dir):
     )
 
 
+PQ_M = 4
+PQ_K = 4
+PQ_ITERS = 2
+PQ_TOPK = 5
+
+
+def _pq_pieces(spark, sf_dir):
+    from shaha_spark.operators.pq import pq_encode, pq_train
+
+    corpus = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(corpus, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    codes = pq_encode(corpus, cb)
+    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return corpus, cb, codes, queries
+
+
+def q_emb_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (operators.pq.pq_train /
+    pq_encode / pq_topk): per-subspace codebooks chained through the
+    kmeans per-iteration oracle, shuffle-free encode, broadcast ADC
+    scoring."""
+    from shaha_spark.operators.pq import pq_topk
+
+    _, cb, codes, queries = _pq_pieces(spark, sf_dir)
+    return pq_topk(codes, cb, queries, k=PQ_TOPK)
+
+
+def q_emb_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ composition (operators.pq.ivf_pq_topk): coarse-bucket
+    probe plus ADC scoring over PQ codes. The probe set depends on
+    which buckets each query ranks — SQL-expressible in principle but
+    the full chain (coarse kmeans + m sub-kmeans + probe + ADC) is
+    registered rows-only; its two halves are each independently under
+    the oracle gate (similarity_ivf_kmeans, emb_pq_topk)."""
+    from shaha_spark.operators.kmeans import kmeans_fit
+    from shaha_spark.operators.pq import ivf_pq_topk
+
+    corpus, cb, _codes, queries = _pq_pieces(spark, sf_dir)
+    coarse = kmeans_fit(corpus, k=PQ_K, iters=PQ_ITERS)
+    return ivf_pq_topk(corpus, queries, coarse, cb, k=PQ_TOPK, nprobe=2)
+
+
 def q_docs_curated(spark, sf_dir):
     """The composed curation chain (pipeline.curate.curate_corpus):
     line dedup -> Gopher gate -> exact dedup (redaction and mixture off
@@ -188,6 +232,8 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hashed_features": q_docs_hashed_features,
         "docs_logreg_score": q_docs_logreg_score,
         "emb_semantic_dedup": q_emb_semantic_dedup,
+        "emb_pq_topk": q_emb_pq_topk,
+        "emb_ivf_pq_topk": q_emb_ivf_pq_topk,
         "docs_bpe_encode": q_docs_bpe_encode,
         "docs_curated": q_docs_curated,
     }
@@ -490,6 +536,86 @@ prs AS (
 losers AS (SELECT DISTINCT id_b AS vec_id FROM prs WHERE cosine >= 0.98)
 SELECT e2.vec_id FROM embeddings e2 LEFT JOIN losers l USING (vec_id)
 WHERE l.vec_id IS NULL"""
+
+    # PQ: m sub-kmeans chains (namespaced through the parameterized
+    # kmeans oracle generator) -> codebook union -> encode (argmax
+    # sub-dot, ties centroid-id-asc) -> per-query ADC table -> scored
+    # sum -> top-k window. Exposed cosines round to 6 decimals, the
+    # cross-engine recipe for float-fold ulp drift.
+    dim = 64
+    sub_dim = dim // PQ_M
+    pq_parts: list[str] = []
+    for s in range(PQ_M):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        pq_parts.extend(
+            _kmeans_parts(
+                k=PQ_K,
+                iters=PQ_ITERS,
+                prefix=f"s{s}_",
+                src=(
+                    f"SELECT vec_id, list_slice(embedding, {lo}, {hi}) AS e "
+                    "FROM embeddings"
+                ),
+            )
+        )
+    pq_parts.append(
+        "cb AS ("
+        + "\nUNION ALL\n".join(
+            f"SELECT {s} AS sub_id, centroid_id, cv FROM s{s}_c{PQ_ITERS}"
+            for s in range(PQ_M)
+        )
+        + ")"
+    )
+    pq_parts.append(
+        """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+vn AS (SELECT vec_id, sqrt(list_dot_product(ev, ev)) AS vnorm FROM base),
+enc AS (
+  SELECT vec_id, sub_id, centroid_id AS code FROM (
+    SELECT b.vec_id, cb.sub_id, cb.centroid_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id, cb.sub_id
+             ORDER BY list_dot_product(
+               list_slice(b.ev, cb.sub_id * {sd} + 1, (cb.sub_id + 1) * {sd}),
+               cb.cv) DESC,
+             cb.centroid_id ASC
+           ) AS r
+    FROM base b CROSS JOIN cb
+  ) WHERE r = 1
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+qn AS (SELECT query_id, sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
+adc AS (
+  SELECT q.query_id, cb.sub_id, cb.centroid_id AS code,
+         list_dot_product(
+           list_slice(q.qv, cb.sub_id * {sd} + 1, (cb.sub_id + 1) * {sd}),
+           cb.cv) AS pdot
+  FROM q CROSS JOIN cb
+),
+sc AS (
+  SELECT a.query_id, e.vec_id, sum(a.pdot) AS sdot
+  FROM enc e JOIN adc a ON e.sub_id = a.sub_id AND e.code = a.code
+  GROUP BY 1, 2
+),
+fin AS (
+  SELECT sc.query_id, sc.vec_id, sc.sdot / (qn.qnorm * vn.vnorm) AS ac
+  FROM sc JOIN qn USING (query_id) JOIN vn USING (vec_id)
+)""".format(sd=sub_dim)
+    )
+    sql["emb_pq_topk"] = (
+        "WITH "
+        + ",\n".join(pq_parts)
+        + f"""
+SELECT query_id, vec_id, round(ac, 6) AS approx_cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY ac DESC, vec_id ASC
+  ) AS rank FROM fin
+) WHERE rank <= {PQ_TOPK}"""
+    )
 
     sql["docs_curated"] = f"""WITH {_LINES_CTE},
 w AS (

@@ -52,9 +52,31 @@ def test_every_oracle_has_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
-def test_only_bpe_is_oracle_less():
-    # non-SQL-expressible registrations must stay the explicit exception
-    assert set(QUERIES) - set(ORACLES) == {"docs_bpe_encode"}
+def test_only_documented_oracle_less():
+    # non-SQL-expressible registrations must stay explicit exceptions
+    # (bpe: iterative merge loop; ivf-pq: probe-dependent composition
+    # whose two halves are each under the oracle gate)
+    assert set(QUERIES) - set(ORACLES) == {"docs_bpe_encode", "emb_ivf_pq_topk"}
+
+
+def test_ivf_pq_rows_only(spark, sf_dir):
+    out = QUERIES["emb_ivf_pq_topk"](spark, sf_dir)
+    rows = out.collect()
+    assert rows, "ivf-pq returned nothing"
+    assert out.columns == ["query_id", "vec_id", "approx_cosine", "rank"]
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) <= 5
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # scores are valid approximate cosines, monotone in rank (the
+        # k=4 codebook quantizes coarsely, so no closeness-to-1 claim)
+        ordered = sorted(rs, key=lambda r: r.rank)
+        scores = [r.approx_cosine for r in ordered]
+        assert scores == sorted(scores, reverse=True)
+        assert all(-1.01 <= s <= 1.01 for s in scores)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
