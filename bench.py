@@ -99,6 +99,15 @@ def main() -> None:
     lsh_candidate_pairs(minhash_signatures(docs_small)).count()
     simhash(docs_small).count()
 
+    # Each rep constructs its DataFrame FRESH. Re-executing a shared
+    # DataFrame would look faster but lies: Spark reuses the shuffle
+    # map outputs of an identical RDD lineage across jobs ("skipped
+    # stages"), so rep 2+ would skip the scans and shuffles entirely
+    # (measured: tpch_q1 drops 1.1 s -> 0.07 s). The fresh plan pays
+    # ~1-2 s driver-side codegen for the widest plans (minhash's 16
+    # aggregates) — a fixed cost that vanishes at scale but is honestly
+    # part of a single-shot query here.
+
     db_path = ""
     for rep in range(REPS):
         # -------- build pipeline (north star) --------
