@@ -66,6 +66,26 @@ def generate() -> str:
             f"| {i} | `{k}` | {'yes' if k in oracles else 'rows-only'} "
             f"| {status(k)}{window} |"
         )
+
+    import _r4_staging as staging
+
+    skeys = list(staging.queries_r4())
+    soracles = set(staging.oracle_sql_r4())
+    lines += [
+        "",
+        "### Staged for round 4 (`_r4_staging.py`)",
+        "",
+        f"{len(skeys)} operators implemented and locally oracle-verified "
+        "(tests/test_oracle_r4.py runs the driver's exact comparison) but "
+        "not yet in the driver window — the window is full of "
+        "never-driver-verified round-3 entries. Round 4 moves these to "
+        "the front of the registry.",
+        "",
+        "| query | oracle |",
+        "|---|---|",
+    ]
+    for k in skeys:
+        lines.append(f"| `{k}` | {'yes' if k in soracles else 'rows-only'} |")
     lines += ["", END]
     return "\n".join(lines)
 
