@@ -209,6 +209,14 @@ def q_emb_ivf_pq_topk(spark, sf_dir):
     return ivf_pq_topk(corpus, queries, coarse, cb, k=PQ_TOPK, nprobe=2)
 
 
+def q_docs_char_entropy(spark, sf_dir):
+    """Per-document character Shannon entropy — the gibberish/binary
+    junk screen (operators.textops.char_entropy)."""
+    from shaha_spark.operators.textops import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_docs_curated(spark, sf_dir):
     """The composed curation chain (pipeline.curate.curate_corpus):
     line dedup -> Gopher gate -> exact dedup (redaction and mixture off
@@ -235,6 +243,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ivf_pq_topk": q_emb_ivf_pq_topk,
         "docs_bpe_encode": q_docs_bpe_encode,
+        "docs_char_entropy": q_docs_char_entropy,
         "docs_curated": q_docs_curated,
     }
 
@@ -616,6 +625,35 @@ FROM (
   ) AS rank FROM fin
 ) WHERE rank <= {PQ_TOPK}"""
     )
+
+    sql["docs_char_entropy"] = """WITH pos AS (
+  SELECT doc_id, unnest(range(1, length(text) + 1)) AS i FROM documents
+),
+ch AS (
+  SELECT p.doc_id, substr(d.text, p.i, 1) AS c
+  FROM pos p JOIN documents d USING (doc_id)
+),
+cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+tot AS (
+  SELECT doc_id, c, n, sum(n) OVER (PARTITION BY doc_id) AS tn FROM cnt
+),
+terms AS (
+  SELECT doc_id, tn,
+         CAST(round((n::DOUBLE / tn::DOUBLE)
+                    * ln(n::DOUBLE / tn::DOUBLE) / ln(2.0), 8)
+              AS DECIMAL(20,8)) AS t
+  FROM tot
+),
+per AS (
+  SELECT doc_id, min(tn) AS n_chars, count(*) AS n_distinct_chars,
+         -CAST(sum(t) AS DOUBLE) + 0.0 AS entropy
+  FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(p.n_distinct_chars, 0) AS BIGINT) AS n_distinct_chars,
+       coalesce(p.entropy, 0.0) AS entropy
+FROM documents d LEFT JOIN per p USING (doc_id)"""
 
     sql["docs_curated"] = f"""WITH {_LINES_CTE},
 w AS (

@@ -247,6 +247,64 @@ def fingerprint(
     )
 
 
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy over characters (bits/char) — the
+    cheap gibberish/binary-junk screen of web-corpus curation: natural
+    prose sits ~3.5-4.5 bits, base64/hex blobs and key-mash junk score
+    far higher, single-char spam near zero. Returns
+    ``[id_col, n_chars, n_distinct_chars, entropy]``; empty documents
+    get entropy 0.
+
+    Determinism recipe (the unigram-LM pattern): each distinct
+    (doc, char) contributes ``round(p·ln(p)/ln(2), 8)`` evaluated once,
+    summed as DECIMAL — order-free exact addition, so the score is
+    bit-stable across engines and partitionings.
+
+    Scale shape: one character explode (codegen'd split) + one
+    (doc, char) hash-agg with map-side combine + a per-doc count window
+    over the ≤|alphabet| distinct-char rows (single lineage, no
+    diamond) + one doc hash-agg. The shuffle after the first agg
+    carries at most alphabet-size rows per document.
+    """
+    from pyspark.sql import Window as W
+
+    chars = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("__ch")
+    ).filter(F.col("__ch") != "")
+    counts = chars.groupBy(id_col, "__ch").agg(F.count(F.lit(1)).alias("__c"))
+    n = F.sum("__c").over(W.partitionBy(id_col))
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    term = (
+        F.round(p * F.log(p) / F.log(F.lit(2.0)), 8)
+        .cast("decimal(20,8)")
+    )
+    per_doc = (
+        counts.withColumn("__n", n)
+        .select(F.col(id_col), F.col("__n"), term.alias("__t"))
+        .groupBy(id_col)
+        .agg(
+            F.first("__n").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            # + 0.0 canonicalizes the -0.0 a uniform document produces
+            (-F.sum("__t").cast("double") + F.lit(0.0)).alias("entropy"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("bigint").alias("n_chars"),
+            F.coalesce(F.col("n_distinct_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct_chars"),
+            F.coalesce(F.col("entropy"), F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
 def normalize_text(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     out_col: str = "norm_text",

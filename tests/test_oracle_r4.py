@@ -92,6 +92,37 @@ def test_staged_query_matches_oracle(spark, duck, sf_dir, name):
     assert srows == orows
 
 
+def test_char_entropy_known_values(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from shaha_spark.operators.textops import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aaaa"),        # uniform -> 0 bits
+            Row(doc_id=2, text="abab"),        # two equiprobable -> 1 bit
+            Row(doc_id=3, text="abcd"),        # four equiprobable -> 2 bits
+            Row(doc_id=4, text=""),            # empty -> 0, zero chars
+        ]
+    )
+    got = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert got[1].entropy == pytest.approx(0.0) and got[1].n_distinct_chars == 1
+    assert got[2].entropy == pytest.approx(1.0)
+    assert got[3].entropy == pytest.approx(2.0)
+    assert got[4].n_chars == 0 and got[4].entropy == 0.0
+    # natural-prose-vs-junk direction: uniform junk maxes out
+    rng_text = "".join(chr(97 + (i * 7) % 26) for i in range(260))
+    df2 = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat sat on the mat with the hat"),
+         Row(doc_id=2, text=rng_text)]
+    )
+    e = {r.doc_id: r.entropy for r in char_entropy(df2).collect()}
+    assert e[2] > e[1]
+    assert e[2] == pytest.approx(math.log2(26), abs=0.01)
+
+
 def test_bpe_encode_rows_only(spark, sf_dir):
     out = QUERIES["docs_bpe_encode"](spark, sf_dir)
     assert out.columns == ["doc_id", "term", "pieces_joined"]
