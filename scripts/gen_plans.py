@@ -230,6 +230,15 @@ EXTRA = {
             alpha=0.7,
         ),
     ),
+    "char_entropy": (
+        "One character explode + (doc, char) hash-agg with map-side "
+        "combine; the count window runs over alphabet-bounded per-doc "
+        "rows; rounded-ln decimal sums keep the score "
+        "partitioning-invariant. All JVM.",
+        lambda spark, sf: __import__(
+            "shaha_spark.operators.textops", fromlist=["textops"]
+        ).char_entropy(spark.read.parquet(f"{sf}/documents.parquet")),
+    ),
     "curate_corpus": (
         "The whole curation chain is ONE plan: redaction folds into the "
         "first projection, line dedup and the Gopher gate are doc-keyed "
