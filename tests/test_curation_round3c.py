@@ -144,6 +144,26 @@ def test_remove_dup_spans_duckdb_parity(spark, docs, sf_dir):
     assert got == want
 
 
+def test_remove_dup_spans_mass_duplicate_stress(spark):
+    """Hot-key stress: every document shares the same 5-gram (the
+    worst-case skew for the duplicate-gram join) plus a unique tail.
+    The operator must stay correct — and the coverage explode stays
+    bounded at n rows per occurrence, so no quadratic blowup."""
+    boiler = "one two three four five"
+    n_docs = 400
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=f"{boiler} unique{d}a unique{d}b") for d in range(n_docs)]
+    )
+    out = terms.remove_dup_gram_spans(df, n=5).collect()
+    assert len(out) == n_docs
+    for r in out:
+        # the shared 5-gram covers positions 0-4 AND 1-5, 2-6 windows
+        # only where they match across docs; only the boiler tokens are
+        # corpus-duplicated, the unique tail survives
+        assert r.clean_text == f"unique{r.doc_id}a unique{r.doc_id}b"
+        assert r.n_removed == 5 and r.n_tokens == 7
+
+
 # ---------------------------------------------------- temperature mixture
 
 def test_temperature_rates_math(spark, docs):
