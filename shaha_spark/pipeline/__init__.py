@@ -11,4 +11,5 @@ from shaha_spark.pipeline.build import (  # noqa: F401
     write_hashdb,
     write_sidecar,
 )
+from shaha_spark.pipeline.curate import curate_corpus  # noqa: F401
 from shaha_spark.pipeline.stats import info, scan_stats  # noqa: F401
