@@ -25,6 +25,13 @@ data plane is declarative DataFrame ops, shaped for Spark:
 
 Scoring is a single shuffle-free projection; at 100 TB the scorer is
 the hot path and it is whole-stage-codegen'd end to end.
+
+Dim ceiling: the weight vector rides in the plan as a literal array,
+which is the right call up to ~10^5 features (the plan ships once per
+stage, not per row). For fastText-scale bucket counts (10^6+), switch
+the margin to an exploded broadcast-join against a weights DataFrame —
+that trades one extra doc-keyed shuffle per pass for an O(1)-size plan;
+the gradient path needs no change (it already explodes).
 """
 
 from __future__ import annotations
