@@ -26,12 +26,17 @@ data plane is declarative DataFrame ops, shaped for Spark:
 Scoring is a single shuffle-free projection; at 100 TB the scorer is
 the hot path and it is whole-stage-codegen'd end to end.
 
-Dim ceiling: the weight vector rides in the plan as a literal array,
-which is the right call up to ~10^5 features (the plan ships once per
-stage, not per row). For fastText-scale bucket counts (10^6+), switch
-the margin to an exploded broadcast-join against a weights DataFrame —
-that trades one extra doc-keyed shuffle per pass for an O(1)-size plan;
-the gradient path needs no change (it already explodes).
+Two trainer tiers by feature dimension:
+
+  * :func:`logreg_train` — the weight vector rides in the plan as a
+    literal array and the model collects to the driver per iteration.
+    Right up to ~10^5 features (the plan ships once per stage, not per
+    row).
+  * :func:`logreg_train_distributed` / :func:`logreg_score_joined` —
+    the model stays a ``[idx, w]`` DataFrame end to end (fastText-scale
+    bucket counts, 10^6+): margins and gradients are idx/doc-keyed
+    joins + hash-aggs, the update is a model-sized join, and NOTHING
+    model-sized ever crosses to the driver.
 """
 
 from __future__ import annotations
@@ -182,6 +187,165 @@ def logreg_score(
         F.lit(1.0) + F.exp(-_margin(F.col(feats_col), weights, bias))
     )
     return feat_df.withColumn(out_col, prob)
+
+
+def _exploded(feat_df, label_col: str, feats_col: str, id_col: str):
+    """(id, label, idx, val) rows with the bias term prepended as
+    idx = -1, val = 1 — the shared input of both distributed passes."""
+    return feat_df.select(
+        F.col(id_col),
+        F.col(label_col).cast("double").alias("__y"),
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.lit(-1).alias("idx"), F.lit(1.0).alias("val"))
+                ),
+                F.col(feats_col),
+            )
+        ).alias("__p"),
+    ).select(
+        id_col, "__y", F.col("__p.idx").alias("idx"), F.col("__p.val").alias("val")
+    )
+
+
+def logreg_train_distributed(
+    feat_df: DataFrame,
+    dim: int,
+    label_col: str = "label",
+    feats_col: str = "feats",
+    id_col: str = "doc_id",
+    iters: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> DataFrame:
+    """The fastText-bucket-scale trainer: the model LIVES as a
+    DataFrame ``[idx, w]`` (bias at idx = -1) for the whole run —
+    nothing model-sized ever crosses to the driver, so ``dim`` can be
+    millions of hashed buckets. Returns the weights DataFrame.
+
+    Per iteration (the kmeans execution pattern — driver holds loop
+    control only, weights localCheckpoint between steps so plan depth
+    stays constant):
+
+      1. margins: exploded features join the weight table on idx (AQE
+         broadcasts it while it fits, shuffles on idx beyond that),
+         then one doc-keyed hash-agg;
+      2. gradient: per-doc errors join back to the exploded features on
+         the doc id, then one idx-keyed hash-agg of at most dim + 1
+         groups;
+      3. update: weights left-join the gradient — a model-sized join,
+         never a collect.
+
+    Determinism: BOTH reductions sum 9-decimal-rounded DECIMAL
+    contributions (margins too — unlike :func:`logreg_train`, whose
+    margin is a per-row sequential fold and needs no rounding), so the
+    trained model is bit-stable under any partitioning. The two
+    trainers therefore agree to float tolerance, not bit-exactly.
+
+    The exploded feature table is checkpointed once up front: it is
+    scanned twice per iteration and its lineage must not deepen.
+    """
+    spark = feat_df.sparkSession
+    n = feat_df.count()
+    if n == 0:
+        raise ValueError("empty training set")
+    ex = _exploded(feat_df, label_col, feats_col, id_col).localCheckpoint(
+        eager=True
+    )
+    w = (
+        spark.range(dim)
+        .select((F.col("id").cast("int") ).alias("idx"), F.lit(0.0).alias("w"))
+        .unionByName(
+            spark.createDataFrame([(-1, 0.0)], "idx int, w double")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        margins = (
+            ex.join(w, "idx")
+            .select(
+                id_col,
+                "__y",
+                F.round(F.col("val") * F.col("w"), 9)
+                .cast("decimal(28,9)")
+                .alias("__c"),
+            )
+            .groupBy(id_col, "__y")
+            .agg(F.sum("__c").cast("double").alias("__m"))
+        )
+        errs = margins.select(
+            id_col,
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m"))) - F.col("__y")
+            ).alias("__err"),
+        )
+        grad = (
+            ex.join(errs, id_col)
+            .select(
+                "idx",
+                F.round(F.col("val") * F.col("__err"), 9)
+                .cast("decimal(28,9)")
+                .alias("__g"),
+            )
+            .groupBy("idx")
+            .agg((F.sum("__g").cast("double") / F.lit(float(n))).alias("__g"))
+        )
+        w = (
+            w.join(grad, "idx", "left")
+            .select(
+                "idx",
+                (
+                    F.col("w")
+                    - F.lit(lr)
+                    * (
+                        F.coalesce(F.col("__g"), F.lit(0.0))
+                        + F.lit(l2)
+                        * F.when(F.col("idx") >= 0, F.col("w")).otherwise(0.0)
+                    )
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w
+
+
+def logreg_score_joined(
+    feat_df: DataFrame,
+    weights: DataFrame,
+    feats_col: str = "feats",
+    id_col: str = "doc_id",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Score against a DataFrame model (the huge-dim companion of
+    :func:`logreg_score`): exploded features join the weight table,
+    decimal-summed per doc, sigmoid at the end. Docs with no features
+    still score (bias-only)."""
+    ex = feat_df.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.lit(-1).alias("idx"), F.lit(1.0).alias("val"))
+                ),
+                F.col(feats_col),
+            )
+        ).alias("__p"),
+    ).select(id_col, F.col("__p.idx").alias("idx"), F.col("__p.val").alias("val"))
+    margins = (
+        ex.join(weights, "idx")
+        .select(
+            id_col,
+            F.round(F.col("val") * F.col("w"), 9)
+            .cast("decimal(28,9)")
+            .alias("__c"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__c").cast("double").alias("__m"))
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))
+    return feat_df.join(margins, id_col, "left").withColumn(
+        out_col, prob
+    ).drop("__m")
 
 
 def logreg_train_local(

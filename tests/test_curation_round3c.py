@@ -313,6 +313,62 @@ def test_logreg_differential_vs_local(spark):
         assert a == pytest.approx(c, abs=1e-6)
 
 
+def test_logreg_distributed_matches_literal_trainer(spark):
+    corpus = _toy_corpus(spark, n=60, seed=5)
+    dim = 32
+    feats = classifier.hashed_features(
+        corpus, dim=dim, keep_cols=("label",)
+    ).cache()
+    w_lit, b_lit = classifier.logreg_train(feats, dim=dim, iters=8, lr=1.0)
+    wdf = classifier.logreg_train_distributed(feats, dim=dim, iters=8, lr=1.0)
+    got = {r.idx: r.w for r in wdf.collect()}
+    assert set(got) == set(range(-1, dim))
+    # margins are decimal-rounded in the distributed path, so agreement
+    # is float-tolerance, not bit-exact
+    assert got[-1] == pytest.approx(b_lit, abs=1e-5)
+    for i in range(dim):
+        assert got[i] == pytest.approx(w_lit[i], abs=1e-5)
+
+
+def test_logreg_distributed_partitioning_invariant(spark):
+    corpus = _toy_corpus(spark, n=40, seed=9)
+    feats = classifier.hashed_features(corpus, dim=16, keep_cols=("label",))
+    w1 = {
+        r.idx: r.w
+        for r in classifier.logreg_train_distributed(
+            feats.repartition(1), dim=16, iters=4
+        ).collect()
+    }
+    w8 = {
+        r.idx: r.w
+        for r in classifier.logreg_train_distributed(
+            feats.repartition(8), dim=16, iters=4
+        ).collect()
+    }
+    assert w1 == w8
+
+
+def test_logreg_score_joined_matches_literal(spark):
+    corpus = _toy_corpus(spark, n=40, seed=2)
+    dim = 32
+    feats = classifier.hashed_features(corpus, dim=dim).cache()
+    w = [((i * 13) % 9 - 4) / 4.0 for i in range(dim)]
+    lit = {
+        r.doc_id: r.quality_prob
+        for r in classifier.logreg_score(feats, w, 0.25).collect()
+    }
+    wdf = corpus.sparkSession.createDataFrame(
+        [(i, w[i]) for i in range(dim)] + [(-1, 0.25)], "idx int, w double"
+    )
+    joined = {
+        r.doc_id: r.quality_prob
+        for r in classifier.logreg_score_joined(feats, wdf).collect()
+    }
+    assert set(lit) == set(joined)
+    for d in lit:
+        assert joined[d] == pytest.approx(lit[d], abs=1e-6)
+
+
 def test_logreg_deterministic_across_partitionings(spark):
     corpus = _toy_corpus(spark, n=60, seed=3)
     feats = classifier.hashed_features(corpus, dim=32, keep_cols=("label",))
