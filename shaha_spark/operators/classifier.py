@@ -63,8 +63,11 @@ def hashed_features(
     One explode + one (doc, idx) hash-agg + one doc hash-agg — two
     shuffles on the doc id, both with map-side combine.
     """
+    from shaha_spark.util import ensure_parallelism
+
     if dim < 2:
         raise ValueError(f"dim must be >= 2, got {dim}")
+    docs = ensure_parallelism(docs)
     toks = docs.select(
         F.col(id_col), *[F.col(c) for c in keep_cols],
         F.explode(tokens(F.col(text_col))).alias("w"),
