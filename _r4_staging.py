@@ -8,8 +8,10 @@ exact comparison. Round-4 merge is mechanical: move these entries to
 the FRONT of `__spark_entry__.queries()` / `oracle_sql()` (they have
 never had a driver row) and push round-3-verified entries behind them.
 
-`docs_bpe_encode` is deliberately oracle-less (iterative merge loop —
-non-SQL-expressible; the driver records its weaker rows-only check).
+`docs_bpe_encode` (iterative merge loop — non-SQL-expressible) and
+`emb_ivf_pq_topk` (probe-dependent composition whose two halves are
+each separately oracled) are the deliberate rows-only registrations;
+the driver records their weaker rows-only check.
 """
 
 from __future__ import annotations
