@@ -211,6 +211,21 @@ def q_emb_ivf_pq_topk(spark, sf_dir):
     return ivf_pq_topk(corpus, queries, coarse, cb, k=PQ_TOPK, nprobe=2)
 
 
+def q_docs_trigram_backoff(spark, sf_dir):
+    """Stupid-Backoff trigram LM scoring with a held-out LM half
+    (operators.terms.trigram_backoff_logprob): the LM trains on the
+    hash-split half of the corpus and scores the other half, so all
+    three backoff tiers genuinely fire."""
+    from shaha_spark.operators.sampling import _bucket
+    from shaha_spark.operators.terms import trigram_backoff_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = _bucket(F.col("doc_id"), "lm")
+    return trigram_backoff_logprob(
+        docs.where(bkt >= 5000), docs.where(bkt < 5000)
+    )
+
+
 def q_docs_char_entropy(spark, sf_dir):
     """Per-document character Shannon entropy — the gibberish/binary
     junk screen (operators.textops.char_entropy)."""
@@ -246,6 +261,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_pq_topk": q_emb_ivf_pq_topk,
         "docs_bpe_encode": q_docs_bpe_encode,
         "docs_char_entropy": q_docs_char_entropy,
+        "docs_trigram_backoff": q_docs_trigram_backoff,
         "docs_curated": q_docs_curated,
     }
 
@@ -627,6 +643,75 @@ FROM (
   ) AS rank FROM fin
 ) WHERE rank <= {PQ_TOPK}"""
     )
+
+    sql["docs_trigram_backoff"] = f"""WITH toks AS (
+  SELECT doc_id, w, pos FROM (
+    SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS pos
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS ts
+          FROM documents)
+  )
+),
+lmdocs AS (
+  SELECT doc_id FROM documents WHERE {bucket_sql('doc_id', 'lm')} < 5000
+),
+scdocs AS (
+  SELECT doc_id FROM documents WHERE {bucket_sql('doc_id', 'lm')} >= 5000
+),
+lmtoks AS (SELECT t.* FROM toks t JOIN lmdocs USING (doc_id)),
+c1 AS (SELECT w AS u1, count(*) AS c1 FROM lmtoks GROUP BY 1),
+lmwin AS (
+  SELECT doc_id, w AS b1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b2
+  FROM lmtoks
+),
+c2 AS (SELECT b1, b2, count(*) AS c2 FROM lmwin
+       WHERE b2 IS NOT NULL GROUP BY 1, 2),
+lmtri AS (
+  SELECT doc_id, w AS w1, lead(w, 1) OVER win AS w2,
+         lead(w, 2) OVER win AS w3
+  FROM lmtoks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM lmtri
+       WHERE w3 IS NOT NULL GROUP BY 1, 2, 3),
+tot AS (SELECT sum(c1) AS n, count(*) AS v FROM c1),
+sctoks AS (SELECT t.* FROM toks t JOIN scdocs USING (doc_id)),
+occ0 AS (
+  SELECT doc_id, w AS w1, lead(w, 1) OVER win AS w2,
+         lead(w, 2) OVER win AS w3
+  FROM sctoks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+occ AS (SELECT * FROM occ0 WHERE w3 IS NOT NULL),
+keys AS (SELECT DISTINCT w1, w2, w3 FROM occ),
+sk AS (
+  SELECT k.w1, k.w2, k.w3, c3.c3, ctx.c2 AS c2_ctx, bo.c2 AS c2_bo,
+         cw2.c1 AS c1_w2, cw3.c1 AS c1_w3, tot.n, tot.v
+  FROM keys k
+  LEFT JOIN c3 USING (w1, w2, w3)
+  LEFT JOIN c2 ctx ON ctx.b1 = k.w1 AND ctx.b2 = k.w2
+  LEFT JOIN c2 bo ON bo.b1 = k.w2 AND bo.b2 = k.w3
+  LEFT JOIN c1 cw2 ON cw2.u1 = k.w2
+  LEFT JOIN c1 cw3 ON cw3.u1 = k.w3
+  CROSS JOIN tot
+),
+lp AS (
+  SELECT w1, w2, w3,
+    CAST(round(ln(
+      CASE WHEN c3 IS NOT NULL THEN c3::DOUBLE / c2_ctx::DOUBLE
+           WHEN c2_bo IS NOT NULL THEN 0.4 * c2_bo::DOUBLE / c1_w2::DOUBLE
+           ELSE 0.4 * 0.4 * (coalesce(c1_w3, 0)::DOUBLE + 1.0)
+                / (n::DOUBLE + v::DOUBLE) END
+    ), 8) AS DECIMAL(20,8)) AS lp
+  FROM sk
+),
+per AS (
+  SELECT o.doc_id, count(*) AS n_trigrams,
+         CAST(sum(lp.lp) AS DOUBLE) / count(*) AS avg_logprob
+  FROM occ o JOIN lp USING (w1, w2, w3) GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       p.avg_logprob
+FROM scdocs d LEFT JOIN per p USING (doc_id)"""
 
     sql["docs_char_entropy"] = """WITH pos AS (
   SELECT doc_id, unnest(range(1, length(text) + 1)) AS i FROM documents

@@ -564,6 +564,155 @@ def bigram_logprob(
     )
 
 
+def trigram_backoff_logprob(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.4,
+) -> DataFrame:
+    """Per-document average trigram log-score under a Stupid-Backoff LM
+    (Brants et al. 2007) trained on ``lm_docs`` — the CCNet-style
+    LM-quality filter, completing the unigram → bigram → trigram
+    scoring ladder. Because the LM corpus is separate (hash-split it
+    from the scored corpus), backoff genuinely fires on unseen
+    trigrams:
+
+        S(w3|w1,w2) = c3/c2(w1,w2)                 if c3 > 0
+                    = lam · c2(w2,w3)/c1(w2)        elif c2(w2,w3) > 0
+                    = lam² · (c1(w3)+1)/(N+V)       otherwise
+                      (add-one floor so words never seen in the LM
+                       score finitely instead of -inf)
+
+    Determinism: ``ln S`` is evaluated once per DISTINCT scored trigram
+    key (vocabulary-sized, not corpus-sized), rounded to 8 decimals,
+    and per-document totals are decimal-exact sums — the unigram/bigram
+    scorer recipe, so partitioning cannot perturb scores.
+
+    Scale shape: LM counts are three hash-aggs over the LM corpus
+    (map-side partials); the scored corpus contributes its distinct
+    trigram keys to three LEFT joins against those count tables (all
+    keyed on grams — AQE broadcasts the smaller sides), and one final
+    join back to the occurrence stream + doc hash-agg. Documents with
+    fewer than 3 tokens return ``n_trigrams = 0`` and NULL score.
+    """
+    from pyspark.sql import Window as W
+
+    def _toks(df):
+        return df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+        ).filter(F.col("w") != "")
+
+    def _tris(df):
+        toks = _toks(df)
+        wnd = W.partitionBy(id_col).orderBy("pos")
+        return (
+            toks.select(
+                F.col(id_col),
+                F.col("w").alias("w1"),
+                F.lead("w", 1).over(wnd).alias("w2"),
+                F.lead("w", 2).over(wnd).alias("w3"),
+            )
+            .filter(F.col("w3").isNotNull())
+        )
+
+    lm_toks = _toks(lm_docs)
+    c1 = lm_toks.groupBy(F.col("w").alias("u1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    lm_wnd = W.partitionBy(id_col).orderBy("pos")
+    lm_bi = (
+        lm_toks.select(
+            F.col(id_col),
+            F.col("w").alias("b1"),
+            F.lead("w", 1).over(lm_wnd).alias("b2"),
+        )
+        .filter(F.col("b2").isNotNull())
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    lm_tri = (
+        _tris(lm_docs)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    totals = c1.agg(
+        F.sum("c1").alias("__N"), F.count(F.lit(1)).alias("__V")
+    )
+
+    occ = _tris(docs)
+    keys = occ.select("w1", "w2", "w3").distinct()
+    scored_keys = (
+        keys.join(lm_tri, ["w1", "w2", "w3"], "left")
+        .join(
+            lm_bi.select(
+                F.col("b1").alias("w1"), F.col("b2").alias("w2"),
+                F.col("c2").alias("__c2_ctx"),
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            lm_bi.select(
+                F.col("b1").alias("w2"), F.col("b2").alias("w3"),
+                F.col("c2").alias("__c2_bo"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c1.select(F.col("u1").alias("w2"), F.col("c1").alias("__c1_w2")),
+              ["w2"], "left")
+        .join(c1.select(F.col("u1").alias("w3"), F.col("c1").alias("__c1_w3")),
+              ["w3"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("__c2_ctx").cast("double"),
+        )
+        .when(
+            F.col("__c2_bo").isNotNull(),
+            F.lit(lam)
+            * F.col("__c2_bo").cast("double")
+            / F.col("__c1_w2").cast("double"),
+        )
+        .otherwise(
+            # lam*lam as an expression, not a Python constant, so the
+            # double matches an oracle writing `lam * lam` literally
+            F.lit(lam) * F.lit(lam)
+            * (F.coalesce(F.col("__c1_w3"), F.lit(0)).cast("double") + F.lit(1.0))
+            / (F.col("__N").cast("double") + F.col("__V").cast("double"))
+        )
+    )
+    lp = scored_keys.select(
+        "w1", "w2", "w3",
+        F.round(F.log(s), 8).cast("decimal(20,8)").alias("__lp"),
+    )
+    per_doc = (
+        occ.join(lp, ["w1", "w2", "w3"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            (F.sum("__lp").cast("double") / F.count(F.lit(1))).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_trigrams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_trigrams"),
+            F.col("avg_logprob"),
+        )
+    )
+
+
 def bpe_pair_counts(
     docs: DataFrame,
     k: int = 20,

@@ -246,6 +246,31 @@ def test_temperature_rates_duckdb_parity(spark, docs, sf_dir):
     assert got == want
 
 
+# ------------------------------------------- trigram stupid backoff LM
+
+def test_trigram_backoff_all_three_tiers(spark):
+    import math
+
+    lm = spark.createDataFrame([Row(doc_id=100, text="a b c a b d")])
+    scored = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c x y z"),  # tier1 + 3×tier3
+            Row(doc_id=2, text="d b c"),        # tier2 (unseen trigram, seen bigram)
+            Row(doc_id=3, text="a b"),          # too short -> no trigrams
+        ]
+    )
+    out = {r.doc_id: r for r in terms.trigram_backoff_logprob(scored, lm).collect()}
+    # LM: N=6 tokens, V=4 vocab; c2(a,b)=2, c2(b,c)=1, c1(b)=2
+    t1 = round(math.log(1 / 2), 8)                   # S(c|a,b) = c3/c2 = 1/2
+    t3 = round(math.log(0.4 * 0.4 * 1.0 / 10.0), 8)  # unseen word floor
+    assert out[1].n_trigrams == 4
+    assert out[1].avg_logprob == pytest.approx((t1 + 3 * t3) / 4, abs=1e-9)
+    t2 = round(math.log(0.4 * 1 / 2), 8)             # S(c|b) backoff
+    assert out[2].n_trigrams == 1
+    assert out[2].avg_logprob == pytest.approx(t2, abs=1e-9)
+    assert out[3].n_trigrams == 0 and out[3].avg_logprob is None
+
+
 # --------------------------------------------------- quality classifier
 
 def _toy_corpus(spark, n=120, seed=7):
