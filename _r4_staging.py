@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from __spark_entry__ import _kmeans_parts, _pairs_cte, _t
+from __spark_entry__ import _WORDS_CTE, _events, _kmeans_parts, _pairs_cte, _t
 from shaha_spark.operators.constants import MINHASH_PERMS, QUALITY_STOPWORDS
 from shaha_spark.operators.sampling import bucket_sql, h28_sql
 
@@ -243,8 +243,56 @@ def q_docs_curated(spark, sf_dir):
     return curate_corpus(_t(spark, sf_dir, "documents"))
 
 
+def q_docs_source_cap(spark, sf_dir):
+    """Per-source document cap at 10 docs/source, deterministic by
+    content-hash order (operators.sampling.source_cap)."""
+    from shaha_spark.operators.sampling import source_cap
+
+    return source_cap(_t(spark, sf_dir, "documents"), "source", "doc_id", cap=10)
+
+
+def q_docs_ppl_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail pacing buckets per language by
+    unigram log-likelihood (operators.terms.ppl_pacing_buckets)."""
+    from shaha_spark.operators.terms import ppl_pacing_buckets
+
+    return ppl_pacing_buckets(_t(spark, sf_dir, "documents"), buckets=3)
+
+
+def q_events_gapfill(spark, sf_dir):
+    """Dense hourly per-type series with zero-fill and
+    last-observation-carried-forward (operators.timeseries.gapfill)."""
+    from shaha_spark.operators.timeseries import gapfill
+
+    return gapfill(_events(spark, sf_dir))
+
+
+def q_events_debounce(spark, sf_dir):
+    """Consecutive-gap debounce: drop (user, type) repeats within 60 s
+    of the previous event (operators.timeseries.debounce)."""
+    from shaha_spark.operators.timeseries import debounce
+
+    out = debounce(_events(spark, sf_dir))
+    return out.select(
+        "event_id", "user_id", "event_type", F.col("tus").alias("ts_us")
+    )
+
+
+def q_users_scd2(spark, sf_dir):
+    """SCD2 dimension history of the props.k attribute per user
+    (operators.timeseries.scd2_intervals)."""
+    from shaha_spark.operators.timeseries import scd2_intervals
+
+    return scd2_intervals(_events(spark, sf_dir))
+
+
 def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "docs_source_cap": q_docs_source_cap,
+        "docs_ppl_buckets": q_docs_ppl_buckets,
+        "events_gapfill": q_events_gapfill,
+        "events_debounce": q_events_debounce,
+        "users_scd2": q_users_scd2,
         "docs_line_dedup": q_docs_line_dedup,
         "docs_dup_span_removed": q_docs_dup_span_removed,
         "docs_temperature_rates": q_docs_temperature_rates,
@@ -353,7 +401,39 @@ _QUALITY_STOPS_LIST = "[" + ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS) + "]"
 
 
 def oracle_sql_r4() -> dict[str, str]:
+    from shaha_spark.operators.sampling import source_cap_sql
+    from shaha_spark.operators.timeseries import (
+        debounce_sql,
+        gapfill_sql,
+        scd2_sql,
+    )
+
     sql: dict[str, str] = {}
+
+    sql["docs_source_cap"] = source_cap_sql("documents", "source", "doc_id", 10)
+
+    sql["docs_ppl_buckets"] = f"""WITH {_WORDS_CTE},
+toks AS (SELECT doc_id, word AS term FROM words),
+lm AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+lp AS (
+  SELECT term,
+         CAST(ROUND(LN(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)), 8)
+              AS DECIMAL(20,8)) AS lp
+  FROM lm, (SELECT SUM(tf) AS total FROM lm)
+),
+score AS (
+  SELECT doc_id, CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+  FROM toks JOIN lp USING (term) GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, s.avg_logprob,
+  ntile(3) OVER (
+    PARTITION BY d.lang ORDER BY s.avg_logprob DESC, d.doc_id
+  ) AS bucket
+FROM documents d JOIN score s USING (doc_id)"""
+
+    sql["events_gapfill"] = gapfill_sql("events")
+    sql["events_debounce"] = debounce_sql("events")
+    sql["users_scd2"] = scd2_sql("events")
 
     sql["docs_line_dedup"] = f"""WITH {_LINES_CTE}
 SELECT doc_id, text FROM ld"""

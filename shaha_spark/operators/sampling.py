@@ -393,3 +393,54 @@ def importance_resample(
     """
     w = importance_weights(docs, target, text_col, id_col, num_buckets, salt)
     return w.orderBy(F.col("logweight").desc(), F.col(id_col).asc()).limit(k)
+
+
+def source_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group document cap: keep at most ``cap`` rows per
+    ``group_col`` value, chosen deterministically by content-hash order
+    (the Common-Crawl-style per-domain cap that stops one boilerplate
+    host from dominating the corpus).
+
+    The hash order makes the kept subset a stable uniform sample of
+    each group — independent of ingestion order, re-runs, and appends
+    below the cap.
+
+    Scale: one shuffle on the group key, then a per-group sort feeding
+    a rank filter (Spark plans a WindowGroupLimit: only the first
+    ``cap`` rows per group materialize through the window, so a
+    mega-domain never sorts fully in memory). A hot group lands on one
+    task — at billions-per-domain, pre-prune with a two-phase
+    cap (cap per (domain, hash-prefix) shard first) before this exact
+    pass; the operator itself is deliberately the exact last mile.
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    h = h28(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def source_cap_sql(
+    table: str, group_col: str, id_col: str, cap: int, salt: str = ""
+) -> str:
+    """DuckDB oracle twin of :func:`source_cap`."""
+    keyed = f"concat(CAST({id_col} AS VARCHAR), '{salt}')"
+    return f"""SELECT * EXCLUDE (__rn) FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {group_col}
+    ORDER BY {h28_sql(keyed)}, {id_col}
+  ) AS __rn
+  FROM {table}
+) WHERE __rn <= {cap}"""

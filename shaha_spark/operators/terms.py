@@ -918,3 +918,45 @@ def bpe_encode(
         if (i + 1) % 10 == 0:
             enc = enc.localCheckpoint(eager=True)
     return toks.join(enc, "term").select(id_col, "term", "pieces")
+
+
+def ppl_pacing_buckets(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style quality pacing: per language, rank documents by
+    their average unigram log-likelihood (a monotone transform of
+    perplexity) and split into equal-count buckets — bucket 1 is the
+    "head" (most fluent), the last bucket the "tail". The bucket
+    label is the standard input to head/middle/tail mixture weighting
+    during pre-training corpus construction.
+
+    Determinism: the ordering statistic comes from
+    :func:`unigram_logprob` (decimal-exact sums of per-VOCAB-term
+    rounded logs, one final correctly-rounded division), so both
+    engines compute bit-identical doubles; the ``(score desc, id)``
+    key makes the NTILE order total.
+
+    Scale: the LM pass is :func:`unigram_logprob`'s (explode +
+    hash-agg + broadcast join); bucketing is one per-language ordered
+    window — languages parallelize, and within a language NTILE is a
+    sort, the unavoidable cost of exact equal-count buckets. For a
+    cluster-wide single-language corpus, swap NTILE for fixed score
+    thresholds from a previous run (one codegen'd filter, no sort).
+    """
+    from pyspark.sql import Window
+
+    lp = unigram_logprob(docs, text_col, id_col)
+    joined = docs.select(F.col(id_col), F.col(lang_col)).join(lp, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col).asc()
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("avg_logprob"),
+        F.ntile(buckets).over(w).alias("bucket"),
+    )

@@ -1,0 +1,238 @@
+"""Time-series shaping operators: dense-grid gap fill with forward
+fill, consecutive-event debounce, and SCD2 (slowly-changing-dimension
+type 2) interval history derived from an event stream.
+
+These complete the warehouse-side surface around the existing
+sessionize / rolling / funnel / retention family: `gapfill` turns a
+sparse event aggregate into the dense per-bucket series a dashboard or
+model-feature job expects; `debounce` is the standard telemetry
+de-noising step (drop repeats of the same key arriving within a
+minimum gap); `scd2_intervals` reconstructs attribute validity
+intervals — the classic dimension-history build — from raw change
+events.
+
+Scale shapes (all single-shuffle on the partition key):
+
+- `gapfill`: one hash-agg to the bucket grain, a per-key min/max agg
+  (tiny), a bounded `sequence` fan-out (keys x buckets — the output's
+  own size), one equi-join back, and one per-key ordered window for
+  the forward fill. No global sort; keys parallelize across the
+  cluster.
+- `debounce`: one shuffle + per-key sort, a single LAG — the same
+  inherent cost as sessionization (cf. events_sessionize).
+- `scd2_intervals`: two ordered windows over the same per-key sort
+  (change flag + running segment id, then interval close via LEAD on
+  the segment table, which is already orders of magnitude smaller than
+  the input). Spark keeps both windows in one sort because they share
+  the partition/order keys.
+
+Determinism recipe (driver DuckDB-oracle exact): event ordering is
+made total with an `(ts_us, event_id)` sort key; value sums go through
+DECIMAL(18,2) so partial-aggregation order cannot perturb them; the
+forward-filled column carries the decimal sum (not a float average),
+cast to double only at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gapfill(
+    events: DataFrame,
+    key_col: str = "event_type",
+    tus_col: str = "tus",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense hourly series per key over each key's own [min, max] hour
+    span: empty buckets appear with ``n_events = 0`` / ``sum_value =
+    0.0``, and ``ffill_sum_value`` carries the last non-empty bucket's
+    sum forward (last-observation-carried-forward).
+
+    ``tus_col`` is an epoch-microsecond long (see
+    :func:`shaha_spark.util.normalize_event_ts`).
+    """
+    hour = F.date_trunc("hour", F.timestamp_micros(F.col(tus_col)))
+    hourly = events.groupBy(
+        F.col(key_col), hour.alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sv"),
+    )
+    span = hourly.groupBy(key_col).agg(
+        F.min("h").alias("hmin"), F.max("h").alias("hmax")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(F.expr("sequence(hmin, hmax, interval 1 hour)")).alias("h"),
+    )
+    filled = grid.join(hourly, [key_col, "h"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        F.col(key_col),
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce(F.col("sv"), F.lit(0)).cast("double").alias("sum_value"),
+        F.last("sv", ignorenulls=True).over(w).cast("double").alias(
+            "ffill_sum_value"
+        ),
+    )
+
+
+def gapfill_sql(table: str = "events") -> str:
+    """DuckDB oracle twin of :func:`gapfill` (hourly, event_type key)."""
+    return f"""WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sv
+  FROM {table} GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(h) AS hmin, max(h) AS hmax FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(hmin, hmax, interval 1 hour)) AS h
+  FROM span
+),
+j AS (
+  SELECT g.event_type, g.h, hourly.n, hourly.sv
+  FROM grid g LEFT JOIN hourly ON g.event_type = hourly.event_type AND g.h = hourly.h
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+  CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+  CAST(coalesce(sv, 0) AS DOUBLE) AS sum_value,
+  CAST(last_value(sv IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS ffill_sum_value
+FROM j"""
+
+
+def debounce(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    tus_col: str = "tus",
+    id_col: str = "event_id",
+    min_gap_us: int = 60_000_000,
+) -> DataFrame:
+    """Drop events arriving within ``min_gap_us`` of the PREVIOUS event
+    of the same key (consecutive-gap debounce, the LAG formulation —
+    not "previous retained", which is inherently sequential). The
+    `(ts, id)` sort key makes the order total, so simultaneous
+    duplicates keep exactly the lowest id.
+    """
+    key_cols = key_cols or ["user_id", "event_type"]
+    w = Window.partitionBy(*key_cols).orderBy(tus_col, id_col)
+    prev = F.lag(tus_col).over(w)
+    return (
+        events.withColumn("__prev", prev)
+        .where(F.col("__prev").isNull() | (F.col(tus_col) - F.col("__prev") >= min_gap_us))
+        .drop("__prev")
+    )
+
+
+def debounce_sql(
+    table: str = "events",
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    min_gap_us: int = 60_000_000,
+) -> str:
+    """DuckDB oracle twin of :func:`debounce` (projects id/keys/ts_us)."""
+    keys = ", ".join(key_cols)
+    return f"""WITH o AS (
+  SELECT event_id, {keys}, epoch_us(ts) AS ts_us,
+    lag(epoch_us(ts)) OVER (
+      PARTITION BY {keys} ORDER BY epoch_us(ts), event_id
+    ) AS prev
+  FROM {table}
+)
+SELECT event_id, {keys}, ts_us FROM o
+WHERE prev IS NULL OR ts_us - prev >= {min_gap_us}"""
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr: Column | None = None,
+    attr_name: str = "attr",
+    tus_col: str = "tus",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """SCD type-2 history: per key, contiguous runs of an attribute
+    value become validity intervals ``[valid_from_us, valid_to_us)``
+    with ``valid_to_us`` NULL on the current (open) interval.
+
+    ``attr`` is any deterministic column expression over the event row
+    (default: ``CAST(get_json_object(props, '$.k') AS INT)``). Interval
+    boundaries are epoch-microsecond longs so the comparison is exact.
+    """
+    if attr is None:
+        attr = F.get_json_object(F.col("props"), "$.k").cast("int")
+    w = Window.partitionBy(key_col).orderBy(tus_col, id_col)
+    tagged = events.select(
+        F.col(key_col), F.col(tus_col), F.col(id_col), attr.alias(attr_name)
+    )
+    prev = F.lag(attr_name).over(w)
+    # eqNullSafe == SQL `IS NOT DISTINCT FROM`: the change flag agrees
+    # with the oracle even if the attribute expression yields NULLs
+    seg = (
+        tagged.withColumn(
+            "__chg",
+            F.when(~prev.eqNullSafe(F.col(attr_name)), 1).otherwise(0),
+        )
+        .withColumn(
+            "__seg",
+            F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    grouped = seg.groupBy(key_col, "__seg").agg(
+        F.min(attr_name).alias(attr_name),
+        F.min(tus_col).alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from_us")
+    return grouped.select(
+        F.col(key_col),
+        F.col(attr_name),
+        F.col("valid_from_us"),
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        F.col("n_events"),
+        F.lead("valid_from_us").over(w2).isNull().alias("is_current"),
+    )
+
+
+def scd2_sql(table: str = "events", key_col: str = "user_id") -> str:
+    """DuckDB oracle twin of :func:`scd2_intervals` with the default
+    ``props.k`` attribute."""
+    return f"""WITH tagged AS (
+  SELECT {key_col}, epoch_us(ts) AS tus, event_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS attr
+  FROM {table}
+),
+seg AS (
+  SELECT *, SUM(chg) OVER (
+      PARTITION BY {key_col} ORDER BY tus, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM (
+    SELECT *, CASE WHEN lag(attr) OVER (
+        PARTITION BY {key_col} ORDER BY tus, event_id) IS DISTINCT FROM attr
+      THEN 1 ELSE 0 END AS chg
+    FROM tagged
+  )
+),
+grouped AS (
+  SELECT {key_col}, seg_id, min(attr) AS attr,
+         min(tus) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+  FROM seg GROUP BY 1, 2
+)
+SELECT {key_col}, attr, valid_from_us,
+  lead(valid_from_us) OVER (PARTITION BY {key_col} ORDER BY valid_from_us)
+    AS valid_to_us,
+  n_events,
+  lead(valid_from_us) OVER (PARTITION BY {key_col} ORDER BY valid_from_us)
+    IS NULL AS is_current
+FROM grouped"""
