@@ -156,3 +156,45 @@ def test_ppl_pacing_buckets_orders_head_to_tail(spark, sf_dir):
         head = min(r.avg_logprob for r in rs if r.bucket == 1)
         tail = max(r.avg_logprob for r in rs if r.bucket == 3)
         assert head >= tail
+
+
+# ------------------------------------------------------- plan shapes
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_source_cap_plan_uses_window_group_limit(spark):
+    # rank filter should prune through WindowGroupLimit: only `cap`
+    # rows per group materialize past the per-group sort, so a
+    # mega-domain never fully sorts through the window operator
+    import _r4_staging as staging
+
+    plan = _plan(staging.queries_r4()["docs_source_cap"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
+
+
+def test_gapfill_plan_no_python_single_corpus_scan(spark):
+    import _r4_staging as staging
+
+    plan = _plan(staging.queries_r4()["events_gapfill"](spark, SF))
+    assert "EvalPython" not in plan
+    # hourly agg feeds both the span (grid) side and the join-back side:
+    # two scans of the events table by design, never more
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_debounce_and_scd2_plans_single_shuffle_no_python(spark):
+    import _r4_staging as staging
+
+    for name in ["events_debounce", "users_scd2"]:
+        plan = _plan(staging.queries_r4()[name](spark, SF))
+        assert "EvalPython" not in plan, name
+        # one hash shuffle on the partition key; scd2's second window
+        # shares the sort (same keys), its LEAD pass rides the grouped
+        # (segment-level) table
+        assert plan.count("Exchange hashpartitioning") <= 2, name
