@@ -286,8 +286,30 @@ def q_users_scd2(spark, sf_dir):
     return scd2_intervals(_events(spark, sf_dir))
 
 
+def q_events_rollup_incremental(spark, sf_dir):
+    """Materialized-rollup maintenance proven exact: the events table
+    split into three disjoint batches (event_id mod 3), each rolled up
+    independently and folded in with two merges — must reproduce the
+    oracle's single-pass aggregation bit-for-bit
+    (operators.incremental.rollup_increment / merge_rollup)."""
+    from shaha_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollup,
+        rollup_increment,
+    )
+
+    ev = _events(spark, sf_dir)
+    state = rollup_increment(ev.where(F.col("event_id") % 3 == 0))
+    for m in (1, 2):
+        state = merge_rollup(
+            state, rollup_increment(ev.where(F.col("event_id") % 3 == m))
+        )
+    return finalize_rollup(state)
+
+
 def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "events_rollup_incremental": q_events_rollup_incremental,
         "docs_source_cap": q_docs_source_cap,
         "docs_ppl_buckets": q_docs_ppl_buckets,
         "events_gapfill": q_events_gapfill,
@@ -430,6 +452,10 @@ SELECT d.doc_id, d.lang, s.avg_logprob,
     PARTITION BY d.lang ORDER BY s.avg_logprob DESC, d.doc_id
   ) AS bucket
 FROM documents d JOIN score s USING (doc_id)"""
+
+    from shaha_spark.operators.incremental import incremental_rollup_sql
+
+    sql["events_rollup_incremental"] = incremental_rollup_sql("events")
 
     sql["events_gapfill"] = gapfill_sql("events")
     sql["events_debounce"] = debounce_sql("events")

@@ -1,0 +1,80 @@
+"""Incremental rollup maintenance (operators/incremental.py): any
+batching and merge order must reproduce the single-pass aggregation
+exactly — the decimal partial state makes the fold associative and
+commutative. Oracle parity at fixture scale runs in
+tests/test_oracle_r4.py.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from shaha_spark.operators.incremental import (
+    finalize_rollup,
+    merge_rollup,
+    rollup_increment,
+)
+
+
+def _full(ev):
+    return finalize_rollup(rollup_increment(ev))
+
+
+def _key(r):
+    return (r.event_type, r.hour)
+
+
+def _as_map(rows):
+    return {_key(r): (r.n_events, r.sum_value) for r in rows}
+
+
+def test_incremental_matches_full_recompute_random_splits(spark, sf_dir):
+    from __spark_entry__ import _events
+
+    ev = _events(spark, sf_dir).limit(3000).localCheckpoint(eager=True)
+    expected = _as_map(_full(ev).collect())
+
+    rng = random.Random(11)
+    n_batches = 4
+    # random disjoint exhaustive batching on a content hash
+    bucket = F.abs(F.hash(F.col("event_id"), F.lit(rng.randint(0, 99)))) % n_batches
+    tagged = ev.withColumn("__b", bucket)
+    state = rollup_increment(tagged.where(F.col("__b") == 0))
+    order = list(range(1, n_batches))
+    rng.shuffle(order)
+    for m in order:
+        state = merge_rollup(state, rollup_increment(tagged.where(F.col("__b") == m)))
+    got = _as_map(finalize_rollup(state).collect())
+    assert got == expected
+
+
+def test_merge_with_empty_increment_is_identity(spark, sf_dir):
+    from __spark_entry__ import _events
+
+    ev = _events(spark, sf_dir).limit(500)
+    base = rollup_increment(ev)
+    empty = rollup_increment(ev.where(F.lit(False)))
+    merged = merge_rollup(base, empty)
+    assert _as_map(finalize_rollup(merged).collect()) == _as_map(
+        finalize_rollup(base).collect()
+    )
+
+
+def test_late_data_creates_or_updates_buckets(spark):
+    rows = [
+        (1, 1, "a", 0, 1.5, "{}"),
+        (2, 1, "a", 3_600_000_000, 2.0, "{}"),
+    ]
+    late = [
+        (3, 1, "a", 10, 4.0, "{}"),               # lands in existing hour-0
+        (4, 1, "a", 7_200_000_000, 8.0, "{}"),    # opens a new hour-2 bucket
+    ]
+    schema = "event_id bigint, user_id bigint, event_type string, tus bigint, value double, props string"
+    base = rollup_increment(spark.createDataFrame(rows, schema))
+    merged = merge_rollup(base, rollup_increment(spark.createDataFrame(late, schema)))
+    out = {r.hour: (r.n_events, r.sum_value) for r in finalize_rollup(merged).collect()}
+    assert out["1970-01-01 00:00:00"] == (2, 5.5)
+    assert out["1970-01-01 01:00:00"] == (1, 2.0)
+    assert out["1970-01-01 02:00:00"] == (1, 8.0)
