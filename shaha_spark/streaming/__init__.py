@@ -3,6 +3,10 @@ from shaha_spark.streaming.dedup_stream import (  # noqa: F401
     stream_exact_dedup,
     stream_minhash_signatures,
 )
+from shaha_spark.streaming.debounce_stream import (  # noqa: F401
+    debounce_retained_batch,
+    stream_debounce,
+)
 from shaha_spark.streaming.joins import stream_window_join  # noqa: F401
 from shaha_spark.streaming.stateful import running_totals  # noqa: F401
 from shaha_spark.streaming.windows import (  # noqa: F401
