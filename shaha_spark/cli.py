@@ -85,6 +85,27 @@ def _build_parser() -> argparse.ArgumentParser:
         help="bound one maintenance run to the N worst slices",
     )
 
+    f = sub.add_parser(
+        "forget",
+        help="erase preimages or digests, rewriting only range-matching "
+        "files (GDPR-style targeted delete)",
+    )
+    f.add_argument("-d", "--database", required=True)
+    f.add_argument(
+        "-w", "--word", action="append", default=[],
+        help="preimage to erase under every database algorithm "
+        "(repeatable)",
+    )
+    f.add_argument(
+        "-x", "--digest", action="append", default=[],
+        help="raw digest (hex) to erase (repeatable)",
+    )
+    f.add_argument(
+        "-a", "--algorithm", action="append", default=None,
+        help="restrict preimage erasure to these algorithms (repeatable)",
+    )
+    f.add_argument("--dry-run", action="store_true", help="print the plan only")
+
     sub.add_parser("algorithms", help="list available hash algorithms")
     return p
 
@@ -266,6 +287,49 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.database, target, force=args.force
                 )
             print(json.dumps(result, indent=2))
+            return 0
+
+        if args.command == "forget":
+            from shaha_spark.pipeline.forget import (
+                forget_digests,
+                forget_preimages,
+                plan_forget,
+            )
+
+            digests = [bytes.fromhex(h) for h in args.digest]
+            if args.dry_run:
+                from pyspark.sql import functions as F
+
+                from shaha_spark.functions.hashers import hash_expr
+                from shaha_spark.pipeline.build import read_sidecar
+
+                if args.word:
+                    meta = read_sidecar(spark, args.database) or {}
+                    algos = args.algorithm or meta.get("algorithms", [])
+                    wdf = spark.createDataFrame(
+                        [(w,) for w in args.word], "word string"
+                    )
+                    digests += [
+                        bytes(r.d)
+                        for a in algos
+                        for r in wdf.select(
+                            hash_expr(a, F.col("word")).alias("d")
+                        ).collect()
+                    ]
+                plan = plan_forget(spark, args.database, digests)
+                plan.pop("candidates")
+                print(json.dumps(plan, indent=2))
+                return 0
+            report = {"rows_deleted": 0, "files_rewritten": 0, "files_dropped": 0}
+            if digests:
+                report = forget_digests(spark, args.database, digests)
+            if args.word:
+                r2 = forget_preimages(
+                    spark, args.database, args.word, algorithms=args.algorithm
+                )
+                for k in ("rows_deleted", "files_rewritten", "files_dropped"):
+                    report[k] = report.get(k, 0) + r2.get(k, 0)
+            print(json.dumps(report, indent=2))
             return 0
 
         if args.command == "info":

@@ -12,4 +12,9 @@ from shaha_spark.pipeline.build import (  # noqa: F401
     write_sidecar,
 )
 from shaha_spark.pipeline.curate import curate_corpus  # noqa: F401
+from shaha_spark.pipeline.forget import (  # noqa: F401
+    forget_digests,
+    forget_preimages,
+    plan_forget,
+)
 from shaha_spark.pipeline.stats import info, scan_stats  # noqa: F401

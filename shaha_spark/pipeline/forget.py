@@ -1,0 +1,199 @@
+"""Targeted record deletion ("forget") from a hash database — the
+GDPR-style erasure path: remove every record for a set of preimages
+(or raw digests) while rewriting ONLY the files whose hash range can
+contain them.
+
+Why this is cheap here: the build writes the dataset globally sorted
+by digest (range partitioning), so each parquet file covers a disjoint
+[min, max] hash slice and footer statistics locate the files a digest
+could live in without reading any data. A forget of k digests touches
+at most k files (usually far fewer), regardless of dataset size — at
+100 TB that's the difference between rewriting gigabytes and running a
+full-dataset anti-join job.
+
+Pruning is conservative: a file is a candidate if any target digest
+falls inside its footer [min, max] (truncated parquet statistics only
+widen the range, so candidates are a superset); the rewrite then
+filters by EXACT digest equality, so over-selection costs a file scan,
+never a wrong delete.
+
+The per-file swap reuses the slice-compaction crash protocol
+(`_incoming` staging + manifest commit point; see
+:func:`shaha_spark.pipeline.compact.recover_slices`): a crash mid-swap
+either leaves the original intact or rolls the replacement forward —
+never both, never neither. Files whose every row is forgotten are
+simply deleted (idempotent; a crash just re-deletes on re-run).
+
+This is an extension beyond the reference CLI (which has no delete);
+a transactional table format would make the swap a metadata commit —
+noted in SCALE.md as the production upgrade path.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shaha_spark import io_util
+from shaha_spark.pipeline.build import read_sidecar, write_sidecar
+from shaha_spark.pipeline.compact import MANIFEST_SUFFIX, _local, recover_slices
+
+
+def _footer_range(local_path: str) -> tuple[bytes | None, bytes | None, int]:
+    """(min, max, num_rows) of the ``hash`` column across all row
+    groups, from footer metadata only."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(local_path).metadata
+    col_idx = md.schema.to_arrow_schema().names.index("hash")
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(col_idx).statistics
+        if st is None or st.min is None or st.max is None:
+            return None, None, md.num_rows  # no stats: stay a candidate
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi, md.num_rows
+
+
+def plan_forget(
+    spark: SparkSession, path: str, digests: list[bytes]
+) -> dict[str, Any]:
+    """Driver-side footer-only planning: which files can contain any
+    of ``digests``. Requires a local filesystem for footer reads (the
+    same constraint as slice compaction)."""
+    targets = sorted(set(digests))
+    candidates: list[dict[str, Any]] = []
+    total_files = 0
+    for p, _sz in io_util.list_files(spark, path):
+        total_files += 1
+        lp = _local(p)
+        if lp is None:
+            raise ValueError(
+                f"forget planning needs local parquet footers, got {p}"
+            )
+        lo, hi, n_rows = _footer_range(lp)
+        if lo is None or any(lo <= d <= hi for d in targets):
+            candidates.append({"file": p, "rows": n_rows})
+    return {
+        "n_digests": len(targets),
+        "total_files": total_files,
+        "candidate_files": len(candidates),
+        "candidates": candidates,
+    }
+
+
+def forget_digests(
+    spark: SparkSession, path: str, digests: list[bytes]
+) -> dict[str, Any]:
+    """Delete every record whose ``hash`` equals one of ``digests``,
+    rewriting only range-matching files. Returns a report; idempotent
+    (a second run deletes nothing)."""
+    if not digests:
+        return {"rows_deleted": 0, "files_rewritten": 0, "files_dropped": 0}
+    recovered = recover_slices(spark, path)
+    plan = plan_forget(spark, path, digests)
+    targets = [bytes(d) for d in sorted(set(digests))]
+
+    rows_deleted = rewritten = dropped = 0
+    for cand in plan["candidates"]:
+        p = cand["file"]
+        df: DataFrame = spark.read.parquet(p)
+        remaining = df.where(~F.col("hash").isin(targets))
+        n_after = remaining.count()
+        n_delete = cand["rows"] - n_after
+        if n_delete == 0:
+            continue  # range false positive
+        rows_deleted += n_delete
+        d = p.rsplit("/", 1)[0]
+        if n_after == 0:
+            io_util.delete(spark, p)
+            dropped += 1
+            continue
+        tmp = d + f"/.__forget_{uuid.uuid4().hex[:8]}__"
+        (
+            remaining.coalesce(1)
+            .sortWithinPartitions("hash")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .option("parquet.bloom.filter.enabled#hash", "true")
+            .option(
+                "parquet.bloom.filter.expected.ndv#hash",
+                str(max(n_after, 1_000_000)),
+            )
+            .parquet(tmp)
+        )
+        part = next(
+            q for q, _ in io_util.list_files(spark, tmp) if q.endswith(".parquet")
+        )
+        stem = f"forget-{uuid.uuid4().hex[:12]}.zstd.parquet"
+        incoming = d + f"/_incoming-{stem}"
+        final = d + f"/{stem}"
+        if not io_util.rename(spark, part, incoming):
+            io_util.delete(spark, tmp)
+            raise IOError(f"forget: could not stage {incoming}")
+        io_util.write_text(
+            spark,
+            incoming + MANIFEST_SUFFIX,
+            json.dumps({"originals": [p], "final": final}),
+        )
+        io_util.delete(spark, p)
+        if not io_util.rename(spark, incoming, final):
+            raise IOError(
+                f"forget: staged file {incoming} not made visible; the "
+                "manifest rolls the swap forward on the next run"
+            )
+        io_util.delete(spark, incoming + MANIFEST_SUFFIX)
+        io_util.delete(spark, tmp)
+        rewritten += 1
+
+    meta = read_sidecar(spark, path)
+    if meta is not None and rows_deleted:
+        write_sidecar(
+            spark,
+            path,
+            total_records=meta["total_records"] - rows_deleted,
+            algorithms=meta.get("algorithms", []),
+            sources=meta.get("sources", []),
+            source_hashes=meta.get("source_hashes", []),
+        )
+    return {
+        **{k: plan[k] for k in ("n_digests", "total_files", "candidate_files")},
+        "rows_deleted": rows_deleted,
+        "files_rewritten": rewritten,
+        "files_dropped": dropped,
+        "recovered": recovered,
+    }
+
+
+def forget_preimages(
+    spark: SparkSession,
+    path: str,
+    preimages: list[str],
+    algorithms: list[str] | None = None,
+) -> dict[str, Any]:
+    """Erase ``preimages`` under every algorithm the database holds
+    (or an explicit subset). Digests are computed with the engine's own
+    hasher kernels on a tiny in-memory DataFrame — no driver-side
+    reimplementation to drift."""
+    from shaha_spark.functions.hashers import hash_expr
+    from shaha_spark.pipeline.stats import scan_stats
+
+    if algorithms is None:
+        meta = read_sidecar(spark, path)
+        algorithms = (
+            meta["algorithms"] if meta else scan_stats(spark, path)["algorithms"]
+        )
+    if not preimages or not algorithms:
+        return {"rows_deleted": 0, "files_rewritten": 0, "files_dropped": 0}
+    words = spark.createDataFrame([(w,) for w in preimages], "word string")
+    digests = [
+        bytes(r.d)
+        for algo in algorithms
+        for r in words.select(hash_expr(algo, F.col("word")).alias("d")).collect()
+    ]
+    return forget_digests(spark, path, digests)
