@@ -239,6 +239,52 @@ EXTRA = {
             "shaha_spark.operators.textops", fromlist=["textops"]
         ).char_entropy(spark.read.parquet(f"{sf}/documents.parquet")),
     ),
+    "gapfill": (
+        "Grid fan-out is a per-key sequence explode off the hourly agg "
+        "(bounded by the output size), joined back and forward-filled "
+        "in one per-key ordered window. Two parquet scans total, no "
+        "calendar cross join, no Python.",
+        lambda spark, sf: __import__(
+            "shaha_spark.operators.timeseries", fromlist=["timeseries"]
+        ).gapfill(
+            __import__("__spark_entry__")._events(spark, sf)
+        ),
+    ),
+    "scd2_intervals": (
+        "Change flag + running segment id share ONE per-user sort; the "
+        "LEAD interval-close window runs on the already-aggregated "
+        "segment table. Sessionize-shaped: one shuffle on the key.",
+        lambda spark, sf: __import__(
+            "shaha_spark.operators.timeseries", fromlist=["timeseries"]
+        ).scd2_intervals(
+            __import__("__spark_entry__")._events(spark, sf)
+        ),
+    ),
+    "incremental_rollup": (
+        "Each increment is a map-side-combining hash-agg over ONLY its "
+        "batch; merges are full-outer joins on the bucket key — "
+        "proportional to touched buckets, not history. Decimal state "
+        "keeps any merge order bit-exact.",
+        lambda spark, sf: (lambda t: (lambda ev: t.finalize_rollup(
+            t.merge_rollup(
+                t.rollup_increment(ev.where("event_id % 2 = 0")),
+                t.rollup_increment(ev.where("event_id % 2 = 1")),
+            )
+        ))(__import__("__spark_entry__")._events(spark, sf)))(
+            __import__("shaha_spark.operators.incremental", fromlist=["incremental"])
+        ),
+    ),
+    "source_cap": (
+        "Per-domain cap plans a WindowGroupLimit: only the first `cap` "
+        "rows per group flow through the rank window, so a mega-domain "
+        "never fully sorts in memory. One shuffle on the group key.",
+        lambda spark, sf: __import__(
+            "shaha_spark.operators.sampling", fromlist=["sampling"]
+        ).source_cap(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            "source", "doc_id", cap=10,
+        ),
+    ),
     "curate_corpus": (
         "The whole curation chain is ONE plan: redaction folds into the "
         "first projection, line dedup and the Gopher gate are doc-keyed "
