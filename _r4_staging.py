@@ -307,8 +307,26 @@ def q_events_rollup_incremental(spark, sf_dir):
     return finalize_rollup(state)
 
 
+def q_events_pit_join(spark, sf_dir):
+    """Point-in-time join: odd events pick up the props.k attribute
+    valid at their timestamp from the SCD2 history built over the EVEN
+    events (operators.joins.point_in_time_join over
+    operators.timeseries.scd2_intervals) — the no-future-leakage
+    feature-backfill shape."""
+    from shaha_spark.operators.joins import point_in_time_join
+    from shaha_spark.operators.timeseries import scd2_intervals
+
+    ev = _events(spark, sf_dir)
+    dim = scd2_intervals(ev.where(F.col("event_id") % 2 == 0))
+    facts = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", F.col("tus").alias("ts_us")
+    )
+    return point_in_time_join(facts, dim, "user_id", "ts_us", ["attr"])
+
+
 def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "events_pit_join": q_events_pit_join,
         "events_rollup_incremental": q_events_rollup_incremental,
         "docs_source_cap": q_docs_source_cap,
         "docs_ppl_buckets": q_docs_ppl_buckets,
@@ -424,6 +442,7 @@ _QUALITY_STOPS_LIST = "[" + ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS) + "]"
 
 def oracle_sql_r4() -> dict[str, str]:
     from shaha_spark.operators.sampling import source_cap_sql
+    from shaha_spark.operators.incremental import incremental_rollup_sql
     from shaha_spark.operators.timeseries import (
         debounce_sql,
         gapfill_sql,
@@ -453,9 +472,21 @@ SELECT d.doc_id, d.lang, s.avg_logprob,
   ) AS bucket
 FROM documents d JOIN score s USING (doc_id)"""
 
-    from shaha_spark.operators.incremental import incremental_rollup_sql
-
     sql["events_rollup_incremental"] = incremental_rollup_sql("events")
+
+    scd_even = scd2_sql("(SELECT * FROM events WHERE event_id % 2 = 0)")
+    sql["events_pit_join"] = f"""WITH scd AS ({scd_even}),
+facts AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT f.event_id, f.user_id, f.ts_us,
+  s.valid_from_us AS pit_valid_from_us,
+  s.attr AS pit_attr
+FROM facts f LEFT JOIN scd s
+  ON f.user_id = s.user_id
+ AND f.ts_us >= s.valid_from_us
+ AND (s.valid_to_us IS NULL OR f.ts_us < s.valid_to_us)"""
 
     sql["events_gapfill"] = gapfill_sql("events")
     sql["events_debounce"] = debounce_sql("events")

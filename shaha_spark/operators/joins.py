@@ -138,3 +138,50 @@ def interval_join(
         (F.col(time_col) >= F.col(start_col)) & (F.col(time_col) < F.col(end_col))
     )
     return joined.drop("_bucket")
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    key_col: str,
+    time_col: str,
+    attr_cols: list[str],
+    valid_from_col: str = "valid_from_us",
+    valid_to_col: str = "valid_to_us",
+    prefix: str = "pit_",
+) -> DataFrame:
+    """Point-in-time (temporal) join: attach to each fact row the
+    dimension attributes valid AT ITS TIMESTAMP — ``valid_from <= t``
+    and (``valid_to`` NULL or ``t < valid_to``) — the correct way to
+    join an SCD2 history (see
+    :func:`shaha_spark.operators.timeseries.scd2_intervals`) without
+    leaking future attribute values into training features.
+
+    NOT an interval range join: the history's ``valid_from`` rows are
+    as-of anchors, so the whole match is :func:`asof_join`'s
+    union + running-last window — one shuffle, one sort, zero joins,
+    linear in rows. The ``valid_to`` refinement afterwards only
+    matters for GAPPED histories (a tiling SCD2 output never triggers
+    it); an expired match nulls out exactly like SQL's failed left
+    join.
+    """
+    right = dim_history.select(
+        F.col(key_col),
+        F.col(valid_from_col).alias(time_col),
+        F.col(valid_to_col),
+        *[F.col(c) for c in attr_cols],
+    )
+    out = asof_join(
+        facts, right, key_col, time_col, [valid_to_col, *attr_cols], prefix
+    )
+    vt = F.col(f"{prefix}{valid_to_col}")
+    live = vt.isNull() | (F.col(time_col) < vt)
+    keep = [F.col(c) for c in facts.columns]
+    keep.append(
+        F.when(live, F.col(f"{prefix}{time_col}")).alias(f"{prefix}{valid_from_col}")
+    )
+    keep.extend(
+        F.when(live, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}")
+        for c in attr_cols
+    )
+    return out.select(*keep)

@@ -186,3 +186,28 @@ def test_interval_join_matches_naive_range_join(spark):
         ).select(F.col("e.k").alias("k"), "t", "iv_id").collect()
     }
     assert got == naive and len(naive) > 15  # 23 matches at this seed
+
+
+def test_point_in_time_join_gapped_history_and_prehistory(spark):
+    from shaha_spark.operators.joins import point_in_time_join
+
+    # history with a HOLE: [100,200) then [300,None) — 250 is uncovered
+    dim = spark.createDataFrame(
+        [(1, "a", 100, 200), (1, "b", 300, None), (2, "z", 50, None)],
+        "user_id bigint, attr string, valid_from_us bigint, valid_to_us bigint",
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, 50), (11, 1, 150), (12, 1, 250), (13, 1, 300), (14, 2, 60)],
+        "event_id bigint, user_id bigint, ts_us bigint",
+    )
+    out = {
+        r.event_id: (r.pit_attr, r.pit_valid_from_us)
+        for r in point_in_time_join(
+            facts, dim, "user_id", "ts_us", ["attr"]
+        ).collect()
+    }
+    assert out[10] == (None, None)        # before any interval
+    assert out[11] == ("a", 100)          # inside [100,200)
+    assert out[12] == (None, None)        # in the hole: expired, not "a"
+    assert out[13] == ("b", 300)          # valid_from inclusive
+    assert out[14] == ("z", 50)
