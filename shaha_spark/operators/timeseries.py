@@ -194,7 +194,10 @@ def scd2_intervals(
         F.min(tus_col).alias("valid_from_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w2 = Window.partitionBy(key_col).orderBy("valid_from_us")
+    # simultaneous events with different attrs make consecutive
+    # segments share a valid_from; the segment id (monotone in the
+    # total event order) breaks the tie identically on both engines
+    w2 = Window.partitionBy(key_col).orderBy("valid_from_us", "__seg")
     return grouped.select(
         F.col(key_col),
         F.col(attr_name),
@@ -230,9 +233,10 @@ grouped AS (
   FROM seg GROUP BY 1, 2
 )
 SELECT {key_col}, attr, valid_from_us,
-  lead(valid_from_us) OVER (PARTITION BY {key_col} ORDER BY valid_from_us)
-    AS valid_to_us,
+  lead(valid_from_us) OVER (
+    PARTITION BY {key_col} ORDER BY valid_from_us, seg_id) AS valid_to_us,
   n_events,
-  lead(valid_from_us) OVER (PARTITION BY {key_col} ORDER BY valid_from_us)
+  lead(valid_from_us) OVER (
+    PARTITION BY {key_col} ORDER BY valid_from_us, seg_id)
     IS NULL AS is_current
 FROM grouped"""
