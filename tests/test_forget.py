@@ -124,3 +124,25 @@ def test_cli_forget_subcommand(spark, tmp_path):
     assert report["rows_deleted"] == 1
     db = read_hashdb(spark, out)
     assert db.where(F.col("preimage") == "word0003").count() == 0
+
+
+def test_forget_then_compact_roundtrip(spark, tmp_path):
+    """Maintenance ops compose: forget leaves shrunken files, slice
+    compaction merges them, and lookups stay correct throughout."""
+    from shaha_spark.pipeline.compact import compact_slices
+    from shaha_spark.query import query
+
+    out = _db(spark, tmp_path, words=200, num_files=8, algos=("sha256",))
+    gone = [f"word{i:04d}" for i in range(0, 50)]
+    rep = forget_preimages(spark, out, gone)
+    assert rep["rows_deleted"] == 50
+    compact_slices(spark, out, target_file_bytes=1 << 20)
+    db = read_hashdb(spark, out)
+    assert db.count() == 150
+    assert db.where(F.col("preimage").isin(gone)).count() == 0
+    h = hashlib.sha256(b"word0150").hexdigest()
+    assert query(spark, out, h).select("preimage").head()[0] == "word0150"
+    # sort invariant survives both rewrites
+    for p in _files(spark, out):
+        hashes = [r.hash for r in spark.read.parquet(p).select("hash").collect()]
+        assert hashes == sorted(hashes)
