@@ -307,6 +307,27 @@ def q_events_rollup_incremental(spark, sf_dir):
     return finalize_rollup(state)
 
 
+def q_emb_ann_recall(spark, sf_dir):
+    """Recall@5 of the end-to-end IVF-kmeans ANN against brute-force
+    exact top-5 (operators.similarity.topk_recall) — the quality gate
+    for the approximate path, with BOTH pipelines inside one
+    value-hash comparison."""
+    from shaha_spark.operators.kmeans import kmeans_fit
+    from shaha_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        topk_recall,
+    )
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embs, queries, k=5)
+    approx = ivf_topk(embs, queries, kmeans_fit(embs, k=4, iters=2), k=5, nprobe=2)
+    return topk_recall(exact, approx, k=5)
+
+
 def q_events_pit_join(spark, sf_dir):
     """Point-in-time join: odd events pick up the props.k attribute
     valid at their timestamp from the SCD2 history built over the EVEN
@@ -326,6 +347,7 @@ def q_events_pit_join(spark, sf_dir):
 
 def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "emb_ann_recall": q_emb_ann_recall,
         "events_pit_join": q_events_pit_join,
         "events_rollup_incremental": q_events_rollup_incremental,
         "docs_source_cap": q_docs_source_cap,
@@ -471,6 +493,31 @@ SELECT d.doc_id, d.lang, s.avg_logprob,
     PARTITION BY d.lang ORDER BY s.avg_logprob DESC, d.doc_id
   ) AS bucket
 FROM documents d JOIN score s USING (doc_id)"""
+
+    from __spark_entry__ import _ivf_kmeans_sql
+
+    exact_topk = """WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, vec_id ASC
+         ) AS rank
+  FROM c, q
+)
+SELECT query_id, vec_id FROM ranked WHERE rank <= 5"""
+    sql["emb_ann_recall"] = f"""WITH exact AS ({exact_topk}),
+approx AS ({_ivf_kmeans_sql(k=4, iters=2, nprobe=2, topk=5)})
+SELECT e.query_id,
+  CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+  CAST(count(a.vec_id) AS DOUBLE) / 5.0 AS recall
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id"""
 
     sql["events_rollup_incremental"] = incremental_rollup_sql("events")
 

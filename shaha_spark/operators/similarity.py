@@ -203,3 +203,34 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one:
+    per query, the fraction of true top-k neighbors the ANN retrieved —
+    THE quality gate before trading exactness for speed (IVF nprobe /
+    PQ codebook sizing).
+
+    Both inputs are (query, id) result sets as produced by
+    :func:`brute_force_topk` / :func:`ivf_topk`. Scale: one equi-join
+    on (query, id) — both sides are k·queries rows, tiny next to the
+    corpus scan that produced them — then a per-query count.
+    """
+    e = exact.select(query_col, id_col)
+    a = approx.select(query_col, id_col).withColumn("__hit", F.lit(1))
+    return (
+        e.join(a, [query_col, id_col], "left")
+        .groupBy(query_col)
+        .agg(F.count("__hit").alias("n_hits"))
+        .select(
+            query_col,
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits") / F.lit(float(k))).alias("recall"),
+        )
+    )

@@ -104,3 +104,18 @@ def test_top_pc_is_deterministic_across_partitionings(emb):
         map(tuple, top_principal_component(emb.repartition(13), iters=2).collect())
     )
     assert a == b
+
+
+def test_topk_recall_counts_overlap_per_query(spark):
+    from shaha_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id bigint, vec_id bigint"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21), (2, 98)],
+        "query_id bigint, vec_id bigint",
+    )
+    out = {r.query_id: (r.n_hits, r.recall) for r in
+           topk_recall(exact, approx, k=2).collect()}
+    assert out == {1: (1, 0.5), 2: (2, 1.0)}
