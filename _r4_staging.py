@@ -21,7 +21,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from __spark_entry__ import _WORDS_CTE, _events, _kmeans_parts, _pairs_cte, _t
+from __spark_entry__ import (
+    _WORDS_CTE,
+    _dec,
+    _events,
+    _kmeans_parts,
+    _pairs_cte,
+    _t,
+)
 from shaha_spark.operators.constants import MINHASH_PERMS, QUALITY_STOPWORDS
 from shaha_spark.operators.sampling import bucket_sql, h28_sql
 
@@ -345,8 +352,116 @@ def q_events_pit_join(spark, sf_dir):
     return point_in_time_join(facts, dim, "user_id", "ts_us", ["attr"])
 
 
+def q_emb_sq_topk(spark, sf_dir):
+    """Two-stage scalar-quantized ANN: uint8 ADC candidate top-20
+    (exact integer dot of code arrays), exact-cosine re-rank top-5
+    (operators.embeddings.sq_topk)."""
+    from shaha_spark.operators.embeddings import sq_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq_topk(embs, queries, m=20, k=5)
+
+
+def q_emb_prefix_topk(spark, sf_dir):
+    """Matryoshka-style two-stage ANN: candidate generation on the
+    first 8 dimensions, full-64-dim exact re-rank
+    (operators.similarity.prefix_topk)."""
+    from shaha_spark.operators.similarity import prefix_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return prefix_topk(embs, queries, prefix_dims=8, m=20, k=5)
+
+
+def q_events_cube(spark, sf_dir):
+    """Full CUBE over (hour-of-day, event_type) — the grouping-sets
+    surface events_rollup's hierarchy does not cover: the (type-only)
+    and (hour-only) marginals come out of the same single Expand +
+    hash aggregate."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        F.hour(F.timestamp_micros(F.col("tus"))).cast("string").alias("hod"),
+        "event_type",
+        "value",
+    )
+    return (
+        base.cube("hod", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("hod", F.lit("ALL")).alias("hod"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_events_nearest_join(spark, sf_dir):
+    """Nearest-purchase attribution for every click: closest purchase
+    event either direction within 10 minutes, per user; equal-distance
+    ties resolve to the earlier purchase
+    (operators.joins.nearest_join — zero-join two-window formulation)."""
+    from shaha_spark.operators.joins import nearest_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "tus"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "tus"
+    )
+    return nearest_join(
+        left,
+        right,
+        key_col="user_id",
+        time_col="tus",
+        tolerance=600_000_000,
+        right_value_cols=["event_id"],
+        order_col="event_id",
+    )
+
+
+def q_events_cdc_snapshot(spark, sf_dir):
+    """CDC changelog -> current snapshot (MERGE compaction): per user
+    the latest event wins; 'error' acts as the delete operation and
+    removes the key (operators.timeseries.cdc_apply)."""
+    from shaha_spark.operators.timeseries import cdc_apply
+
+    ev = _events(spark, sf_dir)
+    changelog = ev.select(
+        "user_id",
+        "tus",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "value",
+    )
+    return cdc_apply(
+        changelog,
+        key_cols=["user_id"],
+        ts_col="tus",
+        op_col="op",
+        value_cols=["value"],
+        tie_col="event_id",
+    )
+
+
 def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "emb_sq_topk": q_emb_sq_topk,
+        "emb_prefix_topk": q_emb_prefix_topk,
+        "events_cube": q_events_cube,
+        "events_nearest_join": q_events_nearest_join,
+        "events_cdc_snapshot": q_events_cdc_snapshot,
         "emb_ann_recall": q_emb_ann_recall,
         "events_pit_join": q_events_pit_join,
         "events_rollup_incremental": q_events_rollup_incremental,
@@ -964,5 +1079,136 @@ ex AS (SELECT md5(text) AS dg, min(doc_id) AS doc_id FROM g GROUP BY 1),
 surv AS (SELECT g.doc_id, g.text FROM g JOIN ex ON ex.doc_id = g.doc_id)
 SELECT s.doc_id, s.text, d.lang, d.source, d.n_chars
 FROM surv s JOIN documents d USING (doc_id)"""
+
+    # ---- two-stage ANN: scalar-quantized ADC + exact re-rank.
+    # Codes replay embedding_quantize's proven formula (exact double
+    # steps, floor of a correctly-rounded division); the ADC dot is
+    # integers-in-double (255^2*64 << 2^53) so CAST to BIGINT is exact.
+    sql["emb_sq_topk"] = """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+x AS (SELECT vec_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS p FROM v),
+s AS (SELECT p, CAST(min(x) AS DOUBLE) AS mn, CAST(max(x) AS DOUBLE) AS mx FROM x GROUP BY p),
+codes AS (
+  SELECT vec_id,
+         list(CASE WHEN mx = mn THEN 0
+                   ELSE LEAST(255, GREATEST(0, CAST(FLOOR((CAST(x AS DOUBLE) - mn) / (mx - mn) * 256.0) AS INTEGER)))
+              END ORDER BY p) AS c
+  FROM x JOIN s USING (p) GROUP BY vec_id
+),
+cc AS (SELECT vec_id, list_transform(c, y -> CAST(y - 128 AS DOUBLE)) AS c FROM codes),
+qc AS (SELECT vec_id AS query_id, c FROM cc WHERE vec_id % 100 = 0),
+adc AS (
+  SELECT qc.query_id, cc.vec_id,
+         CAST(list_dot_product(cc.c, qc.c) AS BIGINT) AS adc
+  FROM cc CROSS JOIN qc
+),
+cand AS (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) AS r
+  FROM adc
+),
+qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 100 = 0),
+rer AS (
+  SELECT cd.query_id, cd.vec_id, cd.adc,
+         round(list_cosine_similarity(CAST(v2.embedding AS DOUBLE[]), qv.qv), 6) AS cosine
+  FROM cand cd
+  JOIN embeddings v2 ON cd.vec_id = v2.vec_id
+  JOIN qv ON cd.query_id = qv.query_id
+  WHERE cd.r <= 20
+),
+ranked AS (
+  SELECT query_id, vec_id, adc, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM rer
+)
+SELECT query_id, vec_id, adc, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+    sql["emb_prefix_topk"] = """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(cv[1:8], qv[1:8]), 6) AS prefix_cosine
+  FROM c CROSS JOIN q
+),
+cand AS (
+  SELECT query_id, vec_id, prefix_cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY prefix_cosine DESC, vec_id ASC) AS r
+  FROM scored
+),
+rer AS (
+  SELECT cd.query_id, cd.vec_id, cd.prefix_cosine,
+         round(list_cosine_similarity(c.cv, q.qv), 6) AS cosine
+  FROM cand cd JOIN c ON cd.vec_id = c.vec_id JOIN q ON cd.query_id = q.query_id
+  WHERE cd.r <= 20
+),
+ranked AS (
+  SELECT query_id, vec_id, prefix_cosine, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM rer
+)
+SELECT query_id, vec_id, prefix_cosine, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+    sql["events_cube"] = """WITH base AS (
+  SELECT CAST(hour(ts) AS VARCHAR) AS hod, event_type, value FROM events
+)
+SELECT coalesce(hod, 'ALL') AS hod, coalesce(event_type, 'ALL') AS event_type,
+  count(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM base GROUP BY CUBE (hod, event_type)"""
+
+    # mirrors nearest_join's construction step for step: union-tagged
+    # sides, the same (tus, side, ord) total order, backward
+    # last(IGNORE NULLS) / forward first(IGNORE NULLS), earlier-wins
+    # tie rule, tolerance filter
+    sql["events_nearest_join"] = """WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events
+),
+u AS (
+  SELECT user_id, tus, 1 AS side, event_id AS ord, event_id,
+         CAST(NULL AS BIGINT) AS r_tus, CAST(NULL AS BIGINT) AS r_event_id
+  FROM ev WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, tus, 0 AS side, event_id AS ord, NULL AS event_id,
+         tus AS r_tus, event_id AS r_event_id
+  FROM ev WHERE event_type = 'purchase'
+),
+res AS (
+  SELECT user_id, tus, side, event_id,
+    last_value(r_tus IGNORE NULLS) OVER wpast AS prev_tus,
+    last_value(r_event_id IGNORE NULLS) OVER wpast AS prev_id,
+    first_value(r_tus IGNORE NULLS) OVER wfut AS next_tus,
+    first_value(r_event_id IGNORE NULLS) OVER wfut AS next_id
+  FROM u
+  WINDOW wpast AS (PARTITION BY user_id ORDER BY tus, side, ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wfut AS (PARTITION BY user_id ORDER BY tus, side, ord
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+sel AS (
+  SELECT user_id, event_id, tus,
+    CASE WHEN prev_tus IS NOT NULL AND (next_tus IS NULL OR tus - prev_tus <= next_tus - tus)
+         THEN prev_tus ELSE next_tus END AS near_tus,
+    CASE WHEN prev_tus IS NOT NULL AND (next_tus IS NULL OR tus - prev_tus <= next_tus - tus)
+         THEN prev_id ELSE next_id END AS near_event_id,
+    CASE WHEN prev_tus IS NOT NULL AND (next_tus IS NULL OR tus - prev_tus <= next_tus - tus)
+         THEN tus - prev_tus ELSE next_tus - tus END AS delta
+  FROM res WHERE side = 1
+)
+SELECT user_id, event_id, tus, near_tus, near_event_id, CAST(delta AS BIGINT) AS delta
+FROM sel WHERE near_tus IS NOT NULL AND delta <= 600000000"""
+
+    sql["events_cdc_snapshot"] = """WITH ch AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         value
+  FROM events
+),
+rn AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+  FROM ch
+)
+SELECT user_id, tus AS last_tus, op AS last_op, value
+FROM rn WHERE rn = 1 AND op <> 'delete'"""
 
     return sql

@@ -229,3 +229,135 @@ def top_principal_component(
     rows = [(p, round(c / scale, 9)) for p, c in enumerate(v)]
     spark = df.sparkSession
     return spark.createDataFrame(rows, "pos bigint, comp double")
+
+
+def sq_code_arrays(
+    df: DataFrame,
+    stats: list[tuple[float, float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "__codes",
+) -> DataFrame:
+    """Packed uint8 code array per vector under the given per-dimension
+    (min, max) ``stats`` — the array form of :func:`quantize_int8`, with
+    an added floor clamp at 0 so out-of-range QUERY vectors (not drawn
+    from the corpus the stats describe) still code validly.
+
+    Same exactness argument as quantize_int8: float32 → double is
+    exact, ×256 is exact, floor of a correctly-rounded division is
+    deterministic — codes are bit-identical across engines.
+    """
+    mins = F.array(*[F.lit(mn).cast("double") for mn, _ in stats])
+    spans = F.array(*[F.lit(mx - mn).cast("double") for mn, mx in stats])
+    codes = F.zip_with(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), mins, lambda x, mn: x - mn
+        ),
+        spans,
+        lambda delta, span: F.when(span == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0), F.floor(delta / span * F.lit(256.0)).cast("int")
+                ),
+            )
+        ),
+    )
+    return df.select(F.col(id_col), F.col(vec_col), codes.alias(out_col))
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 20,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage scalar-quantized ANN: uint8 asymmetric-distance
+    candidate generation, exact-cosine re-rank.
+
+    Stage A scores every corpus vector against every (broadcast) query
+    with the INTEGER dot product of their uint8 codes — 255²·d bounds
+    the sum far inside int64, so candidate ranking is exact integer
+    arithmetic with no float ambiguity — and keeps the top ``m`` per
+    query (adc DESC, id ASC). Stage B joins the m·|queries| candidate
+    ids back to the full-precision corpus (candidates broadcast — the
+    big side never shuffles) and re-ranks by exact cosine, rounded to
+    6 decimals with id tiebreak, keeping ``k``.
+
+    100 TB shape: the corpus scan is shuffle-free in both stages; the
+    only shuffles are the two per-query top-N windows, whose input is
+    |corpus|×|queries| scored rows in stage A (same cost class as
+    brute_force_topk but on 1-byte codes — this is the operator you
+    run when the raw vectors no longer fit the scan budget) and
+    m·|queries| rows in stage B. Production would persist the code
+    arrays write-time; here they are derived in-plan so the oracle can
+    replay the whole pipeline.
+    """
+    from .similarity import cosine_sim
+
+    stats = dim_stats(corpus, vec_col)
+    from pyspark.sql import Window
+
+    ccodes = sq_code_arrays(corpus, stats, vec_col, id_col)
+    qcodes = sq_code_arrays(
+        queries, stats, vec_col, query_id_col, out_col="__qcodes"
+    ).select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.col("__qcodes"),
+    )
+    # centered codes: raw uint8 dots are dominated by the +128 offset
+    # term (every code is positive), which ranks by vector SUM, not
+    # similarity. (c-128)·(q-128) strips the offset so the integer dot
+    # is proportional to the dequantized inner product up to per-dim
+    # span scaling — the standard SQ ADC — while staying exact int64.
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("__codes"),
+            F.col("__qcodes"),
+            lambda a, b: ((a - F.lit(128)) * (b - F.lit(128))).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    # only (query_id, id, adc) enters the top-m shuffle — the raw
+    # vectors rejoin AFTER candidate selection, so the heavy window
+    # moves 1 long per scored pair, not d floats
+    scored = ccodes.crossJoin(F.broadcast(qcodes)).select(
+        query_id_col, id_col, adc.alias("adc")
+    )
+    wa = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc").desc(), F.col(id_col).asc()
+    )
+    cands = (
+        scored.withColumn("__r", F.row_number().over(wa))
+        .where(F.col("__r") <= m)
+        .select(query_id_col, id_col, "adc")
+    )
+    rescored = F.broadcast(cands).join(
+        corpus.select(F.col(id_col), F.col(vec_col)), on=id_col
+    ).join(
+        F.broadcast(qcodes.select(query_id_col, "__qvec")), on=query_id_col
+    ).select(
+        query_id_col,
+        id_col,
+        "adc",
+        F.round(cosine_sim(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    wb = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wb))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("adc").cast("bigint").alias("adc"),
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -185,3 +185,96 @@ def point_in_time_join(
         for c in attr_cols
     )
     return out.select(*keep)
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    time_col: str,
+    tolerance: int,
+    right_value_cols: list[str],
+    prefix: str = "near_",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Nearest-event join: attach to each left row the right row whose
+    ``time_col`` is CLOSEST (either direction) within ``tolerance``,
+    per ``key_col``; ties between an equally-near earlier and later
+    right row resolve to the earlier one. Left rows with no right row
+    in tolerance are dropped.
+
+    Same zero-join construction as :func:`asof_join`, run in both
+    directions over ONE union: tag sides, one hash shuffle on the key,
+    one sort by (time, side, order), then a backward running
+    ``last(ignorenulls)`` gives the at-or-before candidate and a
+    forward running ``first(ignorenulls)`` gives the strictly-after
+    candidate (an equal-time right row sorts before the left row, so
+    it is exactly the backward match — never double-counted). Linear
+    in rows per key at any density; no range join ever materializes.
+
+    ``order_col`` breaks ordering ties among same-timestamp rows
+    deterministically (defaults to the first right value column).
+    """
+    ocol = order_col or right_value_cols[0]
+    lcols = list(left.columns)
+    payload = F.struct(
+        F.col(time_col).alias(f"{prefix}{time_col}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key_col),
+        F.col(time_col),
+        F.lit(0).alias("_side"),
+        F.col(ocol).cast("bigint").alias("_ord"),
+        payload.alias("_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
+    )
+    l_tagged = left.select(
+        F.col(key_col),
+        F.col(time_col),
+        F.lit(1).alias("_side"),
+        F.col(ocol if ocol in left.columns else lcols[0])
+        .cast("bigint")
+        .alias("_ord"),
+        F.lit(None).cast(r_tagged.schema["_r"].dataType).alias("_r"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    both = l_tagged.unionByName(r_tagged)
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col, "_side", "_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col, "_side", "_ord")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.col(time_col)
+    prev = F.last("_r", ignorenulls=True).over(wb)
+    nxt = F.first("_r", ignorenulls=True).over(wf)
+    resolved = (
+        both.withColumn("_prev", prev)
+        .withColumn("_next", nxt)
+        .filter(F.col("_side") == 1)
+    )
+    d_prev = t - F.col(f"_prev.{prefix}{time_col}")
+    d_next = F.col(f"_next.{prefix}{time_col}") - t
+    use_prev = F.col("_prev").isNotNull() & (
+        F.col("_next").isNull() | (d_prev <= d_next)
+    )
+    chosen = F.when(use_prev, F.col("_prev")).otherwise(F.col("_next"))
+    delta = F.when(use_prev, d_prev).otherwise(d_next)
+    out_cols = [F.col(f"_l_{c}").alias(c) for c in lcols]
+    out_cols.append(F.col(f"_chosen.{prefix}{time_col}").alias(f"{prefix}{time_col}"))
+    out_cols.extend(
+        F.col(f"_chosen.{prefix}{c}").alias(f"{prefix}{c}")
+        for c in right_value_cols
+    )
+    out_cols.append(F.col("_delta").cast("bigint").alias("delta"))
+    return (
+        resolved.withColumn("_chosen", chosen)
+        .withColumn("_delta", delta)
+        .filter(F.col("_chosen").isNotNull() & (F.col("_delta") <= tolerance))
+        .select(*out_cols)
+    )

@@ -234,3 +234,78 @@ def topk_recall(
             (F.col("n_hits") / F.lit(float(k))).alias("recall"),
         )
     )
+
+
+def prefix_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dims: int = 8,
+    m: int = 20,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Matryoshka-style two-stage search: candidate generation on the
+    FIRST ``prefix_dims`` dimensions, exact full-dimension re-rank.
+
+    Matryoshka-trained embeddings front-load information, so cosine
+    over a short prefix is a cheap, surprisingly faithful pre-filter:
+    stage A scans d'=prefix_dims floats per vector instead of d (an
+    8/64 prefix cuts stage-A flops and scan bytes 8×), keeps the top
+    ``m`` per query (prefix cosine DESC, id ASC, rounded to 6), and
+    stage B re-ranks only m·|queries| candidates at full precision.
+
+    Plan shape mirrors :func:`sq_topk`: broadcast queries, shuffle-free
+    corpus scan carrying only (query_id, id, score) into the top-m
+    window, candidates broadcast back against the corpus for re-rank.
+    At 100 TB the prefix slice would be stored column-separate
+    (write-time truncation) so stage A's scan prunes to d' floats at
+    the parquet layer; here the slice is in-plan for oracle replay.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.slice(F.col(vec_col), 1, prefix_dims).alias("__qpre"),
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, prefix_dims).alias("__pre")
+    ).crossJoin(q.select(query_id_col, "__qpre")).select(
+        query_id_col,
+        id_col,
+        F.round(cosine_sim(F.col("__pre"), F.col("__qpre")), 6).alias(
+            "prefix_cosine"
+        ),
+    )
+    wa = Window.partitionBy(query_id_col).orderBy(
+        F.col("prefix_cosine").desc(), F.col(id_col).asc()
+    )
+    cands = (
+        scored.withColumn("__r", F.row_number().over(wa))
+        .where(F.col("__r") <= m)
+        .select(query_id_col, id_col, "prefix_cosine")
+    )
+    rescored = F.broadcast(cands).join(
+        corpus.select(F.col(id_col), F.col(vec_col)), on=id_col
+    ).join(q.select(query_id_col, "__qvec"), on=query_id_col).select(
+        query_id_col,
+        id_col,
+        "prefix_cosine",
+        F.round(cosine_sim(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    wb = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wb))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "prefix_cosine",
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

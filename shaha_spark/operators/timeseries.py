@@ -240,3 +240,41 @@ SELECT {key_col}, attr, valid_from_us,
     PARTITION BY {key_col} ORDER BY valid_from_us, seg_id)
     IS NULL AS is_current
 FROM grouped"""
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    op_col: str,
+    value_cols: list[str],
+    tie_col: str,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Apply a CDC changelog to produce the current snapshot — the
+    MERGE/upsert compaction every lakehouse table maintenance job runs:
+    per key, the latest operation wins (ordered by ``ts_col`` then
+    ``tie_col`` for a total order); if that operation is ``delete_op``
+    the key disappears, otherwise its values form the current row.
+
+    Complements scd2_intervals (which keeps the full history): this is
+    the "type 1" current-state materialization, with delete semantics.
+
+    One hash shuffle on the key, one per-key window argmax — no joins,
+    no global sort. At 100 TB this runs per partition-dir of the
+    changelog and unions with the untouched base snapshot (same
+    slice-compaction manifest shape as pipeline/compact.py).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), F.col(tie_col).desc()
+    )
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != F.lit(delete_op)))
+        .select(
+            *key_cols,
+            F.col(ts_col).alias(f"last_{ts_col}"),
+            F.col(op_col).alias("last_op"),
+            *value_cols,
+        )
+    )

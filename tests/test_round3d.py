@@ -1,0 +1,179 @@
+"""Edge-case tests for the late-round-3 batch: nearest_join tie and
+tolerance rules, CDC snapshot delete semantics, and the two-stage ANN
+variants (SQ8 ADC, Matryoshka prefix re-rank).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from shaha_spark.operators.joins import nearest_join
+from shaha_spark.operators.timeseries import cdc_apply
+
+
+def _left(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, event_id=e, tus=t) for u, e, t in rows],
+        "user_id bigint, event_id bigint, tus bigint",
+    )
+
+
+def test_nearest_join_picks_closest_either_direction(spark):
+    left = _left(spark, [(1, 10, 100)])
+    right = _left(spark, [(1, 20, 80), (1, 21, 105)])
+    out = nearest_join(
+        left, right, "user_id", "tus", tolerance=50,
+        right_value_cols=["event_id"], order_col="event_id",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 105 is 5 away, 80 is 20 away -> forward match wins
+    assert r.near_event_id == 21 and r.near_tus == 105 and r.delta == 5
+
+
+def test_nearest_join_equidistant_tie_resolves_backward(spark):
+    left = _left(spark, [(1, 10, 100)])
+    right = _left(spark, [(1, 20, 90), (1, 21, 110)])
+    out = nearest_join(
+        left, right, "user_id", "tus", tolerance=50,
+        right_value_cols=["event_id"], order_col="event_id",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].near_event_id == 20 and out[0].delta == 10
+
+
+def test_nearest_join_equal_timestamp_counts_as_backward(spark):
+    left = _left(spark, [(1, 10, 100)])
+    right = _left(spark, [(1, 20, 100)])
+    out = nearest_join(
+        left, right, "user_id", "tus", tolerance=0,
+        right_value_cols=["event_id"], order_col="event_id",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].near_event_id == 20 and out[0].delta == 0
+
+
+def test_nearest_join_tolerance_drops_far_and_unmatched(spark):
+    left = _left(spark, [(1, 10, 100), (2, 11, 100)])
+    right = _left(spark, [(1, 20, 500)])  # 400 away; user 2 has none
+    out = nearest_join(
+        left, right, "user_id", "tus", tolerance=100,
+        right_value_cols=["event_id"], order_col="event_id",
+    ).collect()
+    assert out == []
+
+
+def test_nearest_join_keys_never_cross(spark):
+    left = _left(spark, [(1, 10, 100)])
+    right = _left(spark, [(2, 20, 100)])
+    out = nearest_join(
+        left, right, "user_id", "tus", tolerance=1000,
+        right_value_cols=["event_id"], order_col="event_id",
+    ).collect()
+    assert out == []
+
+
+def _changelog(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, tus=t, event_id=e, op=op, value=v) for k, t, e, op, v in rows],
+        "k bigint, tus bigint, event_id bigint, op string, value double",
+    )
+
+
+def test_cdc_apply_latest_delete_removes_key(spark):
+    ch = _changelog(
+        spark,
+        [(1, 10, 1, "upsert", 1.0), (1, 20, 2, "delete", 0.0),
+         (2, 10, 3, "upsert", 2.0)],
+    )
+    out = {r.k: r for r in cdc_apply(
+        ch, ["k"], "tus", "op", ["value"], "event_id"
+    ).collect()}
+    assert 1 not in out
+    assert out[2].value == 2.0 and out[2].last_op == "upsert"
+
+
+def test_cdc_apply_upsert_after_delete_resurrects(spark):
+    ch = _changelog(
+        spark, [(1, 10, 1, "delete", 0.0), (1, 20, 2, "upsert", 5.0)]
+    )
+    out = cdc_apply(ch, ["k"], "tus", "op", ["value"], "event_id").collect()
+    assert len(out) == 1 and out[0].value == 5.0 and out[0].last_tus == 20
+
+
+def test_cdc_apply_same_ts_tiebreaks_on_tie_col(spark):
+    ch = _changelog(
+        spark, [(1, 10, 1, "upsert", 1.0), (1, 10, 2, "upsert", 2.0)]
+    )
+    out = cdc_apply(ch, ["k"], "tus", "op", ["value"], "event_id").collect()
+    assert len(out) == 1 and out[0].value == 2.0
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_sq_topk_self_match_rank1(emb):
+    from shaha_spark.operators.embeddings import sq_topk
+
+    out = sq_topk(emb, _queries(emb), m=20, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        top = min(rs, key=lambda r: r.rank)
+        # the query IS a corpus vector: exact re-rank must surface it first
+        assert top.vec_id == q and top.cosine == 1.0
+        assert len(rs) == 5
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_sq_adc_matches_numpy(emb):
+    """The ADC integer dot must equal an independent numpy computation
+    of the same quantization formula."""
+    import numpy as np
+
+    from shaha_spark.operators.embeddings import dim_stats, sq_code_arrays, sq_topk
+
+    stats = dim_stats(emb, "embedding")
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    mn = np.array([s[0] for s in stats])
+    span = np.array([s[1] - s[0] for s in stats])
+
+    def codes(v):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.floor((v - mn) / span * 256.0)
+        c = np.where(span == 0.0, 0.0, np.clip(c, 0, 255))
+        return c.astype(np.int64)
+
+    out = sq_topk(emb, _queries(emb), m=20, k=5).collect()
+    for r in out:
+        expect = int((codes(rows[r.vec_id]) - 128) @ (codes(rows[r.query_id]) - 128))
+        assert r.adc == expect
+
+
+def test_prefix_topk_self_match_and_candidate_discipline(emb):
+    from shaha_spark.operators.similarity import prefix_topk
+
+    out = prefix_topk(emb, _queries(emb), prefix_dims=8, m=20, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q, "no results"
+    for q, rs in by_q.items():
+        top = min(rs, key=lambda r: r.rank)
+        # prefix of the query trivially matches itself -> survives stage A
+        assert top.vec_id == q and top.cosine == 1.0 and top.prefix_cosine == 1.0
+        scores = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
