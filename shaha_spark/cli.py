@@ -106,6 +106,39 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     f.add_argument("--dry-run", action="store_true", help="print the plan only")
 
+    sn = sub.add_parser(
+        "snapshot",
+        help="create/list/read/diff time-travel snapshots of a database",
+    )
+    snsub = sn.add_subparsers(dest="snapshot_command", required=True)
+    snc = snsub.add_parser("create", help="record the current file set")
+    snc.add_argument("-d", "--database", required=True)
+    snc.add_argument("--note", default="", help="free-text label")
+    snl = snsub.add_parser("list", help="list snapshot versions")
+    snl.add_argument("-d", "--database", required=True)
+    snr = snsub.add_parser(
+        "read", help="count + sample the dataset as of a version"
+    )
+    snr.add_argument("-d", "--database", required=True)
+    snr.add_argument("-v", "--version", type=int, required=True)
+    snr.add_argument(
+        "--allow-missing", action="store_true",
+        help="read the surviving subset when erasure/vacuum made holes",
+    )
+    snd = snsub.add_parser("diff", help="file-level diff of two versions")
+    snd.add_argument("-d", "--database", required=True)
+    snd.add_argument("versions", nargs=2, type=int, metavar="V")
+
+    v = sub.add_parser(
+        "vacuum",
+        help="expire old snapshots and reclaim retained storage",
+    )
+    v.add_argument("-d", "--database", required=True)
+    v.add_argument(
+        "--keep", type=int, default=1,
+        help="how many newest snapshots to keep (default 1)",
+    )
+
     sub.add_parser("algorithms", help="list available hash algorithms")
     return p
 
@@ -330,6 +363,51 @@ def main(argv: list[str] | None = None) -> int:
                 for k in ("rows_deleted", "files_rewritten", "files_dropped"):
                     report[k] = report.get(k, 0) + r2.get(k, 0)
             print(json.dumps(report, indent=2))
+            return 0
+
+        if args.command == "snapshot":
+            from shaha_spark.pipeline import snapshot as snap
+
+            if args.snapshot_command == "create":
+                m = snap.snapshot_create(spark, args.database, note=args.note)
+                print(json.dumps(
+                    {"version": m["version"], "files": len(m["files"])},
+                    indent=2,
+                ))
+            elif args.snapshot_command == "list":
+                out = [
+                    {
+                        "version": m["version"],
+                        "note": m.get("note", ""),
+                        "files": len(m["files"]),
+                        "bytes": sum(f["bytes"] for f in m["files"]),
+                    }
+                    for m in snap.snapshot_list(spark, args.database)
+                ]
+                print(json.dumps(out, indent=2))
+            elif args.snapshot_command == "read":
+                df = snap.read_snapshot(
+                    spark, args.database, args.version,
+                    allow_missing=args.allow_missing,
+                )
+                print(json.dumps({
+                    "version": args.version,
+                    "rows": df.count(),
+                    "columns": df.columns,
+                }, indent=2))
+            elif args.snapshot_command == "diff":
+                print(json.dumps(snap.snapshot_diff(
+                    spark, args.database, args.versions[0], args.versions[1]
+                ), indent=2))
+            return 0
+
+        if args.command == "vacuum":
+            from shaha_spark.pipeline import snapshot as snap
+
+            print(json.dumps(
+                snap.vacuum(spark, args.database, keep_latest=args.keep),
+                indent=2,
+            ))
             return 0
 
         if args.command == "info":

@@ -52,7 +52,12 @@ def delete(spark: SparkSession, path: str) -> None:
 
 
 def tree_size(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
-    """Total bytes of files under ``path`` matching ``suffix``."""
+    """Total bytes of files under ``path`` matching ``suffix``.
+
+    Snapshot internals (``_snapshots/``: manifests + files retained
+    only for time travel) are excluded — physical stats describe the
+    LIVE dataset; `vacuum` reporting covers the retained side.
+    """
     fs, jpath = _fs_and_path(spark, path)
     if not fs.exists(jpath):
         return 0
@@ -60,8 +65,10 @@ def tree_size(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         status = it.next()
-        name = status.getPath().getName()
-        if suffix is None or name.endswith(suffix):
+        p = status.getPath()
+        if "/_snapshots/" in p.toString():
+            continue
+        if suffix is None or p.getName().endswith(suffix):
             total += status.getLen()
     return total
 

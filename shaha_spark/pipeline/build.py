@@ -352,6 +352,9 @@ def build(
         )
 
         if swap:
+            from . import snapshot
+
+            old_live = snapshot.live_files(spark, output_path)
             # FileSystem.rename reports failure by RETURNING FALSE (and on
             # some filesystems moves src INTO an existing destination dir);
             # every step is checked so a failed swap can never silently
@@ -368,6 +371,19 @@ def build(
                 raise IOError(
                     f"append swap failed: could not move {target} into place"
                     + ("" if restored else f"; MANUAL RESTORE NEEDED from {backup}")
+                )
+            # the swap carried the snapshot log aside with the old data —
+            # restore it and retire (rename, not copy) every replaced
+            # file a snapshot still references
+            old_snaps = backup.rstrip("/") + "/" + snapshot.SNAP_DIR
+            if io_util.exists(spark, old_snaps):
+                io_util.rename(
+                    spark,
+                    old_snaps,
+                    output_path.rstrip("/") + "/" + snapshot.SNAP_DIR,
+                )
+                snapshot.retire_replaced_tree(
+                    spark, output_path, backup, old_live
                 )
             io_util.delete(spark, backup)
 

@@ -48,7 +48,9 @@ def plan_compaction(
     justifies at ``target_file_bytes`` — i.e. the dataset is fragmented,
     not merely large.
     """
-    files = io_util.list_files(spark, path)
+    from . import snapshot
+
+    files = snapshot.live_files(spark, path)
     total = sum(sz for _, sz in files)
     target_files = max(1, math.ceil(total / target_file_bytes))
     return {
@@ -83,9 +85,10 @@ def compact_hashdb(
     df = read_hashdb(spark, path)
     # an algorithm-partitioned layout must stay partitioned — silently
     # flattening it would drop directory pruning for algorithm filters
-    partitioned = any(
-        "/algorithm=" in p for p, _ in io_util.list_files(spark, path)
-    )
+    from . import snapshot
+
+    old_live = snapshot.live_files(spark, path)
+    partitioned = any("/algorithm=" in p for p, _ in old_live)
     tmp = path.rstrip("/") + ".__compact__"
     io_util.delete(spark, tmp)
     write_hashdb(
@@ -107,6 +110,15 @@ def compact_hashdb(
             f"compaction swap failed: could not move {tmp} into place"
             + ("" if restored else f"; MANUAL RESTORE NEEDED from {backup}")
         )
+    # the whole-directory swap moved the snapshot log aside with the old
+    # data — restore it, then retire (rename, no copy) every replaced
+    # file a snapshot still references before the backup is dropped
+    old_snaps = backup.rstrip("/") + "/" + snapshot.SNAP_DIR
+    if io_util.exists(spark, old_snaps):
+        io_util.rename(
+            spark, old_snaps, path.rstrip("/") + "/" + snapshot.SNAP_DIR
+        )
+        snapshot.retire_replaced_tree(spark, path, backup, old_live)
     io_util.delete(spark, backup)
 
     if meta is not None:
@@ -164,9 +176,11 @@ def plan_slice_compaction(
 
     import pyarrow.parquet as pq
 
+    from . import snapshot
+
     small = int(target_file_bytes * small_ratio)
     by_dir: dict[str, list[tuple[str, int]]] = defaultdict(list)
-    for p, sz in io_util.list_files(spark, path):
+    for p, sz in snapshot.live_files(spark, path):
         by_dir[os.path.dirname(p)].append((p, sz))
 
     slices: list[dict[str, Any]] = []
@@ -280,7 +294,10 @@ def compact_slices(
     import os
     import uuid
 
+    from . import snapshot
+
     recovered = recover_slices(spark, path)
+    snap_refs = snapshot.referenced_rels(spark, path)
     plan = plan_slice_compaction(spark, path, target_file_bytes)
     todo = sorted(plan["slices"], key=lambda s: -len(s["files"]))
     if max_slices is not None:
@@ -324,7 +341,7 @@ def compact_slices(
             json.dumps({"originals": files, "final": final}),
         )
         for p in files:
-            io_util.delete(spark, p)
+            snapshot.retire_or_delete(spark, path, p, refs=snap_refs)
         if not io_util.rename(spark, incoming, final):
             raise IOError(
                 f"slice compaction: staged file {incoming} could not be "

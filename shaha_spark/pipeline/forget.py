@@ -95,7 +95,10 @@ def forget_digests(
     (a second run deletes nothing)."""
     if not digests:
         return {"rows_deleted": 0, "files_rewritten": 0, "files_dropped": 0}
+    from . import snapshot
+
     recovered = recover_slices(spark, path)
+    snap_refs = snapshot.referenced_rels(spark, path)
     plan = plan_forget(spark, path, digests)
     targets = [bytes(d) for d in sorted(set(digests))]
 
@@ -111,7 +114,14 @@ def forget_digests(
         rows_deleted += n_delete
         d = p.rsplit("/", 1)[0]
         if n_after == 0:
+            # every row was an erasure target: the file leaves history
+            # too (read_snapshot reports the hole) — erased data may
+            # not survive in retained copies
             io_util.delete(spark, p)
+            if snapshot.in_retained(path, p):
+                snapshot.repoint_retained(
+                    spark, path, p.rsplit("/", 1)[-1], None
+                )
             dropped += 1
             continue
         tmp = d + f"/.__forget_{uuid.uuid4().hex[:8]}__"
@@ -149,6 +159,24 @@ def forget_digests(
             )
         io_util.delete(spark, incoming + MANIFEST_SUFFIX)
         io_util.delete(spark, tmp)
+        # erasure reaches HISTORY: a rewritten retained file keeps
+        # serving its snapshots under the new stem; a snapshot-referenced
+        # visible original is aliased to its replacement, whose content
+        # is exactly the original minus the erased rows — the most
+        # history erasure law permits
+        if snapshot.in_retained(path, p):
+            snapshot.repoint_retained(
+                spark, path, p.rsplit("/", 1)[-1], stem
+            )
+        else:
+            try:
+                rel_old = snapshot.rel_of(path, p)
+                if rel_old in snap_refs:
+                    snapshot.alias_rel(
+                        spark, path, rel_old, snapshot.rel_of(path, final)
+                    )
+            except ValueError:
+                pass
         rewritten += 1
 
     meta = read_sidecar(spark, path)
