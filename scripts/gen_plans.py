@@ -285,6 +285,46 @@ EXTRA = {
             "source", "doc_id", cap=10,
         ),
     ),
+    "sq_topk": (
+        "Two-stage SQ8 ANN: stage A's top-m window receives ONLY "
+        "(query_id, id, adc) — one long per scored pair, never the raw "
+        "vectors (they rejoin via two BroadcastHashJoins after candidate "
+        "selection). The code arrays and the centered integer ADC fold "
+        "are codegen'd JVM expressions; the corpus scan is shuffle-free.",
+        lambda spark, sf: __import__("_r4_staging").q_emb_sq_topk(spark, sf),
+    ),
+    "prefix_topk": (
+        "Matryoshka two-stage: stage A scores an 8/64 slice (stored "
+        "column-separate at scale, slicing in-plan here for oracle "
+        "replay), top-m window moves (query_id, id, score) only; "
+        "full-dim re-rank joins m·|queries| candidate rows broadcast.",
+        lambda spark, sf: __import__("_r4_staging").q_emb_prefix_topk(
+            spark, sf
+        ),
+    ),
+    "events_cube": (
+        "Full grouping-sets CUBE compiles to ONE Expand + one "
+        "map-side-combining hash aggregate over the 4 grouping "
+        "combinations — no per-set rescans, one shuffle.",
+        lambda spark, sf: __import__("_r4_staging").q_events_cube(spark, sf),
+    ),
+    "events_nearest_join": (
+        "Bidirectional as-of with zero joins: union-tagged sides, ONE "
+        "hash shuffle on user_id, one sort serving BOTH the backward "
+        "last(ignorenulls) and forward first(ignorenulls) windows; the "
+        "nearest/tolerance choice is a codegen'd projection on top.",
+        lambda spark, sf: __import__("_r4_staging").q_events_nearest_join(
+            spark, sf
+        ),
+    ),
+    "events_cdc_snapshot": (
+        "MERGE compaction: one shuffle on the key, one row_number "
+        "window (WindowGroupLimit prunes to the per-key head), delete "
+        "filter folded into the same stage.",
+        lambda spark, sf: __import__("_r4_staging").q_events_cdc_snapshot(
+            spark, sf
+        ),
+    ),
     "curate_corpus": (
         "The whole curation chain is ONE plan: redaction folds into the "
         "first projection, line dedup and the Gopher gate are doc-keyed "
