@@ -171,3 +171,81 @@ def test_sidecar_total_survives_snapshot_flow(spark, tmp_path):
     snap.snapshot_create(spark, out)
     meta = read_sidecar(spark, out)
     assert meta["total_records"] == 200
+
+
+def test_recovery_rollforward_loses_retention_not_correctness(spark, tmp_path):
+    """Crash AFTER a slice-swap manifest commit: recovery rolls the swap
+    forward by DELETING the originals (documented residual) — the
+    current dataset stays byte-correct, and the snapshot reports an
+    explicit hole rather than silently serving partial data."""
+    import json
+    import os
+
+    from shaha_spark.pipeline.compact import MANIFEST_SUFFIX, recover_slices
+
+    out = _db(spark, tmp_path, words=300, num_files=10)
+    before = _rows(read_hashdb(spark, out))
+    snap.snapshot_create(spark, out)
+    files = [p for p, _ in snap.live_files(spark, out)]
+    victim = files[0]
+    d = os.path.dirname(victim)
+    incoming = f"{d}/_incoming-slice-0badcafe.zstd.parquet"
+    final = f"{d}/slice-0badcafe.zstd.parquet"
+    assert io_util.rename(spark, victim, incoming)
+    io_util.write_text(
+        spark, incoming + MANIFEST_SUFFIX,
+        json.dumps({"originals": [victim], "final": final}),
+    )
+    rec = recover_slices(spark, out)
+    assert rec["rolled_forward"] == 1
+    assert _rows(read_hashdb(spark, out)) == before  # current state exact
+    try:
+        snap.read_snapshot(spark, out, 1)
+        raise AssertionError("expected a hole for the rolled-forward original")
+    except FileNotFoundError:
+        pass
+    surviving = snap.read_snapshot(spark, out, 1, allow_missing=True)
+    assert 0 < surviving.count() < len(before)
+
+
+def test_resolve_tolerates_corrupt_mapping(spark, tmp_path):
+    """A retained-map entry pointing at a missing file (manual damage,
+    partial vacuum) reads as a hole — never a crash, never wrong rows."""
+    out = _db(spark, tmp_path)
+    snap.snapshot_create(spark, out)
+    rel = snap.snapshot_list(spark, out)[0]["files"][0]["rel"]
+    io_util.write_text(
+        spark, out + "/_snapshots/retained.json",
+        '{"%s": "no-such-file.parquet"}' % rel,
+    )
+    assert snap.resolve_rel(spark, out, rel) is None
+    try:
+        snap.read_snapshot(spark, out, 1)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
+
+
+def test_alias_cycle_reads_as_hole(spark, tmp_path):
+    out = _db(spark, tmp_path)
+    snap.snapshot_create(spark, out)
+    rel = snap.snapshot_list(spark, out)[0]["files"][0]["rel"]
+    io_util.write_text(
+        spark, out + "/_snapshots/retained.json",
+        '{"%s": "@%s"}' % (rel, rel),
+    )
+    assert snap.resolve_rel(spark, out, rel) is None
+
+
+def test_vacuum_idempotent(spark, tmp_path):
+    out = _db(spark, tmp_path, words=400, num_files=12)
+    snap.snapshot_create(spark, out)
+    compact_slices(spark, out, target_file_bytes=1 << 30)
+    snap.snapshot_create(spark, out)
+    r1 = snap.vacuum(spark, out, keep_latest=1)
+    r2 = snap.vacuum(spark, out, keep_latest=1)
+    assert r1["freed_files"] > 0
+    assert r2 == {
+        "dropped_versions": [], "kept_versions": [2],
+        "freed_files": 0, "freed_bytes": 0,
+    }
