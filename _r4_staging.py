@@ -429,6 +429,50 @@ def q_events_nearest_join(spark, sf_dir):
     )
 
 
+def q_emb_prefix_ndcg(spark, sf_dir):
+    """Rank-quality (harmonic-discount nDCG@5) of the Matryoshka
+    prefix pipeline run LOSSY (candidate m=5 — no re-rank slack)
+    against exact top-5: both search pipelines AND the metric inside
+    one value-hash comparison (operators.similarity.ndcg_at_k)."""
+    from shaha_spark.operators.similarity import (
+        brute_force_topk,
+        ndcg_at_k,
+        prefix_topk,
+    )
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embs, queries, k=5)
+    approx = prefix_topk(embs, queries, prefix_dims=8, m=5, k=5)
+    return ndcg_at_k(exact, approx, k=5)
+
+
+def q_snapshot_time_travel(spark, sf_dir):
+    """Pipeline round trip through the snapshot layer: build the
+    even-doc vocabulary, snapshot v1, append the odd-doc vocabulary,
+    then TIME-TRAVEL back to v1 — the result must be exactly the
+    even-doc build (pipeline/snapshot.py read_snapshot; the append's
+    directory swap retires v1's files by rename)."""
+    import tempfile
+
+    from shaha_spark.pipeline import snapshot as snap
+    from shaha_spark.pipeline.build import build
+    from __spark_entry__ import _hex, _words
+
+    words = _words(spark, sf_dir)
+    even = words.filter(F.col("doc_id") % 2 == 0).select("word").distinct()
+    odd = words.filter(F.col("doc_id") % 2 == 1).select("word").distinct()
+    out = tempfile.mkdtemp(prefix="shaha_snapq_") + "/db"
+    build(spark, even, ["sha256"], out, source_name="even")
+    snap.snapshot_create(spark, out)
+    build(spark, odd, ["sha256"], out, append=True, source_name="odd")
+    return snap.read_snapshot(spark, out, 1).select(
+        _hex(), F.col("preimage"), F.col("algorithm")
+    )
+
+
 def q_events_cdc_snapshot(spark, sf_dir):
     """CDC changelog -> current snapshot (MERGE compaction): per user
     the latest event wins; 'error' acts as the delete operation and
@@ -462,6 +506,8 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,
         "events_nearest_join": q_events_nearest_join,
         "events_cdc_snapshot": q_events_cdc_snapshot,
+        "emb_prefix_ndcg": q_emb_prefix_ndcg,
+        "snapshot_time_travel": q_snapshot_time_travel,
         "emb_ann_recall": q_emb_ann_recall,
         "events_pit_join": q_events_pit_join,
         "events_rollup_incremental": q_events_rollup_incremental,
@@ -1197,6 +1243,62 @@ sel AS (
 )
 SELECT user_id, event_id, tus, near_tus, near_event_id, CAST(delta AS BIGINT) AS delta
 FROM sel WHERE near_tus IS NOT NULL AND delta <= 600000000"""
+
+    from shaha_spark.operators.similarity import ndcg_ideal
+
+    # exact + lossy-prefix approximate + the metric, one chained oracle;
+    # the harmonic discount keeps every term a correctly-rounded
+    # small-integer division (no libm), per-term round(.,9) + decimal
+    # sums make the score engine-exact, ideal embedded as a literal
+    sql["emb_prefix_ndcg"] = f"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 100 = 0),
+exact AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, c.vec_id ASC
+           ) AS rank
+    FROM c CROSS JOIN q
+  ) WHERE rank <= 5
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(cv[1:8], qv[1:8]), 6) AS prefix_cosine
+  FROM c CROSS JOIN q
+),
+cand AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY prefix_cosine DESC, vec_id ASC) AS r
+  FROM scored
+),
+rer AS (
+  SELECT cd.query_id, cd.vec_id,
+         round(list_cosine_similarity(c.cv, q.qv), 6) AS cosine
+  FROM cand cd JOIN c ON cd.vec_id = c.vec_id JOIN q ON cd.query_id = q.query_id
+  WHERE cd.r <= 5
+),
+approx AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM rer
+  ) WHERE rank <= 5
+),
+terms AS (
+  SELECT a.query_id,
+         CAST(round(
+           (CASE WHEN e.rank IS NOT NULL THEN 6.0 - e.rank ELSE 0.0 END)
+           / (a.rank + 1.0), 9) AS DECIMAL(19,9)) AS term
+  FROM approx a LEFT JOIN exact e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+)
+SELECT query_id, round(CAST(SUM(term) AS DOUBLE) / {ndcg_ideal(5)!r}, 6) AS ndcg
+FROM terms GROUP BY query_id"""
+
+    sql["snapshot_time_travel"] = f"""WITH {_WORDS_CTE},
+even AS (SELECT DISTINCT word FROM words WHERE doc_id % 2 = 0)
+SELECT sha256(word) AS hash_hex, word AS preimage, 'sha256' AS algorithm
+FROM even"""
 
     sql["events_cdc_snapshot"] = """WITH ch AS (
   SELECT user_id, epoch_us(ts) AS tus, event_id,

@@ -309,3 +309,71 @@ def prefix_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def ndcg_ideal(k: int) -> float:
+    """Ideal harmonic-discounted DCG for :func:`ndcg_at_k` — the exact
+    per-term-rounded sum both the Spark plan and any oracle must embed
+    as the SAME literal (HALF_UP quantization mirrors SQL round)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        sum(
+            Decimal((k + 1 - i) / (i + 1.0)).quantize(
+                Decimal("1e-9"), ROUND_HALF_UP
+            )
+            for i in range(1, k + 1)
+        )
+    )
+
+
+def ndcg_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-quality of an approximate top-k against the exact one:
+    normalized discounted cumulative gain with graded relevance
+    rel(item) = k+1-exact_rank (0 if outside the exact top-k).
+
+    Discount is HARMONIC (1/(rank+1)) rather than the classic
+    log2(rank+1): same monotone-decay semantics, but every term is a
+    small-integer division — correctly-rounded identically in every
+    IEEE engine — so per-term 9-decimal rounding + decimal-exact sums
+    make the score bit-deterministic across engines and partitionings
+    (the repo's standard determinism recipe; log2 would pull in
+    platform libm ulp differences). Complements :func:`topk_recall`:
+    recall ignores ORDER within the top-k, nDCG scores it.
+
+    Scale: both inputs are k·|queries| rows; one equi-join + one
+    per-query aggregation — negligible next to the search that
+    produced them.
+    """
+    e = exact.select(
+        F.col(query_col), F.col(id_col), F.col(rank_col).alias("__erank")
+    )
+    a = approx.select(
+        F.col(query_col), F.col(id_col), F.col(rank_col).alias("__arank")
+    )
+    joined = a.join(e, [query_col, id_col], "left")
+    rel = F.when(
+        F.col("__erank").isNotNull(),
+        F.lit(k + 1).cast("double") - F.col("__erank").cast("double"),
+    ).otherwise(F.lit(0.0))
+    term = F.round(
+        rel / (F.col("__arank").cast("double") + F.lit(1.0)), 9
+    ).cast("decimal(19,9)")
+    ideal = ndcg_ideal(k)
+    return (
+        joined.groupBy(query_col)
+        .agg(F.sum(term).alias("__dcg"))
+        .select(
+            F.col(query_col),
+            F.round(F.col("__dcg").cast("double") / F.lit(ideal), 6).alias(
+                "ndcg"
+            ),
+        )
+    )

@@ -177,3 +177,36 @@ def test_prefix_topk_self_match_and_candidate_discipline(emb):
         assert top.vec_id == q and top.cosine == 1.0 and top.prefix_cosine == 1.0
         scores = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_ndcg_known_values(spark):
+    """Hand-computed nDCG@3 with harmonic discount: perfect ranking ->
+    1.0; self-only overlap -> first-term fraction; empty overlap -> 0."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from shaha_spark.operators.similarity import ndcg_at_k, ndcg_ideal
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [Row(query_id=q, vec_id=v, rank=r) for q, v, r in rows],
+            "query_id bigint, vec_id bigint, rank bigint",
+        )
+
+    exact = mk([(1, 10, 1), (1, 11, 2), (1, 12, 3),
+                (2, 20, 1), (2, 21, 2), (2, 22, 3)])
+    # q1: perfect; q2: only the top item retrieved, rest misses
+    approx = mk([(1, 10, 1), (1, 11, 2), (1, 12, 3),
+                 (2, 20, 1), (2, 99, 2), (2, 98, 3)])
+    got = {r.query_id: r.ndcg for r in ndcg_at_k(exact, approx, 3).collect()}
+    assert got[1] == 1.0
+    ideal = ndcg_ideal(3)
+
+    def q9(x):
+        return Decimal(x).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+
+    expect2 = float(q9(3.0 / 2.0)) / ideal
+    assert got[2] == round(expect2, 6)
+    # disjoint result set scores exactly zero
+    approx0 = mk([(2, 97, 1), (2, 98, 2), (2, 99, 3)])
+    z = ndcg_at_k(exact.where("query_id = 2"), approx0, 3).collect()
+    assert z[0].ndcg == 0.0
