@@ -429,6 +429,18 @@ def q_events_nearest_join(spark, sf_dir):
     )
 
 
+def q_multimodal_dedup(spark, sf_dir):
+    """Exact binary dedup of media payloads by sha256-digest grouping
+    (operators.multimodal.dedup_media); the oracle groups on payload
+    equality directly — identical classes, digest-free output."""
+    from shaha_spark.operators.multimodal import (
+        dedup_media,
+        media_from_documents,
+    )
+
+    return dedup_media(media_from_documents(_t(spark, sf_dir, "documents")))
+
+
 def q_emb_prefix_ndcg(spark, sf_dir):
     """Rank-quality (harmonic-discount nDCG@5) of the Matryoshka
     prefix pipeline run LOSSY (candidate m=5 — no re-rank slack)
@@ -508,6 +520,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_snapshot": q_events_cdc_snapshot,
         "emb_prefix_ndcg": q_emb_prefix_ndcg,
         "snapshot_time_travel": q_snapshot_time_travel,
+        "multimodal_dedup": q_multimodal_dedup,
         "emb_ann_recall": q_emb_ann_recall,
         "events_pit_join": q_events_pit_join,
         "events_rollup_incremental": q_events_rollup_incremental,
@@ -1294,6 +1307,13 @@ terms AS (
 )
 SELECT query_id, round(CAST(SUM(term) AS DOUBLE) / {ndcg_ideal(5)!r}, 6) AS ndcg
 FROM terms GROUP BY query_id"""
+
+    sql["multimodal_dedup"] = """WITH media AS (
+  SELECT doc_id AS media_id, encode(text) AS payload FROM documents
+)
+SELECT MIN(media_id) AS keep_id, COUNT(*) AS n_members,
+       CAST(octet_length(ANY_VALUE(payload)) AS BIGINT) AS payload_bytes
+FROM media GROUP BY payload"""
 
     sql["snapshot_time_travel"] = f"""WITH {_WORDS_CTE},
 even AS (SELECT DISTINCT word FROM words WHERE doc_id % 2 = 0)

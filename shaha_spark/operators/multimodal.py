@@ -346,3 +346,39 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"].to_numpy(), "feature": feats})
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def dedup_media(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Exact binary dedup of media payloads: group by the payload's
+    sha256 digest, keep the lowest id per class.
+
+    The digest — 32 bytes — is the group key, never the payload: at
+    100 TB the shuffle moves (digest, id) pairs while the binary
+    columns stay in place, the same dedup-before-heavy-work shape as
+    the wordlist pipeline (pipeline/build.py). Output is (keep_id,
+    n_members, payload_bytes), digest-free, so an oracle engine
+    without BLOB sha256 can reproduce it by grouping on payload
+    equality directly — identical equivalence classes.
+    """
+    return (
+        media.select(
+            F.col(id_col),
+            F.sha2(F.col(payload_col), 256).alias("__digest"),
+            F.octet_length(F.col(payload_col)).alias("__bytes"),
+        )
+        .groupBy("__digest")
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.first("__bytes").alias("payload_bytes"),
+        )
+        .select(
+            "keep_id",
+            "n_members",
+            F.col("payload_bytes").cast("bigint").alias("payload_bytes"),
+        )
+    )
