@@ -429,6 +429,32 @@ def q_events_nearest_join(spark, sf_dir):
     )
 
 
+def q_events_cumulative_users(spark, sf_dir):
+    """Running distinct-user count by day WITHOUT an expanding-window
+    distinct: each user counts once at their first day, and the
+    running total is a prefix sum over the calendar-sized day table
+    (operators.timeseries.cumulative_distinct)."""
+    from shaha_spark.operators.timeseries import cumulative_distinct
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.timestamp_micros(F.col("tus")), "yyyy-MM-dd")
+    )
+    return cumulative_distinct(ev, "user_id", "day")
+
+
+def q_orders_basket_rules(spark, sf_dir):
+    """Market-basket association pairs over lineitem (order = basket,
+    part = item): top-20 by lift with support/confidence — bounded
+    in-basket pair expansion, never a self-join
+    (operators.basket.basket_rules)."""
+    from shaha_spark.operators.basket import basket_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return basket_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2, top=20
+    )
+
+
 def q_multimodal_dedup(spark, sf_dir):
     """Exact binary dedup of media payloads by sha256-digest grouping
     (operators.multimodal.dedup_media); the oracle groups on payload
@@ -521,6 +547,8 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_prefix_ndcg": q_emb_prefix_ndcg,
         "snapshot_time_travel": q_snapshot_time_travel,
         "multimodal_dedup": q_multimodal_dedup,
+        "events_cumulative_users": q_events_cumulative_users,
+        "orders_basket_rules": q_orders_basket_rules,
         "emb_ann_recall": q_emb_ann_recall,
         "events_pit_join": q_events_pit_join,
         "events_rollup_incremental": q_events_rollup_incremental,
@@ -1307,6 +1335,44 @@ terms AS (
 )
 SELECT query_id, round(CAST(SUM(term) AS DOUBLE) / {ndcg_ideal(5)!r}, 6) AS ndcg
 FROM terms GROUP BY query_id"""
+
+    sql["events_cumulative_users"] = """WITH firsts AS (
+  SELECT user_id, MIN(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS day
+  FROM events GROUP BY user_id
+),
+per AS (SELECT day, COUNT(*) AS new_keys FROM firsts GROUP BY day)
+SELECT day, CAST(new_keys AS BIGINT) AS new_keys,
+  CAST(SUM(new_keys) OVER (
+    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS cum_keys
+FROM per"""
+
+    # counts exact integers; support/confidence/lift are single
+    # correctly-rounded divisions of products that stay below 2^53 —
+    # identical across engines before the round(.,9)
+    sql["orders_basket_rules"] = """WITH di AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM di),
+ic AS (SELECT l_partkey, COUNT(*) AS ni FROM di GROUP BY l_partkey),
+pc AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS n_pair
+  FROM di a JOIN di b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, CAST(n_pair AS BIGINT) AS n_pair,
+  round(n_pair / CAST(nb.n AS DOUBLE), 9) AS support,
+  round(n_pair / CAST(ia.ni AS DOUBLE), 9) AS confidence,
+  round((CAST(n_pair AS DOUBLE) * CAST(nb.n AS DOUBLE))
+        / (CAST(ia.ni AS DOUBLE) * CAST(ib.ni AS DOUBLE)), 9) AS lift
+FROM pc
+CROSS JOIN nb
+JOIN ic ia ON pc.item_a = ia.l_partkey
+JOIN ic ib ON pc.item_b = ib.l_partkey
+WHERE n_pair >= 2
+ORDER BY lift DESC, item_a, item_b
+LIMIT 20"""
 
     sql["multimodal_dedup"] = """WITH media AS (
   SELECT doc_id AS media_id, encode(text) AS payload FROM documents

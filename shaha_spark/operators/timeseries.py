@@ -278,3 +278,33 @@ def cdc_apply(
             *value_cols,
         )
     )
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Running distinct count — "total unique users through day D" —
+    without an expanding-window distinct (quadratic state): each key
+    contributes once, at its FIRST bucket, so the running total is a
+    prefix sum of first-appearance counts.
+
+    Plan: one hash-agg to (key → min bucket), one hash-agg to
+    (bucket → new keys), one ordered window over the BUCKET table —
+    whose cardinality is the calendar, not the data, so the single
+    global window is microscopic at any input size.
+    """
+    firsts = df.groupBy(key_col).agg(F.min(bucket_col).alias("__first"))
+    per_bucket = firsts.groupBy(F.col("__first").alias(bucket_col)).agg(
+        F.count(F.lit(1)).alias("new_keys")
+    )
+    w = (
+        Window.orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_bucket.select(
+        bucket_col,
+        F.col("new_keys").cast("bigint").alias("new_keys"),
+        F.sum("new_keys").over(w).cast("bigint").alias("cum_keys"),
+    )

@@ -210,3 +210,40 @@ def test_ndcg_known_values(spark):
     approx0 = mk([(2, 97, 1), (2, 98, 2), (2, 99, 3)])
     z = ndcg_at_k(exact.where("query_id = 2"), approx0, 3).collect()
     assert z[0].ndcg == 0.0
+
+
+def test_pair_counts_bounded_expansion(spark):
+    from shaha_spark.operators.basket import basket_rules, pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (1, "a"),   # dup item counts once
+         (2, "a"), (2, "b"),
+         (3, "a"), (3, "b"),
+         (4, "c")],                                # singleton: no pairs
+        "basket bigint, item string",
+    )
+    pc = {(r.item_a, r.item_b): r.n_pair
+          for r in pair_counts(df, "basket", "item").collect()}
+    assert pc == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+
+    rules = basket_rules(df, "basket", "item", min_pair_count=2, top=5).collect()
+    assert len(rules) == 1
+    r = rules[0]
+    # 4 baskets; a in 3, b in 3, (a,b) in 3
+    assert (r.item_a, r.item_b, r.n_pair) == ("a", "b", 3)
+    assert r.support == 0.75
+    assert r.confidence == 1.0
+    assert r.lift == round(3 * 4 / (3 * 3), 9)
+
+
+def test_cumulative_distinct_first_seen_semantics(spark):
+    from shaha_spark.operators.timeseries import cumulative_distinct
+
+    df = spark.createDataFrame(
+        [(1, "d1"), (1, "d2"), (2, "d1"), (3, "d2"), (3, "d3"), (4, "d3")],
+        "user bigint, day string",
+    )
+    out = {r.day: (r.new_keys, r.cum_keys)
+           for r in cumulative_distinct(df, "user", "day").collect()}
+    # returning users never recount
+    assert out == {"d1": (2, 2), "d2": (1, 3), "d3": (1, 4)}
