@@ -27,10 +27,19 @@ def incremental_build(
     checkpoint_dir: str,
     source_name: str = "stream",
     available_now: bool = False,
+    snapshot_each_batch: bool = False,
 ):
     """Start (and return) the streaming query folding new wordlist files
     into the hash database. ``available_now=True`` drains what is
-    currently in the landing dir and stops — the batch-test trigger."""
+    currently in the landing dir and stops — the batch-test trigger.
+
+    ``snapshot_each_batch=True`` records a snapshot after every folded
+    micro-batch (pipeline/snapshot.py): the database becomes
+    time-travelable per ingest commit — the streaming commit-log shape
+    a transactional table format provides natively, at the cost of one
+    driver-side manifest write per batch (schedule `vacuum` to bound
+    retention growth).
+    """
     from shaha_spark.pipeline.build import build
 
     lines = spark.readStream.text(landing_dir)
@@ -47,6 +56,14 @@ def incremental_build(
             source_name=f"{source_name}-batch-{batch_id}",
             append=True,
         )
+        if snapshot_each_batch:
+            from shaha_spark.pipeline import snapshot as snap
+
+            snap.snapshot_create(
+                batch.sparkSession,
+                db_path,
+                note=f"{source_name}-batch-{batch_id}",
+            )
 
     writer = (
         lines.writeStream.foreachBatch(fold)

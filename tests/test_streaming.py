@@ -353,3 +353,36 @@ def test_stream_curate_matches_batch_byte_for_byte(spark, tmp_path):
         (r["doc_id"], r["redacted"], r["n_email"], r["n_number"]) for r in collected
     )
     assert got == expected
+
+
+def test_incremental_build_snapshots_each_batch(spark, tmp_path):
+    """Streaming ingest with per-batch snapshots: every drained
+    micro-batch leaves a time-travelable version; reading version 1
+    after a second batch returns exactly the first batch's rows."""
+    from shaha_spark.pipeline import snapshot as snap
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "w1.txt").write_text("alpha\nbeta\n")
+    db = str(tmp_path / "db")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = incremental_build(
+        spark, str(landing), db, ["sha256"],
+        checkpoint_dir=ckpt, available_now=True, snapshot_each_batch=True,
+    )
+    _drain(q)
+    assert [m["version"] for m in snap.snapshot_list(spark, db)] == [1]
+
+    (landing / "w2.txt").write_text("gamma\n")
+    q = incremental_build(
+        spark, str(landing), db, ["sha256"],
+        checkpoint_dir=ckpt, available_now=True, snapshot_each_batch=True,
+    )
+    _drain(q)
+    assert [m["version"] for m in snap.snapshot_list(spark, db)] == [1, 2]
+    assert info(spark, db)["total_records"] == 3
+    v1 = snap.read_snapshot(spark, db, 1)
+    assert sorted(r.preimage for r in v1.collect()) == ["alpha", "beta"]
+    v2 = snap.read_snapshot(spark, db, 2)
+    assert sorted(r.preimage for r in v2.collect()) == ["alpha", "beta", "gamma"]
