@@ -429,6 +429,80 @@ def q_events_nearest_join(spark, sf_dir):
     )
 
 
+def q_snapshot_row_diff(spark, sf_dir):
+    """Row-level change data feed between two snapshots: the appended
+    odd-doc vocabulary must surface as exactly the insert set
+    (pipeline/snapshot.snapshot_row_diff over the same build → snap →
+    append → snap round trip as snapshot_time_travel)."""
+    import tempfile
+
+    from shaha_spark.pipeline import snapshot as snap
+    from shaha_spark.pipeline.build import build
+    from __spark_entry__ import _words
+
+    words = _words(spark, sf_dir)
+    even = words.filter(F.col("doc_id") % 2 == 0).select("word").distinct()
+    odd = words.filter(F.col("doc_id") % 2 == 1).select("word").distinct()
+    # batch 2 carries genuinely-new rows (prefixed odd vocab — the
+    # fixture's raw odd vocab fully overlaps the even one, which would
+    # make the diff vacuously empty) PLUS the full overlapping even
+    # vocab, which the diff must exclude
+    batch2 = odd.select(
+        F.concat(F.lit("v2-"), F.col("word")).alias("word")
+    ).unionByName(even)
+    out = tempfile.mkdtemp(prefix="shaha_snapd_") + "/db"
+    build(spark, even, ["sha256"], out, source_name="even")
+    snap.snapshot_create(spark, out)
+    build(spark, batch2, ["sha256"], out, append=True, source_name="v2")
+    snap.snapshot_create(spark, out)
+    return snap.snapshot_row_diff(
+        spark, out, 1, 2, ["preimage", "algorithm"]
+    )
+
+
+def q_dq_referential(spark, sf_dir):
+    """Foreign-key orphan report across the TPC-H core relations —
+    the cross-table half of the DQ gate (dq_lineitem covers
+    single-table rules; operators.checks.referential_check)."""
+    from shaha_spark.operators.checks import referential_check
+
+    return referential_check(
+        [
+            (
+                "orders->customer",
+                _t(spark, sf_dir, "orders"), "o_custkey",
+                _t(spark, sf_dir, "customer"), "c_custkey",
+            ),
+            (
+                "lineitem->orders",
+                _t(spark, sf_dir, "lineitem"), "l_orderkey",
+                _t(spark, sf_dir, "orders"), "o_orderkey",
+            ),
+            (
+                "lineitem->part",
+                _t(spark, sf_dir, "lineitem"), "l_partkey",
+                _t(spark, sf_dir, "part"), "p_partkey",
+            ),
+            (
+                "lineitem->supplier",
+                _t(spark, sf_dir, "lineitem"), "l_suppkey",
+                _t(spark, sf_dir, "supplier"), "s_suppkey",
+            ),
+        ]
+    )
+
+
+def q_docs_bm25(spark, sf_dir):
+    """Okapi BM25 keyword relevance ('scan join window' query) over
+    the corpus (operators.terms.bm25_scores) — rounded-ln idf,
+    decimal-exact contribution sums."""
+    from shaha_spark.operators.terms import bm25_scores
+
+    return bm25_scores(
+        _t(spark, sf_dir, "documents"), ["scan", "join", "window"]
+    )
+
+
 def q_events_cumulative_users(spark, sf_dir):
     """Running distinct-user count by day WITHOUT an expanding-window
     distinct: each user counts once at their first day, and the
@@ -549,6 +623,9 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dedup": q_multimodal_dedup,
         "events_cumulative_users": q_events_cumulative_users,
         "orders_basket_rules": q_orders_basket_rules,
+        "docs_bm25": q_docs_bm25,
+        "dq_referential": q_dq_referential,
+        "snapshot_row_diff": q_snapshot_row_diff,
         "emb_ann_recall": q_emb_ann_recall,
         "events_pit_join": q_events_pit_join,
         "events_rollup_incremental": q_events_rollup_incremental,
@@ -1335,6 +1412,66 @@ terms AS (
 )
 SELECT query_id, round(CAST(SUM(term) AS DOUBLE) / {ndcg_ideal(5)!r}, 6) AS ndcg
 FROM terms GROUP BY query_id"""
+
+    sql["snapshot_row_diff"] = f"""WITH {_WORDS_CTE},
+odd AS (SELECT DISTINCT word FROM words WHERE doc_id % 2 = 1)
+SELECT 'v2-' || word AS preimage, 'sha256' AS algorithm, 'insert' AS change
+FROM odd"""
+
+    sql["dq_referential"] = """WITH rel AS (
+  SELECT 'orders->customer' AS relation,
+         (SELECT COUNT(*) FROM orders) AS n_child_rows,
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem->orders',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem->part',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'lineitem->supplier',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+)
+SELECT relation, CAST(n_child_rows AS BIGINT) AS n_child_rows,
+       CAST(n_orphans AS BIGINT) AS n_orphans, n_orphans = 0 AS passed
+FROM rel"""
+
+    # mirrors bm25_scores shape for shape: one rounded ln per query
+    # term, every contribution a correctly-rounded double chain with
+    # identical literals, decimal-exact per-doc sums
+    sql["docs_bm25"] = f"""WITH {_WORDS_CTE},
+toks AS (SELECT doc_id, word AS term FROM words),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+ag AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('scan', 'join', 'window') GROUP BY 1, 2
+),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term,
+    CAST(round(ln((CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0), 8)
+         AS DECIMAL(20,8)) AS idf
+  FROM dfq CROSS JOIN nd
+),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(round(
+      CAST(idf AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2)
+      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))),
+      8) AS DECIMAL(20,8)) AS c
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN ag
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched, CAST(SUM(c) AS DOUBLE) AS bm25
+FROM contrib GROUP BY doc_id"""
 
     sql["events_cumulative_users"] = """WITH firsts AS (
   SELECT user_id, MIN(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS day

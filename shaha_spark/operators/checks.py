@@ -67,3 +67,39 @@ def check_rules_sql(table: str, rules: dict[str, str]) -> str:
   FROM {table}
 )
 {arms}"""
+
+
+def referential_check(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key orphan report: one row per relation
+    [relation, n_child_rows, n_orphans, passed].
+
+    ``relations`` is [(name, child_df, child_key, parent_df,
+    parent_key)]. Each check is a LEFT ANTI join on the key — at scale
+    a plain shuffle hash join whose build side is the parent's DISTINCT
+    key projection (column-pruned at the scan; Catalyst broadcasts it
+    when small). Results union into one report; each relation's subtree
+    stays independent, so Spark runs them as parallel stages of one
+    job rather than one scan per interactive query.
+    """
+    if not relations:
+        raise ValueError("referential_check requires at least one relation")
+    outs = []
+    for name, child, ckey, parent, pkey in relations:
+        pk = parent.select(F.col(pkey).alias(ckey)).distinct()
+        orphans = child.select(ckey).join(pk, ckey, "left_anti")
+        outs.append(
+            child.agg(F.count(F.lit(1)).alias("n_child_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(name).alias("relation"),
+                F.col("n_child_rows").cast("bigint").alias("n_child_rows"),
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+                (F.col("n_orphans") == 0).alias("passed"),
+            )
+        )
+    report = outs[0]
+    for o in outs[1:]:
+        report = report.unionByName(o)
+    return report

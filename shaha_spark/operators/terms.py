@@ -960,3 +960,86 @@ def ppl_pacing_buckets(
         F.col("avg_logprob"),
         F.ntile(buckets).over(w).alias("bucket"),
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed keyword
+    query — the classic lexical retrieval scorer, complementing the
+    tf-idf cosine (tf_cosine_pairs) and the LM scorers.
+
+    score(d) = Σ_{t ∈ Q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+    with idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  (the standard
+    non-negative Robertson idf).
+
+    Determinism recipe (same as unigram_logprob): the only
+    transcendental, ln, is evaluated once per QUERY TERM and rounded to
+    8 decimals; every per-(doc, term) contribution is a chain of
+    correctly-rounded double ops with identical shape in any engine,
+    rounded to 8 and summed as exact decimals. Corpus stats (N, avgdl)
+    ride in-plan via tiny crossJoin broadcasts — one lineage, no
+    collected constants.
+
+    Scale: one token explode feeding (a) per-doc lengths and (b) the
+    per-query-term tf table, which is filtered to |Q| terms BEFORE its
+    aggregation (predicate on the explode output — candidate rows only);
+    the df/idf table is |Q| rows, broadcast. One hash-agg on doc_id.
+    """
+    toks = tokens(docs, text_col, id_col)
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    avgdl = dl.agg(
+        F.sum("__dl").cast("double").alias("__tot"),
+        F.count(F.lit(1)).cast("double").alias("__nd"),
+    ).select((F.col("__tot") / F.col("__nd")).alias("__avgdl"))
+    qtoks = toks.filter(F.array_contains(qlit, F.col("term")))
+    tf = qtoks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("__n").cast("double") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df").cast("double") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            8,
+        )
+        .cast("decimal(20,8)")
+        .alias("__idf"),
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("__idf").cast("double")
+                * (F.col("__tf").cast("double") * F.lit(k1 + 1.0))
+                / (
+                    F.col("__tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b)
+                        * (F.col("__dl").cast("double") / F.col("__avgdl"))
+                    )
+                ),
+                8,
+            )
+            .cast("decimal(20,8)")
+            .alias("__c"),
+        )
+    )
+    return contrib.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.sum("__c").cast("double").alias("bm25"),
+    )
