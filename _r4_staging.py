@@ -429,6 +429,42 @@ def q_events_nearest_join(spark, sf_dir):
     )
 
 
+def _scored_with_label(spark, sf_dir):
+    """Demo-weight logreg probabilities joined with the lang=='en'
+    label — the shared input of the ML-eval registrations."""
+    from shaha_spark.operators.classifier import hashed_features, logreg_score
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = hashed_features(docs, dim=LOGREG_DIM)
+    scored = logreg_score(feats, LOGREG_WEIGHTS, 0.0).select(
+        "doc_id", F.round("quality_prob", 6).alias("quality_prob")
+    )
+    return scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("label")),
+        "doc_id",
+    )
+
+
+def q_docs_clf_report(spark, sf_dir):
+    """Confusion matrix + precision/recall/F1/accuracy of the demo
+    classifier against the lang=='en' label at threshold 0.5 — one
+    aggregation pass (operators.classifier.classification_report)."""
+    from shaha_spark.operators.classifier import classification_report
+
+    return classification_report(
+        _scored_with_label(spark, sf_dir), "label", threshold=0.5
+    )
+
+
+def q_docs_calibration(spark, sf_dir):
+    """Reliability-diagram table: equal-width probability bins, mean
+    predicted probability vs observed positive rate
+    (operators.classifier.calibration_bins)."""
+    from shaha_spark.operators.classifier import calibration_bins
+
+    return calibration_bins(_scored_with_label(spark, sf_dir), "label")
+
+
 def q_snapshot_row_diff(spark, sf_dir):
     """Row-level change data feed between two snapshots: the appended
     odd-doc vocabulary must surface as exactly the insert set
@@ -626,6 +662,8 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25": q_docs_bm25,
         "dq_referential": q_dq_referential,
         "snapshot_row_diff": q_snapshot_row_diff,
+        "docs_clf_report": q_docs_clf_report,
+        "docs_calibration": q_docs_calibration,
         "emb_ann_recall": q_emb_ann_recall,
         "events_pit_join": q_events_pit_join,
         "events_rollup_incremental": q_events_rollup_incremental,
@@ -1002,6 +1040,49 @@ SELECT d.doc_id,
        round(1.0 / (1.0 + exp(-coalesce(m.margin, 0.0))), 6)
          AS quality_prob
 FROM documents d LEFT JOIN m USING (doc_id)"""
+
+    scored_cte = f"""{feat_cte},
+m AS (
+  SELECT doc_id,
+         sum(val * ((CAST(idx AS BIGINT) * 37) % 21 - 10) / 10.0
+             ORDER BY idx) AS margin
+  FROM fv GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         round(1.0 / (1.0 + exp(-coalesce(m.margin, 0.0))), 6) AS p,
+         d.lang = 'en' AS lab
+  FROM documents d LEFT JOIN m USING (doc_id)
+)"""
+
+    sql["docs_clf_report"] = f"""WITH {scored_cte},
+agg AS (
+  SELECT SUM(CASE WHEN p >= 0.5 AND lab THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN p >= 0.5 AND NOT lab THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN p < 0.5 AND lab THEN 1 ELSE 0 END) AS fn,
+         SUM(CASE WHEN p < 0.5 AND NOT lab THEN 1 ELSE 0 END) AS tn
+  FROM scored
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+  CASE WHEN tp + fp = 0 THEN 0.0
+       ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 9) END AS precision,
+  CASE WHEN tp + fn = 0 THEN 0.0
+       ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 9) END AS recall,
+  CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+       ELSE round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 9) END AS f1,
+  CASE WHEN tp + fp + fn + tn = 0 THEN 0.0
+       ELSE round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 9) END AS accuracy
+FROM agg"""
+
+    sql["docs_calibration"] = f"""WITH {scored_cte},
+binned AS (
+  SELECT p, lab, LEAST(9, CAST(FLOOR(p * 10.0) AS INTEGER)) AS bin FROM scored
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+  round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
+  round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
+FROM binned GROUP BY bin"""
 
     kparts = ",\n".join(_kmeans_parts(k=4, iters=2))
     sql["emb_semantic_dedup"] = f"""WITH {kparts},

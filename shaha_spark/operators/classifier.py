@@ -43,7 +43,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from shaha_spark.functions.text import h28, tokens
@@ -383,3 +383,95 @@ def logreg_train_local(
             if g:
                 w[i] -= lr * g
     return w, b
+
+
+def classification_report(
+    scored: DataFrame,
+    label_col: str,
+    prob_col: str = "quality_prob",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 at a decision threshold —
+    one row, one aggregation pass (the counts are conditional sums, so
+    the whole report is a single map-side-combining hash-agg over the
+    scored table; no per-class scans).
+
+    Counts are exact integers; each ratio is one correctly-rounded
+    division of exact integers (F1 uses the 2·TP/(2·TP+FP+FN) form —
+    a SINGLE division, unlike the harmonic-mean-of-ratios form whose
+    intermediate roundings engines could order differently), rounded
+    to 9 decimals. Empty denominators report 0.0, not NULL.
+    """
+    pred = F.col(prob_col) >= F.lit(threshold)
+    lab = F.col(label_col).cast("boolean")
+    agg = scored.agg(
+        F.sum(F.when(pred & lab, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pred & ~lab, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pred & lab, 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~pred & ~lab, 1).otherwise(0)).alias("tn"),
+    )
+
+    def ratio(num, den):
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            F.round(num.cast("double") / den.cast("double"), 9)
+        )
+
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return agg.select(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        ratio(tp, tp + fp).alias("precision"),
+        ratio(tp, tp + fn).alias("recall"),
+        ratio(F.lit(2) * tp, F.lit(2) * tp + fp + fn).alias("f1"),
+        ratio(tp + tn, tp + fp + fn + tn).alias("accuracy"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    label_col: str,
+    prob_col: str = "quality_prob",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table: equal-WIDTH probability bins
+    (bin = floor(p·bins), clamped) with mean predicted probability vs
+    observed positive rate per bin — the calibration check every
+    quality-classifier gate needs before its threshold means anything.
+
+    Equal-width (not equal-population/ntile) is deliberate: an ntile
+    needs a GLOBAL sort through one partition — a scale wall — while
+    the width bin is a codegen'd projection and the only shuffle is
+    the |bins|-key aggregation. Determinism: floor of an exact-input
+    multiply, decimal-exact sums of the scorer's already-rounded
+    probabilities, one division per ratio.
+    """
+    binned = scored.select(
+        F.col(prob_col),
+        F.col(label_col).cast("boolean").alias("__lab"),
+        F.least(
+            F.lit(bins - 1),
+            F.floor(F.col(prob_col) * F.lit(float(bins))).cast("int"),
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col(prob_col), 6).cast("decimal(16,6)")
+            ).alias("__psum"),
+            F.sum(F.when(F.col("__lab"), 1).otherwise(0)).alias("__pos"),
+        )
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("__psum").cast("double") / F.col("n"), 9).alias(
+                "mean_prob"
+            ),
+            F.round(
+                F.col("__pos").cast("double") / F.col("n").cast("double"), 9
+            ).alias("pos_rate"),
+        )
+    )

@@ -247,3 +247,37 @@ def test_cumulative_distinct_first_seen_semantics(spark):
            for r in cumulative_distinct(df, "user", "day").collect()}
     # returning users never recount
     assert out == {"d1": (2, 2), "d2": (1, 3), "d3": (1, 4)}
+
+
+def test_classification_report_known_counts(spark):
+    from shaha_spark.operators.classifier import classification_report
+
+    df = spark.createDataFrame(
+        [(0.9, True), (0.8, False), (0.3, True), (0.1, False), (0.6, True)],
+        "quality_prob double, label boolean",
+    )
+    r = classification_report(df, "label").collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (2, 1, 1, 1)
+    assert r.precision == round(2 / 3, 9)
+    assert r.recall == round(2 / 3, 9)
+    assert r.f1 == round(4 / 6, 9)
+    assert r.accuracy == 0.6
+    # degenerate: nothing predicted positive -> 0.0 ratios, not null
+    r0 = classification_report(df, "label", threshold=1.1).collect()[0]
+    assert r0.tp == 0 and r0.precision == 0.0 and r0.f1 == 0.0
+
+
+def test_calibration_bins_equal_width_semantics(spark):
+    from shaha_spark.operators.classifier import calibration_bins
+
+    df = spark.createDataFrame(
+        [(0.05, False), (0.07, False), (0.95, True), (0.99, True),
+         (1.0, True), (0.55, True), (0.52, False)],
+        "quality_prob double, label boolean",
+    )
+    out = {r.bin: r for r in calibration_bins(df, "label").collect()}
+    assert set(out) == {0, 5, 9}
+    assert out[0].n == 2 and out[0].pos_rate == 0.0
+    assert out[5].n == 2 and out[5].pos_rate == 0.5
+    # p = 1.0 clamps into the top bin rather than bin 10
+    assert out[9].n == 3 and out[9].pos_rate == 1.0
