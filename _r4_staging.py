@@ -465,6 +465,15 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_docs_auc(spark, sf_dir):
+    """Exact ROC-AUC of the demo classifier against the lang=='en'
+    label — rank-sum over DISTINCT-SCORE buckets so the only global
+    window is bucket-table-sized (operators.classifier.roc_auc)."""
+    from shaha_spark.operators.classifier import roc_auc
+
+    return roc_auc(_scored_with_label(spark, sf_dir), "label")
+
+
 def q_snapshot_row_diff(spark, sf_dir):
     """Row-level change data feed between two snapshots: the appended
     odd-doc vocabulary must surface as exactly the insert set
@@ -664,6 +673,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_row_diff": q_snapshot_row_diff,
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
+        "docs_auc": q_docs_auc,
         "emb_ann_recall": q_emb_ann_recall,
         "events_pit_join": q_events_pit_join,
         "events_rollup_incremental": q_events_rollup_incremental,
@@ -1083,6 +1093,23 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    sql["docs_auc"] = f"""WITH {scored_cte},
+b AS (
+  SELECT p, SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS nn
+  FROM scored GROUP BY p
+),
+c AS (
+  SELECT np, nn,
+         SUM(nn) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nn AS below
+  FROM b
+),
+a AS (SELECT SUM(np * (2 * below + nn)) AS num, SUM(np) AS P, SUM(nn) AS N FROM c)
+SELECT CASE WHEN P = 0 OR N = 0 THEN 0.0
+            ELSE round(CAST(num AS DOUBLE) / (2.0 * P * N), 9) END AS auc,
+       CAST(P AS BIGINT) AS n_pos, CAST(N AS BIGINT) AS n_neg
+FROM a"""
 
     kparts = ",\n".join(_kmeans_parts(k=4, iters=2))
     sql["emb_semantic_dedup"] = f"""WITH {kparts},

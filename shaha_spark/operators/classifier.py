@@ -475,3 +475,69 @@ def calibration_bins(
             ).alias("pos_rate"),
         )
     )
+
+
+def roc_auc(
+    scored: DataFrame,
+    label_col: str,
+    prob_col: str = "quality_prob",
+) -> DataFrame:
+    """EXACT area under the ROC curve (probability a random positive
+    outranks a random negative, ties at half credit) — one row
+    [auc, n_pos, n_neg].
+
+    Scale shape: the rank-sum formulation needs global ranks, which a
+    naive window computes in ONE partition — a scale wall. Instead
+    scores aggregate to per-distinct-score buckets first (the scorer
+    emits 6-decimal-rounded probabilities, so the bucket table is at
+    most ~10^6 rows regardless of input size); the cumulative
+    negative count then runs over the BUCKET table, exactly like
+    cumulative_distinct's calendar-sized window. AUC is recovered as
+
+        auc = Σ_b n_pos_b · (2·cumneg_below_b + n_neg_b) / (2·P·N)
+
+    — every term an exact integer (the ×2 absorbs the half-credit tie
+    term), summed as bigints, with ONE final correctly-rounded
+    division, rounded to 9 decimals. Bit-deterministic at any
+    partitioning; degenerate inputs (no positives or no negatives)
+    report auc = 0.0 rather than null.
+    """
+    lab = F.col(label_col).cast("boolean")
+    buckets = scored.groupBy(F.col(prob_col).alias("__p")).agg(
+        F.sum(F.when(lab, 1).otherwise(0)).alias("__np"),
+        F.sum(F.when(~lab, 1).otherwise(0)).alias("__nn"),
+    )
+    w = (
+        Window.orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    contrib = buckets.select(
+        "__np",
+        "__nn",
+        (
+            F.col("__np")
+            * (
+                F.lit(2) * (F.sum("__nn").over(w) - F.col("__nn"))
+                + F.col("__nn")
+            )
+        ).cast("bigint").alias("__num2"),
+    )
+    return contrib.agg(
+        F.sum("__num2").alias("__num"),
+        F.sum("__np").alias("__P"),
+        F.sum("__nn").alias("__N"),
+    ).select(
+        F.when(
+            (F.col("__P") == 0) | (F.col("__N") == 0), F.lit(0.0)
+        )
+        .otherwise(
+            F.round(
+                F.col("__num").cast("double")
+                / (F.lit(2.0) * F.col("__P") * F.col("__N")).cast("double"),
+                9,
+            )
+        )
+        .alias("auc"),
+        F.col("__P").cast("bigint").alias("n_pos"),
+        F.col("__N").cast("bigint").alias("n_neg"),
+    )

@@ -281,3 +281,23 @@ def test_calibration_bins_equal_width_semantics(spark):
     assert out[5].n == 2 and out[5].pos_rate == 0.5
     # p = 1.0 clamps into the top bin rather than bin 10
     assert out[9].n == 3 and out[9].pos_rate == 1.0
+
+
+def test_roc_auc_known_values(spark):
+    from shaha_spark.operators.classifier import roc_auc
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "quality_prob double, label boolean"
+        )
+
+    # one tie pair at half credit: pairs (.9>.7), (.9>.8), (.8>.7)=1
+    # each, (.8 vs .8)=0.5 -> 3.5/4
+    r = roc_auc(mk([(0.9, True), (0.8, True), (0.8, False), (0.7, False)]),
+                "label").collect()[0]
+    assert (r.auc, r.n_pos, r.n_neg) == (0.875, 2, 2)
+    # perfect separation / perfect inversion
+    assert roc_auc(mk([(0.9, True), (0.1, False)]), "label").collect()[0].auc == 1.0
+    assert roc_auc(mk([(0.1, True), (0.9, False)]), "label").collect()[0].auc == 0.0
+    # degenerate single-class input reports 0.0, not null
+    assert roc_auc(mk([(0.5, True)]), "label").collect()[0].auc == 0.0
