@@ -325,6 +325,37 @@ EXTRA = {
             spark, sf
         ),
     ),
+    "docs_bm25": (
+        "BM25: the token explode is filtered to the |Q| query terms "
+        "BEFORE aggregation (candidate rows only), the |Q|-row idf "
+        "table and corpus stats ride as broadcasts, and contributions "
+        "sum decimal-exact in one doc-keyed hash-agg.",
+        lambda spark, sf: __import__("_r4_staging").q_docs_bm25(spark, sf),
+    ),
+    "orders_basket_rules": (
+        "Market basket WITHOUT a self-join: baskets aggregate once, "
+        "pairs explode from a bounded in-row expression (b(b-1)/2 per "
+        "basket), per-item counts broadcast, top-20 via "
+        "TakeOrderedAndProject.",
+        lambda spark, sf: __import__("_r4_staging").q_orders_basket_rules(
+            spark, sf
+        ),
+    ),
+    "events_cumulative_users": (
+        "Running distinct count with NO expanding distinct: per-key "
+        "first-bucket agg, per-bucket counts, and the only global "
+        "window runs over the calendar-sized bucket table.",
+        lambda spark, sf: __import__("_r4_staging").q_events_cumulative_users(
+            spark, sf
+        ),
+    ),
+    "docs_auc": (
+        "Exact ROC-AUC with NO one-partition rank window: distinct-"
+        "score bucket aggregation first (bounded by the 6-decimal "
+        "score grid), cumulative-negative window over buckets only, "
+        "integer-exact numerator.",
+        lambda spark, sf: __import__("_r4_staging").q_docs_auc(spark, sf),
+    ),
     "curate_corpus": (
         "The whole curation chain is ONE plan: redaction folds into the "
         "first projection, line dedup and the Gopher gate are doc-keyed "
