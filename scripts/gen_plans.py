@@ -310,9 +310,11 @@ EXTRA = {
     ),
     "events_nearest_join": (
         "Bidirectional as-of with zero joins: union-tagged sides, ONE "
-        "hash shuffle on user_id, one sort serving BOTH the backward "
-        "last(ignorenulls) and forward first(ignorenulls) windows; the "
-        "nearest/tolerance choice is a codegen'd projection on top.",
+        "hash shuffle on user_id, then two per-partition sorts — the "
+        "forward pass runs as a RUNNING window over the reversed order "
+        "(an unbounded-FOLLOWING first() re-scans to partition end per "
+        "row: O(n²) on a hot key, measured 57× in test_skew before the "
+        "fix). Nearest/tolerance choice is a codegen'd projection.",
         lambda spark, sf: __import__("_r4_staging").q_events_nearest_join(
             spark, sf
         ),

@@ -245,14 +245,23 @@ def nearest_join(
         .orderBy(time_col, "_side", "_ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wf = (
+    # the forward pass runs as a RUNNING window over the REVERSED sort
+    # order, not first(...) over [current, unbounded following]: Spark
+    # evaluates unbounded-FOLLOWING frames by rescanning to partition
+    # end for every row — O(n²) per key (measured 57× blowup on a 10%
+    # hot key in test_skew) — while frames ending at CURRENT ROW update
+    # incrementally. The sort keys are a strict total order, so the
+    # descending window visits exactly the ascending-forward row set.
+    wf_rev = (
         Window.partitionBy(key_col)
-        .orderBy(time_col, "_side", "_ord")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(
+            F.col(time_col).desc(), F.col("_side").desc(), F.col("_ord").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t = F.col(time_col)
     prev = F.last("_r", ignorenulls=True).over(wb)
-    nxt = F.first("_r", ignorenulls=True).over(wf)
+    nxt = F.last("_r", ignorenulls=True).over(wf_rev)
     resolved = (
         both.withColumn("_prev", prev)
         .withColumn("_next", nxt)

@@ -72,3 +72,33 @@ def test_sessionize_hot_user_within_2x_of_uniform(spark):
         f"hot-user layout {skewed:.2f}s vs uniform {uniform:.2f}s "
         f"(> 2x + scheduling slack): skew mitigation regressed"
     )
+
+
+def test_nearest_join_hot_user_within_2x_of_uniform(spark):
+    """nearest_join shares sessionize's plan shape (one shuffle on the
+    key, per-key ordered windows), so the same measured skew bound
+    must hold: a user owning 10% of both sides stays within 2x of the
+    uniform layout."""
+    from shaha_spark.operators.joins import nearest_join
+
+    def run(skewed: bool) -> float:
+        ev = _events(spark, skewed)
+        left = ev.filter(F.col("event_id") % 3 == 0).select(
+            "user_id", "event_id", "tus"
+        )
+        right = ev.filter(F.col("event_id") % 3 == 1).select(
+            "user_id", "event_id", "tus"
+        )
+        t0 = time.perf_counter()
+        nearest_join(
+            left, right, "user_id", "tus", tolerance=3_600_000_000,
+            right_value_cols=["event_id"], order_col="event_id",
+        ).count()
+        return time.perf_counter() - t0
+
+    run(False)  # warm
+    uniform = min(run(False) for _ in range(3))
+    skewed = min(run(True) for _ in range(3))
+    assert skewed <= 2.0 * uniform + 0.5, (
+        f"hot-user nearest_join {skewed:.2f}s vs uniform {uniform:.2f}s"
+    )
