@@ -301,3 +301,68 @@ def test_roc_auc_known_values(spark):
     assert roc_auc(mk([(0.1, True), (0.9, False)]), "label").collect()[0].auc == 0.0
     # degenerate single-class input reports 0.0, not null
     assert roc_auc(mk([(0.5, True)]), "label").collect()[0].auc == 0.0
+
+
+# ------------------------------------------------------- plan shapes
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_nearest_join_plan_no_join_no_following_frame(spark):
+    """Locks the O(n²) fix: the forward pass must never compile to an
+    UNBOUNDED FOLLOWING frame (Spark rescans to partition end per row
+    for those — measured 57× on a 10% hot key), and the whole operator
+    stays join-free with ONE hash shuffle."""
+    import _r4_staging as staging
+
+    plan = _plan(staging.queries_r4()["events_nearest_join"](spark, SF))
+    assert "UNBOUNDED FOLLOWING" not in plan.upper()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+
+def test_sq_topk_plan_candidate_shuffle_is_narrow(spark):
+    """Stage A's top-m exchange must move (query_id, id, adc) — never
+    the raw vectors; re-rank joins are broadcast; WindowGroupLimit
+    prunes per-partition before the shuffle."""
+    import _r4_staging as staging
+
+    plan = _plan(staging.queries_r4()["emb_sq_topk"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    ex = [
+        seg for seg in plan.split("\n")
+        if "Exchange hashpartitioning" in seg
+    ]
+    assert ex, "expected the top-m/top-k window exchanges"
+    assert not any("embedding" in seg for seg in ex)
+
+
+def test_cdc_and_cube_plans_single_pass(spark):
+    import _r4_staging as staging
+
+    plan = _plan(staging.queries_r4()["events_cdc_snapshot"](spark, SF))
+    assert "WindowGroupLimit" in plan  # argmax prunes to per-key head
+    assert "EvalPython" not in plan
+
+    plan = _plan(staging.queries_r4()["events_cube"](spark, SF))
+    assert "Expand" in plan  # grouping sets in one pass, no rescans
+    assert plan.count("Scan parquet") == 1
+
+
+def test_auc_plan_window_runs_over_buckets_not_rows(spark):
+    """The single-partition window input must be the distinct-score
+    bucket aggregate, never the raw scored rows: a hash-agg (with its
+    exchange) sits BELOW the single-partition exchange."""
+    import _r4_staging as staging
+
+    plan = _plan(staging.queries_r4()["docs_auc"](spark, SF))
+    below = plan.split("Exchange SinglePartition")[-1]
+    assert "HashAggregate" in below
+    assert "Exchange hashpartitioning" in below
