@@ -124,3 +124,81 @@ def test_cdc_snapshot_random_differential(spark, seed):
         changelog, ["user_id"], "tus", "op", ["value"], "event_id"
     )
     _compare(out, _duck(pdf), ORACLES["events_cdc_snapshot"])
+
+
+def _brute_nearest(rows_l, rows_r, tol):
+    """Pure-python reference: per left row, nearest right row within
+    tol; equal distance -> earlier; same-ts right rows count as
+    backward with the LARGEST order value winning among ties."""
+    out = []
+    for (u, e, t) in rows_l:
+        cands = [(ru, re, rt) for (ru, re, rt) in rows_r if ru == u]
+        if not cands:
+            continue
+        back = [(rt, re) for (_, re, rt) in cands if rt <= t]
+        fwd = [(rt, re) for (_, re, rt) in cands if rt > t]
+        prev = max(back, key=lambda x: (x[0], x[1])) if back else None
+        nxt = min(fwd, key=lambda x: (x[0], x[1])) if fwd else None
+        if prev is not None and (nxt is None or t - prev[0] <= nxt[0] - t):
+            pick, delta = prev, t - prev[0]
+        elif nxt is not None:
+            pick, delta = nxt, nxt[0] - t
+        else:
+            continue
+        if delta <= tol:
+            out.append((u, e, t, pick[0], pick[1], delta))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_nearest_join_vs_pure_python_brute_force(spark, seed):
+    """Engine-independent oracle: O(L×R) python reference on small
+    random frames with dense ties."""
+    rng = random.Random(seed)
+    rows_l = [(rng.randint(1, 4), 1000 + i, rng.randint(0, 40))
+              for i in range(60)]
+    rows_r = [(rng.randint(1, 4), 2000 + i, rng.randint(0, 40))
+              for i in range(60)]
+    tol = 6
+    left = spark.createDataFrame(
+        rows_l, "user_id bigint, event_id bigint, tus bigint")
+    right = spark.createDataFrame(
+        rows_r, "user_id bigint, event_id bigint, tus bigint")
+    got = sorted(
+        (r.user_id, r.event_id, r.tus, r.near_tus, r.near_event_id, r.delta)
+        for r in nearest_join(
+            left, right, "user_id", "tus", tol,
+            ["event_id"], order_col="event_id",
+        ).collect()
+    )
+    assert got == _brute_nearest(rows_l, rows_r, tol)
+
+
+def test_sq_codes_properties(spark):
+    """Quantization invariants on the real embedding table: codes in
+    [0,255], dimension-wise monotone, and dequantization error bounded
+    by one cell width."""
+    import numpy as np
+
+    from shaha_spark.operators.embeddings import dim_stats, sq_code_arrays
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    stats = dim_stats(emb, "embedding")
+    coded = {r["vec_id"]: (list(r["embedding"]), list(r["__codes"]))
+             for r in sq_code_arrays(emb, stats).collect()}
+    mn = np.array([s[0] for s in stats])
+    span = np.array([s[1] - s[0] for s in stats])
+    cell = np.where(span == 0, 0.0, span / 256.0)
+    for vid, (vec, codes) in coded.items():
+        c = np.array(codes)
+        assert c.min() >= 0 and c.max() <= 255
+        # dequantized cell floor is within one cell of the true value
+        deq = mn + c * cell
+        err = np.abs(np.array(vec, dtype=np.float64) - deq)
+        assert (err <= cell + 1e-9).all(), vid
+    # monotonicity per dimension: larger input -> >= code
+    ids = sorted(coded)
+    for p in range(0, len(mn), 16):
+        vals = sorted((coded[i][0][p], coded[i][1][p]) for i in ids)
+        codes_in_order = [c for _, c in vals]
+        assert codes_in_order == sorted(codes_in_order), p
