@@ -465,6 +465,32 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_events_ab_welch(spark, sf_dir):
+    """A/B experiment readout: Welch's t between the two deterministic
+    hash-split user cohorts over event value
+    (operators.profile.welch_t)."""
+    from shaha_spark.operators.profile import welch_t
+
+    ev = _events(spark, sf_dir).select(
+        (F.col("user_id") % 2).alias("cohort"), "value"
+    )
+    return welch_t(ev, "cohort", "value", 0, 1)
+
+
+def q_docs_psi_drift(spark, sf_dir):
+    """Distribution-drift monitor: PSI of document length between the
+    English slice and the rest of the corpus
+    (operators.profile.psi)."""
+    from shaha_spark.operators.profile import psi
+
+    docs = _t(spark, sf_dir, "documents")
+    return psi(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+    )
+
+
 def q_docs_auc(spark, sf_dir):
     """Exact ROC-AUC of the demo classifier against the lang=='en'
     label — rank-sum over DISTINCT-SCORE buckets so the only global
@@ -674,6 +700,8 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "events_ab_welch": q_events_ab_welch,
+        "docs_psi_drift": q_docs_psi_drift,
         "emb_ann_recall": q_emb_ann_recall,
         "events_pit_join": q_events_pit_join,
         "events_rollup_incremental": q_events_rollup_incremental,
@@ -1093,6 +1121,18 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    from shaha_spark.operators.profile import psi_sql, welch_t_sql
+
+    sql["events_ab_welch"] = welch_t_sql(
+        "(SELECT user_id % 2 AS cohort, value FROM events)",
+        "cohort", "value", "0", "1",
+    )
+    sql["docs_psi_drift"] = psi_sql(
+        "(SELECT * FROM documents WHERE lang = 'en')",
+        "(SELECT * FROM documents WHERE lang <> 'en')",
+        "n_chars",
+    )
 
     sql["docs_auc"] = f"""WITH {scored_cte},
 b AS (

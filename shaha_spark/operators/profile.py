@@ -550,3 +550,202 @@ SELECT t.{id_col}, t.{group_col},
   b.{lo_name} AS clip_lo,
   b.{hi_name} AS clip_hi
 FROM {table} t JOIN bounds b ON t.{group_col} = b.{group_col}"""
+
+
+def welch_t(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    precision: str = "decimal(18,2)",
+) -> DataFrame:
+    """Welch's two-sample t statistic between two groups — the A/B
+    experiment readout (unequal variances, unequal sizes).
+
+    One aggregation pass: all six sums (n, Σv, Σv² per group) are
+    conditional DECIMAL sums — order-independent exact — and the
+    statistic is a fixed sequence of correctly-rounded double ops
+    (IEEE sqrt included), so the result is bit-identical across
+    engines and partitionings, like pearson_corr. Degenerate inputs
+    (a group missing or single-row) yield t_stat = 0.0, not null.
+    """
+    v = F.col(value_col).cast(precision)
+    is_a = F.col(group_col) == F.lit(group_a)
+    is_b = F.col(group_col) == F.lit(group_b)
+    zero = F.lit(0).cast(precision)
+    agg = df.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(is_a, v).otherwise(zero)).alias("sa"),
+        F.sum(F.when(is_a, v * v).otherwise(zero)).alias("ssa"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(is_b, v).otherwise(zero)).alias("sb"),
+        F.sum(F.when(is_b, v * v).otherwise(zero)).alias("ssb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    ssa, ssb = F.col("ssa").cast("double"), F.col("ssb").cast("double")
+    ma, mb = sa / na, sb / nb
+    va = (ssa - sa * sa / na) / (na - F.lit(1.0))
+    vb = (ssb - sb * sb / nb) / (nb - F.lit(1.0))
+    se = F.sqrt(va / na + vb / nb)
+    ok = (F.col("na") > 1) & (F.col("nb") > 1)
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.when(F.col("na") > 0, ma).otherwise(F.lit(0.0)).alias("mean_a"),
+        F.when(F.col("nb") > 0, mb).otherwise(F.lit(0.0)).alias("mean_b"),
+        F.when(ok & (se > 0), (ma - mb) / se).otherwise(F.lit(0.0)).alias(
+            "t_stat"
+        ),
+    )
+
+
+def welch_t_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    precision: str = "DECIMAL(18,2)",
+) -> str:
+    """DuckDB oracle twin of :func:`welch_t` (same op order)."""
+    v = f"CAST({value_col} AS {precision})"
+    return f"""WITH s AS (
+  SELECT
+    SUM(CASE WHEN {group_col} = {group_a} THEN 1 ELSE 0 END) AS na,
+    SUM(CASE WHEN {group_col} = {group_a} THEN {v} ELSE CAST(0 AS {precision}) END) AS sa,
+    SUM(CASE WHEN {group_col} = {group_a} THEN {v} * {v} ELSE CAST(0 AS {precision}) END) AS ssa,
+    SUM(CASE WHEN {group_col} = {group_b} THEN 1 ELSE 0 END) AS nb,
+    SUM(CASE WHEN {group_col} = {group_b} THEN {v} ELSE CAST(0 AS {precision}) END) AS sb,
+    SUM(CASE WHEN {group_col} = {group_b} THEN {v} * {v} ELSE CAST(0 AS {precision}) END) AS ssb
+  FROM {table}
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  CASE WHEN na > 0 THEN CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) ELSE 0.0 END AS mean_a,
+  CASE WHEN nb > 0 THEN CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) ELSE 0.0 END AS mean_b,
+  CASE WHEN na > 1 AND nb > 1 AND
+    sqrt(((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)
+       + ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE)) > 0
+  THEN
+    (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+    / sqrt(((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)
+         + ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE))
+  ELSE 0.0 END AS t_stat
+FROM s"""
+
+
+def psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two slices of a numeric
+    column — the standard distribution-drift monitor between a
+    reference corpus and a new batch.
+
+    Equal-width bins over the COMBINED min/max (one tiny bounds
+    broadcast); per-bin shares clamp at ``eps`` so empty bins
+    contribute finitely; each term ``(p−q)·ln(p/q)`` is rounded to 9
+    decimals and summed as exact decimals — the unigram-logprob
+    determinism recipe. Plan: union scan → 1-row bounds broadcast →
+    codegen'd bin projection → one |bins|-key aggregation. Returns one
+    row [psi, n_a, n_b, n_bins_used].
+    """
+    a = df_a.select(F.col(col).cast("double").alias("__x")).withColumn(
+        "__side", F.lit(0)
+    )
+    b = df_b.select(F.col(col).cast("double").alias("__x")).withColumn(
+        "__side", F.lit(1)
+    )
+    u = a.unionByName(b).filter(F.col("__x").isNotNull())
+    bounds = u.agg(
+        F.min("__x").alias("__mn"), F.max("__x").alias("__mx")
+    )
+    binned = u.crossJoin(F.broadcast(bounds)).select(
+        "__side",
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (F.col("__x") - F.col("__mn"))
+                    / (F.col("__mx") - F.col("__mn"))
+                    * F.lit(float(bins))
+                ).cast("int"),
+            )
+        )
+        .alias("__bin"),
+    )
+    counts = binned.groupBy("__bin").agg(
+        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("__cb"),
+    )
+    totals = counts.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    e = F.lit(float(eps))
+    p = F.greatest(
+        F.col("__ca").cast("double") / F.col("__na").cast("double"), e
+    )
+    q = F.greatest(
+        F.col("__cb").cast("double") / F.col("__nb").cast("double"), e
+    )
+    terms = counts.crossJoin(F.broadcast(totals)).select(
+        F.round((p - q) * F.log(p / q), 9).cast("decimal(20,9)").alias("__t"),
+        "__ca",
+        "__cb",
+        F.col("__na"),
+        F.col("__nb"),
+    )
+    return terms.agg(
+        F.sum("__t").cast("double").alias("psi"),
+        F.first("__na").cast("bigint").alias("n_a"),
+        F.first("__nb").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+    )
+
+
+def psi_sql(
+    table_a: str, table_b: str, col: str, bins: int = 10, eps: float = 1e-6
+) -> str:
+    """DuckDB oracle twin of :func:`psi` (same bin rule, same clamped
+    rounded-ln terms, same decimal sums)."""
+    return f"""WITH u AS (
+  SELECT CAST({col} AS DOUBLE) AS x, 0 AS side FROM {table_a} WHERE {col} IS NOT NULL
+  UNION ALL
+  SELECT CAST({col} AS DOUBLE) AS x, 1 AS side FROM {table_b} WHERE {col} IS NOT NULL
+),
+bounds AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM u),
+binned AS (
+  SELECT side,
+    CASE WHEN mx = mn THEN 0
+         ELSE LEAST({bins - 1}, CAST(FLOOR((x - mn) / (mx - mn) * {float(bins)!r}) AS INTEGER))
+    END AS bin
+  FROM u CROSS JOIN bounds
+),
+counts AS (
+  SELECT bin,
+    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts),
+terms AS (
+  SELECT
+    CAST(round(
+      (GREATEST(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), {eps!r})
+       - GREATEST(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE), {eps!r}))
+      * ln(GREATEST(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), {eps!r})
+           / GREATEST(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE), {eps!r})),
+      9) AS DECIMAL(20,9)) AS t,
+    na, nb
+  FROM counts CROSS JOIN tot
+)
+SELECT CAST(SUM(t) AS DOUBLE) AS psi,
+       CAST(ANY_VALUE(na) AS BIGINT) AS n_a,
+       CAST(ANY_VALUE(nb) AS BIGINT) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_used
+FROM terms"""

@@ -366,3 +366,36 @@ def test_auc_plan_window_runs_over_buckets_not_rows(spark):
     below = plan.split("Exchange SinglePartition")[-1]
     assert "HashAggregate" in below
     assert "Exchange hashpartitioning" in below
+
+
+def test_welch_t_known_values(spark):
+    """Hand-computed Welch t on a tiny frame, plus degenerate guards."""
+    import math
+
+    from shaha_spark.operators.profile import welch_t
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_t(df, "g", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.mean_a == 2.0 and r.mean_b == 6.0
+    # va=1, vb=2 -> se = sqrt(1/3 + 1) ; t = -4/se
+    expect = -4.0 / math.sqrt(1.0 / 3.0 + 1.0)
+    assert abs(r.t_stat - expect) < 1e-9
+    # single-row group -> 0.0, never null/inf
+    df2 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, v double")
+    assert welch_t(df2, "g", "v", "a", "b").collect()[0].t_stat == 0.0
+
+
+def test_psi_identical_and_shifted(spark):
+    """Identical distributions score ~0; a hard shift scores large;
+    both sides' totals are reported."""
+    from shaha_spark.operators.profile import psi
+
+    a = spark.range(1000).select((F.col("id") % 100).alias("x"))
+    same = psi(a, a, "x", bins=10).collect()[0]
+    assert same.psi == 0.0 and same.n_a == 1000 and same.n_b == 1000
+    b = spark.range(1000).select((F.col("id") % 100 + 1000).alias("x"))
+    shifted = psi(a, b, "x", bins=10).collect()[0]
+    assert shifted.psi > 1.0  # textbook threshold for "major drift" is 0.25
+    assert shifted.n_bins_used <= 10
