@@ -465,6 +465,21 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_orders_pair_triangles(spark, sf_dir):
+    """Triangle count of the part co-purchase graph (edges = basket
+    pairs with support >= 2) via degree-oriented wedge enumeration
+    (operators.graph.triangle_count); the oracle counts the same
+    triangles with the independent a<b<c three-way join."""
+    from shaha_spark.operators.basket import pair_counts
+    from shaha_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = pair_counts(li, "l_orderkey", "l_partkey").where(
+        F.col("n_pair") >= 2
+    )
+    return triangle_count(edges, "item_a", "item_b")
+
+
 def q_events_ab_welch(spark, sf_dir):
     """A/B experiment readout: Welch's t between the two deterministic
     hash-split user cohorts over event value
@@ -700,6 +715,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "orders_pair_triangles": q_orders_pair_triangles,
         "events_ab_welch": q_events_ab_welch,
         "docs_psi_drift": q_docs_psi_drift,
         "emb_ann_recall": q_emb_ann_recall,
@@ -1121,6 +1137,29 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    # independent algorithm as the oracle: canonical a<b<c three-way
+    # self-join (the Spark side uses degree-oriented wedges — same
+    # triangles, different enumeration, stronger cross-check)
+    sql["orders_pair_triangles"] = """WITH di AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pc AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n_pair
+  FROM di a JOIN di b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT a, b FROM pc WHERE n_pair >= 2),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e)
+SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+       CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges"""
 
     from shaha_spark.operators.profile import psi_sql, welch_t_sql
 

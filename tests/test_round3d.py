@@ -399,3 +399,21 @@ def test_psi_identical_and_shifted(spark):
     shifted = psi(a, b, "x", bins=10).collect()[0]
     assert shifted.psi > 1.0  # textbook threshold for "major drift" is 0.25
     assert shifted.n_bins_used <= 10
+
+
+def test_triangle_count_known_graphs(spark):
+    from shaha_spark.operators.graph import triangle_count
+
+    def mk(edges):
+        return spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    # K4: 4 triangles; duplicate/reversed/self edges must not inflate
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    k4 += [(1, 1), (2, 2)]
+    r = triangle_count(mk(k4)).collect()[0]
+    assert (r.n_triangles, r.n_nodes, r.n_edges) == (4, 4, 6)
+    # star (hub + leaves): wedges everywhere, zero closures
+    star = [(0, i) for i in range(1, 8)]
+    assert triangle_count(mk(star)).collect()[0].n_triangles == 0
+    # closing one leaf pair creates exactly one triangle
+    assert triangle_count(mk(star + [(1, 2)])).collect()[0].n_triangles == 1
