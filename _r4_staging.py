@@ -465,6 +465,32 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_emb_ivf_index_topk(spark, sf_dir):
+    """Persistent-index ANN round trip: fit + assign + WRITE the
+    corpus partitionBy(centroid_id), then probe through the
+    partition-pruned scan (operators.ann_index). Must hash-match the
+    same chained kmeans→IVF oracle as the in-plan operator — proving
+    the disk round trip changes nothing but the scan shape."""
+    import tempfile
+
+    from shaha_spark.operators.ann_index import build_ivf_index, ivf_index_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="shaha_ivfidx_") + "/ivf"
+    build_ivf_index(embs, path, k=4, iters=2)
+    return ivf_index_topk(
+        spark, path, queries, nprobe=2, k_neighbors=5
+    ).select(
+        "query_id",
+        "vec_id",
+        F.col("approx_cosine").alias("cosine"),
+        "rank",
+    )
+
+
 def q_orders_pair_triangles(spark, sf_dir):
     """Triangle count of the part co-purchase graph (edges = basket
     pairs with support >= 2) via degree-oriented wedge enumeration
@@ -715,6 +741,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "emb_ivf_index_topk": q_emb_ivf_index_topk,
         "orders_pair_triangles": q_orders_pair_triangles,
         "events_ab_welch": q_events_ab_welch,
         "docs_psi_drift": q_docs_psi_drift,
@@ -1137,6 +1164,12 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    from __spark_entry__ import _ivf_kmeans_sql
+
+    sql["emb_ivf_index_topk"] = _ivf_kmeans_sql(
+        k=4, iters=2, nprobe=2, topk=5
+    )
 
     # independent algorithm as the oracle: canonical a<b<c three-way
     # self-join (the Spark side uses degree-oriented wedges — same

@@ -1,0 +1,150 @@
+"""Persistent IVF index: write-time centroid assignment, read-time
+partition-pruned probing.
+
+The in-plan IVF operators (operators/similarity.py ivf_topk) derive
+the assignment inside every query, which is right for the oracle gate
+but wrong for production: at 100 TB you pay the k-means scan once at
+ingest, store each vector under its coarse bucket, and every query
+touches only the nprobe/k fraction of the data — AT THE SCAN LAYER,
+not as a post-read filter. This module is that write path:
+
+* :func:`build_ivf_index` fits the deterministic k-means
+  (operators/kmeans.py), assigns vectors (broadcast argmax,
+  shuffle-free), and writes the corpus ``partitionBy(centroid_id)``
+  with a driver-side JSON centroid sidecar (k · d floats — model-
+  sized, the same materialization budget as the k-means loop itself).
+* :func:`ivf_index_topk` probes: per-query top-``nprobe`` centroids
+  (k-row broadcast), then reads the index with a STATIC
+  ``centroid_id IN (...)`` predicate built from the union of probed
+  buckets — at most k values — so Spark's partition pruning skips
+  every unprobed directory before any file is opened
+  (``PartitionFilters`` in the plan; asserted in tests). Candidates
+  then join the (query → bucket) probe table so each query scores
+  only ITS buckets, and exact cosine re-ranks.
+
+Same determinism recipe as the rest of the ANN family: deterministic
+k-means, (sim DESC, id ASC) tiebreaks everywhere, cosine rounded to 6
+— the index round trip returns bit-identical results to the in-plan
+``ivf_topk`` under the same parameters, which is exactly what the
+tests assert.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io_util
+from .kmeans import kmeans_fit
+from .similarity import cosine_sim, ivf_assign
+
+CENTROID_SIDECAR = "_ivf_centroids.json"
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict[str, Any]:
+    """Fit, assign, and write the bucketed index; returns a summary."""
+    spark = df.sparkSession
+    cents = kmeans_fit(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    cent_rows = [
+        {"centroid_id": int(r.centroid_id), "centroid": [float(x) for x in r.centroid]}
+        for r in cents.collect()
+    ]
+    assigned = ivf_assign(df, cents, vec_col=vec_col, id_col=id_col)
+    (
+        assigned.write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    io_util.write_text(
+        spark,
+        path.rstrip("/") + "/" + CENTROID_SIDECAR,
+        json.dumps(cent_rows, sort_keys=True),
+    )
+    return {
+        "path": path,
+        "k": len(cent_rows),
+        "n_vectors": spark.read.parquet(path).count(),
+    }
+
+
+def load_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
+    """The k-row centroid table from the sidecar."""
+    txt = io_util.read_text(spark, path.rstrip("/") + "/" + CENTROID_SIDECAR)
+    if txt is None:
+        raise FileNotFoundError(f"no {CENTROID_SIDECAR} under {path}")
+    rows = json.loads(txt)
+    return spark.createDataFrame(
+        [(r["centroid_id"], r["centroid"]) for r in rows],
+        "centroid_id int, centroid array<float>",
+    )
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k_neighbors: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe the persisted index: per-query nprobe buckets, partition-
+    pruned scan, exact-cosine re-rank within probed buckets."""
+    cents = F.broadcast(load_ivf_centroids(spark, path))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    probe_scored = q.crossJoin(cents).select(
+        query_id_col,
+        "__qvec",
+        "centroid_id",
+        cosine_sim(F.col("__qvec"), F.col("centroid")).alias("__csim"),
+    )
+    wp = Window.partitionBy(query_id_col).orderBy(
+        F.col("__csim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("__r", F.row_number().over(wp))
+        .where(F.col("__r") <= nprobe)
+        .select(query_id_col, "__qvec", "centroid_id")
+    )
+    # static IN-list from the union of probed buckets (<= k values —
+    # model-sized) so the scan prunes partition DIRECTORIES, not rows
+    probed_ids = sorted(
+        r.centroid_id for r in probes.select("centroid_id").distinct().collect()
+    )
+    index = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probed_ids)
+    )
+    cands = index.join(F.broadcast(probes), "centroid_id").select(
+        query_id_col,
+        id_col,
+        F.round(cosine_sim(F.col(vec_col), F.col("__qvec")), 6).alias(
+            "approx_cosine"
+        ),
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k_neighbors)
+        .select(
+            query_id_col,
+            id_col,
+            "approx_cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
