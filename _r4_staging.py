@@ -465,6 +465,16 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_words_trigram_fuzzy(spark, sf_dir):
+    """Trigram-posting-blocked fuzzy pairs over the vocabulary
+    (operators.dedup.trigram_fuzzy_pairs) — the scalable blocking
+    complement to the exhaustive length-band levenshtein_pairs."""
+    from __spark_entry__ import _dwords
+    from shaha_spark.operators.dedup import trigram_fuzzy_pairs
+
+    return trigram_fuzzy_pairs(_dwords(spark, sf_dir), "word", max_dist=2)
+
+
 def q_emb_ivf_index_topk(spark, sf_dir):
     """Persistent-index ANN round trip: fit + assign + WRITE the
     corpus partitionBy(centroid_id), then probe through the
@@ -741,6 +751,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "words_trigram_fuzzy": q_words_trigram_fuzzy,
         "emb_ivf_index_topk": q_emb_ivf_index_topk,
         "orders_pair_triangles": q_orders_pair_triangles,
         "events_ab_welch": q_events_ab_welch,
@@ -1165,7 +1176,24 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
 
-    from __spark_entry__ import _ivf_kmeans_sql
+    from __spark_entry__ import _DWORDS_CTE, _ivf_kmeans_sql
+
+    sql["words_trigram_fuzzy"] = f"""WITH {_DWORDS_CTE},
+v AS (SELECT word AS v FROM dwords WHERE len(word) >= 4),
+g AS (
+  SELECT v, unnest(list_distinct(
+    list_transform(range(1, len(v) - 1), i -> v[i:i+2])
+  )) AS gm
+  FROM v
+),
+cand AS (
+  SELECT a.v AS v_a, b.v AS v_b
+  FROM g a JOIN g b USING (gm)
+  WHERE a.v < b.v AND abs(len(a.v) - len(b.v)) <= 2
+  GROUP BY 1, 2
+)
+SELECT v_a, v_b, CAST(levenshtein(v_a, v_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(v_a, v_b) <= 2"""
 
     sql["emb_ivf_index_topk"] = _ivf_kmeans_sql(
         k=4, iters=2, nprobe=2, topk=5

@@ -703,3 +703,69 @@ def dedup_duplicate_lines(
         .join(rebuilt, id_col, "left")
         .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
     )
+
+
+def trigram_fuzzy_pairs(
+    df: DataFrame,
+    col: str = "word",
+    max_dist: int = 2,
+    min_len: int = 4,
+) -> DataFrame:
+    """Distinct-value fuzzy pairs within a Levenshtein bound, blocked
+    by SHARED CHARACTER TRIGRAMS — the posting-list join real fuzzy
+    matchers use at scale, complementing :func:`levenshtein_pairs`'s
+    length band (which alone degrades as strings grow: every length-k
+    string meets every other length-±d string regardless of content).
+
+    Blocking soundness: two strings of length ≥ ``min_len`` within
+    edit distance d share at least one trigram whenever
+    d ≤ (min_len − 3) // 3 + 1 is respected by construction — with
+    min_len=4 and d≤2 a common trigram is NOT guaranteed for every
+    theoretical pair, so this operator is the standard recall-oriented
+    screen: candidates = pairs sharing ≥1 trigram AND within the
+    length band, verified by exact ``levenshtein``. (Pairs with zero
+    shared trigrams and distance ≤ d exist only for near-total
+    rewrites of very short strings; the length-band operator remains
+    the exhaustive option.)
+
+    Plan: one explode to (trigram, value) postings, a self equi-join
+    on the trigram key (hot trigrams bound the fanout — cap them
+    upstream for adversarial vocabularies), distinct pairs, then the
+    codegen'd exact verify. Shuffles on the trigram key and the pair
+    key only.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    vals = df.select(F.col(col).alias("v")).distinct().filter(
+        F.length("v") >= min_len
+    )
+    grams = vals.select(
+        "v",
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("v") - 2),
+                    lambda i: F.col("v").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("__g"),
+    )
+    a = grams.select(F.col("v").alias("v_a"), "__g")
+    b = grams.select(F.col("v").alias("v_b"), "__g")
+    cands = (
+        a.join(b, "__g")
+        .where(
+            (F.col("v_a") < F.col("v_b"))
+            & (
+                F.abs(F.length("v_a") - F.length("v_b"))
+                <= F.lit(max_dist)
+            )
+        )
+        .select("v_a", "v_b")
+        .distinct()
+    )
+    return cands.select(
+        "v_a",
+        "v_b",
+        F.levenshtein("v_a", "v_b").cast("bigint").alias("dist"),
+    ).where(F.col("dist") <= max_dist)

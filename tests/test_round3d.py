@@ -417,3 +417,21 @@ def test_triangle_count_known_graphs(spark):
     assert triangle_count(mk(star)).collect()[0].n_triangles == 0
     # closing one leaf pair creates exactly one triangle
     assert triangle_count(mk(star + [(1, 2)])).collect()[0].n_triangles == 1
+
+
+def test_trigram_fuzzy_pairs_blocking_semantics(spark):
+    from shaha_spark.operators.dedup import trigram_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [("spark",), ("spork",), ("sparks",), ("fizz",), ("buzz",), ("ab",)],
+        "word string",
+    )
+    got = {(r.v_a, r.v_b): r.dist
+           for r in trigram_fuzzy_pairs(df, "word", max_dist=2).collect()}
+    # spark/spork share 'spo'? no — they share no trigram ('spa','par',
+    # 'ark' vs 'spo','por','ork'): blocked OUT (recall-oriented screen);
+    # spark/sparks share 'spa','par','ark' and dist=1: found
+    assert ("spark", "sparks") in got and got[("spark", "sparks")] == 1
+    assert ("spark", "spork") not in got
+    # dissimilar words sharing nothing never pair; short words skipped
+    assert not any("fizz" in p or "buzz" in p or "ab" in p for p in got)
