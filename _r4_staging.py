@@ -465,6 +465,19 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_orders_set_similarity(spark, sf_dir):
+    """Set-similarity self-join over order part-sets (Jaccard ≥ 0.5)
+    with exact-recall prefix filtering
+    (operators.basket.set_similarity_join); the oracle generates
+    candidates exhaustively from ANY shared item and must produce the
+    identical verified pair set — proving the prefix filter loses
+    nothing."""
+    from shaha_spark.operators.basket import set_similarity_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return set_similarity_join(li, "l_orderkey", "l_partkey", threshold=0.5)
+
+
 def q_words_trigram_fuzzy(spark, sf_dir):
     """Trigram-posting-blocked fuzzy pairs over the vocabulary
     (operators.dedup.trigram_fuzzy_pairs) — the scalable blocking
@@ -751,6 +764,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "orders_set_similarity": q_orders_set_similarity,
         "words_trigram_fuzzy": q_words_trigram_fuzzy,
         "emb_ivf_index_topk": q_emb_ivf_index_topk,
         "orders_pair_triangles": q_orders_pair_triangles,
@@ -1175,6 +1189,26 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    # independent candidate generation (ANY shared item — exhaustive)
+    # + the same integer-exact verify: identical final pairs proves the
+    # Spark side's prefix filter is exact-recall
+    sql["orders_set_similarity"] = """WITH di AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem
+),
+sz AS (SELECT b, COUNT(*) AS n FROM di GROUP BY b),
+inter AS (
+  SELECT a.b AS basket_a, bb.b AS basket_b, COUNT(*) AS inter
+  FROM di a JOIN di bb ON a.it = bb.it AND a.b < bb.b
+  GROUP BY 1, 2
+)
+SELECT i.basket_a, i.basket_b, CAST(i.inter AS BIGINT) AS inter,
+  CAST(sa.n + sb.n - i.inter AS BIGINT) AS n_union,
+  round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sz sa ON i.basket_a = sa.b
+JOIN sz sb ON i.basket_b = sb.b
+WHERE CAST(i.inter AS DOUBLE) >= 0.5 * (sa.n + sb.n - i.inter)"""
 
     from __spark_entry__ import _DWORDS_CTE, _ivf_kmeans_sql
 

@@ -435,3 +435,24 @@ def test_trigram_fuzzy_pairs_blocking_semantics(spark):
     assert ("spark", "spork") not in got
     # dissimilar words sharing nothing never pair; short words skipped
     assert not any("fizz" in p or "buzz" in p or "ab" in p for p in got)
+
+
+def test_set_similarity_join_known_sets(spark):
+    from shaha_spark.operators.basket import set_similarity_join
+
+    rows = [
+        # baskets: A={1,2,3,4}, B={1,2,3,5}  -> J = 3/5 = 0.6
+        #          C={1,2}                    -> J(A,C)=2/4=0.5 (kept at t=0.5)
+        #          D={9}                      -> no qualifying pair
+        (10, 1), (10, 2), (10, 3), (10, 4),
+        (20, 1), (20, 2), (20, 3), (20, 5),
+        (30, 1), (30, 2),
+        (40, 9),
+    ]
+    df = spark.createDataFrame(rows, "b bigint, it bigint")
+    got = {(r.basket_a, r.basket_b): (r.inter, r.n_union, r.jaccard)
+           for r in set_similarity_join(df, "b", "it", 0.5).collect()}
+    assert got[(10, 20)] == (3, 5, 0.6)
+    assert got[(10, 30)] == (2, 4, 0.5)
+    assert got[(20, 30)] == (2, 4, 0.5)
+    assert len(got) == 3  # D pairs with nothing; no sub-threshold row
