@@ -49,6 +49,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "as a distributed job instead of printing — results never pass "
         "through the driver",
     )
+    q.add_argument(
+        "--at-version", type=int, default=None,
+        help="time-travel: query the dataset as pinned by this snapshot "
+        "version (see the snapshot verb)",
+    )
 
     i = sub.add_parser("info", help="database stats")
     i.add_argument("-d", "--database", required=True)
@@ -239,8 +244,12 @@ def main(argv: list[str] | None = None) -> int:
                     args.prefix_hex,
                     algorithm=args.algorithm,
                     limit=limit,
+                    at_version=args.at_version,
                 )
             except ValueError as err:  # bad hex (ref query.rs:69-70 errors too)
+                print(f"error: {err}", file=sys.stderr)
+                return 2
+            except FileNotFoundError as err:  # snapshot hole / no version
                 print(f"error: {err}", file=sys.stderr)
                 return 2
             if args.out:

@@ -113,3 +113,8 @@ def list_files(
         if suffix is None or p.getName().endswith(suffix):
             out.append((p.toString(), status.getLen()))
     return out
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, jpath = _fs_and_path(spark, path)
+    fs.mkdirs(jpath)

@@ -120,7 +120,7 @@ def forget_digests(
             io_util.delete(spark, p)
             if snapshot.in_retained(path, p):
                 snapshot.repoint_retained(
-                    spark, path, p.rsplit("/", 1)[-1], None
+                    spark, path, snapshot.retained_rel_of(path, p), None
                 )
             dropped += 1
             continue
@@ -165,9 +165,13 @@ def forget_digests(
         # is exactly the original minus the erased rows — the most
         # history erasure law permits
         if snapshot.in_retained(path, p):
-            snapshot.repoint_retained(
-                spark, path, p.rsplit("/", 1)[-1], stem
+            old_rrel = snapshot.retained_rel_of(path, p)
+            new_rrel = (
+                old_rrel.rsplit("/", 1)[0] + "/" + stem
+                if "/" in old_rrel
+                else stem
             )
+            snapshot.repoint_retained(spark, path, old_rrel, new_rrel)
         else:
             try:
                 rel_old = snapshot.rel_of(path, p)

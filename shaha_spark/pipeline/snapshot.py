@@ -8,12 +8,14 @@ Layout (all driver-side JSON, data files never copied):
                                      {"version", "note", "created_unix",
                                       "files": [{"rel", "bytes"}, ...]}
     <db>/_snapshots/retained.json    {rel_path: disposition} where
-                                     disposition is either a filename
-                                     under retained/ (the file was moved
-                                     there when maintenance replaced it)
-                                     or "@<rel>" (an alias: the file's
-                                     permissible content now lives at
-                                     another rel path — see forget)
+                                     disposition is either a path under
+                                     retained/ (the file was moved there
+                                     when maintenance replaced it — its
+                                     rel SUBPATH is preserved so hive
+                                     partition dirs survive) or "@<rel>"
+                                     (an alias: the file's permissible
+                                     content now lives at another rel
+                                     path — see forget)
     <db>/_snapshots/retained/...     parquet files maintenance RENAMED
                                      out of the visible dataset because
                                      a snapshot still references them
@@ -232,7 +234,27 @@ def read_snapshot(
         )
     if not paths:
         raise FileNotFoundError(f"snapshot v{version}: no surviving files")
-    return spark.read.parquet(*paths)
+    # hive-style partition columns (algorithm=...) are recovered per
+    # location group with a basePath read: retirement preserves each
+    # file's rel SUBPATH under retained/, so both the visible tree and
+    # the retained tree parse the same partition dirs; the two groups
+    # then union by name
+    marker = "/" + SNAP_DIR + "/"
+    visible = [p for p in paths if marker not in p]
+    kept = [p for p in paths if marker in p]
+    parts = []
+    if visible:
+        parts.append(
+            spark.read.option("basePath", path).parquet(*visible)
+        )
+    if kept:
+        parts.append(
+            spark.read.option("basePath", _retain_dir(path)).parquet(*kept)
+        )
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
 
 
 def snapshot_diff(
@@ -275,11 +297,15 @@ def retire_or_delete(
         io_util.delete(spark, abs_path)
         return "deleted"
     retained = _retained_map(spark, db_path)
-    name = rel.replace("/", "__")
-    dest = _retain_dir(db_path) + "/" + name
+    # preserve the rel SUBPATH under retained/ so hive-style partition
+    # directories (algorithm=...) survive retirement and time-travel
+    # reads can recover the partition column with a basePath read
+    dest = _retain_dir(db_path) + "/" + rel
+    if "/" in rel:
+        io_util.mkdirs(spark, dest.rsplit("/", 1)[0])
     if not io_util.rename(spark, abs_path, dest):
         raise IOError(f"could not retire {abs_path} to {dest}")
-    retained[rel] = name
+    retained[rel] = rel
     _write_retained_map(spark, db_path, retained)
     return "retained"
 
@@ -308,11 +334,12 @@ def retire_replaced_tree(
         src = backup_path.rstrip("/") + "/" + rel
         if not io_util.exists(spark, src):
             continue
-        name = rel.replace("/", "__")
-        dest = _retain_dir(db_path) + "/" + name
+        dest = _retain_dir(db_path) + "/" + rel
+        if "/" in rel:
+            io_util.mkdirs(spark, dest.rsplit("/", 1)[0])
         if not io_util.rename(spark, src, dest):
             raise IOError(f"could not retire {src} to {dest}")
-        retained[rel] = name
+        retained[rel] = rel
         moved += 1
     if moved:
         _write_retained_map(spark, db_path, retained)
@@ -424,3 +451,13 @@ def snapshot_row_diff(
         *key_cols, F.lit("delete").alias("change")
     )
     return added.unionByName(removed)
+
+
+def retained_rel_of(db_path: str, abs_path: str) -> str:
+    """Path of a file RELATIVE to the retained area (valid only when
+    :func:`in_retained` is true for it)."""
+    marker = "/" + SNAP_DIR + "/" + RETAIN_SUBDIR + "/"
+    i = abs_path.find(marker)
+    if i < 0:
+        raise ValueError(f"{abs_path} is not under the retained area")
+    return abs_path[i + len(marker):]

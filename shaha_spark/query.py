@@ -92,12 +92,19 @@ def query(
     *,
     algorithm: str | None = None,
     limit: int | None = None,
+    at_version: int | None = None,
 ) -> DataFrame:
     """Reverse lookup over a hash database directory.
 
     Returns [hash, preimage, algorithm, sources]; collect/format on the
     caller side (the reference's plain/json/table renderers are
     driver-side presentation, ref query.rs:132-179).
+
+    ``at_version`` time-travels: the scan runs over the file set pinned
+    by that snapshot (pipeline/snapshot.py) instead of the live
+    dataset. The pruning predicates are identical — snapshot reads are
+    plain parquet scans, so min/max + bloom skipping applies to history
+    too.
     """
     prefix = hex_to_bytes(prefix_hex)
     # Longest digest the scan can contain: from the explicit algorithm
@@ -111,9 +118,13 @@ def query(
         algos = meta.get("algorithms") or []
         lengths = [DIGEST_LENGTHS[a] for a in algos if a in DIGEST_LENGTHS]
         max_len = max(lengths) if lengths and len(lengths) == len(algos) else None
-    df = read_hashdb(spark, db_path).filter(
-        prefix_predicate(prefix, max_digest_len=max_len)
-    )
+    if at_version is not None:
+        from shaha_spark.pipeline.snapshot import read_snapshot
+
+        base = read_snapshot(spark, db_path, at_version)
+    else:
+        base = read_hashdb(spark, db_path)
+    df = base.filter(prefix_predicate(prefix, max_digest_len=max_len))
     if algorithm is not None:
         df = df.filter(F.col("algorithm") == F.lit(algorithm))
     if limit is not None:

@@ -249,3 +249,52 @@ def test_vacuum_idempotent(spark, tmp_path):
         "dropped_versions": [], "kept_versions": [2],
         "freed_files": 0, "freed_bytes": 0,
     }
+
+
+def test_time_travel_partitioned_layout(spark, tmp_path):
+    """algorithm=... partition dirs must survive retirement: after an
+    append rewrites a PARTITIONED db, the snapshot read recovers the
+    partition column from the retained tree's preserved subpaths."""
+    wdf = spark.createDataFrame(
+        [(f"w{i:03d}",) for i in range(60)], "word string"
+    )
+    out = str(tmp_path / "pdb")
+    build(spark, wdf, ["sha256", "md5"], out, num_files=2,
+          partition_by_algorithm=True)
+    before = _rows(read_hashdb(spark, out))
+    assert {a for _, _, a in before} == {"md5", "sha256"}
+    snap.snapshot_create(spark, out)
+    more = spark.createDataFrame([("fresh",)], "word string")
+    build(spark, more, ["sha256", "md5"], out, append=True,
+          source_name="more", num_files=2, partition_by_algorithm=True)
+    old = snap.read_snapshot(spark, out, 1)
+    assert "algorithm" in old.columns
+    assert _rows(old) == before
+    # the retained tree preserved the hive dirs
+    kept = [p for p, _ in io_util.list_files(
+        spark, out + "/_snapshots/retained")]
+    assert kept and all("algorithm=" in p for p in kept)
+
+
+def test_forget_partitioned_retained_rewrite(spark, tmp_path):
+    """Erasure inside a PARTITIONED retained tree repoints the mapping
+    at the rewritten stem in the same partition dir."""
+    wdf = spark.createDataFrame(
+        [(f"w{i:03d}",) for i in range(60)], "word string"
+    )
+    out = str(tmp_path / "pdb")
+    build(spark, wdf, ["sha256"], out, num_files=2,
+          partition_by_algorithm=True)
+    snap.snapshot_create(spark, out)
+    more = spark.createDataFrame([("fresh",)], "word string")
+    build(spark, more, ["sha256"], out, append=True,
+          source_name="more", num_files=2, partition_by_algorithm=True)
+    forget_preimages(spark, out, ["w007"])
+    digest = hashlib.sha256(b"w007").digest()
+    for p, _sz in io_util.list_files(spark, out):
+        assert spark.read.parquet(p).where(
+            F.col("hash") == digest
+        ).count() == 0, p
+    old = snap.read_snapshot(spark, out, 1, allow_missing=True)
+    assert old.where(F.col("preimage") == "w007").count() == 0
+    assert old.count() == 59
