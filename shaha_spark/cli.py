@@ -111,6 +111,28 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     f.add_argument("--dry-run", action="store_true", help="print the plan only")
 
+    sq = sub.add_parser(
+        "sql",
+        help="run ad-hoc SQL against the database (registered as view "
+        "`db`; digests readable via hex(hash))",
+    )
+    sq.add_argument("statement")
+    sq.add_argument("-d", "--database", required=True)
+    sq.add_argument(
+        "--at-version", type=int, default=None,
+        help="register the snapshot-pinned file set instead of the live "
+        "dataset",
+    )
+    sq.add_argument(
+        "--format", choices=["json", "tsv"], default="tsv",
+        help="result rendering (default tsv)",
+    )
+    sq.add_argument(
+        "-n", "--limit", type=int, default=1000,
+        help="cap on printed rows (default 1000); use LIMIT in the "
+        "statement for exact control",
+    )
+
     sn = sub.add_parser(
         "snapshot",
         help="create/list/read/diff time-travel snapshots of a database",
@@ -372,6 +394,46 @@ def main(argv: list[str] | None = None) -> int:
                 for k in ("rows_deleted", "files_rewritten", "files_dropped"):
                     report[k] = report.get(k, 0) + r2.get(k, 0)
             print(json.dumps(report, indent=2))
+            return 0
+
+        if args.command == "sql":
+            from shaha_spark.pipeline.build import read_hashdb
+
+            if args.at_version is not None:
+                from shaha_spark.pipeline import snapshot as snap
+
+                base = snap.read_snapshot(
+                    spark, args.database, args.at_version
+                )
+            else:
+                base = read_hashdb(spark, args.database)
+            base.createOrReplaceTempView("db")
+            try:
+                res = spark.sql(args.statement)
+            except Exception as err:  # surface analysis errors cleanly
+                print(f"error: {err}", file=sys.stderr)
+                return 2
+            rows = res.limit(args.limit).collect()
+            if args.format == "json":
+                def _j(v):
+                    if isinstance(v, (bytes, bytearray)):
+                        return bytes(v).hex()
+                    if isinstance(v, list):
+                        return [_j(x) for x in v]
+                    return v
+
+                print(json.dumps(
+                    [{c: _j(r[c]) for c in res.columns} for r in rows]
+                ))
+            else:
+                print("\t".join(res.columns))
+                for r in rows:
+                    print("\t".join(
+                        bytes(v).hex() if isinstance(v, (bytes, bytearray))
+                        else ",".join(map(str, v)) if isinstance(v, list)
+                        else str(v)
+                        for v in r
+                    ))
             return 0
 
         if args.command == "snapshot":

@@ -144,3 +144,33 @@ def test_query_out_writes_distributed(spark, tmp_path):
         if hashlib.sha256(f"w{i}".encode()).hexdigest().startswith(prefix)
     }
     assert got == expected and "w7" in got
+
+
+def test_sql_verb_live_and_time_travel(tmp_path):
+    """sql verb: ad-hoc SQL over the db view, json/tsv rendering, and
+    --at-version pinning — one subprocess per spark-session-paying
+    step, assertions batched."""
+    w1 = tmp_path / "w1.txt"
+    w1.write_text("alpha\nbeta\n")
+    db = str(tmp_path / "db")
+    run_cli("build", f"file:{w1}", "-a", "sha256", "-o", db)
+    run_cli("snapshot", "create", "-d", db)
+    w2 = tmp_path / "w2.txt"
+    w2.write_text("gamma\n")
+    run_cli("build", f"file:{w2}", "-a", "sha256", "-o", db, "--append")
+
+    live = run_cli(
+        "sql", "SELECT count(*) AS n FROM db", "-d", db, "--format", "json"
+    )
+    assert json.loads(live.stdout) == [{"n": 3}]
+    old = run_cli(
+        "sql",
+        "SELECT preimage FROM db ORDER BY preimage",
+        "-d", db, "--at-version", "1", "--format", "json",
+    )
+    assert [r["preimage"] for r in json.loads(old.stdout)] == ["alpha", "beta"]
+    tsv = run_cli(
+        "sql", "SELECT algorithm, count(*) AS n FROM db GROUP BY 1", "-d", db
+    )
+    assert tsv.stdout.splitlines() == ["algorithm\tn", "sha256\t3"]
+    run_cli("sql", "SELECT nope FROM db", "-d", db, expect=2)
