@@ -132,6 +132,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="cap on printed rows (default 1000); use LIMIT in the "
         "statement for exact control",
     )
+    sq.add_argument(
+        "--table", action="append", default=[], metavar="NAME=PATH",
+        help="register an extra parquet path as a view (repeatable), "
+        "e.g. --table events=/data/events.parquet",
+    )
 
     sn = sub.add_parser(
         "snapshot",
@@ -408,6 +413,13 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 base = read_hashdb(spark, args.database)
             base.createOrReplaceTempView("db")
+            for spec in args.table:
+                if "=" not in spec:
+                    print(f"error: --table expects NAME=PATH, got {spec!r}",
+                          file=sys.stderr)
+                    return 2
+                name, tpath = spec.split("=", 1)
+                spark.read.parquet(tpath).createOrReplaceTempView(name)
             try:
                 res = spark.sql(args.statement)
             except Exception as err:  # surface analysis errors cleanly
