@@ -465,6 +465,20 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_events_mad_outliers(spark, sf_dir):
+    """Robust per-type outliers: |x − median| > 3·MAD — the screen
+    that still works when outliers inflate mean and stddev
+    (operators.profile.mad_outliers)."""
+    from shaha_spark.operators.profile import mad_outliers
+
+    return mad_outliers(
+        _events(spark, sf_dir).select("event_type", "event_id", "value"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+
+
 def q_orders_set_similarity(spark, sf_dir):
     """Set-similarity self-join over order part-sets (Jaccard ≥ 0.5)
     with exact-recall prefix filtering
@@ -764,6 +778,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "events_mad_outliers": q_events_mad_outliers,
         "orders_set_similarity": q_orders_set_similarity,
         "words_trigram_fuzzy": q_words_trigram_fuzzy,
         "emb_ivf_index_topk": q_emb_ivf_index_topk,
@@ -1189,6 +1204,47 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    # the same explicit exact-interpolation median recipe as
+    # group_quantiles_sql, applied twice (median, then MAD)
+    sql["events_mad_outliers"] = """WITH base AS (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v FROM events
+),
+r1 AS (
+  SELECT event_type, v,
+    row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+med AS (
+  SELECT event_type,
+    max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) THEN v END)
+    + (max(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) THEN v END)
+       - max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) THEN v END))
+      * max(CAST(n - 1 AS DOUBLE) * 0.5 - floor(CAST(n - 1 AS DOUBLE) * 0.5)) AS med
+  FROM r1 GROUP BY event_type
+),
+dev AS (
+  SELECT b.event_type, b.event_id, b.v, m.med, abs(b.v - m.med) AS adev
+  FROM base b JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, adev,
+    row_number() OVER (PARTITION BY event_type ORDER BY adev) - 1 AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+madt AS (
+  SELECT event_type,
+    max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) THEN adev END)
+    + (max(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) THEN adev END)
+       - max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) THEN adev END))
+      * max(CAST(n - 1 AS DOUBLE) * 0.5 - floor(CAST(n - 1 AS DOUBLE) * 0.5)) AS mad
+  FROM r2 GROUP BY event_type
+)
+SELECT d.event_type, d.event_id, d.v AS value, d.med AS median, t.mad
+FROM dev d JOIN madt t USING (event_type)
+WHERE d.adev > 3.0 * t.mad"""
 
     # independent candidate generation (ANY shared item — exhaustive)
     # + the same integer-exact verify: identical final pairs proves the

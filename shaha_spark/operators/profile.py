@@ -749,3 +749,51 @@ SELECT CAST(SUM(t) AS DOUBLE) AS psi,
        CAST(ANY_VALUE(nb) AS BIGINT) AS n_b,
        CAST(COUNT(*) AS BIGINT) AS n_bins_used
 FROM terms"""
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outliers by Median Absolute Deviation: flag
+    rows with |x − median| > k · MAD, where MAD = median(|x − median|).
+
+    The z-score screen (events_outliers) breaks down exactly when you
+    need it — outliers inflate the mean AND the stddev, masking
+    themselves; medians don't move. Both medians reuse
+    :func:`group_quantiles`'s explicit exact-interpolation recipe, so
+    the flags are bit-deterministic across engines. Degenerate groups
+    (MAD = 0, i.e. >50% identical values) flag any deviation from the
+    median — the conventional strict reading.
+
+    Two shuffles on the group key (one per median — the second ranks
+    the derived |x − median| column) + one broadcast join of the
+    group-level statistics back to the rows.
+    """
+    med = group_quantiles(df, group_col, value_col, [0.5]).select(
+        F.col(group_col), F.col("p50").alias("__med")
+    )
+    dev = df.join(F.broadcast(med), group_col).select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(value_col).cast("double").alias("__x"),
+        F.col("__med"),
+        F.abs(F.col(value_col).cast("double") - F.col("__med")).alias("__adev"),
+    )
+    mad = group_quantiles(dev, group_col, "__adev", [0.5]).select(
+        F.col(group_col), F.col("p50").alias("__mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .where(F.col("__adev") > F.lit(float(k)) * F.col("__mad"))
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col("__x").alias("value"),
+            F.col("__med").alias("median"),
+            F.col("__mad").alias("mad"),
+        )
+    )

@@ -456,3 +456,32 @@ def test_set_similarity_join_known_sets(spark):
     assert got[(10, 30)] == (2, 4, 0.5)
     assert got[(20, 30)] == (2, 4, 0.5)
     assert len(got) == 3  # D pairs with nothing; no sub-threshold row
+
+
+def test_mad_outliers_robust_vs_zscore_masking(spark):
+    """The scenario z-scores fail: one huge outlier inflates stddev so
+    |z| of a second, smaller outlier shrinks below threshold — MAD
+    still flags both. Hand-checked values."""
+    import statistics
+
+    from shaha_spark.operators.profile import mad_outliers
+
+    vals = [10.0] * 9 + [11.0] * 9 + [1000.0, 50.0]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, id bigint, v double")
+    got = {r.id for r in mad_outliers(df, "g", "v", "id", k=3.0).collect()}
+    assert 18 in got and 19 in got  # both outliers flagged
+    assert got == {18, 19}
+    # the masking claim is real: classical z of 50.0 here is < 1
+    mean, sd = statistics.mean(vals), statistics.pstdev(vals)
+    assert abs((50.0 - mean) / sd) < 1.0
+
+
+def test_mad_outliers_degenerate_mad_zero(spark):
+    from shaha_spark.operators.profile import mad_outliers
+
+    rows = [("g", i, 5.0) for i in range(10)] + [("g", 99, 5.1)]
+    df = spark.createDataFrame(rows, "g string, id bigint, v double")
+    got = mad_outliers(df, "g", "v", "id").collect()
+    # MAD = 0: any deviation from the median flags (strict reading)
+    assert [r.id for r in got] == [99] and got[0].mad == 0.0
