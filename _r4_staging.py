@@ -465,6 +465,39 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_events_chi_square(spark, sf_dir):
+    """Chi-square independence of (event_type × hash-split cohort) —
+    the categorical companion of the Welch readout
+    (operators.profile.chi_square)."""
+    from shaha_spark.operators.profile import chi_square
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", (F.col("user_id") % 2).alias("cohort")
+    )
+    return chi_square(ev, "event_type", "cohort")
+
+
+def q_events_key_skew(spark, sf_dir):
+    """Sort-free key-skew report over user_id — the shuffle-planning
+    health check (operators.profile.key_skew_report); HHI and
+    max-share from exact integer aggregates, never a prefix-sum
+    window."""
+    from shaha_spark.operators.profile import key_skew_report
+
+    return key_skew_report(
+        _events(spark, sf_dir).select("user_id"), "user_id", top=5
+    ).select(
+        "n_rows", "n_keys", "max_count", "max_share", "hhi",
+        F.array_join(
+            F.transform(
+                "topk_shares",
+                lambda x: x.cast("decimal(12,9)").cast("string"),
+            ),
+            ",",
+        ).alias("topk_shares_str"),
+    )
+
+
 def q_events_mad_outliers(spark, sf_dir):
     """Robust per-type outliers: |x − median| > 3·MAD — the screen
     that still works when outliers inflate mean and stddev
@@ -778,6 +811,8 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "events_chi_square": q_events_chi_square,
+        "events_key_skew": q_events_key_skew,
         "events_mad_outliers": q_events_mad_outliers,
         "orders_set_similarity": q_orders_set_similarity,
         "words_trigram_fuzzy": q_words_trigram_fuzzy,
@@ -1204,6 +1239,46 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    # chi2 via the marginal identity sum(o^2/e) - n (absent cells fold
+    # in exactly); per-cell terms rounded 9 + decimal sums
+    sql["events_chi_square"] = """WITH ev AS (
+  SELECT event_type, user_id % 2 AS cohort FROM events
+),
+obs AS (SELECT event_type, cohort, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+ra AS (SELECT event_type, SUM(o) AS ra FROM obs GROUP BY 1),
+cb AS (SELECT cohort, SUM(o) AS cb FROM obs GROUP BY 1),
+tot AS (
+  SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS ka,
+         COUNT(DISTINCT cohort) AS kb
+  FROM obs
+),
+cells AS (
+  SELECT CAST(round(
+    (CAST(o AS DOUBLE) * o)
+    / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)),
+    9) AS DECIMAL(25,9)) AS t, n, ka, kb
+  FROM obs JOIN ra USING (event_type) JOIN cb USING (cohort) CROSS JOIN tot
+)
+SELECT round(CAST(SUM(t) AS DOUBLE) - ANY_VALUE(CAST(n AS DOUBLE)), 9) AS chi2,
+  CAST((ANY_VALUE(ka) - 1) * (ANY_VALUE(kb) - 1) AS BIGINT) AS dof,
+  CAST(ANY_VALUE(n) AS BIGINT) AS n
+FROM cells"""
+
+    sql["events_key_skew"] = """WITH c AS (
+  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+),
+agg AS (SELECT SUM(c) AS n, COUNT(*) AS k, MAX(c) AS mx, SUM(c * c) AS ss FROM c),
+t5 AS (SELECT user_id, c FROM c ORDER BY c DESC, user_id ASC LIMIT 5)
+SELECT CAST(agg.n AS BIGINT) AS n_rows, CAST(agg.k AS BIGINT) AS n_keys,
+  CAST(agg.mx AS BIGINT) AS max_count,
+  round(CAST(agg.mx AS DOUBLE) / CAST(agg.n AS DOUBLE), 9) AS max_share,
+  round(CAST(agg.ss AS DOUBLE) / (CAST(agg.n AS DOUBLE) * CAST(agg.n AS DOUBLE)), 9) AS hhi,
+  (SELECT string_agg(
+     CAST(CAST(round(CAST(c AS DOUBLE) / CAST(agg.n AS DOUBLE), 9) AS DECIMAL(12,9)) AS VARCHAR),
+     ',' ORDER BY c DESC, user_id ASC)
+   FROM t5) AS topk_shares_str
+FROM agg"""
 
     # the same explicit exact-interpolation median recipe as
     # group_quantiles_sql, applied twice (median, then MAD)

@@ -797,3 +797,103 @@ def mad_outliers(
             F.col("__mad").alias("mad"),
         )
     )
+
+
+def chi_square(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square statistic of independence for two categorical
+    columns — one row [chi2, dof, n].
+
+    Observed counts are one hash-agg; expected counts come from the
+    row/column marginals joined back (both broadcast — they are
+    category-cardinality-sized). Every observed count is an exact
+    integer; each cell term (o−e)²/e is a fixed double sequence on
+    exact inputs, rounded to 9 decimals and summed as exact decimals —
+    the engine-exact recipe. Cells with zero marginal mass cannot
+    occur (cells only exist where observed > 0, and absent observed
+    cells contribute e²/e = e, folded in via the marginal identity:
+    chi2 = Σ_cells o²/e − n, which needs ONLY the observed cells).
+    """
+    obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
+    ra = obs.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
+    cb = obs.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
+    tot = obs.agg(
+        F.sum("__o").alias("__n"),
+        F.count_distinct(col_a).alias("__ka"),
+        F.count_distinct(col_b).alias("__kb"),
+    )
+    cells = (
+        obs.join(F.broadcast(ra), col_a)
+        .join(F.broadcast(cb), col_b)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("__o").cast("double") * F.col("__o"))
+                / (
+                    F.col("__ra").cast("double")
+                    * F.col("__cb").cast("double")
+                    / F.col("__n").cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(25,9)")
+            .alias("__t"),
+            "__n",
+            "__ka",
+            "__kb",
+        )
+    )
+    return cells.agg(
+        F.round(
+            F.sum("__t").cast("double") - F.first("__n").cast("double"), 9
+        ).alias("chi2"),
+        ((F.first("__ka") - 1) * (F.first("__kb") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.first("__n").cast("bigint").alias("n"),
+    )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+) -> DataFrame:
+    """Key-distribution skew report WITHOUT a global sort — the
+    pre-join/pre-agg health check for shuffle planning: one row
+    [n_rows, n_keys, max_count, max_share, hhi, topk_shares].
+
+    HHI (Herfindahl index, Σ share²) and max-share need only exact
+    integer aggregates (Σcnt² / (Σcnt)² — no ordering), so unlike a
+    Gini coefficient there is NO prefix-sum window over the key table:
+    the plan is two hash-aggs plus a TakeOrderedAndProject for the
+    top-k shares. HHI reads directly as the effective-key reciprocal:
+    1/HHI ≈ equivalent number of equally-loaded keys.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__c"))
+    topk = [
+        float(r["__c"])
+        for r in counts.orderBy(F.col("__c").desc(), F.col(key_col).asc())
+        .limit(top)
+        .collect()
+    ]
+    agg = counts.agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).alias("__k"),
+        F.max("__c").alias("__mx"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
+    )
+    n = F.col("__n").cast("double")
+    return agg.select(
+        F.col("__n").cast("bigint").alias("n_rows"),
+        F.col("__k").cast("bigint").alias("n_keys"),
+        F.col("__mx").cast("bigint").alias("max_count"),
+        F.round(F.col("__mx").cast("double") / n, 9).alias("max_share"),
+        F.round(F.col("__ss").cast("double") / (n * n), 9).alias("hhi"),
+        F.array(
+            *[F.round(F.lit(c) / n, 9) for c in topk]
+        ).alias("topk_shares"),
+    )
