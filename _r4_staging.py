@@ -465,6 +465,19 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_events_mean_shift(spark, sf_dir):
+    """Two-window mean-shift change points per event type (2 h frames,
+    ≥3 points each side, |shift| > 10)
+    (operators.timeseries.mean_shift_points)."""
+    from shaha_spark.operators.timeseries import mean_shift_points
+
+    ev = _events(spark, sf_dir).select("event_type", "tus", "value")
+    return mean_shift_points(
+        ev, "event_type", "tus", "value",
+        window_us=7_200_000_000, min_points=3, threshold=10.0,
+    )
+
+
 def q_events_chi_square(spark, sf_dir):
     """Chi-square independence of (event_type × hash-split cohort) —
     the categorical companion of the Welch readout
@@ -811,6 +824,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "events_mean_shift": q_events_mean_shift,
         "events_chi_square": q_events_chi_square,
         "events_key_skew": q_events_key_skew,
         "events_mad_outliers": q_events_mad_outliers,
@@ -1239,6 +1253,28 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    sql["events_mean_shift"] = """WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS tus, CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+f AS (
+  SELECT event_type, tus,
+    SUM(v) OVER wb AS sb, COUNT(*) OVER wb AS nb,
+    SUM(v) OVER wa AS sa, COUNT(*) OVER wa AS na
+  FROM ev
+  WINDOW wb AS (PARTITION BY event_type ORDER BY tus
+                RANGE BETWEEN 7200000000 PRECEDING AND 1 PRECEDING),
+         wa AS (PARTITION BY event_type ORDER BY tus
+                RANGE BETWEEN CURRENT ROW AND 7199999999 FOLLOWING)
+)
+SELECT event_type, tus,
+  round(CAST(sb AS DOUBLE) / nb, 9) AS mean_before,
+  round(CAST(sa AS DOUBLE) / na, 9) AS mean_after,
+  round(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb, 9) AS shift
+FROM f
+WHERE nb >= 3 AND na >= 3
+  AND abs(round(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb, 9)) > 10.0"""
 
     # chi2 via the marginal identity sum(o^2/e) - n (absent cells fold
     # in exactly); per-cell terms rounded 9 + decimal sums

@@ -308,3 +308,64 @@ def cumulative_distinct(
         F.col("new_keys").cast("bigint").alias("new_keys"),
         F.sum("new_keys").over(w).cast("bigint").alias("cum_keys"),
     )
+
+
+def mean_shift_points(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_us: int,
+    min_points: int = 3,
+    threshold: float = 10.0,
+) -> DataFrame:
+    """Change-point screen: rows where the mean of the NEXT
+    ``window_us`` of values differs from the mean of the PREVIOUS
+    window by more than ``threshold`` (both windows needing
+    ``min_points`` samples) — the two-window mean-shift detector, the
+    window-expressible member of the change-detection family (CUSUM's
+    running max-recursion cannot be a window function; this screen is
+    what you run distributed, then refine per flagged neighborhood).
+
+    Both frames are RANGE windows over the SAME per-key time sort —
+    one shuffle, one sort, like sessionize. Determinism: window sums
+    accumulate 2-decimal-quantized values as exact decimals (the
+    incremental-rollup recipe), counts are exact, each mean is one
+    double division, and the shift is one subtraction — engine-exact.
+    The before-frame excludes the current row; the after-frame includes
+    it (every boundary row belongs to exactly one side).
+    """
+    v = F.col(value_col).cast("decimal(18,2)")
+    before = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-window_us, -1)
+    )
+    after = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(0, window_us - 1)
+    )
+    framed = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.sum(v).over(before).alias("__sb"),
+        F.count(F.lit(1)).over(before).alias("__nb"),
+        F.sum(v).over(after).alias("__sa"),
+        F.count(F.lit(1)).over(after).alias("__na"),
+    )
+    mb = F.col("__sb").cast("double") / F.col("__nb").cast("double")
+    ma = F.col("__sa").cast("double") / F.col("__na").cast("double")
+    return (
+        framed.where(
+            (F.col("__nb") >= min_points) & (F.col("__na") >= min_points)
+        )
+        .select(
+            key_col,
+            ts_col,
+            F.round(mb, 9).alias("mean_before"),
+            F.round(ma, 9).alias("mean_after"),
+            F.round(ma - mb, 9).alias("shift"),
+        )
+        .where(F.abs(F.col("shift")) > F.lit(float(threshold)))
+    )

@@ -485,3 +485,29 @@ def test_mad_outliers_degenerate_mad_zero(spark):
     got = mad_outliers(df, "g", "v", "id").collect()
     # MAD = 0: any deviation from the median flags (strict reading)
     assert [r.id for r in got] == [99] and got[0].mad == 0.0
+
+
+def test_mean_shift_detects_level_change(spark):
+    from pyspark.sql import Row as _R
+
+    from shaha_spark.operators.timeseries import mean_shift_points
+
+    # flat 0s then flat 100s, 1 us apart; 4-us windows, >=3 points
+    rows = [_R(k="a", tus=i, value=0.0) for i in range(6)]
+    rows += [_R(k="a", tus=i, value=100.0) for i in range(6, 12)]
+    df = spark.createDataFrame(rows, "k string, tus bigint, value double")
+    got = {r.tus: r.shift for r in mean_shift_points(
+        df, "k", "tus", "value", window_us=4, min_points=3, threshold=50.0
+    ).collect()}
+    # the boundary row (first of the new level) sees clean windows
+    assert got.get(6) == 100.0
+    # deep inside either level no shift fires
+    assert 1 not in got and 10 not in got
+    # no change, no flags
+    flat = spark.createDataFrame(
+        [_R(k="a", tus=i, value=5.0) for i in range(12)],
+        "k string, tus bigint, value double",
+    )
+    assert mean_shift_points(
+        flat, "k", "tus", "value", window_us=4, min_points=3, threshold=0.1
+    ).count() == 0
