@@ -465,6 +465,60 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_lineitem_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag — exact type-1
+    weighted quantile with decimal-exact cumulative weights
+    (operators.profile.weighted_quantile)."""
+    from shaha_spark.operators.profile import weighted_quantile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return weighted_quantile(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", 0.5
+    )
+
+
+def q_events_session_paths(spark, sf_dir):
+    """Top-25 full session journeys ('signup>click>...') by frequency —
+    the path-analysis staple funnel/transitions don't give (those
+    score STEPS; this ranks complete ordered paths). Per-session
+    collect is bounded by session length; the count agg shuffles path
+    strings."""
+    from pyspark.sql import Window
+    from __spark_entry__ import SESSION_GAP_US
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "tus", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("tus", "event_id", "event_type"))
+                ),
+                lambda s: s.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(25)
+    )
+
+
 def q_events_mean_shift(spark, sf_dir):
     """Two-window mean-shift change points per event type (2 h frames,
     ≥3 points each side, |shift| > 10)
@@ -824,6 +878,8 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "lineitem_weighted_median": q_lineitem_weighted_median,
+        "events_session_paths": q_events_session_paths,
         "events_mean_shift": q_events_mean_shift,
         "events_chi_square": q_events_chi_square,
         "events_key_skew": q_events_key_skew,
@@ -1253,6 +1309,45 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    sql["lineitem_weighted_median"] = """WITH r AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      PARTITION BY l_returnflag
+      ORDER BY l_extendedprice, l_quantity
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag, MIN(v) AS wq50,
+       CAST(ANY_VALUE(tw) AS DOUBLE) AS total_weight
+FROM r WHERE cw >= CAST(0.5 AS DECIMAL(10,6)) * tw
+GROUP BY l_returnflag"""
+
+    sql["events_session_paths"] = f"""WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {1_800_000_000}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, event_id, tus, event_type,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+),
+paths AS (
+  SELECT user_id, session_id,
+    string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 25"""
 
     sql["events_mean_shift"] = """WITH ev AS (
   SELECT event_type, epoch_us(ts) AS tus, CAST(value AS DECIMAL(18,2)) AS v

@@ -897,3 +897,46 @@ def key_skew_report(
             *[F.round(F.lit(c) / n, 9) for c in topk]
         ).alias("topk_shares"),
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    q: float = 0.5,
+) -> DataFrame:
+    """Exact per-group weighted quantile (lower/type-1 rule): the
+    smallest value whose cumulative weight reaches q·W — the weighted
+    median (q=0.5) every revenue/size-weighted summary needs, where
+    the unweighted median over rows is simply wrong.
+
+    Determinism: weights are 2-decimal-quantized and prefix-summed as
+    exact decimals over the per-group (value, tiebreak) sort; the
+    threshold test compares exact decimals (q·W computed in decimal),
+    so the selected row is engine-exact — no floating cumulative
+    drift. One shuffle on the group key; the per-group sort is
+    inherent to exactness, same cost class as group_quantiles.
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("decimal(18,2)")
+    win = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(weight_col).asc()
+    )
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col).cast("double").alias("__v"),
+        F.sum(w)
+        .over(win.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__cw"),
+        F.sum(w).over(Window.partitionBy(group_col)).alias("__tw"),
+    )
+    hit = ranked.where(
+        F.col("__cw") >= F.lit(q).cast("decimal(10,6)") * F.col("__tw")
+    )
+    agg = hit.groupBy(group_col).agg(
+        F.min("__v").alias(f"wq{round(q * 100)}"),
+        F.first("__tw").cast("double").alias("total_weight"),
+    )
+    return agg

@@ -511,3 +511,22 @@ def test_mean_shift_detects_level_change(spark):
     assert mean_shift_points(
         flat, "k", "tus", "value", window_us=4, min_points=3, threshold=0.1
     ).count() == 0
+
+
+def test_weighted_quantile_known_values(spark):
+    from shaha_spark.operators.profile import weighted_quantile
+
+    # values 1..4 with weights 1,1,1,7 (total 10): half the mass sits
+    # at value 4 -> weighted median 4; the unweighted median would be 2.5
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0), ("g", 4.0, 7.0)],
+        "g string, v double, w double",
+    )
+    r = weighted_quantile(df, "g", "v", "w", 0.5).collect()[0]
+    assert r.wq50 == 4.0 and r.total_weight == 10.0
+    # uniform weights reduce to the plain type-1 median
+    u = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in [10, 20, 30, 40]],
+        "g string, v double, w double",
+    )
+    assert weighted_quantile(u, "g", "v", "w", 0.5).collect()[0].wq50 == 20.0
