@@ -465,6 +465,36 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram — the corpus-health readout of
+    the transitive MinHash dedup (how much of the corpus sits in
+    2-clusters vs mega-clusters): connected components of the
+    est-Jaccard ≥ 0.7 graph, sizes, then (size → n_clusters)."""
+    from shaha_spark.operators.components import connected_components
+    from shaha_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_similarity,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).cache()
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    edges = (
+        minhash_similarity(sigs, pairs, "doc_id")
+        .where(F.col("est_jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(edges)
+    sizes = comps.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    ).select(F.col("cluster_size").cast("bigint").alias("cluster_size"),
+             "n_clusters")
+
+
 def q_lineitem_weighted_median(spark, sf_dir):
     """Quantity-weighted median price per return flag — exact type-1
     weighted quantile with decimal-exact cumulative weights
@@ -878,6 +908,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "lineitem_weighted_median": q_lineitem_weighted_median,
         "events_session_paths": q_events_session_paths,
         "events_mean_shift": q_events_mean_shift,
@@ -1309,6 +1340,40 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    from shaha_spark.operators.constants import MINHASH_PERMS as _MP
+
+    _kp = len(_MP)
+    _match = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(_kp)
+    )
+    # same recursive-CTE fixpoint as the dedup_minhash_cc oracle, with
+    # the histogram tail instead of the survivor anti-join; isolated
+    # docs are singleton clusters (size 1) by definition
+    sql["dedup_cluster_sizes"] = f"""WITH RECURSIVE {_pairs_cte()},
+sims AS (
+  SELECT p.id_a, p.id_b,
+    CAST({_match} AS DOUBLE) / {_kp} AS est_jaccard
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b
+),
+ed AS (
+  SELECT id_a AS src, id_b AS dst FROM sims WHERE est_jaccard >= 0.7
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM sims WHERE est_jaccard >= 0.7
+),
+reach(id, comp) AS (
+  SELECT src, src FROM ed
+  UNION
+  SELECT e.src, r.comp FROM ed e JOIN reach r ON r.id = e.dst
+),
+comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size"""
 
     sql["lineitem_weighted_median"] = """WITH r AS (
   SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
