@@ -202,3 +202,102 @@ def test_sq_codes_properties(spark):
         vals = sorted((coded[i][0][p], coded[i][1][p]) for i in ids)
         codes_in_order = [c for _, c in vals]
         assert codes_in_order == sorted(codes_in_order), p
+
+
+def _duck_plain(pdf: pd.DataFrame, view: str = "events"):
+    con = duckdb.connect()
+    con.register("raw", pdf)
+    con.execute(
+        f"CREATE VIEW {view} AS SELECT event_id, user_id, event_type, "
+        "make_timestamp(tus) AS ts, value, props FROM raw"
+    )
+    return con
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_welch_chi2_skew_random_differential(spark, seed):
+    """The stats family (Welch t, chi-square, key skew) against the
+    driver's exact oracle SQL over seeded random frames — groups with
+    wild size imbalance and constant-value stretches."""
+    from pyspark.sql import functions as FF
+
+    import __spark_entry__ as se
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(600):
+        u = rng.choice([1] * 10 + list(range(2, 12)))  # heavy key 1
+        t = rng.choice(["a", "b", "c", "error"])
+        v = rng.choice([5.0, 5.0, round(rng.uniform(-100, 100), 2)])
+        rows.append((i, u, t, i * 1000, v, "{}"))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "user_id", "event_type", "tus", "value", "props"],
+    )
+    ev = spark.createDataFrame(pdf, SCHEMA)
+    con = _duck_plain(pdf)
+
+    from shaha_spark.operators.profile import (
+        chi_square,
+        key_skew_report,
+        welch_t,
+    )
+
+    w = welch_t(
+        ev.select((F.col("user_id") % 2).alias("cohort"), "value"),
+        "cohort", "value", 0, 1,
+    )
+    _compare(w, con, staging.oracle_sql_r4()["events_ab_welch"])
+
+    c = chi_square(
+        ev.select("event_type", (F.col("user_id") % 2).alias("cohort")),
+        "event_type", "cohort",
+    )
+    _compare(c, con, staging.oracle_sql_r4()["events_chi_square"])
+
+    s = key_skew_report(ev.select("user_id"), "user_id", top=5).select(
+        "n_rows", "n_keys", "max_count", "max_share", "hhi",
+        FF.array_join(
+            FF.transform(
+                "topk_shares",
+                lambda x: x.cast("decimal(12,9)").cast("string"),
+            ),
+            ",",
+        ).alias("topk_shares_str"),
+    )
+    _compare(s, con, staging.oracle_sql_r4()["events_key_skew"])
+
+
+@pytest.mark.parametrize("seed", [33, 34])
+def test_mad_and_mean_shift_random_differential(spark, seed):
+    from shaha_spark.operators.profile import mad_outliers
+    from shaha_spark.operators.timeseries import mean_shift_points
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(500):
+        t = rng.choice(["a", "b"])
+        # regime change halfway through for mean-shift signal
+        base = 0.0 if i < 250 else 80.0
+        v = round(base + rng.uniform(-5, 5), 2)
+        rows.append((i, rng.randint(1, 5), t, i * 60_000_000, v, "{}"))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "user_id", "event_type", "tus", "value", "props"],
+    )
+    ev = spark.createDataFrame(pdf, SCHEMA)
+    con = _duck_plain(pdf)
+
+    m = mad_outliers(
+        ev.select("event_type", "event_id", "value"),
+        "event_type", "value", "event_id",
+    )
+    _compare(m, con, staging.oracle_sql_r4()["events_mad_outliers"])
+
+    ms = mean_shift_points(
+        ev.select("event_type", "tus", "value"),
+        "event_type", "tus", "value",
+        window_us=7_200_000_000, min_points=3, threshold=10.0,
+    )
+    assert ms.count() > 0, "regime change must be detected"
+    _compare(ms, con, staging.oracle_sql_r4()["events_mean_shift"])
