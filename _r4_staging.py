@@ -465,6 +465,20 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_events_active_time(spark, sf_dir):
+    """Per-user active time: every event opens a 30-minute activity
+    interval; overlaps merge so coverage never double-counts
+    (operators.timeseries.interval_union_length)."""
+    from shaha_spark.operators.timeseries import interval_union_length
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("tus").alias("start_us"),
+        (F.col("tus") + F.lit(1_800_000_000)).alias("end_us"),
+    )
+    return interval_union_length(ev, "user_id", "start_us", "end_us")
+
+
 def q_dedup_cluster_sizes(spark, sf_dir):
     """Near-dup cluster-size histogram — the corpus-health readout of
     the transitive MinHash dedup (how much of the corpus sits in
@@ -908,6 +922,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "events_active_time": q_events_active_time,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "lineitem_weighted_median": q_lineitem_weighted_median,
         "events_session_paths": q_events_session_paths,
@@ -1340,6 +1355,31 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    sql["events_active_time"] = """WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+  FROM events
+),
+seg AS (
+  SELECT user_id, s, e,
+    SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) OVER (
+      PARTITION BY user_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM (
+    SELECT user_id, s, e,
+      MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+    FROM iv
+  )
+),
+merged AS (
+  SELECT user_id, seg, MIN(s) AS ms, MAX(e) AS me, COUNT(*) AS n
+  FROM seg GROUP BY user_id, seg
+)
+SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
+  CAST(COUNT(*) AS BIGINT) AS n_merged,
+  CAST(SUM(me - ms) AS BIGINT) AS covered_us
+FROM merged GROUP BY user_id"""
 
     from shaha_spark.operators.constants import MINHASH_PERMS as _MP
 

@@ -369,3 +369,51 @@ def mean_shift_points(
         )
         .where(F.abs(F.col("shift")) > F.lit(float(threshold)))
     )
+
+
+def interval_union_length(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/adjacent [start, end) intervals per key and
+    report coverage — one row per key
+    [n_intervals, n_merged, covered_us] — the "total active time"
+    computation where naive SUM(end-start) double-counts overlaps.
+
+    Classic sweep as windows: order intervals by (start, end); an
+    interval OPENS a new merged segment iff its start exceeds the
+    running max end of everything before it (frame ending at -1 row —
+    incremental, the nearest_join lesson); the running count of opens
+    is the segment id; each merged segment contributes
+    max(end) − min(start). Two windows on one per-key sort + one
+    segment agg — sessionize cost, never an interval self-join.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    seg = df.select(
+        F.col(key_col),
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+        F.sum(opens)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__seg"),
+    )
+    merged = seg.groupBy(key_col, "__seg").agg(
+        F.min("__s").alias("__ms"),
+        F.max("__e").alias("__me"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return merged.groupBy(key_col).agg(
+        F.sum("__n").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        F.sum(F.col("__me") - F.col("__ms")).cast("bigint").alias("covered_us"),
+    )

@@ -530,3 +530,23 @@ def test_weighted_quantile_known_values(spark):
         "g string, v double, w double",
     )
     assert weighted_quantile(u, "g", "v", "w", 0.5).collect()[0].wq50 == 20.0
+
+
+def test_interval_union_length_known_cases(spark):
+    from shaha_spark.operators.timeseries import interval_union_length
+
+    rows = [
+        # key 1: [0,10) + [5,20) merge to [0,20); [30,40) separate
+        (1, 0, 10), (1, 5, 20), (1, 30, 40),
+        # key 2: adjacent [0,10) + [10,20): start == prev end -> NOT >
+        # prev max end, so they merge (half-open adjacency)
+        (2, 0, 10), (2, 10, 20),
+        # key 3: containment
+        (3, 0, 100), (3, 10, 20),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, s bigint, e bigint")
+    got = {r.k: (r.n_intervals, r.n_merged, r.covered_us)
+           for r in interval_union_length(df, "k", "s", "e").collect()}
+    assert got[1] == (3, 2, 30)
+    assert got[2] == (2, 1, 20)
+    assert got[3] == (2, 1, 100)
