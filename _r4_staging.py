@@ -8,10 +8,11 @@ exact comparison. Round-4 merge is mechanical: move these entries to
 the FRONT of `__spark_entry__.queries()` / `oracle_sql()` (they have
 never had a driver row) and push round-3-verified entries behind them.
 
-`docs_bpe_encode` (iterative merge loop — non-SQL-expressible) and
+`docs_bpe_encode` (iterative merge loop — non-SQL-expressible),
 `emb_ivf_pq_topk` (probe-dependent composition whose two halves are
-each separately oracled) are the deliberate rows-only registrations;
-the driver records their weaker rows-only check.
+each separately oracled), and `orders_kcore` (data-dependent peeling
+depth; invariant-pair-tested instead) are the deliberate rows-only
+registrations; the driver records their weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -463,6 +464,22 @@ def q_docs_calibration(spark, sf_dir):
     from shaha_spark.operators.classifier import calibration_bins
 
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
+
+
+def q_orders_kcore(spark, sf_dir):
+    """3-core of the part co-purchase graph — iterative peeling whose
+    iteration count is data-dependent (no fixed CTE chain expresses
+    it): a DOCUMENTED rows-only registration; the invariant pair
+    (every survivor has ≥k surviving neighbors, every dropped node
+    would not) is asserted in tests (operators.graph.k_core)."""
+    from shaha_spark.operators.basket import pair_counts
+    from shaha_spark.operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = pair_counts(li, "l_orderkey", "l_partkey").where(
+        F.col("n_pair") >= 2
+    )
+    return k_core(edges, k=3, src="item_a", dst="item_b")
 
 
 def q_events_active_time(spark, sf_dir):
@@ -922,6 +939,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "orders_kcore": q_orders_kcore,
         "events_active_time": q_events_active_time,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "lineitem_weighted_median": q_lineitem_weighted_median,

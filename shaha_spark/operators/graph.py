@@ -172,3 +172,59 @@ def triangle_count(
             F.col("n_edges").cast("bigint").alias("n_edges"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree ≥ k WITHIN the subgraph — the web-graph quality/spam screen
+    (low-core pages are link-poor periphery; dense cores are link
+    farms or genuine hubs worth separate treatment).
+
+    Iterative peeling, same driver-loop shape as connected_components:
+    drop nodes below degree k, recompute degrees on the induced
+    subgraph, repeat to fixpoint (localCheckpoint per iteration keeps
+    lineages shallow); each iteration is one degree aggregation + two
+    semi-joins. The iteration COUNT is data-dependent (peeling can
+    cascade), so no fixed CTE chain expresses it — this operator is a
+    documented rows-only registration; its correctness contract is the
+    invariant pair asserted in tests: every surviving node has ≥ k
+    surviving neighbors, and no dropped node would have ≥ k inside the
+    survivor set.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionByName(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        pruned = (
+            e.join(keep.select(F.col("n").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("n").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if pruned.count() == e.count():
+            e = pruned
+            break
+        e = pruned
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )

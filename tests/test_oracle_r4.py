@@ -55,8 +55,38 @@ def test_every_oracle_has_query():
 def test_only_documented_oracle_less():
     # non-SQL-expressible registrations must stay explicit exceptions
     # (bpe: iterative merge loop; ivf-pq: probe-dependent composition
-    # whose two halves are each under the oracle gate)
-    assert set(QUERIES) - set(ORACLES) == {"docs_bpe_encode", "emb_ivf_pq_topk"}
+    # whose two halves are each under the oracle gate; k-core:
+    # data-dependent peeling depth, invariant-tested instead)
+    assert set(QUERIES) - set(ORACLES) == {
+        "docs_bpe_encode", "emb_ivf_pq_topk", "orders_kcore",
+    }
+
+
+def test_kcore_rows_only_invariants(spark, sf_dir):
+    """The rows-only k-core registration still gets a hard check: the
+    defining invariant pair over the same edge construction."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from shaha_spark.operators.basket import pair_counts
+
+    core = {r.node for r in QUERIES["orders_kcore"](spark, sf_dir).collect()}
+    li = __import__("__spark_entry__")._t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = pair_counts(li, "l_orderkey", "l_partkey").where(
+        F.col("n_pair") >= 2
+    )
+    nbrs = collections.defaultdict(set)
+    for r in edges.collect():
+        nbrs[r.item_a].add(r.item_b)
+        nbrs[r.item_b].add(r.item_a)
+    assert core, "3-core unexpectedly empty"
+    for n in core:
+        assert len(nbrs[n] & core) >= 3
+    for n in set(nbrs) - core:
+        assert len(nbrs[n] & core) < 3
 
 
 def test_ivf_pq_rows_only(spark, sf_dir):

@@ -550,3 +550,40 @@ def test_interval_union_length_known_cases(spark):
     assert got[1] == (3, 2, 30)
     assert got[2] == (2, 1, 20)
     assert got[3] == (2, 1, 100)
+
+
+def test_k_core_invariants_and_known_graph(spark):
+    from shaha_spark.operators.graph import k_core
+
+    def mk(edges):
+        return spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    # triangle (0,1,2) + pendant chain 2-3-4: 2-core = the triangle
+    g = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    core = sorted(r.node for r in k_core(mk(g), 2).collect())
+    assert core == [0, 1, 2]
+    # 1-core keeps everything with at least one edge
+    assert sorted(r.node for r in k_core(mk(g), 1).collect()) == [0, 1, 2, 3, 4]
+    # cascade: a path graph has NO 2-core (peeling unravels end to end)
+    path = [(i, i + 1) for i in range(10)]
+    assert k_core(mk(path), 2).count() == 0
+
+    # invariant pair on a random graph: every survivor has >= k
+    # surviving neighbors; every dropped node has < k inside the core
+    import collections
+    import random
+
+    rng = random.Random(13)
+    g2 = list({(min(a, b), max(a, b)) for a, b in
+               ((rng.randint(0, 40), rng.randint(0, 40)) for _ in range(120))
+               if a != b})
+    kk = 3
+    core2 = {r.node for r in k_core(mk(g2), kk).collect()}
+    nbrs = collections.defaultdict(set)
+    for a, b in g2:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    for n in core2:
+        assert len(nbrs[n] & core2) >= kk, n
+    for n in set(nbrs) - core2:
+        assert len(nbrs[n] & core2) < kk, n
