@@ -466,6 +466,28 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_docs_rank_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion of the BM25 keyword ranking with a
+    second ranking signal (document length standing in for the
+    popularity/recency list a production hybrid fuses) — top-20 by
+    RRF score (operators.similarity.rank_fusion)."""
+    from pyspark.sql import Window
+    from shaha_spark.operators.similarity import rank_fusion
+    from shaha_spark.operators.terms import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = bm25_scores(docs, ["scan", "join", "window"])
+    wa = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    ra = bm.select(
+        "doc_id", F.row_number().over(wa).alias("rank")
+    ).where(F.col("rank") <= 50)
+    wb = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    rb = docs.select(
+        "doc_id", F.row_number().over(wb).alias("rank")
+    ).where(F.col("rank") <= 50)
+    return rank_fusion(ra, rb, "doc_id", k=60, top=20)
+
+
 def q_orders_kcore(spark, sf_dir):
     """3-core of the part co-purchase graph — iterative peeling whose
     iteration count is data-dependent (no fixed CTE chain expresses
@@ -939,6 +961,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "docs_rank_fusion": q_docs_rank_fusion,
         "orders_kcore": q_orders_kcore,
         "events_active_time": q_events_active_time,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -2139,6 +2162,32 @@ contrib AS (
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched, CAST(SUM(c) AS DOUBLE) AS bm25
 FROM contrib GROUP BY doc_id"""
+
+    sql["docs_rank_fusion"] = f"""WITH bm AS (
+{sql["docs_bm25"]}
+),
+ra AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+    FROM bm
+  ) WHERE rank <= 50
+),
+rb AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+    FROM documents
+  ) WHERE rank <= 50
+),
+t AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+    COALESCE(CAST(round(1.0 / (60.0 + ra.rank), 9) AS DECIMAL(19,9)),
+             CAST(0 AS DECIMAL(19,9)))
+    + COALESCE(CAST(round(1.0 / (60.0 + rb.rank), 9) AS DECIMAL(19,9)),
+               CAST(0 AS DECIMAL(19,9))) AS s
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, CAST(s AS DOUBLE) AS rrf_score
+FROM t ORDER BY s DESC, doc_id ASC LIMIT 20"""
 
     sql["events_cumulative_users"] = """WITH firsts AS (
   SELECT user_id, MIN(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS day

@@ -377,3 +377,51 @@ def ndcg_at_k(
             ),
         )
     )
+
+
+def rank_fusion(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int = 20,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of two ranked result lists — the
+    standard hybrid-retrieval combiner (lexical BM25 ⊕ dense cosine):
+    score(d) = Σ_lists 1/(k + rank_d), items missing from a list
+    contribute nothing.
+
+    Determinism: each term is one correctly-rounded division of exact
+    integers, rounded to 9 decimals and summed as exact decimals; the
+    final ordering tiebreaks on id. Both inputs are top-N-sized —
+    the fusion is a full-outer join + one TakeOrderedAndProject,
+    negligible next to the searches that produced them.
+    """
+    term = lambda c: F.round(
+        F.lit(1.0) / (F.lit(float(k)) + c.cast("double")), 9
+    ).cast("decimal(19,9)")
+    a = ranked_a.select(
+        F.col(id_col), term(F.col(rank_col)).alias("__ta")
+    )
+    b = ranked_b.select(
+        F.col(id_col), term(F.col(rank_col)).alias("__tb")
+    )
+    zero = F.lit(0).cast("decimal(19,9)")
+    fused = (
+        a.join(b, id_col, "full_outer")
+        .select(
+            id_col,
+            (
+                F.coalesce(F.col("__ta"), zero)
+                + F.coalesce(F.col("__tb"), zero)
+            ).alias("__s"),
+        )
+    )
+    return (
+        fused.select(
+            id_col, F.col("__s").cast("double").alias("rrf_score")
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(top)
+    )

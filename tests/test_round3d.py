@@ -587,3 +587,23 @@ def test_k_core_invariants_and_known_graph(spark):
         assert len(nbrs[n] & core2) >= kk, n
     for n in set(nbrs) - core2:
         assert len(nbrs[n] & core2) < kk, n
+
+
+def test_rank_fusion_known_values(spark):
+    from shaha_spark.operators.similarity import rank_fusion
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, rank bigint")
+
+    # doc 1 ranks 1st in both; doc 2 only in A; doc 3 only in B (same
+    # rank as doc 2 -> tie broken by id); doc 4 low in both
+    a = mk([(1, 1), (2, 2), (4, 3)])
+    b = mk([(1, 1), (3, 2), (4, 3)])
+    out = rank_fusion(a, b, "doc_id", k=60, top=10).collect()
+    order = [r.doc_id for r in out]
+    assert order[0] == 1          # present in both at rank 1
+    assert order[1] == 4          # both lists rank 3 beats single rank 2
+    assert order[2:] == [2, 3]    # equal single-list scores -> id tiebreak
+    s = {r.doc_id: r.rrf_score for r in out}
+    assert s[1] == round(1 / 61, 9) * 2
+    assert s[2] == s[3] == round(1 / 62, 9)
