@@ -466,6 +466,25 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_users_survival(spark, sf_dir):
+    """Kaplan-Meier time-to-churn: per-user observation span as the
+    duration, an 'error' event as the churn signal, other users
+    right-censored (operators.timeseries.kaplan_meier)."""
+    from shaha_spark.operators.timeseries import kaplan_meier
+
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            (F.max("tus") - F.min("tus")).alias("dur"),
+            F.max(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("ev"),
+        )
+    )
+    return kaplan_meier(per_user, "dur", "ev")
+
+
 def q_docs_rank_fusion(spark, sf_dir):
     """Reciprocal Rank Fusion of the BM25 keyword ranking with a
     second ranking signal (document length standing in for the
@@ -961,6 +980,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "users_survival": q_users_survival,
         "docs_rank_fusion": q_docs_rank_fusion,
         "orders_kcore": q_orders_kcore,
         "events_active_time": q_events_active_time,
@@ -1396,6 +1416,37 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    sql["users_survival"] = """WITH per_user AS (
+  SELECT user_id, MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ev
+  FROM events GROUP BY user_id
+),
+per_t AS (SELECT dur AS t, SUM(ev) AS d, COUNT(*) AS exits FROM per_user GROUP BY dur),
+ar AS (
+  SELECT t, d, exits,
+    SUM(exits) OVER ()
+    - COALESCE(SUM(exits) OVER (ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM per_t
+),
+cur AS (
+  SELECT t, d, n,
+    CASE WHEN d = n THEN 1 ELSE 0 END AS dead,
+    CAST(CASE WHEN d < n
+      THEN round(ln((CAST(n AS DOUBLE) - d) / CAST(n AS DOUBLE)), 9)
+      ELSE 0.0 END AS DECIMAL(19,9)) AS lnf
+  FROM ar
+),
+run AS (
+  SELECT t, d, n,
+    SUM(lnf) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lns,
+    MAX(dead) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS killed
+  FROM cur
+)
+SELECT t, CAST(d AS BIGINT) AS deaths, CAST(n AS BIGINT) AS at_risk,
+  CASE WHEN killed = 1 THEN 0.0 ELSE round(exp(CAST(lns AS DOUBLE)), 6) END AS survival
+FROM run WHERE d > 0"""
 
     sql["events_active_time"] = """WITH iv AS (
   SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e

@@ -417,3 +417,84 @@ def interval_union_length(
         F.count(F.lit(1)).cast("bigint").alias("n_merged"),
         F.sum(F.col("__me") - F.col("__ms")).cast("bigint").alias("covered_us"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival curve: S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)
+    over distinct event times, with right-censoring — time-to-churn /
+    time-to-failure estimation under incomplete observation
+    (``event_col`` = 1 observed, 0 censored at ``duration_col``).
+
+    Distributed shape: one hash-agg to (time → deaths, exits), one
+    suffix-sum window over the DISTINCT-TIME table for the at-risk
+    counts (bounded by distinct durations, not rows — the
+    cumulative_distinct trick), one running product. The product is
+    computed as exp of a prefix sum of per-time rounded ln factors
+    (decimal-exact sums — the unigram-logprob recipe), so the curve is
+    engine-deterministic; times with deaths only appear in the output.
+    """
+    g = [group_col] if group_col else []
+    per_t = df.groupBy(
+        *g, F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.sum(F.when(F.col(event_col).cast("int") == 1, 1).otherwise(0)).alias(
+            "d"
+        ),
+        F.count(F.lit(1)).alias("exits"),
+    )
+    # suffix sum (at-risk = everyone exiting at or after t) expressed
+    # as total − prefix-before-current: prefix frames update
+    # incrementally, while ANY [current, unbounded following] frame
+    # re-aggregates per row (the nearest_join O(n²) lesson — it is the
+    # frame type, not the function, that drives Spark's strategy)
+    w_before = (
+        Window.partitionBy(*g)
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    total = F.sum("exits").over(
+        Window.partitionBy(*g) if g else Window.partitionBy()
+    )
+    at_risk = per_t.withColumn(
+        "n",
+        total - F.coalesce(F.sum("exits").over(w_before), F.lit(0)),
+    )
+    # a time where everyone at risk dies sends the curve exactly to 0;
+    # ln(0) is not a number either engine should touch — flag it and
+    # emit 0.0 downstream of that point instead
+    lnf = F.when(
+        F.col("d") < F.col("n"),
+        F.round(
+            F.log(
+                (F.col("n").cast("double") - F.col("d"))
+                / F.col("n").cast("double")
+            ),
+            9,
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(19,9)")
+    w_run = (
+        Window.partitionBy(*g)
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = (
+        at_risk.withColumn("__dead", F.when(F.col("d") == F.col("n"), 1).otherwise(0))
+        .withColumn("__lnf", lnf)
+        .withColumn("__lns", F.sum("__lnf").over(w_run))
+        .withColumn("__killed", F.max("__dead").over(w_run))
+        .where(F.col("d") > 0)
+    )
+    return curve.select(
+        *g,
+        F.col("t"),
+        F.col("d").cast("bigint").alias("deaths"),
+        F.col("n").cast("bigint").alias("at_risk"),
+        F.when(F.col("__killed") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("__lns").cast("double")), 6))
+        .alias("survival"),
+    )

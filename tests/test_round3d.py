@@ -607,3 +607,25 @@ def test_rank_fusion_known_values(spark):
     s = {r.doc_id: r.rrf_score for r in out}
     assert s[1] == round(1 / 61, 9) * 2
     assert s[2] == s[3] == round(1 / 62, 9)
+
+
+def test_kaplan_meier_textbook_example(spark):
+    import pytest as _pt
+
+    from shaha_spark.operators.timeseries import kaplan_meier
+
+    # durations (event=1 observed, 0 censored):
+    # t=5 death (n=6) -> 5/6; t=6 censored; t=8 two deaths (n=4)
+    # -> 5/6 * 2/4; t=10 censored; t=12 death (n=1, everyone) -> 0
+    rows = [(5, 1), (6, 0), (8, 1), (8, 1), (10, 0), (12, 1)]
+    df = spark.createDataFrame(rows, "dur bigint, ev int")
+    got = {r.t: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert set(got) == {5, 8, 12}  # censored-only times don't emit
+    assert got[5].at_risk == 6 and got[5].deaths == 1
+    assert got[5].survival == _pt.approx(5 / 6, abs=1e-6)
+    assert got[8].at_risk == 4 and got[8].deaths == 2
+    assert got[8].survival == _pt.approx(5 / 6 * 0.5, abs=1e-6)
+    assert got[12].at_risk == 1 and got[12].survival == 0.0
+    # all-censored input yields an empty curve, not an error
+    cens = spark.createDataFrame([(5, 0), (7, 0)], "dur bigint, ev int")
+    assert kaplan_meier(cens, "dur", "ev").count() == 0
