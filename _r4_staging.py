@@ -466,6 +466,42 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_events_cohort_value(spark, sf_dir):
+    """Cohort LTV curve: cumulative per-user value by cohort day and
+    day offset — the revenue companion of events_retention (which
+    counts users; this accumulates value). Decimal-exact event sums;
+    the only windows run over the (cohort × offset) table, which is
+    calendar², never the data."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        (F.col("tus") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cell = (
+        ev.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(
+            F.sum("v").alias("__s"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cell.select(
+        "cohort_day",
+        "day_offset",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("__s").cast("double").alias("period_value"),
+        F.sum("__s").over(w).cast("double").alias("cum_value"),
+    )
+
+
 def q_users_survival(spark, sf_dir):
     """Kaplan-Meier time-to-churn: per-user observation span as the
     duration, an 'error' event as the churn signal, other users
@@ -980,6 +1016,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "events_cohort_value": q_events_cohort_value,
         "users_survival": q_users_survival,
         "docs_rank_fusion": q_docs_rank_fusion,
         "orders_kcore": q_orders_kcore,
@@ -1416,6 +1453,24 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    sql["events_cohort_value"] = """WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+cell AS (
+  SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+         SUM(e.v) AS s, COUNT(DISTINCT e.user_id) AS n_users
+  FROM e JOIN c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_day, day_offset, CAST(n_users AS BIGINT) AS n_users,
+  CAST(s AS DOUBLE) AS period_value,
+  CAST(SUM(s) OVER (PARTITION BY cohort_day ORDER BY day_offset
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+FROM cell"""
 
     sql["users_survival"] = """WITH per_user AS (
   SELECT user_id, MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur,
