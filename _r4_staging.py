@@ -466,6 +466,67 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_words_freq_of_freqs(spark, sf_dir):
+    """Frequency-of-frequencies over the vocabulary (how many words
+    occur exactly c times) — the Good-Turing smoothing input and the
+    standard vocabulary-health profile. Two hash-aggs, nothing else."""
+    words = __import__("__spark_entry__")._words(spark, sf_dir)
+    tf = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    return tf.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words")
+    ).select(F.col("c").cast("bigint").alias("c"), "n_words")
+
+
+def q_words_collocations(spark, sf_dir):
+    """Top-25 collocations by PMI over adjacent word bigrams (min
+    count 5): ln(N·c(ab)/(c(a)·c(b))) with the rounded-ln recipe —
+    the phrase-extraction staple (char-pair BPE counts live in
+    docs_bpe_pairs; this is the WORD-level statistical test)."""
+    from pyspark.sql import Window
+
+    words = __import__("__spark_entry__")._words(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "w1"),
+        )
+        .filter(F.col("w1") != "")
+    )
+    bi = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uni = words.groupBy(F.col("word")).agg(F.count(F.lit(1)).alias("c"))
+    n_tok = words.agg(F.count(F.lit(1)).alias("__n"))
+    ua = uni.select(F.col("word").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("word").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        bi.where(F.col("c_ab") >= 5)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.round(
+                F.log(
+                    (F.col("__n").cast("double") * F.col("c_ab"))
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(25)
+
+
 def q_events_cohort_value(spark, sf_dir):
     """Cohort LTV curve: cumulative per-user value by cohort day and
     day offset — the revenue companion of events_retention (which
@@ -1016,6 +1077,8 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "words_freq_of_freqs": q_words_freq_of_freqs,
+        "words_collocations": q_words_collocations,
         "events_cohort_value": q_events_cohort_value,
         "users_survival": q_users_survival,
         "docs_rank_fusion": q_docs_rank_fusion,
@@ -1453,6 +1516,39 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    sql["words_freq_of_freqs"] = f"""WITH {_WORDS_CTE},
+tf AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word)
+SELECT CAST(c AS BIGINT) AS c, CAST(COUNT(*) AS BIGINT) AS n_words
+FROM tf GROUP BY c"""
+
+    sql["words_collocations"] = f"""WITH {_WORDS_CTE},
+toks AS (
+  SELECT doc_id, w AS w1, p FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
+    FROM documents
+  ) WHERE w <> ''
+),
+bi AS (
+  SELECT w1, w2, COUNT(*) AS c_ab FROM (
+    SELECT doc_id, w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+    FROM toks
+  ) WHERE w2 IS NOT NULL
+  GROUP BY w1, w2
+),
+uni AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+nt AS (SELECT COUNT(*) AS n FROM words)
+SELECT b.w1, b.w2, CAST(b.c_ab AS BIGINT) AS c_ab,
+  round(ln((CAST(nt.n AS DOUBLE) * b.c_ab)
+           / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 9) AS pmi
+FROM bi b
+JOIN uni ua ON b.w1 = ua.word
+JOIN uni ub ON b.w2 = ub.word
+CROSS JOIN nt
+WHERE b.c_ab >= 5
+ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC
+LIMIT 25"""
 
     sql["events_cohort_value"] = """WITH e AS (
   SELECT user_id, epoch_us(ts) // 86400000000 AS day,
