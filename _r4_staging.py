@@ -466,6 +466,76 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_events_streaks(spark, sf_dir):
+    """Longest same-type streak per user (gaps-and-islands on VALUE
+    change, the complement of gap sessionization): a new island opens
+    when the type differs from the previous event; islands number by
+    a running sum over the same per-user sort as sessionize."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "tus", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    is_new = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = ev.withColumn(
+        "__run",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_run = runs.groupBy("user_id", "event_type", "__run").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    wpick = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("event_type").desc()
+    )
+    return (
+        per_run.withColumn("__r", F.row_number().over(wpick))
+        .where(F.col("__r") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("bigint").alias("longest_streak"),
+            F.col("event_type").alias("streak_type"),
+        )
+    )
+
+
+def q_events_benford(spark, sf_dir):
+    """First-significant-digit distribution of |value| vs Benford's
+    law — the fraud/synthetic-data screen: observed share, expected
+    log10(1+1/d) share, and the per-digit chi-square contribution
+    (rounded + decimal-summable)."""
+    # values carry 2 decimals: scale to exact integer cents, then the
+    # first significant digit is a pure string op — no log10/floor at
+    # power-of-ten boundaries, no format quirks, trivially mirrorable
+    ev = _events(spark, sf_dir).select(
+        F.round(F.abs(F.col("value")) * 100).cast("bigint").alias("cents")
+    )
+    digits = ev.where(F.col("cents") > 0).select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    total = counts.agg(F.sum("n_obs").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("digit").cast("bigint").alias("digit"),
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.round(
+                F.col("n_obs").cast("double") / F.col("__t").cast("double"), 9
+            ).alias("observed_share"),
+            F.round(
+                F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 9
+            ).alias("benford_share"),
+        )
+    )
+
+
 def q_words_freq_of_freqs(spark, sf_dir):
     """Frequency-of-frequencies over the vocabulary (how many words
     occur exactly c times) — the Good-Turing smoothing input and the
@@ -1077,6 +1147,8 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "events_streaks": q_events_streaks,
+        "events_benford": q_events_benford,
         "words_freq_of_freqs": q_words_freq_of_freqs,
         "words_collocations": q_words_collocations,
         "events_cohort_value": q_events_cohort_value,
@@ -1516,6 +1588,47 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    sql["events_streaks"] = """WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+    CASE WHEN lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+runs AS (
+  SELECT user_id, event_type,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+  FROM ordered
+),
+per_run AS (
+  SELECT user_id, event_type, r, COUNT(*) AS len
+  FROM runs GROUP BY user_id, event_type, r
+)
+SELECT user_id, CAST(len AS BIGINT) AS longest_streak,
+       event_type AS streak_type
+FROM (
+  SELECT user_id, len, event_type,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY len DESC, event_type DESC) AS rn
+  FROM per_run
+) WHERE rn = 1"""
+
+    sql["events_benford"] = """WITH c AS (
+  SELECT CAST(round(abs(value) * 100) AS BIGINT) AS cents FROM events
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM c WHERE cents > 0
+),
+counts AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+t AS (SELECT SUM(n_obs) AS total FROM counts)
+SELECT CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
+  round(CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE), 9) AS observed_share,
+  round(log10(1.0 + 1.0 / digit), 9) AS benford_share
+FROM counts CROSS JOIN t"""
 
     sql["words_freq_of_freqs"] = f"""WITH {_WORDS_CTE},
 tf AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word)
