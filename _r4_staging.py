@@ -466,6 +466,78 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_emb_silhouette(spark, sf_dir):
+    """Simplified silhouette per k-means cluster (distances to
+    centroids, not pairwise — the O(n·k) variant that scales):
+    s = (b − a)/max(a, b) with a = cosine distance to own centroid,
+    b = min distance to any other; per-point terms rounded 9 and
+    decimal-summed into per-cluster means."""
+    from shaha_spark.operators.kmeans import kmeans_fit
+    from shaha_spark.operators.similarity import cosine_sim, ivf_assign
+
+    embs = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(embs, k=4, iters=2).localCheckpoint(eager=True)
+    assigned = ivf_assign(embs, cents)
+    dists = assigned.crossJoin(
+        F.broadcast(
+            cents.select(
+                F.col("centroid_id").alias("cid"), F.col("centroid")
+            )
+        )
+    ).select(
+        "vec_id",
+        "centroid_id",
+        "cid",
+        (
+            F.lit(1.0) - F.round(cosine_sim(F.col("embedding"), F.col("centroid")), 6)
+        ).alias("d"),
+    )
+    per_point = dists.groupBy("vec_id", "centroid_id").agg(
+        F.max(F.when(F.col("cid") == F.col("centroid_id"), F.col("d"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("cid") != F.col("centroid_id"), F.col("d"))).alias(
+            "b"
+        ),
+    )
+    s = F.round(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"), 9
+    ).cast("decimal(19,9)")
+    return (
+        per_point.withColumn("__s", s)
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(
+                F.sum("__s").cast("double") / F.count(F.lit(1)), 9
+            ).alias("mean_silhouette"),
+        )
+        .select(
+            F.col("centroid_id").cast("bigint").alias("centroid_id"),
+            "n_points",
+            "mean_silhouette",
+        )
+    )
+
+
+def q_docs_freshness(spark, sf_dir):
+    """Per-source freshness lag: newest doc per source vs the corpus
+    maximum (by doc_id as the monotone ingest marker) plus doc counts
+    — the ingest-health report every multi-source pipeline watches."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("doc_id").alias("newest_id"),
+    )
+    mx = per.agg(F.max("newest_id").alias("__gmax"))
+    return per.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("newest_id").cast("bigint").alias("newest_id"),
+        (F.col("__gmax") - F.col("newest_id")).cast("bigint").alias("lag"),
+    )
+
+
 def q_events_streaks(spark, sf_dir):
     """Longest same-type streak per user (gaps-and-islands on VALUE
     change, the complement of gap sessionization): a new island opens
@@ -1147,6 +1219,8 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "emb_silhouette": q_emb_silhouette,
+        "docs_freshness": q_docs_freshness,
         "events_streaks": q_events_streaks,
         "events_benford": q_events_benford,
         "words_freq_of_freqs": q_words_freq_of_freqs,
@@ -1588,6 +1662,50 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    _silh_parts = ",\n".join(_kmeans_parts(k=4, iters=2))
+    sql["emb_silhouette"] = f"""WITH {_silh_parts},
+af AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT v.vec_id, v.e, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(CAST(v.e AS DOUBLE[]), c.cv) DESC,
+                      c.centroid_id ASC
+           ) AS r
+    FROM v CROSS JOIN c2 c
+  ) WHERE r = 1
+),
+dists AS (
+  SELECT a.vec_id, a.centroid_id, c.centroid_id AS cid,
+    1.0 - round(list_cosine_similarity(CAST(a.e AS DOUBLE[]), c.cv), 6) AS d
+  FROM af a CROSS JOIN c2 c
+),
+pp AS (
+  SELECT vec_id, centroid_id,
+    MAX(CASE WHEN cid = centroid_id THEN d END) AS a,
+    MIN(CASE WHEN cid <> centroid_id THEN d END) AS b
+  FROM dists GROUP BY vec_id, centroid_id
+),
+t AS (
+  SELECT centroid_id,
+    CAST(round((b - a) / GREATEST(a, b), 9) AS DECIMAL(19,9)) AS s
+  FROM pp
+)
+SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+  CAST(COUNT(*) AS BIGINT) AS n_points,
+  round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 9) AS mean_silhouette
+FROM t GROUP BY centroid_id"""
+
+    sql["docs_freshness"] = """WITH per AS (
+  SELECT source, COUNT(*) AS n_docs, MAX(doc_id) AS newest_id
+  FROM documents GROUP BY source
+),
+mx AS (SELECT MAX(newest_id) AS gmax FROM per)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(newest_id AS BIGINT) AS newest_id,
+  CAST(gmax - newest_id AS BIGINT) AS lag
+FROM per CROSS JOIN mx"""
 
     sql["events_streaks"] = """WITH ordered AS (
   SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
