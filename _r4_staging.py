@@ -466,6 +466,74 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_events_audience_overlap(spark, sf_dir):
+    """Day-over-day audience overlap: Jaccard of consecutive days'
+    active-user sets — the churn-adjacent stability metric. One
+    distinct (day, user) projection, an adjacent-day equi-join
+    (day = day+1, never a range join), integer-exact overlap counts."""
+    ev = _events(spark, sf_dir).select(
+        (F.col("tus") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        "user_id",
+    ).distinct()
+    per_day = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n_users"))
+    inter = (
+        ev.alias("a")
+        .join(
+            ev.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.day") == F.col("a.day") + 1),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    da = per_day.select(F.col("day"), F.col("n_users").alias("n_day"))
+    db = per_day.select(
+        (F.col("day") - 1).alias("day"), F.col("n_users").alias("n_next")
+    )
+    return (
+        da.join(db, "day")
+        .join(inter, "day", "left")
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            F.col("n_day").cast("bigint").alias("n_day"),
+            F.col("n_next").cast("bigint").alias("n_next"),
+            F.coalesce(F.col("n_both"), F.lit(0)).cast("bigint").alias("n_both"),
+            F.round(
+                F.coalesce(F.col("n_both"), F.lit(0)).cast("double")
+                / (
+                    F.col("n_day") + F.col("n_next")
+                    - F.coalesce(F.col("n_both"), F.lit(0))
+                ).cast("double"),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_docs_hapax_ratio(spark, sf_dir):
+    """Per-document hapax share: the fraction of a doc's tokens that
+    are corpus hapax legomena (tf = 1) — high shares flag noise/OCR
+    junk, zero shares flag boilerplate; the doc-level companion of
+    words_freq_of_freqs. Hapax set joins broadcast (it is
+    vocabulary-sized)."""
+    words = __import__("__spark_entry__")._words(spark, sf_dir)
+    tf = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    hapax = tf.where(F.col("c") == 1).select("word")
+    tok = words.select("doc_id", "word")
+    flagged = tok.join(
+        F.broadcast(hapax.withColumn("__h", F.lit(1))), "word", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("__h"), F.lit(0))).cast("bigint").alias("n_hapax"),
+        F.round(
+            F.sum(F.coalesce(F.col("__h"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("hapax_ratio"),
+    )
+
+
 def q_emb_silhouette(spark, sf_dir):
     """Simplified silhouette per k-means cluster (distances to
     centroids, not pairwise — the O(n·k) variant that scales):
@@ -1219,6 +1287,8 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "events_audience_overlap": q_events_audience_overlap,
+        "docs_hapax_ratio": q_docs_hapax_ratio,
         "emb_silhouette": q_emb_silhouette,
         "docs_freshness": q_docs_freshness,
         "events_streaks": q_events_streaks,
@@ -1662,6 +1732,37 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    sql["events_audience_overlap"] = """WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+),
+pd AS (SELECT day, COUNT(*) AS n_users FROM du GROUP BY day),
+inter AS (
+  SELECT a.day AS day, COUNT(*) AS n_both
+  FROM du a JOIN du b ON a.user_id = b.user_id AND b.day = a.day + 1
+  GROUP BY a.day
+)
+SELECT CAST(da.day AS BIGINT) AS day,
+  CAST(da.n_users AS BIGINT) AS n_day,
+  CAST(db.n_users AS BIGINT) AS n_next,
+  CAST(COALESCE(i.n_both, 0) AS BIGINT) AS n_both,
+  round(CAST(COALESCE(i.n_both, 0) AS DOUBLE)
+        / CAST(da.n_users + db.n_users - COALESCE(i.n_both, 0) AS DOUBLE), 9) AS jaccard
+FROM pd da
+JOIN pd db ON db.day = da.day + 1
+LEFT JOIN inter i ON i.day = da.day"""
+
+    sql["docs_hapax_ratio"] = f"""WITH {_WORDS_CTE},
+tf AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+hap AS (SELECT word FROM tf WHERE c = 1),
+tok AS (
+  SELECT w.doc_id, w.word, CASE WHEN h.word IS NULL THEN 0 ELSE 1 END AS ih
+  FROM words w LEFT JOIN hap h ON w.word = h.word
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(ih) AS BIGINT) AS n_hapax,
+  round(CAST(SUM(ih) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS hapax_ratio
+FROM tok GROUP BY doc_id"""
 
     _silh_parts = ",\n".join(_kmeans_parts(k=4, iters=2))
     sql["emb_silhouette"] = f"""WITH {_silh_parts},
