@@ -466,6 +466,64 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_dq_functional(spark, sf_dir):
+    """Functional-dependency probe — does A determine B? — for three
+    candidate dependencies across TPC-H: one row each with the count
+    of A-values mapping to >1 distinct B (violations = 0 proves the
+    dependency holds on this data). The DQ companion of
+    dq_referential: FDs catch denormalization drift joins can't."""
+    def probe(name, df, a, b):
+        per = df.groupBy(a).agg(F.count_distinct(b).alias("__k"))
+        return per.agg(
+            F.lit(name).alias("dependency"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("__k") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    a = probe("o_orderkey->o_custkey", orders, "o_orderkey", "o_custkey")
+    b = probe("l_orderkey->l_returnflag", li, "l_orderkey", "l_returnflag")
+    c = probe("c_custkey->c_nationkey", cust, "c_custkey", "c_nationkey")
+    return a.unionByName(b).unionByName(c)
+
+
+def q_events_value_percentile(spark, sf_dir):
+    """Exact quantile normalization: each event's value mapped to its
+    empirical CDF position within its event type —
+    cume = (#rows with value ≤ v) / n, computed as the max row_number
+    per (type, value) so ties share one exact position. The
+    feature-engineering step that makes heavy-tailed values
+    model-comparable."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    ties_max = ranked.groupBy("event_type", "value").agg(
+        F.max("__rn").alias("__tie_max")
+    )
+    return (
+        ranked.join(ties_max, ["event_type", "value"])
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            F.round(
+                F.col("__tie_max").cast("double") / F.col("__n").cast("double"),
+                9,
+            ).alias("cume"),
+        )
+    )
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Day-over-day audience overlap: Jaccard of consecutive days'
     active-user sets — the churn-adjacent stability metric. One
@@ -1287,6 +1345,8 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "dq_functional": q_dq_functional,
+        "events_value_percentile": q_events_value_percentile,
         "events_audience_overlap": q_events_audience_overlap,
         "docs_hapax_ratio": q_docs_hapax_ratio,
         "emb_silhouette": q_emb_silhouette,
@@ -1732,6 +1792,40 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    sql["dq_functional"] = """WITH a AS (
+  SELECT 'o_orderkey->o_custkey' AS dependency,
+    COUNT(*) AS n_keys,
+    SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS n_violations
+  FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS k FROM orders GROUP BY 1)
+),
+b AS (
+  SELECT 'l_orderkey->l_returnflag',
+    COUNT(*), SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+  FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS k FROM lineitem GROUP BY 1)
+),
+c AS (
+  SELECT 'c_custkey->c_nationkey',
+    COUNT(*), SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+  FROM (SELECT c_custkey, COUNT(DISTINCT c_nationkey) AS k FROM customer GROUP BY 1)
+)
+SELECT dependency, CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_violations AS BIGINT) AS n_violations
+FROM (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c)"""
+
+    sql["events_value_percentile"] = """WITH r AS (
+  SELECT event_type, event_id, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+tm AS (
+  SELECT event_type, value, MAX(rn) AS tie_max
+  FROM r GROUP BY event_type, value
+)
+SELECT r.event_type, r.event_id, r.value,
+  round(CAST(tm.tie_max AS DOUBLE) / CAST(r.n AS DOUBLE), 9) AS cume
+FROM r JOIN tm ON r.event_type = tm.event_type AND r.value = tm.value"""
 
     sql["events_audience_overlap"] = """WITH du AS (
   SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
