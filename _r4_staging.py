@@ -466,6 +466,40 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_docs_overview(spark, sf_dir):
+    """One-row corpus dashboard: doc/lang/source counts, decimal-exact
+    mean length, and the exact-duplicate fraction (docs whose text
+    appears more than once) — the front-page health panel every
+    curation run prints first."""
+    docs = _t(spark, sf_dir, "documents")
+    dup_docs = (
+        docs.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__dups"))
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_chars"),
+    )
+    return base.crossJoin(F.broadcast(dup_docs)).select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        "mean_chars",
+        F.col("__dups").cast("bigint").alias("n_dup_docs"),
+        F.round(
+            F.col("__dups").cast("double") / F.col("n_docs").cast("double"), 9
+        ).alias("dup_fraction"),
+    )
+
+
 def q_dq_functional(spark, sf_dir):
     """Functional-dependency probe — does A determine B? — for three
     candidate dependencies across TPC-H: one row each with the count
@@ -1345,6 +1379,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "docs_overview": q_docs_overview,
         "dq_functional": q_dq_functional,
         "events_value_percentile": q_events_value_percentile,
         "events_audience_overlap": q_events_audience_overlap,
@@ -1792,6 +1827,24 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    sql["docs_overview"] = """WITH dups AS (
+  SELECT COALESCE(SUM(c), 0) AS d FROM (
+    SELECT text, COUNT(*) AS c FROM documents GROUP BY text HAVING COUNT(*) > 1
+  )
+),
+base AS (
+  SELECT COUNT(*) AS n_docs,
+    COUNT(DISTINCT lang) AS n_langs,
+    COUNT(DISTINCT source) AS n_sources,
+    round(CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*), 9) AS mean_chars
+  FROM documents
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_langs AS BIGINT) AS n_langs,
+  CAST(n_sources AS BIGINT) AS n_sources, mean_chars,
+  CAST(d AS BIGINT) AS n_dup_docs,
+  round(CAST(d AS DOUBLE) / CAST(n_docs AS DOUBLE), 9) AS dup_fraction
+FROM base CROSS JOIN dups"""
 
     sql["dq_functional"] = """WITH a AS (
   SELECT 'o_orderkey->o_custkey' AS dependency,
