@@ -466,6 +466,32 @@ def q_docs_calibration(spark, sf_dir):
     return calibration_bins(_scored_with_label(spark, sf_dir), "label")
 
 
+def q_events_interarrival(spark, sf_dir):
+    """Per-user inter-arrival profile: exact median gap (the
+    group-quantile recipe) plus decimal-exact mean gap — the
+    burstiness readout behind rate limiting and bot screening."""
+    from pyspark.sql import Window
+    from shaha_spark.operators.profile import group_quantiles
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "tus")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gaps = ev.withColumn("gap", F.col("tus") - F.lag("tus").over(w)).where(
+        F.col("gap").isNotNull()
+    )
+    med = group_quantiles(gaps, "user_id", "gap", [0.5]).select(
+        "user_id", F.col("p50").alias("median_gap_us")
+    )
+    means = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(
+            F.sum(F.col("gap").cast("decimal(20,0)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_gap_us"),
+    )
+    return means.join(med, "user_id")
+
+
 def q_docs_overview(spark, sf_dir):
     """One-row corpus dashboard: doc/lang/source counts, decimal-exact
     mean length, and the exact-duplicate fraction (docs whose text
@@ -1379,6 +1405,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
         "docs_auc": q_docs_auc,
+        "events_interarrival": q_events_interarrival,
         "docs_overview": q_docs_overview,
         "dq_functional": q_dq_functional,
         "events_value_percentile": q_events_value_percentile,
@@ -1827,6 +1854,35 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
   round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
+
+    sql["events_interarrival"] = """WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events
+),
+gaps AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+r AS (
+  SELECT user_id, CAST(gap AS DOUBLE) AS v,
+    row_number() OVER (PARTITION BY user_id ORDER BY gap) - 1 AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM gaps
+),
+med AS (
+  SELECT user_id,
+    max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) THEN v END)
+    + (max(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) THEN v END)
+       - max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) THEN v END))
+      * max(CAST(n - 1 AS DOUBLE) * 0.5 - floor(CAST(n - 1 AS DOUBLE) * 0.5)) AS median_gap_us
+  FROM r GROUP BY user_id
+),
+m AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+    round(CAST(SUM(CAST(gap AS DECIMAL(20,0))) AS DOUBLE) / COUNT(*), 9) AS mean_gap_us
+  FROM gaps GROUP BY user_id
+)
+SELECT m.user_id, m.n_gaps, m.mean_gap_us, med.median_gap_us
+FROM m JOIN med USING (user_id)"""
 
     sql["docs_overview"] = """WITH dups AS (
   SELECT COALESCE(SUM(c), 0) AS d FROM (
