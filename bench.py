@@ -165,13 +165,11 @@ def main() -> None:
     # round-3 additions, as extras (headline total stays comparable
     # across rounds): two-stage SQ8 ANN vs the brute-force scan it
     # replaces, and the zero-join nearest-event attribution
-    import _r4_staging as _st
-
     t0 = time.perf_counter()
-    _st.q_emb_sq_topk(spark, SF_DIR).count()
+    entry.q_emb_sq_topk(spark, SF_DIR).count()
     extras["ann_sq_topk_sec"] = round(time.perf_counter() - t0, 4)
     t0 = time.perf_counter()
-    _st.q_events_nearest_join(spark, SF_DIR).count()
+    entry.q_events_nearest_join(spark, SF_DIR).count()
     extras["nearest_join_sec"] = round(time.perf_counter() - t0, 4)
 
     # bytes/record vs the reference's ~47.5 B/record README datum

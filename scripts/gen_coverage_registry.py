@@ -67,25 +67,23 @@ def generate() -> str:
             f"| {status(k)}{window} |"
         )
 
-    import _r4_staging as staging
-
-    skeys = list(staging.queries_r4())
-    soracles = set(staging.oracle_sql_r4())
+    skeys = [k for k in entry_mod.queries_r4() if k not in set(keys[:DRIVER_WINDOW])]
     lines += [
         "",
-        "### Staged for round 4 (`_r4_staging.py`)",
+        "### Round-4 merge spill-over (front of the round-5 window)",
         "",
-        f"{len(skeys)} operators implemented and locally oracle-verified "
-        "(tests/test_oracle_r4.py runs the driver's exact comparison) but "
-        "not yet in the driver window — the window is full of "
-        "never-driver-verified round-3 entries. Round 4 moves these to "
-        "the front of the registry.",
+        f"The former `_r4_staging.py` backlog (72 operators) merged into "
+        f"the main registry this round; {len(skeys)} of them did not fit "
+        f"the {DRIVER_WINDOW}-slot round-4 window and sit immediately "
+        "after it, so they lead the round-5 window mechanically. All are "
+        "locally oracle-verified (tests/test_oracle_r4.py runs the "
+        "driver's exact comparison, type-strict since round 4).",
         "",
         "| query | oracle |",
         "|---|---|",
     ]
     for k in skeys:
-        lines.append(f"| `{k}` | {'yes' if k in soracles else 'rows-only'} |")
+        lines.append(f"| `{k}` | {'yes' if k in oracles else 'rows-only'} |")
     lines += ["", END]
     return "\n".join(lines)
 

@@ -291,14 +291,14 @@ EXTRA = {
         "vectors (they rejoin via two BroadcastHashJoins after candidate "
         "selection). The code arrays and the centered integer ADC fold "
         "are codegen'd JVM expressions; the corpus scan is shuffle-free.",
-        lambda spark, sf: __import__("_r4_staging").q_emb_sq_topk(spark, sf),
+        lambda spark, sf: __import__("__spark_entry__").q_emb_sq_topk(spark, sf),
     ),
     "prefix_topk": (
         "Matryoshka two-stage: stage A scores an 8/64 slice (stored "
         "column-separate at scale, slicing in-plan here for oracle "
         "replay), top-m window moves (query_id, id, score) only; "
         "full-dim re-rank joins m·|queries| candidate rows broadcast.",
-        lambda spark, sf: __import__("_r4_staging").q_emb_prefix_topk(
+        lambda spark, sf: __import__("__spark_entry__").q_emb_prefix_topk(
             spark, sf
         ),
     ),
@@ -306,7 +306,7 @@ EXTRA = {
         "Full grouping-sets CUBE compiles to ONE Expand + one "
         "map-side-combining hash aggregate over the 4 grouping "
         "combinations — no per-set rescans, one shuffle.",
-        lambda spark, sf: __import__("_r4_staging").q_events_cube(spark, sf),
+        lambda spark, sf: __import__("__spark_entry__").q_events_cube(spark, sf),
     ),
     "events_nearest_join": (
         "Bidirectional as-of with zero joins: union-tagged sides, ONE "
@@ -315,7 +315,7 @@ EXTRA = {
         "(an unbounded-FOLLOWING first() re-scans to partition end per "
         "row: O(n²) on a hot key, measured 57× in test_skew before the "
         "fix). Nearest/tolerance choice is a codegen'd projection.",
-        lambda spark, sf: __import__("_r4_staging").q_events_nearest_join(
+        lambda spark, sf: __import__("__spark_entry__").q_events_nearest_join(
             spark, sf
         ),
     ),
@@ -323,7 +323,7 @@ EXTRA = {
         "MERGE compaction: one shuffle on the key, one row_number "
         "window (WindowGroupLimit prunes to the per-key head), delete "
         "filter folded into the same stage.",
-        lambda spark, sf: __import__("_r4_staging").q_events_cdc_snapshot(
+        lambda spark, sf: __import__("__spark_entry__").q_events_cdc_snapshot(
             spark, sf
         ),
     ),
@@ -332,14 +332,14 @@ EXTRA = {
         "BEFORE aggregation (candidate rows only), the |Q|-row idf "
         "table and corpus stats ride as broadcasts, and contributions "
         "sum decimal-exact in one doc-keyed hash-agg.",
-        lambda spark, sf: __import__("_r4_staging").q_docs_bm25(spark, sf),
+        lambda spark, sf: __import__("__spark_entry__").q_docs_bm25(spark, sf),
     ),
     "orders_basket_rules": (
         "Market basket WITHOUT a self-join: baskets aggregate once, "
         "pairs explode from a bounded in-row expression (b(b-1)/2 per "
         "basket), per-item counts broadcast, top-20 via "
         "TakeOrderedAndProject.",
-        lambda spark, sf: __import__("_r4_staging").q_orders_basket_rules(
+        lambda spark, sf: __import__("__spark_entry__").q_orders_basket_rules(
             spark, sf
         ),
     ),
@@ -347,7 +347,7 @@ EXTRA = {
         "Running distinct count with NO expanding distinct: per-key "
         "first-bucket agg, per-bucket counts, and the only global "
         "window runs over the calendar-sized bucket table.",
-        lambda spark, sf: __import__("_r4_staging").q_events_cumulative_users(
+        lambda spark, sf: __import__("__spark_entry__").q_events_cumulative_users(
             spark, sf
         ),
     ),
@@ -356,7 +356,7 @@ EXTRA = {
         "score bucket aggregation first (bounded by the 6-decimal "
         "score grid), cumulative-negative window over buckets only, "
         "integer-exact numerator.",
-        lambda spark, sf: __import__("_r4_staging").q_docs_auc(spark, sf),
+        lambda spark, sf: __import__("__spark_entry__").q_docs_auc(spark, sf),
     ),
     "curate_corpus": (
         "The whole curation chain is ONE plan: redaction folds into the "

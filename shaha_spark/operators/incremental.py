@@ -4,8 +4,10 @@ the batch counterpart of a streaming windowed aggregation, and the
 standard shape for maintaining a materialized rollup over an
 append-only 100 TB event store.
 
-Exactness: the partial state per bucket is ``(count, DECIMAL(18,2)
-sum)``. Decimal addition is associative and commutative, so any split
+Exactness: the partial state per bucket is ``(count, DECIMAL(38,2)
+sum)`` — inputs quantize at scale 2, and the state column carries the
+widest precision Spark supports so repeated merges never narrow it.
+Decimal addition is associative and commutative, so any split
 of the input into batches — and any merge order — reproduces the
 full-recompute result bit-for-bit. That identity is what the driver
 oracle checks: a two-batch incremental build must hash-match DuckDB's
@@ -35,7 +37,13 @@ def rollup_increment(
     hour = F.date_trunc("hour", F.timestamp_micros(F.col(tus_col)))
     return events.groupBy(F.col(key_col), hour.alias("hour")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sv"),
+        # inputs quantize at scale 2; the STATE column carries the
+        # widest decimal Spark supports so repeated merges never narrow
+        # it back down (a cast to decimal(18,2) would silently NULL any
+        # accumulated total past 18 digits under non-ANSI semantics)
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sv"),
     )
 
 
@@ -50,14 +58,17 @@ def merge_rollup(existing: DataFrame, increment: DataFrame) -> DataFrame:
     b = increment.select(
         *key_cols, F.col("n").alias("__nb"), F.col("sv").alias("__sb")
     )
-    zero = F.lit(0).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(38,2)")
     return a.join(b, key_cols, "full_outer").select(
         *key_cols,
         (F.coalesce(F.col("__na"), F.lit(0)) + F.coalesce(F.col("__nb"), F.lit(0)))
         .cast("bigint")
         .alias("n"),
+        # keep the partial state at the widened precision end to end —
+        # narrowing per merge would corrupt the maintained rollup once
+        # totals exceed the narrow precision
         (F.coalesce(F.col("__sa"), zero) + F.coalesce(F.col("__sb"), zero))
-        .cast("decimal(18,2)")
+        .cast("decimal(38,2)")
         .alias("sv"),
     )
 

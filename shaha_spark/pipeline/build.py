@@ -377,11 +377,19 @@ def build(
             # file a snapshot still references
             old_snaps = backup.rstrip("/") + "/" + snapshot.SNAP_DIR
             if io_util.exists(spark, old_snaps):
-                io_util.rename(
+                if not io_util.rename(
                     spark,
                     old_snaps,
                     output_path.rstrip("/") + "/" + snapshot.SNAP_DIR,
-                )
+                ):
+                    # deleting the backup now would destroy the entire
+                    # snapshot log and all retained history — leave it
+                    # in place for manual recovery instead
+                    raise IOError(
+                        f"append swap: could not restore snapshot log "
+                        f"from {old_snaps}; backup left at {backup} for "
+                        "manual recovery"
+                    )
                 snapshot.retire_replaced_tree(
                     spark, output_path, backup, old_live
                 )

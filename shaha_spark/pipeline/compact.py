@@ -115,9 +115,15 @@ def compact_hashdb(
     # file a snapshot still references before the backup is dropped
     old_snaps = backup.rstrip("/") + "/" + snapshot.SNAP_DIR
     if io_util.exists(spark, old_snaps):
-        io_util.rename(
+        if not io_util.rename(
             spark, old_snaps, path.rstrip("/") + "/" + snapshot.SNAP_DIR
-        )
+        ):
+            # deleting the backup now would destroy the entire snapshot
+            # log and all retained history — leave it for manual recovery
+            raise IOError(
+                f"compaction swap: could not restore snapshot log from "
+                f"{old_snaps}; backup left at {backup} for manual recovery"
+            )
         snapshot.retire_replaced_tree(spark, path, backup, old_live)
     io_util.delete(spark, backup)
 

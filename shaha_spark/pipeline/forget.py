@@ -102,7 +102,7 @@ def forget_digests(
     plan = plan_forget(spark, path, digests)
     targets = [bytes(d) for d in sorted(set(digests))]
 
-    rows_deleted = rewritten = dropped = 0
+    rows_deleted = live_rows_deleted = rewritten = dropped = 0
     for cand in plan["candidates"]:
         p = cand["file"]
         df: DataFrame = spark.read.parquet(p)
@@ -112,6 +112,13 @@ def forget_digests(
         if n_delete == 0:
             continue  # range false positive
         rows_deleted += n_delete
+        # rows scrubbed from retained history copies under _snapshots/
+        # are not live rows: the sidecar's total_records counts the
+        # visible database only, so decrementing it by history-copy
+        # deletions would make info/stats drift permanently after any
+        # compaction+snapshot cycle
+        if not snapshot.in_retained(path, p):
+            live_rows_deleted += n_delete
         d = p.rsplit("/", 1)[0]
         if n_after == 0:
             # every row was an erasure target: the file leaves history
@@ -184,11 +191,11 @@ def forget_digests(
         rewritten += 1
 
     meta = read_sidecar(spark, path)
-    if meta is not None and rows_deleted:
+    if meta is not None and live_rows_deleted:
         write_sidecar(
             spark,
             path,
-            total_records=meta["total_records"] - rows_deleted,
+            total_records=meta["total_records"] - live_rows_deleted,
             algorithms=meta.get("algorithms", []),
             sources=meta.get("sources", []),
             source_hashes=meta.get("source_hashes", []),
@@ -196,6 +203,7 @@ def forget_digests(
     return {
         **{k: plan[k] for k in ("n_digests", "total_files", "candidate_files")},
         "rows_deleted": rows_deleted,
+        "live_rows_deleted": live_rows_deleted,
         "files_rewritten": rewritten,
         "files_dropped": dropped,
         "recovered": recovered,

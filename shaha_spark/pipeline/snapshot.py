@@ -167,10 +167,31 @@ def snapshot_create(
 
 
 def referenced_rels(spark: SparkSession, path: str) -> set[str]:
-    """Every rel path any snapshot manifest references."""
+    """Every rel path any snapshot manifest references, expanded
+    transitively through ``@`` alias chains in the retained map.
+
+    After ``forget`` rewrites a snapshot-referenced visible file, the
+    retained map holds ``rel_old -> @rel_new``: the snapshot is served
+    by ``rel_new``'s content from then on. ``rel_new`` appears in no
+    manifest, so without chain expansion a later compaction/vacuum
+    would see it as unreferenced and delete it, leaving the still-live
+    snapshot with a FileNotFoundError hole — losing more history than
+    erasure requires."""
     refs: set[str] = set()
     for m in snapshot_list(spark, path):
         refs.update(f["rel"] for f in m["files"])
+    retained = _retained_map(spark, path)
+    frontier = set(refs)
+    while frontier:
+        nxt = set()
+        for rel in frontier:
+            disp = retained.get(rel)
+            if disp is not None and disp.startswith("@"):
+                target = disp[1:]
+                if target not in refs:
+                    refs.add(target)
+                    nxt.add(target)
+        frontier = nxt
     return refs
 
 

@@ -146,3 +146,29 @@ def test_forget_then_compact_roundtrip(spark, tmp_path):
     for p in _files(spark, out):
         hashes = [r.hash for r in spark.read.parquet(p).select("hash").collect()]
         assert hashes == sorted(hashes)
+
+
+def test_forget_decrements_live_count_only(spark, tmp_path):
+    """ADVICE r3: rows scrubbed from retained history copies must not
+    decrement the sidecar's live total_records. After snapshot +
+    compaction, one erased live record also gets scrubbed from its
+    retained copy — the sidecar must still drop by exactly 1 per
+    algorithm, not 2+."""
+    from shaha_spark.pipeline import snapshot as snap
+    from shaha_spark.pipeline.build import read_sidecar
+    from shaha_spark.pipeline.compact import compact_slices
+
+    out = _db(spark, tmp_path, words=300, num_files=8, algos=("sha256",))
+    snap.snapshot_create(spark, out)
+    compact_slices(spark, out, target_file_bytes=1 << 30)
+    before = read_sidecar(spark, out)["total_records"]
+    report = forget_preimages(spark, out, ["word0077"])
+    # history copies were scrubbed too, so raw deletions exceed live
+    assert report["rows_deleted"] > report["live_rows_deleted"]
+    assert report["live_rows_deleted"] == 1
+    after = read_sidecar(spark, out)["total_records"]
+    assert after == before - 1
+    # and the sidecar now matches a physical count of the live data
+    from shaha_spark.pipeline.build import read_hashdb
+
+    assert read_hashdb(spark, out).count() == after

@@ -78,3 +78,27 @@ def test_late_data_creates_or_updates_buckets(spark):
     assert out["1970-01-01 00:00:00"] == (2, 5.5)
     assert out["1970-01-01 01:00:00"] == (1, 2.0)
     assert out["1970-01-01 02:00:00"] == (1, 8.0)
+
+
+def test_merged_totals_survive_past_18_digits(spark):
+    """ADVICE r3: the partial-state sum must stay at widened precision
+    end to end — a per-merge cast back to decimal(18,2) silently NULLs
+    any accumulated total past 18 digits under non-ANSI semantics."""
+    rows = [("buy", 1_000_000 + i, 9e15) for i in range(20)]
+    ev = spark.createDataFrame(
+        rows, "event_type string, tus long, value double"
+    )
+    half_a = rollup_increment(ev.limit(10))
+    half_b = rollup_increment(ev.subtract(ev.limit(10)))
+    merged = merge_rollup(half_a, half_b)
+    # 20 * 9e15 = 1.8e17 > 18-digit decimal capacity at scale 2
+    out = finalize_rollup(merged).collect()
+    assert len(out) == 1
+    assert out[0].sum_value is not None
+    assert out[0].sum_value == 20 * 9e15
+    assert out[0].n_events == 20
+    # repeated self-merge keeps widening-safety (state type is stable)
+    doubled = merge_rollup(merged, merged)
+    assert dict(doubled.dtypes)["sv"] == dict(merged.dtypes)["sv"]
+    out2 = finalize_rollup(doubled).collect()
+    assert out2[0].sum_value == 40 * 9e15

@@ -14,6 +14,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from _oracle_typecheck import assert_types_compatible
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -60,6 +61,7 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
+    duck_tbl = duck.execute(ORACLES[name]).arrow()
     res = duck.execute(ORACLES[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
@@ -67,6 +69,7 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     )
+    assert_types_compatible(name, sdf.schema, duck_tbl)
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )

@@ -317,7 +317,7 @@ def test_nearest_join_plan_no_join_no_following_frame(spark):
     UNBOUNDED FOLLOWING frame (Spark rescans to partition end per row
     for those — measured 57× on a 10% hot key), and the whole operator
     stays join-free with ONE hash shuffle."""
-    import _r4_staging as staging
+    import __spark_entry__ as staging
 
     plan = _plan(staging.queries_r4()["events_nearest_join"](spark, SF))
     assert "UNBOUNDED FOLLOWING" not in plan.upper()
@@ -330,7 +330,7 @@ def test_sq_topk_plan_candidate_shuffle_is_narrow(spark):
     """Stage A's top-m exchange must move (query_id, id, adc) — never
     the raw vectors; re-rank joins are broadcast; WindowGroupLimit
     prunes per-partition before the shuffle."""
-    import _r4_staging as staging
+    import __spark_entry__ as staging
 
     plan = _plan(staging.queries_r4()["emb_sq_topk"](spark, SF))
     assert "WindowGroupLimit" in plan
@@ -345,7 +345,7 @@ def test_sq_topk_plan_candidate_shuffle_is_narrow(spark):
 
 
 def test_cdc_and_cube_plans_single_pass(spark):
-    import _r4_staging as staging
+    import __spark_entry__ as staging
 
     plan = _plan(staging.queries_r4()["events_cdc_snapshot"](spark, SF))
     assert "WindowGroupLimit" in plan  # argmax prunes to per-key head
@@ -360,7 +360,7 @@ def test_auc_plan_window_runs_over_buckets_not_rows(spark):
     """The single-partition window input must be the distinct-score
     bucket aggregate, never the raw scored rows: a hash-agg (with its
     exchange) sits BELOW the single-partition exchange."""
-    import _r4_staging as staging
+    import __spark_entry__ as staging
 
     plan = _plan(staging.queries_r4()["docs_auc"](spark, SF))
     below = plan.split("Exchange SinglePartition")[-1]

@@ -1,5 +1,5 @@
 """Randomized differential tests for nearest_join and cdc_apply: the
-EXACT oracle SQL the driver will run (from _r4_staging) against the
+EXACT oracle SQL the driver will run (now merged into __spark_entry__) against the
 Spark operators, over seeded random event frames with forced ties —
 simultaneous click+purchase, equidistant neighbours, same-timestamp
 changelog collisions, keys with no match.
@@ -15,7 +15,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-import _r4_staging as staging
+import __spark_entry__ as staging
 from shaha_spark.operators.joins import nearest_join
 from shaha_spark.operators.timeseries import cdc_apply
 

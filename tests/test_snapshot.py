@@ -298,3 +298,65 @@ def test_forget_partitioned_retained_rewrite(spark, tmp_path):
     old = snap.read_snapshot(spark, out, 1, allow_missing=True)
     assert old.where(F.col("preimage") == "w007").count() == 0
     assert old.count() == 59
+
+
+def test_alias_target_survives_compaction_and_vacuum(spark, tmp_path):
+    """ADVICE r3: after forget aliases rel_old -> @rel_new in the
+    retained map, rel_new appears in no manifest. referenced_rels must
+    expand the alias chain, or a later compaction/vacuum deletes
+    rel_new as 'unreferenced' and the still-live snapshot reads a
+    FileNotFoundError hole."""
+    out = _db(spark, tmp_path, words=200, num_files=4)
+    snap.snapshot_create(spark, out)
+    # forget rewrites a snapshot-referenced VISIBLE file -> alias
+    forget_preimages(spark, out, ["word0042"])
+    retained = snap._retained_map(spark, out)
+    assert any(v.startswith("@") for v in retained.values()), (
+        "precondition: forget should have aliased a visible file"
+    )
+    # the alias target must now be a referenced rel
+    refs = snap.referenced_rels(spark, out)
+    targets = {v[1:] for v in retained.values() if v.startswith("@")}
+    assert targets <= refs, f"alias targets missing from refs: {targets - refs}"
+    # compaction + vacuum must retire (not delete) the alias target
+    compact_slices(spark, out, target_file_bytes=1 << 30)
+    snap.vacuum(spark, out)
+    old = snap.read_snapshot(spark, out, 1)  # no allow_missing: holes raise
+    assert old.count() == 199
+    assert old.where(F.col("preimage") == "word0042").count() == 0
+
+
+def test_whole_compaction_preserves_alias_target(spark, tmp_path):
+    out = _db(spark, tmp_path, words=150, num_files=3)
+    snap.snapshot_create(spark, out)
+    forget_preimages(spark, out, ["word0010"])
+    compact_hashdb(spark, out)
+    old = snap.read_snapshot(spark, out, 1)
+    assert old.count() == 149
+
+
+def test_failed_snapshot_restore_keeps_backup(spark, tmp_path, monkeypatch):
+    """ADVICE r3: if restoring _snapshots out of the swap backup fails,
+    the backup must survive (raise) — deleting it would destroy the
+    snapshot log and all retained history."""
+    from shaha_spark.pipeline import compact as compact_mod
+
+    out = _db(spark, tmp_path, words=100, num_files=3)
+    snap.snapshot_create(spark, out)
+
+    real_rename = io_util.rename
+
+    def failing_rename(spark_, src, dst):
+        if dst.rstrip("/").endswith(snap.SNAP_DIR) and "__old__" in src:
+            return False
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(compact_mod.io_util, "rename", failing_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(IOError, match="manual recovery"):
+        compact_hashdb(spark, out)
+    backup = out.rstrip("/") + ".__old__"
+    assert io_util.exists(spark, backup + "/" + snap.SNAP_DIR), (
+        "backup with the snapshot log must be left for manual recovery"
+    )

@@ -171,7 +171,7 @@ def test_source_cap_plan_uses_window_group_limit(spark):
     # rank filter should prune through WindowGroupLimit: only `cap`
     # rows per group materialize past the per-group sort, so a
     # mega-domain never fully sorts through the window operator
-    import _r4_staging as staging
+    import __spark_entry__ as staging
 
     plan = _plan(staging.queries_r4()["docs_source_cap"](spark, SF))
     assert "WindowGroupLimit" in plan
@@ -179,7 +179,7 @@ def test_source_cap_plan_uses_window_group_limit(spark):
 
 
 def test_gapfill_plan_no_python_single_corpus_scan(spark):
-    import _r4_staging as staging
+    import __spark_entry__ as staging
 
     plan = _plan(staging.queries_r4()["events_gapfill"](spark, SF))
     assert "EvalPython" not in plan
@@ -189,7 +189,7 @@ def test_gapfill_plan_no_python_single_corpus_scan(spark):
 
 
 def test_debounce_and_scd2_plans_single_shuffle_no_python(spark):
-    import _r4_staging as staging
+    import __spark_entry__ as staging
 
     for name in ["events_debounce", "users_scd2"]:
         plan = _plan(staging.queries_r4()[name](spark, SF))
