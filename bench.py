@@ -137,6 +137,16 @@ def main() -> None:
             shutil.rmtree(db_path, ignore_errors=True)
 
     timings = {n: round(statistics.median(v), 4) for n, v in samples.items()}
+    # cold vs warm split for the queries whose r1->r3 deltas were pure
+    # driver-side codegen compile cost (VERDICT r3): rep 1 pays janino
+    # compilation of the widest generated classes, later reps hit the
+    # source-text cache. Headline timings stay the cold-comparable
+    # median; the split makes data-path deltas visible across rounds.
+    for name in ("text_quality", "dedup_minhash_pairs"):
+        reps = samples.get(name, [])
+        if len(reps) >= 2:
+            extras[f"{name}_cold_sec"] = round(reps[0], 4)
+            extras[f"{name}_warm_sec"] = round(min(reps[1:]), 4)
     extras["build_words_per_sec"] = round(n_words / timings["build_hashdb"], 1)
     extras["bench_reps"] = REPS
 
@@ -150,6 +160,15 @@ def main() -> None:
         F.length(hash_expr("blake3", F.col("word").cast("binary"))).alias("l")
     ).agg(F.sum("l")).collect()
     extras["blake3_words_per_sec"] = round(n_words / (time.perf_counter() - t0), 1)
+
+    # keccak256 kernel throughput (pure lane-batched pandas UDF, or
+    # pycryptodome's C kernel where importable) — an extra for the
+    # same reason.
+    t0 = time.perf_counter()
+    words.select(
+        F.length(hash_expr("keccak256", F.col("word").cast("binary"))).alias("l")
+    ).agg(F.sum("l")).collect()
+    extras["keccak_words_per_sec"] = round(n_words / (time.perf_counter() - t0), 1)
 
     # end-to-end curation chain (redact → line dedup → Gopher gate →
     # exact dedup → temperature mixture) — an extra for the same reason.

@@ -40,10 +40,37 @@ def _ripemd160_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda v: hashlib.new("ripemd160", _to_bytes(v)).digest())
 
 
+#: resolved lazily PER WORKER PROCESS (None = not yet probed), same
+#: discipline as _BLAKE3_KERNEL below: the native wheel may exist on
+#: executors but not the driver or vice versa.
+_KECCAK_KERNEL: Callable[[list[bytes]], list[bytes]] | None = None
+
+
+def _keccak256_digests(datas: list[bytes]) -> list[bytes]:
+    """Batch Keccak-256 with a pluggable native fast path: pycryptodome's
+    C kernel when importable (``Crypto.Hash.keccak`` with
+    ``digest_bits=256`` is the original pre-NIST padding this engine
+    needs — NOT hashlib's sha3_256), else the lane-batched pure
+    implementation. Both are verified against the same public
+    known-answer vectors (ref tests/integration.rs:33-40)."""
+    global _KECCAK_KERNEL
+    if _KECCAK_KERNEL is None:
+        try:
+            from Crypto.Hash import keccak as native  # type: ignore[import-not-found]
+
+            _KECCAK_KERNEL = lambda ds: [
+                native.new(digest_bits=256, data=d).digest() for d in ds
+            ]
+        except ImportError:
+            _KECCAK_KERNEL = _keccak256_batch
+    return _KECCAK_KERNEL(datas)
+
+
 @pandas_udf(BinaryType())
 def _keccak256_udf(s: pd.Series) -> pd.Series:
-    # numpy-vectorized over the Arrow batch (~70x the scalar sponge)
-    return pd.Series(_keccak256_batch([_to_bytes(v) for v in s]), index=s.index)
+    # numpy-vectorized over the Arrow batch (~70x the scalar sponge),
+    # or pycryptodome's C kernel when present (see _keccak256_digests)
+    return pd.Series(_keccak256_digests([_to_bytes(v) for v in s]), index=s.index)
 
 
 #: resolved lazily PER WORKER PROCESS (None = not yet probed): the

@@ -106,3 +106,54 @@ def test_blake3_native_fast_path_selection(monkeypatch):
     monkeypatch.setattr(hashers, "_BLAKE3_KERNEL", None)
     monkeypatch.delitem(sys.modules, "blake3")
     assert hashers._blake3_digests(data) == [pure(d) for d in data]
+
+
+def test_keccak_native_fast_path_selection(monkeypatch):
+    """_keccak256_digests prefers an importable pycryptodome kernel
+    (`Crypto.Hash.keccak`, original pre-NIST padding) and falls back to
+    the lane-batched pure implementation; both must agree
+    digest-for-digest with the spec vectors."""
+    import sys
+    import types
+
+    from shaha_spark.functions import hashers
+    from shaha_spark.functions.keccak import keccak256_batch as pure_batch
+
+    calls = []
+
+    class _K:
+        def __init__(self, data):
+            self._d = data
+
+        def digest(self):
+            calls.append(len(self._d))
+            return pure_batch([self._d])[0]
+
+    fake_keccak = types.ModuleType("Crypto.Hash.keccak")
+    fake_keccak.new = lambda digest_bits, data: (
+        (_ for _ in ()).throw(AssertionError(digest_bits))
+        if digest_bits != 256
+        else _K(data)
+    )
+    fake_hash = types.ModuleType("Crypto.Hash")
+    fake_hash.keccak = fake_keccak
+    fake_crypto = types.ModuleType("Crypto")
+    fake_crypto.Hash = fake_hash
+    monkeypatch.setitem(sys.modules, "Crypto", fake_crypto)
+    monkeypatch.setitem(sys.modules, "Crypto.Hash", fake_hash)
+    monkeypatch.setitem(sys.modules, "Crypto.Hash.keccak", fake_keccak)
+    monkeypatch.setattr(hashers, "_KECCAK_KERNEL", None)
+    data = [b"", b"abc", b"x" * 2000]
+    assert hashers._keccak256_digests(data) == pure_batch(data)
+    assert calls == [0, 3, 2000]
+
+    # absent wheel → lane-batched pure kernel, same digests
+    for m in ("Crypto", "Crypto.Hash", "Crypto.Hash.keccak"):
+        monkeypatch.delitem(sys.modules, m)
+    monkeypatch.setattr(hashers, "_KECCAK_KERNEL", None)
+    assert hashers._keccak256_digests(data) == pure_batch(data)
+    # known-answer vector still green through the dispatcher
+    assert (
+        hashers._keccak256_digests([b"hello"])[0].hex()
+        == "1c8aff950685c2ed4bc3174f3472287b56d9517b9c948127319a09a7a36deac8"
+    )

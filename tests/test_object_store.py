@@ -134,3 +134,88 @@ def test_apply_object_store_no_committer_without_store(spark):
         hconf.unset(key)
     apply_object_store(spark, Config())
     assert hconf.get("fs.s3a.committer.name") is None
+
+
+def test_list_after_write_contract(spark, viewfs):
+    """The swap/recovery protocol assumes exactly the consistency S3
+    now guarantees: strong read-after-write and list-after-write. This
+    pins the io_util surface to that contract on a non-default FS —
+    every mutation is visible to exists/list_files in the very next
+    call, with no settle time."""
+    from shaha_spark import io_util
+
+    base = f"{viewfs}/law"
+    io_util.mkdirs(spark, base)
+    # write -> immediately listed and readable
+    io_util.write_text(spark, f"{base}/a.parquet", "x")
+    assert io_util.exists(spark, f"{base}/a.parquet")
+    names = [p.rsplit("/", 1)[-1] for p, _ in io_util.list_files(spark, base)]
+    assert names == ["a.parquet"]
+    # rename -> src invisible and dst visible in the same sequence
+    assert io_util.rename(spark, f"{base}/a.parquet", f"{base}/b.parquet")
+    assert not io_util.exists(spark, f"{base}/a.parquet")
+    names = [p.rsplit("/", 1)[-1] for p, _ in io_util.list_files(spark, base)]
+    assert names == ["b.parquet"]
+    # delete -> immediately gone from listings
+    io_util.delete(spark, f"{base}/b.parquet")
+    assert io_util.list_files(spark, base) == []
+    # create_marker is create-if-absent (the append lock primitive):
+    # second create must observe the first with no settle time
+    assert io_util.create_marker(spark, f"{base}/.lock")
+    assert not io_util.create_marker(spark, f"{base}/.lock")
+
+
+def test_swap_protocol_under_copy_delete_rename(spark, tmp_path, monkeypatch):
+    """Object-store 'rename' is copy+delete — non-atomic, and failing
+    (returning False) when the destination exists, like
+    FileSystem.rename. The build/append/forget/compact swap protocol
+    must produce byte-correct results under those semantics, because it
+    only ever requires that a True return means the destination is
+    fully visible — never move atomicity."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from shaha_spark import io_util
+    from shaha_spark.pipeline.build import build, read_hashdb, read_sidecar
+    from shaha_spark.pipeline.compact import compact_slices
+    from shaha_spark.pipeline.forget import forget_preimages
+    from shaha_spark.query import query
+
+    def s3_style_rename(spark_, src, dst):
+        sp, dp = src.removeprefix("file:"), dst.removeprefix("file:")
+        if not os.path.exists(sp) or os.path.exists(dp):
+            return False
+        os.makedirs(os.path.dirname(dp), exist_ok=True)
+        if os.path.isdir(sp):
+            shutil.copytree(sp, dp)
+            shutil.rmtree(sp)
+        else:
+            shutil.copy2(sp, dp)
+            os.remove(sp)
+        return True
+
+    # patch the single module attribute every pipeline module routes
+    # renames through
+    monkeypatch.setattr(io_util, "rename", s3_style_rename)
+
+    out = str(tmp_path / "db")
+    w1 = spark.createDataFrame([(f"w{i:03d}",) for i in range(80)], "word string")
+    build(spark, w1, ["sha256"], out, source_name="v1", num_files=4)
+    assert read_sidecar(spark, out)["total_records"] == 80
+
+    w2 = spark.createDataFrame([("extra",)], "word string")
+    build(spark, w2, ["sha256"], out, append=True, source_name="v2", num_files=1)
+    assert read_sidecar(spark, out)["total_records"] == 81
+
+    forget_preimages(spark, out, ["w007"])
+    compact_slices(spark, out, target_file_bytes=1 << 30)
+
+    df = read_hashdb(spark, out)
+    assert df.count() == 80
+    assert df.where(F.col("preimage") == "w007").count() == 0
+    d = _hl.sha256(b"extra").hexdigest()
+    got = query(spark, out, d).collect()
+    assert [r.preimage for r in got] == ["extra"]
