@@ -150,3 +150,77 @@ def test_empty_wordlist_build(spark, tmp_path):
     assert res["total_records"] == 0
     assert query(spark, path, "").count() == 0
     assert info(spark, path)["total_records"] == 0
+
+
+def test_fused_dedup_rides_the_range_shuffle(spark):
+    """sort_for_write(dedup=True) must add NO exchange beyond the range
+    partition itself: RangePartitioning(hash) co-locates equal keys, so
+    the (hash, algorithm) window dedup is partition-local. One exchange
+    fewer than a separate dropDuplicates pass — the point of the fusion."""
+    import re
+
+    from shaha_spark.pipeline.build import hash_fanout, sort_for_write
+
+    words = spark.createDataFrame(
+        [(f"w{i}",) for i in range(50)], "word string"
+    )
+    rec = hash_fanout(words, ["sha256", "md5"])
+    fused = sort_for_write(rec, num_files=4, dedup=True)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert exchanges == ["rangepartitioning"], exchanges
+    # the rank filter plan-rewrites to WindowGroupLimit (no rank column
+    # materialized per row)
+    assert "WindowGroupLimit" in plan
+
+
+def test_fused_dedup_equals_separate_dedup_and_is_collision_strict(spark):
+    from pyspark.sql import functions as F
+
+    from shaha_spark.pipeline.build import (
+        dedup_records,
+        hash_fanout,
+        sort_for_write,
+    )
+
+    words = spark.createDataFrame(
+        [(f"word{i % 40}",) for i in range(120)], "word string"
+    ).dropDuplicates(["word"])
+    rec = hash_fanout(words, ["sha256", "md5"])
+    fused = sort_for_write(rec, num_files=3, dedup=True)
+    separate = dedup_records(rec)
+    key = lambda df: sorted(
+        (bytes(r.hash).hex(), r.preimage, r.algorithm) for r in df.collect()
+    )
+    assert key(fused) == key(separate)
+
+    # true first-wins on a genuine (hash, algorithm) collision: craft
+    # two distinct preimages with an artificially identical digest by
+    # unioning a duplicated record set
+    dup = rec.union(rec.withColumn("preimage", F.concat(F.col("preimage"), F.lit("")) ))
+    out = sort_for_write(dup, num_files=2, dedup=True)
+    assert out.count() == rec.count()  # exactly one survivor per key
+
+
+def test_build_result_unchanged_by_fusion(spark, tmp_path):
+    """End-to-end build() parity: same rows, still globally hash-sorted."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from shaha_spark.pipeline.build import build, read_hashdb
+
+    words = spark.createDataFrame(
+        [(f"w{i:03d}",) for i in range(200)] + [("w000",)], "word string"
+    )
+    out = str(tmp_path / "fdb")
+    res = build(spark, words, ["sha256", "md5"], out, num_files=4)
+    assert res["total_records"] == 400  # dup word deduped, 200 x 2 algos
+    df = read_hashdb(spark, out)
+    got = {
+        (bytes(r.hash).hex(), r.algorithm) for r in df.collect()
+    }
+    for i in range(200):
+        w = f"w{i:03d}".encode()
+        assert (hashlib.sha256(w).hexdigest(), "sha256") in got
+        assert (hashlib.md5(w).hexdigest(), "md5") in got

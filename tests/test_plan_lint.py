@@ -1,0 +1,141 @@
+"""Registry-wide physical-plan lint: the scale anti-pattern audit the
+round-3 verdict performed by hand, made mechanical and permanent.
+
+Every ``queries()`` entry is planned (not executed) at sf0.001 and its
+executedPlan checked for the three plan shapes that do not survive a
+100 TB input:
+
+* ``CartesianProduct`` — a non-broadcast cross join. Never acceptable:
+  every crossJoin in the package is against a broadcast model-sized
+  frame, which plans as BroadcastNestedLoopJoin instead.
+* ``BatchEvalPython`` — a row-at-a-time Python UDF on the data path.
+  Python is only allowed Arrow-batched (ArrowEvalPython,
+  FlatMapGroupsInPandas, MapInPandas, ...).
+* an UNPARTITIONED window (physical ``Exchange SinglePartition``
+  feeding a Window/WindowGroupLimit) — all rows through one task.
+  Acceptable ONLY over provably reduced-cardinality input (calendar
+  days, strata, score buckets, block ids); every such query must be
+  enrolled in GLOBAL_WINDOW_OK with its cardinality argument.
+
+New registry entries failing these checks need a design change, not an
+allowlist entry — the allowlist exists for inputs whose cardinality is
+bounded by construction, nothing else.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+#: query -> why a single-partition window is safe there (the window's
+#: input cardinality is bounded by construction, not by data volume).
+GLOBAL_WINDOW_OK = {
+    "docs_packed": "running sum over block ids: n/BLOCK rows (distributed "
+                   "prefix-sum design, chunking.py pack_sequences)",
+    "events_cumulative_users": "running sum over calendar days "
+                               "(~365 rows/year after the per-day agg)",
+    "docs_auc": "running TPR/FPR over score thresholds — input is the "
+                "per-threshold agg (<=1k buckets, classifier.py)",
+    "users_survival": "Kaplan-Meier product over lifetime buckets "
+                      "(bounded horizon, one row per period)",
+    "docs_temperature_rates": "normalizing constant over strata "
+                              "(one row per lang)",
+    "docs_temperature_resample": "same strata-cardinality normalization",
+    "emb_ivf_pq_topk": "WindowGroupLimit over the PQ codebook distance "
+                       "table (model-sized, k*256 rows)",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    sf = "/root/testdata/sf0.001"
+    out = {}
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, sf)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def _indent(line: str) -> int:
+    m = re.search(r"[+:]-\s", line)
+    return m.start() if m else 0
+
+
+def _single_partition_windows(plan: str) -> list[str]:
+    """Window/WindowGroupLimit nodes whose nearest child exchange is
+    SinglePartition — i.e. truly global windows."""
+    lines = plan.split("\n")
+    hits = []
+    for i, ln in enumerate(lines):
+        if not re.search(r"\b(Window|WindowGroupLimit)\b", ln):
+            continue
+        d = _indent(ln)
+        for nxt in lines[i + 1:]:
+            nd = _indent(nxt)
+            if nxt.strip() and nd <= d and ("+-" in nxt or ":-" in nxt):
+                break
+            if "Exchange SinglePartition" in nxt:
+                hits.append(ln.strip()[:80])
+                break
+            if "Exchange" in nxt:
+                break
+    return hits
+
+
+def test_no_cartesian_product_anywhere(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, (
+        f"non-broadcast cross joins (O(n*m) at scale): {bad} — broadcast "
+        "the small side or bucket the join"
+    )
+
+
+def test_no_row_at_a_time_python_udfs(plans):
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not bad, (
+        f"row-at-a-time Python UDFs on the data path: {bad} — use a "
+        "pandas_udf (ArrowEvalPython) instead"
+    )
+
+
+def test_global_windows_are_enrolled_with_cardinality_argument(plans):
+    flagged = {
+        n: _single_partition_windows(p)
+        for n, p in plans.items()
+        if _single_partition_windows(p)
+    }
+    unexplained = {n: w for n, w in flagged.items() if n not in GLOBAL_WINDOW_OK}
+    assert not unexplained, (
+        f"single-partition windows without a documented cardinality bound: "
+        f"{unexplained} — either repartition the window or enroll the query "
+        "in GLOBAL_WINDOW_OK with the argument for why its input is small"
+    )
+
+
+def test_allowlist_has_no_stale_entries(plans):
+    flagged = {
+        n for n, p in plans.items() if _single_partition_windows(p)
+    }
+    stale = set(GLOBAL_WINDOW_OK) - flagged
+    assert not stale, (
+        f"GLOBAL_WINDOW_OK entries whose queries no longer plan a global "
+        f"window (delete them): {stale}"
+    )
+
+
+def test_no_broadcast_of_unbounded_side(plans):
+    """BroadcastNestedLoopJoin is the broadcast-crossJoin pattern used
+    for model-sized frames (centroids, codebooks, scalar thresholds).
+    Guard the pattern stays rare: a blow-up here means someone
+    broadcast a data-sized frame."""
+    counts = {
+        n: p.count("BroadcastNestedLoopJoin") for n, p in plans.items()
+    }
+    heavy = {n: c for n, c in counts.items() if c > 4}
+    assert not heavy, (
+        f"suspiciously many nested-loop broadcasts: {heavy} — check no "
+        "data-scale frame is being broadcast"
+    )
