@@ -4804,6 +4804,54 @@ def q_events_cdc_snapshot(spark, sf_dir):
     )
 
 
+# --------------------------------------------------- round-4 additions
+
+def q_docs_postings_stats(spark, sf_dir):
+    """Positional inverted index statistics: top-20 terms by document
+    frequency (operators/search.py postings_stats)."""
+    from shaha_spark.operators.search import postings_stats
+
+    return postings_stats(_t(spark, sf_dir, "documents"), top=20)
+
+
+def q_docs_phrase_search(spark, sf_dir):
+    """Exact phrase matching via positional-postings joins — no text
+    rescan (operators/search.py phrase_search). Phrase chosen for
+    non-trivial hit count in the synthetic corpus."""
+    from shaha_spark.operators.search import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), "order fast")
+
+
+def q_docs_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al.): windowed-min shingle
+    hashes, the position-robust dedup fingerprint
+    (operators/textops.py winnow_fingerprints)."""
+    from shaha_spark.operators.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
+
+
+def q_docs_token_budget(spark, sf_dir):
+    """Budget-constrained selection: highest-score documents while the
+    running token total fits a 5000-token training budget — the
+    value-bucketed distributed prefix sum
+    (operators/sampling.py token_budget_select)."""
+    from shaha_spark.operators.sampling import token_budget_select
+
+    return token_budget_select(_t(spark, sf_dir, "documents"), budget=5000)
+
+
+def q_emb_diverse_sample(spark, sf_dir):
+    """Diversity-aware selection: equal per-cluster quotas from the
+    engine's own k-means fit (operators/sampling.py diverse_sample)."""
+    from shaha_spark.operators.sampling import diverse_sample
+
+    return diverse_sample(
+        _t(spark, sf_dir, "embeddings"), k=4, iters=2, per_cluster=10
+    )
+
+
 def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "emb_sq_topk": q_emb_sq_topk,
@@ -4878,6 +4926,11 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_char_entropy": q_docs_char_entropy,
         "docs_trigram_backoff": q_docs_trigram_backoff,
         "docs_curated": q_docs_curated,
+        "docs_postings_stats": q_docs_postings_stats,
+        "docs_phrase_search": q_docs_phrase_search,
+        "docs_winnowing": q_docs_winnowing,
+        "docs_token_budget": q_docs_token_budget,
+        "emb_diverse_sample": q_emb_diverse_sample,
     }
 
 
@@ -6405,5 +6458,40 @@ rn AS (
 )
 SELECT user_id, tus AS last_tus, op AS last_op, value
 FROM rn WHERE rn = 1 AND op <> 'delete'"""
+
+    # ------------------------------------------------ round-4 additions
+    from shaha_spark.operators.search import (
+        phrase_search_sql,
+        postings_stats_sql,
+    )
+    from shaha_spark.operators.sampling import token_budget_select_sql
+    from shaha_spark.operators.textops import winnow_fingerprints_sql
+
+    sql["docs_postings_stats"] = postings_stats_sql("documents", top=20)
+    sql["docs_phrase_search"] = phrase_search_sql("documents", "order fast")
+    sql["docs_winnowing"] = winnow_fingerprints_sql("documents", k=3, w=4)
+    sql["docs_token_budget"] = token_budget_select_sql("documents", budget=5000)
+    cent = "c2"
+    kparts = ",\n".join(_kmeans_parts(4, 2))
+    sql["emb_diverse_sample"] = f"""WITH {kparts},
+fassign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(CAST(v.e AS DOUBLE[]), c.cv) DESC,
+                      c.centroid_id ASC
+           ) AS r
+    FROM v CROSS JOIN {cent} c
+  ) WHERE r = 1
+)
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id,
+       CAST(quota_rank AS BIGINT) AS quota_rank
+FROM (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id ASC)
+           AS quota_rank
+  FROM fassign
+) WHERE quota_rank <= 10"""
 
     return sql

@@ -444,3 +444,130 @@ def source_cap_sql(
   ) AS __rn
   FROM {table}
 ) WHERE __rn <= {cap}"""
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    score_col: str = "n_chars",
+    bucket_width: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select the highest-scoring documents whose cumulative token
+    count fits a training budget: order by (score desc, id asc), take
+    documents while the running token total stays under ``budget``
+    (the straddler that crosses the boundary is kept, mirroring the
+    bin-packing convention in chunking.pack_sequences).
+
+    Distributed prefix sum over a VALUE ordering, not an id ordering:
+    per-bucket cumulative sums partition on the score bucket
+    (``score div bucket_width`` — parallel, bounded partitions), and
+    only the per-bucket totals pass through the single-partition
+    running-total window (score-range/bucket_width rows, a few hundred
+    at any scale). Identical to the global
+    ``SUM OVER (ORDER BY score DESC, id)`` the oracle runs, because
+    integer addition is associative and the (bucket desc, score desc,
+    id asc) concatenation IS that global order.
+    """
+    from pyspark.sql import Window
+
+    from shaha_spark.functions.text import tokens
+    from shaha_spark.util import ensure_parallelism
+
+    sized = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.col(score_col).cast("long").alias("__score"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).withColumn("__bkt", F.expr(f"__score div {bucket_width}"))
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col("__score").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn("__cum_in", F.sum("n_tokens").over(w_in))
+    totals = sized.groupBy("__bkt").agg(F.sum("n_tokens").alias("__tot"))
+    w_bkt = (
+        Window.orderBy(F.col("__bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__bkt",
+        F.coalesce(F.sum("__tot").over(w_bkt), F.lit(0)).alias("__off"),
+    )
+    start = F.col("__off") + F.col("__cum_in") - F.col("n_tokens")
+    return (
+        cum.join(F.broadcast(offsets), "__bkt")
+        .withColumn("__start", start)
+        .where(F.col("__start") < budget)
+        .select(
+            id_col,
+            F.col("__score").alias("score"),
+            "n_tokens",
+            F.col("__start").alias("start"),
+        )
+    )
+
+
+def token_budget_select_sql(
+    table: str,
+    budget: int,
+    score_col: str = "n_chars",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle: the plain global-order running sum the
+    bucket-partitioned prefix sum equals."""
+    return f"""WITH sized AS (
+  SELECT {id_col}, CAST({score_col} AS BIGINT) AS score,
+    CAST(len(list_filter(string_split({text_col}, ' '), x -> x <> ''))
+         AS BIGINT) AS n_tokens
+  FROM {table}
+),
+cum AS (
+  SELECT {id_col}, score, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      ORDER BY score DESC, {id_col} ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS BIGINT) AS start
+  FROM sized
+)
+SELECT {id_col}, score, n_tokens, start
+FROM cum WHERE start < {budget}"""
+
+
+def diverse_sample(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    per_cluster: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Diversity-aware selection: k-means the corpus, then take an
+    equal quota from every cluster — the bucketed stand-in for
+    maximal-marginal-relevance selection (greedy MMR is inherently
+    sequential; cluster quotas parallelize and preserve the property
+    that no region of embedding space dominates the sample).
+
+    Deterministic end to end: the engine's own kmeans_fit (id-ordered
+    init, cosine argmax with id-asc ties) and an id-ordered quota rank,
+    so the oracle reproduces the selection exactly. Scale: centroids
+    broadcast; the quota window partitions by cluster.
+    """
+    from pyspark.sql import Window
+
+    from shaha_spark.operators.kmeans import assign_nearest, kmeans_fit
+
+    cents = kmeans_fit(embeddings, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    assigned = assign_nearest(embeddings, cents, vec_col=vec_col, id_col=id_col)
+    w = Window.partitionBy("centroid_id").orderBy(F.col(id_col).asc())
+    return (
+        assigned.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= per_cluster)
+        .select(
+            F.col(id_col),
+            F.col("centroid_id").cast("bigint").alias("centroid_id"),
+            F.col("__r").cast("bigint").alias("quota_rank"),
+        )
+    )

@@ -390,3 +390,94 @@ def redact_numbers(
         red.alias("redacted"),
         n_digits.alias("n_digits"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every ``k``-token shingle, slide a window of ``w`` consecutive
+    shingle hashes, keep the minimum of each window, distinct the
+    survivors. The guarantee: any shared run of ``k + w - 1`` tokens
+    between two documents shares at least one fingerprint — the
+    position-robust middle ground between exact hashing (too brittle)
+    and MinHash (no locality).
+
+    Scale: per-document work only — the min window partitions by
+    ``id_col`` (never a global window), and the distinct is one hash
+    aggregation over (doc, fingerprint). Documents shorter than
+    ``k + w - 1`` tokens degrade gracefully: a single window over
+    whatever shingles exist (standard winnowing behavior).
+
+    The shingle hash is the engine's cross-engine-stable h28 (md5
+    prefix), so the DuckDB twin produces byte-identical fingerprints.
+    """
+    from pyspark.sql import Window
+
+    from shaha_spark.functions.text import h28, shingles, tokens
+    from shaha_spark.util import ensure_parallelism
+
+    grams = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.posexplode(shingles(tokens(F.col(text_col)), k)).alias("pos", "gram"),
+    ).select(id_col, "pos", h28(F.col("gram")).alias("h"))
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n = Window.partitionBy(id_col)
+    return (
+        grams.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.min("h").over(win).alias("fingerprint"),
+            F.count(F.lit(1)).over(n).alias("__n"),
+        )
+        .where(F.col("pos") <= F.greatest(F.col("__n") - w, F.lit(0)))
+        .select(id_col, "fingerprint")
+        .distinct()
+    )
+
+
+def winnow_fingerprints_sql(
+    table: str,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of :func:`winnow_fingerprints` (same shingle
+    construction as the minhash oracles, same h28)."""
+    gram_expr = " || ' ' || ".join(f"l[i+{j}]" for j in range(k))
+    return f"""WITH toks AS (
+  SELECT {id_col}, list_filter(string_split({text_col}, ' '), x -> x <> '') AS l
+  FROM {table}
+),
+grams AS (
+  SELECT {id_col}, pos,
+    CAST(concat('0x', substr(md5(gram), 1, 7)) AS BIGINT) AS h
+  FROM (
+    SELECT {id_col}, unnest(range(1, len(g) + 1)) AS pos, unnest(g) AS gram
+    FROM (
+      SELECT {id_col},
+        CASE WHEN len(l) >= {k}
+          THEN list_transform(range(1, len(l) - {k} + 2), i -> {gram_expr})
+          ELSE CAST([] AS VARCHAR[]) END AS g
+      FROM toks
+    )
+  )
+),
+winmin AS (
+  SELECT {id_col}, pos,
+    min(h) OVER (PARTITION BY {id_col} ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fingerprint,
+    count(*) OVER (PARTITION BY {id_col}) AS n
+  FROM grams
+)
+SELECT DISTINCT {id_col}, fingerprint
+FROM winmin WHERE pos - 1 <= greatest(n - {w}, 0)"""
