@@ -76,16 +76,33 @@ def phrase_search(
     if not terms:
         raise ValueError("empty phrase")
     p = postings(docs, text_col, id_col)
-    acc = (
-        p.where(F.col("term") == terms[0])
-        .select(F.col(id_col), F.col("pos").alias("start"))
+
+    # Anchor the join chain at the RAREST phrase term: a stopword-heavy
+    # phrase ("the fast ...") would otherwise flood the first join with
+    # the stopword's postings. The per-term counts are a k-row
+    # aggregate (k = phrase length) — a model-sized driver read, the
+    # same budget as broadcasting a centroid table. Join order does not
+    # change the result (inner equi-joins commute); it changes the size
+    # of the largest intermediate from max(term df) to min(term df).
+    counts = dict(
+        p.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .count()
+        .collect()
     )
-    for i, t in enumerate(terms[1:], start=1):
-        nxt = p.where(F.col("term") == t).select(
+    order = sorted(
+        range(len(terms)), key=lambda i: (counts.get(terms[i], 0), i)
+    )
+
+    def aligned(i: int):
+        return p.where(F.col("term") == terms[i]).select(
             F.col(id_col),
             (F.col("pos") - F.lit(i)).alias("start"),
         )
-        acc = acc.join(nxt, [id_col, "start"])
+
+    acc = aligned(order[0])
+    for i in order[1:]:
+        acc = acc.join(aligned(i), [id_col, "start"])
     return (
         acc.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_matches"))

@@ -154,3 +154,20 @@ def test_diverse_sample_quota_and_coverage(spark, sf_dir):
         assert ranks == list(range(1, len(rows) + 1))
         ids = [r.vec_id for r in sorted(rows, key=lambda r: r.quota_rank)]
         assert ids == sorted(ids)  # id-ordered quota
+
+
+def test_phrase_search_order_invariant_and_rarest_anchor(spark):
+    """Join order must not change results; the chain anchors at the
+    rarest term so a stopword-heavy phrase never floods the first join."""
+    docs = _docs(spark, [
+        " ".join(["the"] * 50 + ["needle", "the"]),
+        " ".join(["the"] * 30),
+        "needle the end",
+    ])
+    got = {r.doc_id: r.n_matches
+           for r in phrase_search(docs, "needle the").collect()}
+    assert got == {0: 1, 2: 1}
+    # reversed-frequency phrase gives the mirrored positions
+    got2 = {r.doc_id: r.n_matches
+            for r in phrase_search(docs, "the needle").collect()}
+    assert got2 == {0: 1}
