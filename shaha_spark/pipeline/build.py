@@ -200,12 +200,31 @@ def write_hashdb(
     within each partition: the range-repartition is hash-major, and the
     per-task split by algorithm preserves row order.
     """
-    ndv = max(expected_records or 0, 1_000_000)  # ref parquet.rs:28,47-48
+    # ADAPTIVE bloom sizing (parquet-mr 1.13+): the writer tracks the
+    # actual per-row-group ndv and keeps the smallest of its candidate
+    # filters meeting the fpp target. The previous fixed 1M-ndv
+    # declaration (mirroring ref parquet.rs:28,47-48) wrote a ~1.2 MB
+    # bloom into EVERY file regardless of its rows — at bench scale
+    # that was HALF the database's bytes (61.5 -> 32.2 B/record,
+    # measured round 4), and at production scale (4M-row files) it
+    # UNDERsized the filter 4x. Two measured caveats encode the final
+    # shape: (1) an explicit expected.ndv declaration DISABLES adaptive
+    # mode (parquet-mr uses the ndv-derived fixed size when given one),
+    # so no ndv is set; (2) the candidate ladder is 5 sizes halving
+    # from parquet.bloom.filter.max.bytes, so RAISING max.bytes lifts
+    # the smallest candidate too (8 MB cap -> 512 KB floor per file) —
+    # the 1 MB default cap (64 KB floor, ~4 bits/key on a production
+    # 2M-hash row group) is the right trade: small files stay small,
+    # and at production row-group sizes the capped bloom still
+    # short-circuits absent keys while the sorted layout's min/max
+    # pruning carries the primary skip. ``expected_records`` stays in
+    # the signature for file-count estimation by callers, not for
+    # bloom sizing.
     writer = (
         df.write.mode(mode)
         .option("compression", "zstd")
         .option("parquet.bloom.filter.enabled#hash", "true")
-        .option("parquet.bloom.filter.expected.ndv#hash", str(ndv))
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
     )
     if partition_by_algorithm:
         writer = writer.partitionBy("algorithm")

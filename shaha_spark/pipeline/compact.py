@@ -324,10 +324,7 @@ def compact_slices(
             .write.mode("overwrite")
             .option("compression", "zstd")
             .option("parquet.bloom.filter.enabled#hash", "true")
-            .option(
-                "parquet.bloom.filter.expected.ndv#hash",
-                str(max(n_rows, 1_000_000)),
-            )
+            .option("parquet.bloom.filter.adaptive.enabled", "true")
             .parquet(tmp)
         )
         part = next(

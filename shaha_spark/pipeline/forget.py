@@ -138,10 +138,7 @@ def forget_digests(
             .write.mode("overwrite")
             .option("compression", "zstd")
             .option("parquet.bloom.filter.enabled#hash", "true")
-            .option(
-                "parquet.bloom.filter.expected.ndv#hash",
-                str(max(n_after, 1_000_000)),
-            )
+            .option("parquet.bloom.filter.adaptive.enabled", "true")
             .parquet(tmp)
         )
         part = next(

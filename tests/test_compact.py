@@ -173,13 +173,13 @@ def test_slice_compaction_respects_max_slices(spark, tmp_path):
     from shaha_spark.pipeline.compact import compact_slices, plan_slice_compaction
 
     out = _fragmented_db(spark, tmp_path)
-    # ~1 MB/file (bloom-dominated) x 16; an 8 MB target caps each slice
-    # at 12 MB, so the 16 files split across >= 2 slices
-    plan = plan_slice_compaction(spark, out, target_file_bytes=8 << 20)
+    # ~66 KB/file (adaptive bloom, round 4) x 16; a 512 KB target caps
+    # each slice at 768 KB, so the 16 files split across >= 2 slices
+    plan = plan_slice_compaction(spark, out, target_file_bytes=512 << 10)
     assert plan["n_slices"] >= 2
-    result = compact_slices(spark, out, target_file_bytes=8 << 20, max_slices=1)
+    result = compact_slices(spark, out, target_file_bytes=512 << 10, max_slices=1)
     assert result["compacted"] == 1
-    again = plan_slice_compaction(spark, out, target_file_bytes=8 << 20)
+    again = plan_slice_compaction(spark, out, target_file_bytes=512 << 10)
     assert again["n_slices"] < plan["n_slices"]
 
 
