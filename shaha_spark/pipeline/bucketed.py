@@ -35,6 +35,8 @@ def write_bucketed_hashdb(
         df.write.mode(mode)
         .option("path", path)
         .option("compression", "zstd")
+        .option("parquet.bloom.filter.enabled#hash", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
         .bucketBy(n_buckets, "hash", "algorithm")
         .sortBy("hash")
         .format("parquet")

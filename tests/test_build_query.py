@@ -224,3 +224,25 @@ def test_build_result_unchanged_by_fusion(spark, tmp_path):
         w = f"w{i:03d}".encode()
         assert (hashlib.sha256(w).hexdigest(), "sha256") in got
         assert (hashlib.md5(w).hexdigest(), "md5") in got
+
+
+def test_on_disk_density_guard(spark, tmp_path):
+    """Adaptive bloom sizing (round 4): a small build must not carry
+    megabyte fixed-size bloom filters. Regression guard for the
+    61->32 B/record finding — a fixed 1M-ndv declaration would push
+    this build past 300 B/record."""
+    import glob
+    import os
+
+    from shaha_spark.pipeline.build import build
+
+    words = spark.createDataFrame(
+        [(f"w{i:04d}",) for i in range(5000)], "word string"
+    )
+    out = str(tmp_path / "dense")
+    build(spark, words, ["sha256", "md5"], out, num_files=4)
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(out + "/*.parquet")
+    )
+    bpr = total / 10_000
+    assert bpr < 100, f"{bpr:.1f} B/record — bloom filters oversized again?"
