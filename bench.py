@@ -170,6 +170,33 @@ def main() -> None:
     ).agg(F.sum("l")).collect()
     extras["keccak_words_per_sec"] = round(n_words / (time.perf_counter() - t0), 1)
 
+    # streaming ingest: drain the same wordlist through Structured
+    # Streaming (readStream.text → foreachBatch append-merge into the
+    # hash database, exactly-once per file via the checkpoint) — the
+    # incremental-build path a production feed runs. An extra for the
+    # same reason; one cold drain, no reps.
+    from shaha_spark.streaming.build_stream import incremental_build
+
+    landing = os.path.join(tmp, "landing")
+    words.select(F.col("word").alias("value")).repartition(4).write.mode(
+        "overwrite"
+    ).text(landing)
+    stream_db = os.path.join(tmp, "stream_db")
+    t0 = time.perf_counter()
+    sq = incremental_build(
+        spark,
+        landing,
+        stream_db,
+        ["sha256"],
+        checkpoint_dir=os.path.join(tmp, "stream_ckpt"),
+        source_name="bench-stream",
+        available_now=True,
+    )
+    sq.awaitTermination()
+    extras["stream_build_words_per_sec"] = round(
+        n_words / (time.perf_counter() - t0), 1
+    )
+
     # end-to-end curation chain (redact → line dedup → Gopher gate →
     # exact dedup → temperature mixture) — an extra for the same reason.
     from shaha_spark.pipeline.curate import curate_corpus
