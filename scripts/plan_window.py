@@ -39,7 +39,13 @@ def main() -> None:
 
     latest_round: dict[str, str] = {}
     latest_green: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    # NUMERIC round order: lexicographic sort would put r10 before r2
+    # and let an old round's row overwrite a newer round's verdict
+    rounds = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")]),
+    )
+    for path in rounds:
         rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
         rows = json.load(open(path))
         for name, row in rows.items():
@@ -47,10 +53,11 @@ def main() -> None:
             if row.get("err") == "no_oracle":
                 # a rows-only row is the STRONGEST check available for a
                 # query with no oracle; it is stale evidence if the query
-                # has since gained one (e.g. similarity_ivf, r1)
+                # has since gained one (e.g. similarity_ivf, r1), and it
+                # is no evidence at all if the harness recorded no count
                 latest_green[name] = (
                     name not in oracled
-                    and (row.get("spark_rows") or 0) >= 0
+                    and row.get("spark_rows") is not None
                 )
             else:
                 latest_green[name] = bool(
@@ -64,7 +71,7 @@ def main() -> None:
     red = [q for q in registry if q in latest_round and not latest_green[q]]
     rest = sorted(
         (q for q in registry if q in latest_round and latest_green[q]),
-        key=lambda q: (latest_round[q], registry.index(q)),
+        key=lambda q: (int(latest_round[q].lstrip("r")), registry.index(q)),
     )
 
     print(f"# registry: {len(registry)}  never-verified: {len(never)}  "

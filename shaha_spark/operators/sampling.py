@@ -480,13 +480,26 @@ def token_budget_select(
         F.col(score_col).cast("long").alias("__score"),
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     ).withColumn("__bkt", F.expr(f"__score div {bucket_width}"))
+    # explicit null-bucket filter: the inner join below infers
+    # isnotnull(__bkt) on the probe side only, which would make the two
+    # otherwise-identical exchange subtrees differ and defeat exchange
+    # reuse (semantics unchanged — a null __bkt row can never join)
+    sized = sized.where(F.col("__bkt").isNotNull())
     w_in = (
         Window.partitionBy("__bkt")
         .orderBy(F.col("__score").desc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = sized.withColumn("__cum_in", F.sum("n_tokens").over(w_in))
-    totals = sized.groupBy("__bkt").agg(F.sum("n_tokens").alias("__tot"))
+    # totals derive from the WINDOW OUTPUT, not from sized: the running
+    # sum's final value per bucket IS the bucket total (n_tokens >= 0
+    # when non-null and window-sum skips nulls, so __cum_in is
+    # nondecreasing and max = last). Aggregating sized directly would
+    # plan an independent partial-agg branch and scan + tokenize every
+    # document twice; aggregating __cum_in forces this branch onto the
+    # same Exchange(hash(__bkt)) subtree as cum, which exchange reuse
+    # collapses to ONE corpus scan.
+    totals = cum.groupBy("__bkt").agg(F.max("__cum_in").alias("__tot"))
     w_bkt = (
         Window.orderBy(F.col("__bkt").desc())
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -453,6 +453,8 @@ def winnow_fingerprints_sql(
 ) -> str:
     """DuckDB oracle twin of :func:`winnow_fingerprints` (same shingle
     construction as the minhash oracles, same h28)."""
+    from shaha_spark.operators.sampling import h28_sql
+
     gram_expr = " || ' ' || ".join(f"l[i+{j}]" for j in range(k))
     return f"""WITH toks AS (
   SELECT {id_col}, list_filter(string_split({text_col}, ' '), x -> x <> '') AS l
@@ -460,7 +462,7 @@ def winnow_fingerprints_sql(
 ),
 grams AS (
   SELECT {id_col}, pos,
-    CAST(concat('0x', substr(md5(gram), 1, 7)) AS BIGINT) AS h
+    {h28_sql('gram')} AS h
   FROM (
     SELECT {id_col}, unnest(range(1, len(g) + 1)) AS pos, unnest(g) AS gram
     FROM (

@@ -183,7 +183,6 @@ def write_hashdb(
     path: str,
     *,
     mode: str = "overwrite",
-    expected_records: int | None = None,
     partition_by_algorithm: bool = False,
 ) -> None:
     """Sorted ZSTD Parquet write with a native bloom filter on `hash`.
@@ -217,9 +216,8 @@ def write_hashdb(
     # 2M-hash row group) is the right trade: small files stay small,
     # and at production row-group sizes the capped bloom still
     # short-circuits absent keys while the sorted layout's min/max
-    # pruning carries the primary skip. ``expected_records`` stays in
-    # the signature for file-count estimation by callers, not for
-    # bloom sizing.
+    # pruning carries the primary skip. (File-count sizing is the
+    # caller's job via estimate_num_files / sort_for_write.)
     writer = (
         df.write.mode(mode)
         .option("compression", "zstd")

@@ -95,7 +95,6 @@ def compact_hashdb(
         sort_for_write(df, num_files=plan["target_files"]),
         tmp,
         mode="overwrite",
-        expected_records=(meta or {}).get("total_records"),
         partition_by_algorithm=partitioned,
     )
 

@@ -87,6 +87,21 @@ def plan_forget(
     }
 
 
+def _empty_forget_report() -> dict[str, Any]:
+    """Nothing-to-do report with the SAME key set as a real run, so
+    callers reading any documented key never hit a shape difference."""
+    return {
+        "n_digests": 0,
+        "total_files": 0,
+        "candidate_files": 0,
+        "rows_deleted": 0,
+        "live_rows_deleted": 0,
+        "files_rewritten": 0,
+        "files_dropped": 0,
+        "recovered": {"rolled_forward": 0, "dropped_stages": 0},
+    }
+
+
 def forget_digests(
     spark: SparkSession, path: str, digests: list[bytes]
 ) -> dict[str, Any]:
@@ -94,7 +109,7 @@ def forget_digests(
     rewriting only range-matching files. Returns a report; idempotent
     (a second run deletes nothing)."""
     if not digests:
-        return {"rows_deleted": 0, "files_rewritten": 0, "files_dropped": 0}
+        return _empty_forget_report()
     from . import snapshot
 
     recovered = recover_slices(spark, path)
@@ -226,7 +241,7 @@ def forget_preimages(
             meta["algorithms"] if meta else scan_stats(spark, path)["algorithms"]
         )
     if not preimages or not algorithms:
-        return {"rows_deleted": 0, "files_rewritten": 0, "files_dropped": 0}
+        return _empty_forget_report()
     words = spark.createDataFrame([(w,) for w in preimages], "word string")
     digests = [
         bytes(r.d)
