@@ -410,7 +410,11 @@ EXTRA = {
     "docs_token_budget": (
         "Value-bucketed distributed prefix sum: per-bucket running sums "
         "partition on the score bucket; only the bucket-totals table "
-        "(score_range/64 rows) crosses a single partition.",
+        "(score_range/64 rows) crosses a single partition. The two "
+        "rendered subtrees are identical through Exchange(hash(__bkt)) — "
+        "totals aggregate the WINDOW output, so at runtime AQE plans a "
+        "ReusedExchange and the corpus is scanned + tokenized once "
+        "(round 4 review fix; the static render predates stage reuse).",
         lambda spark, sf: __import__("__spark_entry__").q_docs_token_budget(
             spark, sf
         ),
