@@ -5672,6 +5672,7 @@ FROM sizes GROUP BY cluster_size"""
     SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
       PARTITION BY l_returnflag) AS tw
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
 )
 SELECT l_returnflag, MIN(v) AS wq50,
        CAST(ANY_VALUE(tw) AS DOUBLE) AS total_weight
@@ -5704,7 +5705,7 @@ LIMIT 25"""
 
     sql["events_mean_shift"] = """WITH ev AS (
   SELECT event_type, epoch_us(ts) AS tus, CAST(value AS DECIMAL(18,2)) AS v
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 f AS (
   SELECT event_type, tus,
@@ -5728,6 +5729,7 @@ WHERE nb >= 3 AND na >= 3
     # in exactly); per-cell terms rounded 9 + decimal sums
     sql["events_chi_square"] = """WITH ev AS (
   SELECT event_type, user_id % 2 AS cohort FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
 ),
 obs AS (SELECT event_type, cohort, COUNT(*) AS o FROM ev GROUP BY 1, 2),
 ra AS (SELECT event_type, SUM(o) AS ra FROM obs GROUP BY 1),
@@ -5768,6 +5770,7 @@ FROM agg"""
     # group_quantiles_sql, applied twice (median, then MAD)
     sql["events_mad_outliers"] = """WITH base AS (
   SELECT event_type, event_id, CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL
 ),
 r1 AS (
   SELECT event_type, v,
@@ -6366,9 +6369,16 @@ contrib AS (
       / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))),
       8) AS DECIMAL(20,8)) AS c
   FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN ag
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+         CAST(SUM(c) AS DOUBLE) AS bm25
+  FROM contrib GROUP BY doc_id
 )
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched, CAST(SUM(c) AS DOUBLE) AS bm25
-FROM contrib GROUP BY doc_id"""
+SELECT d.doc_id,
+  CAST(COALESCE(s.n_matched, 0) AS BIGINT) AS n_matched,
+  CAST(COALESCE(s.bm25, 0.0) AS DOUBLE) AS bm25
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""
 
     sql["docs_rank_fusion"] = f"""WITH bm AS (
 {sql["docs_bm25"]}

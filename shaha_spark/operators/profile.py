@@ -140,9 +140,16 @@ def group_quantiles(
 
     One shuffle on the group key; the per-group sort is inherent to
     exact quantiles (use a sketch for approximate-at-scale).
+
+    NULL values are excluded before ranking (quantiles are statistics
+    of the observed values). Ranking them would both shift every
+    quantile AND diverge across engines: Spark windows order NULLS
+    FIRST, DuckDB NULLS LAST, so the same rank would select different
+    values.
     """
     from pyspark.sql import Window
 
+    df = df.where(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(value_col)
     v = F.col(value_col).cast("double")
     ranked = df.select(
@@ -182,7 +189,7 @@ def group_quantiles_sql(
   SELECT {group_col}, CAST({value_col} AS DOUBLE) AS v,
     row_number() OVER (PARTITION BY {group_col} ORDER BY {value_col}) - 1 AS rn,
     count(*) OVER (PARTITION BY {group_col}) AS n
-  FROM {table}
+  FROM {table} WHERE {value_col} IS NOT NULL
 )
 SELECT {group_col},
   {cols_sql}
@@ -199,7 +206,14 @@ def pearson_corr(
     correlation is a fixed sequence of double operations on those exact
     values — the engine's corr() would instead accumulate doubles
     per-partition and drift with partitioning.
+
+    Only COMPLETE pairs participate: rows where either column is NULL
+    are excluded, so n and all five sums cover the same population.
+    (Unfiltered, each SUM would skip its own column's NULLs
+    independently and the formula would mix populations — a NULL-laced
+    perfectly-correlated column pair can read as near-zero r.)
     """
+    df = df.where(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
     x = F.col(col_x).cast(precision)
     y = F.col(col_y).cast(precision)
     agg = df.agg(
@@ -234,7 +248,7 @@ def pearson_corr_sql(
     SUM(CAST({col_x} AS {precision}) * CAST({col_x} AS {precision})) AS sxx,
     SUM(CAST({col_y} AS {precision}) * CAST({col_y} AS {precision})) AS syy,
     SUM(CAST({col_x} AS {precision}) * CAST({col_y} AS {precision})) AS sxy
-  FROM {table}
+  FROM {table} WHERE {col_x} IS NOT NULL AND {col_y} IS NOT NULL
 )
 SELECT CAST(n AS BIGINT) AS n,
   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
@@ -259,9 +273,14 @@ def group_quantile_filter(
     Cost is one shuffle on the group key with a per-group sort; the
     interpolation matches :func:`group_quantiles` exactly, and the
     applied threshold is kept as ``threshold_col`` for auditability.
+
+    NULL values are excluded up front (they could never pass the
+    ``>= threshold`` filter anyway, but ranking them would shift _n
+    and _rn and move every group's threshold).
     """
     from pyspark.sql import Window
 
+    df = df.where(F.col(value_col).isNotNull())
     w_ord = Window.partitionBy(group_col).orderBy(value_col)
     w_all = Window.partitionBy(group_col)
     v = F.col(value_col).cast("double")
@@ -293,9 +312,14 @@ def histogram(
     ``bins`` rows per partition into the shuffle — the same
     fixed-width-shuffle property as the HLL sketch. All arithmetic is
     a fixed sequence of double ops, reproducible across engines.
+
+    NULL values are excluded: least(NULL, bins-1) skips the NULL in
+    both engines, so unfiltered NULL rows would silently pile into the
+    top bucket as a phantom spike at the maximum.
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
+    df = df.where(F.col(col).isNotNull())
     bounds = df.agg(
         F.min(F.col(col)).cast("double").alias("_mn"),
         F.max(F.col(col)).cast("double").alias("_mx"),
@@ -332,7 +356,7 @@ def histogram_sql(table: str, col: str, bins: int = 10) -> str:
 ),
 g AS (
   SELECT {bucket} AS bucket, b._mn, b._mx, count(*) AS n
-  FROM {table}, b GROUP BY 1, 2, 3
+  FROM {table}, b WHERE {col} IS NOT NULL GROUP BY 1, 2, 3
 )
 SELECT bucket,
   _mn + CAST(bucket AS DOUBLE) * ((_mx - _mn) / {float(bins)!r}) AS lo,
@@ -363,9 +387,14 @@ def zscore_outliers(
     division: without it the 0/0 z-score is NaN, and Spark orders NaN
     greater than every number in comparisons — abs(NaN) > z would be
     TRUE in Spark and false elsewhere, a silent cross-engine
-    divergence."""
+    divergence.
+
+    NULL values are excluded up front: the window SUMs skip them but
+    COUNT(*) would not, so NULL-bearing groups would get a fabricated
+    variance (and their null rows a null z-score)."""
     from pyspark.sql import Window
 
+    df = df.where(F.col(value_col).isNotNull())
     v = F.col(value_col).cast(precision)
     w = Window.partitionBy(*group_cols)
     stats = df.select(
@@ -417,7 +446,7 @@ def zscore_outliers_sql(
     COUNT(*) OVER w AS n,
     SUM(CAST({value_col} AS {precision})) OVER w AS sv,
     SUM(CAST({value_col} AS {precision}) * CAST({value_col} AS {precision})) OVER w AS sv2
-  FROM {table}
+  FROM {table} WHERE {value_col} IS NOT NULL
   WINDOW w AS (PARTITION BY {groups})
 ),
 g AS (
@@ -452,9 +481,14 @@ def equi_depth_histogram(
     remainder rows) agree exactly. Scale shape: one shuffle on the
     group key and a per-group sort — the same inherent cost as
     :func:`group_quantiles`; groups parallelize across the cluster.
+
+    NULL values are excluded before bucketing: Spark sorts NULLS
+    FIRST, DuckDB NULLS LAST, so ranking them would both pollute the
+    depth counts and diverge across engines.
     """
     from pyspark.sql import Window
 
+    df = df.where(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(value_col, id_col)
     return (
         df.select(
@@ -484,7 +518,7 @@ def equi_depth_histogram_sql(
     ntile({buckets}) OVER (
       PARTITION BY {group_col} ORDER BY {value_col}, {id_col}
     ) AS bucket
-  FROM {table}
+  FROM {table} WHERE {value_col} IS NOT NULL
 )
 SELECT {group_col}, bucket,
   min({value_col}) AS lo, max({value_col}) AS hi,
@@ -519,9 +553,12 @@ def winsorize(
             F.col(id_col),
             F.col(group_col),
             v.alias(value_col),
-            F.least(F.greatest(v, F.col(lo_name)), F.col(hi_name)).alias(
-                "value_clipped"
-            ),
+            # when-guard: least/greatest skip NULLs in both engines, so
+            # an unguarded clip would rewrite a NULL value as clip_lo
+            F.when(
+                v.isNotNull(),
+                F.least(F.greatest(v, F.col(lo_name)), F.col(hi_name)),
+            ).alias("value_clipped"),
             F.col(lo_name).alias("clip_lo"),
             F.col(hi_name).alias("clip_hi"),
         )
@@ -545,8 +582,9 @@ def winsorize_sql(
 )
 SELECT t.{id_col}, t.{group_col},
   CAST(t.{value_col} AS DOUBLE) AS {value_col},
-  least(greatest(CAST(t.{value_col} AS DOUBLE), b.{lo_name}), b.{hi_name})
-    AS value_clipped,
+  CASE WHEN t.{value_col} IS NOT NULL
+    THEN least(greatest(CAST(t.{value_col} AS DOUBLE), b.{lo_name}), b.{hi_name})
+  END AS value_clipped,
   b.{lo_name} AS clip_lo,
   b.{hi_name} AS clip_hi
 FROM {table} t JOIN bounds b ON t.{group_col} = b.{group_col}"""
@@ -569,7 +607,12 @@ def welch_t(
     (IEEE sqrt included), so the result is bit-identical across
     engines and partitionings, like pearson_corr. Degenerate inputs
     (a group missing or single-row) yield t_stat = 0.0, not null.
+
+    NULL values are excluded up front: the conditional sums would skip
+    them anyway, but the 1-counters would NOT, inflating n_a/n_b and
+    fabricating variance from rows that contributed no value.
     """
+    df = df.where(F.col(value_col).isNotNull())
     v = F.col(value_col).cast(precision)
     is_a = F.col(group_col) == F.lit(group_a)
     is_b = F.col(group_col) == F.lit(group_b)
@@ -619,7 +662,7 @@ def welch_t_sql(
     SUM(CASE WHEN {group_col} = {group_b} THEN 1 ELSE 0 END) AS nb,
     SUM(CASE WHEN {group_col} = {group_b} THEN {v} ELSE CAST(0 AS {precision}) END) AS sb,
     SUM(CASE WHEN {group_col} = {group_b} THEN {v} * {v} ELSE CAST(0 AS {precision}) END) AS ssb
-  FROM {table}
+  FROM {table} WHERE {value_col} IS NOT NULL
 )
 SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
   CASE WHEN na > 0 THEN CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) ELSE 0.0 END AS mean_a,
@@ -686,13 +729,16 @@ def psi(
     totals = counts.agg(
         F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
     )
+    # NULLIF-style zero guard: an EMPTY slice would otherwise be a
+    # DIVIDE_BY_ZERO crash under ANSI mode. null/0 share falls through
+    # greatest() to the eps clamp (greatest skips nulls in BOTH
+    # engines), so an empty side reads as all-eps shares — i.e. PSI
+    # saturates at "maximal drift" instead of aborting the monitor.
     e = F.lit(float(eps))
-    p = F.greatest(
-        F.col("__ca").cast("double") / F.col("__na").cast("double"), e
-    )
-    q = F.greatest(
-        F.col("__cb").cast("double") / F.col("__nb").cast("double"), e
-    )
+    na_safe = F.when(F.col("__na") > 0, F.col("__na").cast("double"))
+    nb_safe = F.when(F.col("__nb") > 0, F.col("__nb").cast("double"))
+    p = F.greatest(F.col("__ca").cast("double") / na_safe, e)
+    q = F.greatest(F.col("__cb").cast("double") / nb_safe, e)
     terms = counts.crossJoin(F.broadcast(totals)).select(
         F.round((p - q) * F.log(p / q), 9).cast("decimal(20,9)").alias("__t"),
         "__ca",
@@ -736,10 +782,10 @@ tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts),
 terms AS (
   SELECT
     CAST(round(
-      (GREATEST(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), {eps!r})
-       - GREATEST(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE), {eps!r}))
-      * ln(GREATEST(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), {eps!r})
-           / GREATEST(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE), {eps!r})),
+      (GREATEST(CAST(ca AS DOUBLE) / CAST(NULLIF(na, 0) AS DOUBLE), {eps!r})
+       - GREATEST(CAST(cb AS DOUBLE) / CAST(NULLIF(nb, 0) AS DOUBLE), {eps!r}))
+      * ln(GREATEST(CAST(ca AS DOUBLE) / CAST(NULLIF(na, 0) AS DOUBLE), {eps!r})
+           / GREATEST(CAST(cb AS DOUBLE) / CAST(NULLIF(nb, 0) AS DOUBLE), {eps!r})),
       9) AS DECIMAL(20,9)) AS t,
     na, nb
   FROM counts CROSS JOIN tot
@@ -816,7 +862,15 @@ def chi_square(
     occur (cells only exist where observed > 0, and absent observed
     cells contribute e²/e = e, folded in via the marginal identity:
     chi2 = Σ_cells o²/e − n, which needs ONLY the observed cells).
+
+    Rows with a NULL in either column are excluded up front: NULL is
+    not a category. Without the filter, NULL-key cells survive the
+    groupBy but never match the marginal equi-joins (NULL never equals
+    NULL), so __n counts rows whose cells are missing from the o²/e
+    sum and the marginal identity breaks — chi2 deflates, even below
+    zero.
     """
+    df = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
     ra = obs.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
     cb = obs.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
@@ -874,12 +928,23 @@ def key_skew_report(
     1/HHI ≈ equivalent number of equally-loaded keys.
     """
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__c"))
-    topk = [
-        float(r["__c"])
-        for r in counts.orderBy(F.col("__c").desc(), F.col(key_col).asc())
+    # top-k IN-PLAN (orderBy+limit is a distributed
+    # TakeOrderedAndProject; collect_list sees at most ``top`` rows,
+    # re-sorted since collect order is not guaranteed) — the operator
+    # stays lazy like its siblings, and both this branch and the
+    # moment aggregation read the SAME Exchange(hash(key)) subtree,
+    # which exchange reuse collapses to one scan of the fact table.
+    # The previous driver-side .collect() made the call eager and
+    # re-ran the groupBy shuffle for the second aggregation.
+    topk = (
+        counts.orderBy(F.col("__c").desc(), F.col(key_col).asc())
         .limit(top)
-        .collect()
-    ]
+        .agg(
+            F.sort_array(
+                F.collect_list(F.col("__c").cast("double")), asc=False
+            ).alias("__topc")
+        )
+    )
     agg = counts.agg(
         F.sum("__c").alias("__n"),
         F.count(F.lit(1)).alias("__k"),
@@ -887,14 +952,14 @@ def key_skew_report(
         F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
     )
     n = F.col("__n").cast("double")
-    return agg.select(
+    return agg.crossJoin(F.broadcast(topk)).select(
         F.col("__n").cast("bigint").alias("n_rows"),
         F.col("__k").cast("bigint").alias("n_keys"),
         F.col("__mx").cast("bigint").alias("max_count"),
         F.round(F.col("__mx").cast("double") / n, 9).alias("max_share"),
         F.round(F.col("__ss").cast("double") / (n * n), 9).alias("hhi"),
-        F.array(
-            *[F.round(F.lit(c) / n, 9) for c in topk]
+        F.transform(
+            F.col("__topc"), lambda c: F.round(c / n, 9)
         ).alias("topk_shares"),
     )
 
@@ -917,9 +982,17 @@ def weighted_quantile(
     so the selected row is engine-exact — no floating cumulative
     drift. One shuffle on the group key; the per-group sort is
     inherent to exactness, same cost class as group_quantiles.
+
+    Rows with a NULL value or NULL weight are excluded: a NULL value
+    cannot be "the smallest value reaching q·W" (and sorts NULLS FIRST
+    in Spark, NULLS LAST in DuckDB), and a NULL weight would be
+    skipped by the sums while still occupying a rank.
     """
     from pyspark.sql import Window
 
+    df = df.where(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    )
     w = F.col(weight_col).cast("decimal(18,2)")
     win = Window.partitionBy(group_col).orderBy(
         F.col(value_col).asc(), F.col(weight_col).asc()

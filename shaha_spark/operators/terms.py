@@ -431,6 +431,15 @@ def remove_dup_gram_spans(
     in-memory ``array_sort`` bounded by document length. No collect, no
     global sort, no cross join. At 100 TB hash grams to 64-bit before
     the duplicate-gram join to shrink the shuffle.
+
+    ``toks`` is lazily localCheckpoint-ed (the bpe_train precedent):
+    four branches consume it (gram assembly → doc-frequency AND
+    coverage, the anti-join probe, the per-doc totals), and column
+    pruning differentiates their subtrees enough that exchange reuse
+    cannot merge them — unmaterialized, the corpus would be scanned
+    and re-exploded once per branch (measured: 5 scans). The
+    checkpoint trades one token-table materialization (~tokens bytes,
+    spillable) for four corpus re-scans plus their windows.
     """
     from pyspark.sql import Window as W
 
@@ -449,6 +458,7 @@ def remove_dup_gram_spans(
             ),
             "w",
         )
+        .localCheckpoint(eager=False)
     )
     wnd = W.partitionBy(id_col).orderBy("idx")
     parts = [F.col("w")] + [F.lead("w", i).over(wnd) for i in range(1, n)]
@@ -946,6 +956,14 @@ def ppl_pacing_buckets(
     sort, the unavoidable cost of exact equal-count buckets. For a
     cluster-wide single-language corpus, swap NTILE for fixed score
     thresholds from a previous run (one codegen'd filter, no sort).
+
+    Documents with NO tokens (empty/whitespace-only text) are
+    DELIBERATELY absent from the output: perplexity of an empty
+    document is undefined, so the inner join against the LM scores
+    drops it rather than inventing a bucket. A curation chain that
+    must retain such documents should route them through an explicit
+    empty-doc branch BEFORE pacing (they carry no LM signal either
+    way).
     """
     from pyspark.sql import Window
 
@@ -990,6 +1008,13 @@ def bm25_scores(
     per-query-term tf table, which is filtered to |Q| terms BEFORE its
     aggregation (predicate on the explode output — candidate rows only);
     the df/idf table is |Q| rows, broadcast. One hash-agg on doc_id.
+
+    EVERY document appears in the output: documents matching no query
+    term score (n_matched=0, bm25=0.0) via a left join back to the
+    doc-id spine — a downstream coverage join or rank fusion must see
+    them, not lose them. avgdl deliberately averages over documents
+    with ≥1 token (a 0-length doc has no tf rows, so its score is 0
+    under any avgdl and including it would only dilute the mean).
     """
     toks = tokens(docs, text_col, id_col)
     qlit = F.array(*[F.lit(t) for t in query_terms])
@@ -1039,7 +1064,18 @@ def bm25_scores(
             .alias("__c"),
         )
     )
-    return contrib.groupBy(id_col).agg(
+    scored = contrib.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matched"),
         F.sum("__c").cast("double").alias("bm25"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_matched"), F.lit(0).cast("bigint")).alias(
+                "n_matched"
+            ),
+            F.coalesce(F.col("bm25"), F.lit(0.0)).alias("bm25"),
+        )
     )

@@ -334,7 +334,12 @@ def mean_shift_points(
     double division, and the shift is one subtraction — engine-exact.
     The before-frame excludes the current row; the after-frame includes
     it (every boundary row belongs to exactly one side).
+
+    NULL values are excluded up front: the frame SUMs skip them but
+    COUNT(*) would not, so a null-laced window would divide a partial
+    sum by the full row count and report a fabricated mean.
     """
+    df = df.where(F.col(value_col).isNotNull())
     v = F.col(value_col).cast("decimal(18,2)")
     before = (
         Window.partitionBy(key_col)

@@ -1,0 +1,177 @@
+"""NULL/degenerate-input robustness of the statistics operators.
+
+Round-4 review found that several profile/terms operators were only
+correct on NULL-free columns (all the shipped testdata): counters
+counted NULL rows the paired SUMs skipped, NULL keys fell out of
+marginal joins, NULL values ranked into quantiles (NULLS FIRST in
+Spark, NULLS LAST in DuckDB — a cross-engine divergence), and an
+empty PSI slice was a DIVIDE_BY_ZERO crash under ANSI mode. Each test
+here is the minimal reproducer of one of those, pinned to the correct
+statistic computed by hand.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_psi_empty_slice_saturates_instead_of_crashing(spark):
+    from shaha_spark.operators.profile import psi
+
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    empty = spark.createDataFrame([], "x double")
+    row = psi(a, empty, "x").head()
+    # empty side -> all-eps shares -> large positive PSI, never a crash
+    assert row.psi is not None and row.psi > 1.0
+    assert row.n_a == 10 and row.n_b == 0
+
+
+def test_chi_square_null_keys_excluded(spark):
+    from shaha_spark.operators.profile import chi_square
+
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"),
+            (None, "x"), (None, "y")]
+    df = spark.createDataFrame(rows, "ca string, cb string")
+    r = chi_square(df, "ca", "cb").head()
+    # perfectly independent 2x2 table; chi-square is non-negative by
+    # definition (the unfiltered version returned -2.0 here)
+    assert abs(r.chi2) < 1e-9
+    assert r.n == 4 and r.dof == 1
+
+
+def test_pearson_complete_pairs_only(spark):
+    from shaha_spark.operators.profile import pearson_corr
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, 2.0), (3.0, 3.0), (None, 4.0), (4.0, 4.0)],
+        "x double, y double",
+    )
+    r = pearson_corr(df, "x", "y").head()
+    # the three complete pairs are perfectly correlated
+    assert r.n == 3
+    assert r.pearson_r == pytest.approx(1.0, abs=1e-12)
+
+
+def test_histogram_no_phantom_null_spike(spark):
+    from shaha_spark.operators.profile import histogram
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (None,), (None,)], "v double")
+    rows = histogram(df, "v", bins=4).collect()
+    # NULLs must not pile into the top bucket (least() skips NULL)
+    assert sum(r.n for r in rows) == 2
+
+
+def test_group_quantiles_exclude_nulls(spark):
+    from shaha_spark.operators.profile import group_quantiles
+
+    df = spark.createDataFrame(
+        [("g", None), ("g", 1.0), ("g", 2.0), ("g", 3.0)],
+        "g string, v double",
+    )
+    assert group_quantiles(df, "g", "v", [0.5]).head().p50 == 2.0
+
+
+def test_zscore_null_rows_do_not_fabricate_variance(spark):
+    from shaha_spark.operators.profile import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(1, "g", 10.0), (2, "g", 10.0), (3, "g", None)],
+        "id long, g string, v double",
+    )
+    # real sample is {10, 10}: zero variance -> group excluded entirely
+    assert zscore_outliers(df, "v", ["g"], "id", z=0.1).count() == 0
+
+
+def test_welch_t_null_values_not_counted(spark):
+    from shaha_spark.operators.profile import welch_t
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("b", 1.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    r = welch_t(df, "g", "v", "a", "b").head()
+    assert r.n_a == 2 and r.n_b == 2
+    assert r.mean_a == pytest.approx(1.5) and r.t_stat == pytest.approx(0.0)
+
+
+def test_winsorize_preserves_null_values(spark):
+    from shaha_spark.operators.profile import winsorize
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([1, 2, 3, 4, 100])]
+    rows.append((9, "g", None))
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r.id: r.value_clipped for r in winsorize(df, "g", "v", "id").collect()}
+    # NULL stays NULL instead of snapping to the low clip boundary
+    assert out[9] is None
+    assert out[4] < 100.0  # the genuine outlier still clips
+
+
+def test_weighted_quantile_null_value_and_weight_rows_excluded(spark):
+    from shaha_spark.operators.profile import weighted_quantile
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0),
+         ("g", None, 5.0), ("g", 0.5, None)],
+        "g string, v double, w double",
+    )
+    r = weighted_quantile(df, "g", "v", "w", q=0.5).head()
+    assert r.wq50 == 2.0 and r.total_weight == 3.0
+
+
+def test_mean_shift_null_values_excluded(spark):
+    from shaha_spark.operators.timeseries import mean_shift_points
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    for i in range(6):
+        rows.append(("k", base + datetime.timedelta(seconds=i), 1.0))
+    for i in range(6, 12):
+        rows.append(("k", base + datetime.timedelta(seconds=i), 100.0))
+    rows.append(("k", base + datetime.timedelta(seconds=3), None))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = mean_shift_points(
+        df, "k", "ts", "v", window_us=6_000_000, min_points=3, threshold=10.0
+    )
+    shifts = {r.mean_before for r in out.collect()}
+    # every reported before-mean is a clean mean of non-null values
+    assert all(abs(m - 1.0) < 1e-9 or abs(m - 100.0) < 1e-9 or 1.0 < m < 100.0
+               for m in shifts)
+    assert out.count() > 0
+
+
+def test_bm25_unmatched_documents_score_zero(spark):
+    from shaha_spark.operators.terms import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "spark scan join"), (2, "completely unrelated text")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bm25_scores(df, ["scan", "join"]).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2].n_matched == 0 and rows[2].bm25 == 0.0
+    assert rows[1].n_matched == 2 and rows[1].bm25 > 0.0
+
+
+def test_key_skew_report_is_lazy_single_plan(spark):
+    from shaha_spark.operators.profile import key_skew_report
+
+    df = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 2, 3]], "k long")
+    out = key_skew_report(df, "k", top=2)
+    r = out.head()
+    assert (r.n_rows, r.n_keys, r.max_count) == (6, 3, 3)
+    assert [round(x, 4) for x in r.topk_shares] == [0.5, 0.3333]
+
+
+def test_remove_dup_gram_spans_single_corpus_scan(spark, sf_dir):
+    from shaha_spark.operators.terms import remove_dup_gram_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = remove_dup_gram_spans(docs, n=3)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # toks is checkpointed: the corpus parquet appears in ONE branch,
+    # not once per consumer (was 5 scans before round 4)
+    assert plan.count("Scan parquet") <= 1, plan.count("Scan parquet")
