@@ -5150,7 +5150,7 @@ thr AS (
   SELECT stratum, CAST(floor(rate * 10000) AS BIGINT) AS thr FROM rates
 )
 SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
-FROM documents d LEFT JOIN thr t ON d.lang = t.stratum
+FROM documents d LEFT JOIN thr t ON d.lang IS NOT DISTINCT FROM t.stratum
 WHERE {bucket_sql('doc_id', '')} < coalesce(t.thr, 0)"""
 
     sql["docs_dsir_weights"] = (

@@ -14,6 +14,13 @@ from __future__ import annotations
 #: Mersenne prime 2^31 - 1: modulus for all permutation arithmetic.
 MERSENNE_P = 2_147_483_647
 
+#: All-sentinel MinHash slot value for shingle-less documents. Equals
+#: MERSENNE_P = one above the maximum perm_hash output (MERSENNE_P - 1),
+#: so it can never collide with a real signature slot; every filter on
+#: ``mh_0 != MINHASH_SENTINEL`` is exactly the shingle-less-doc filter
+#: that keeps the quadratic all-sentinel mega-bucket out of LSH.
+MINHASH_SENTINEL = MERSENNE_P
+
 #: MinHash permutation count and (a, b) constants, fixed seed.
 #: Generated once from a PRNG seeded with 42; frozen here so signatures
 #: are stable forever.

@@ -28,6 +28,7 @@ from shaha_spark.operators.constants import (
     LSH_BANDS,
     LSH_ROWS_PER_BAND,
     MINHASH_PERMS,
+    MINHASH_SENTINEL,
     SHINGLE_N,
     SIMHASH_BITS,
 )
@@ -74,7 +75,7 @@ def minhash_signatures(
     hashed = ensure_parallelism(df).select(
         F.col(id_col), F.explode_outer(sh).alias("__shingle")
     ).select(F.col(id_col), h28(F.col("__shingle")).alias("__h"))
-    sentinel = F.lit(2_147_483_647).cast("long")
+    sentinel = F.lit(MINHASH_SENTINEL).cast("long")
     aggs = [
         F.coalesce(F.min(perm_hash(F.col("__h"), a, b)), sentinel).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
@@ -122,7 +123,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
 
     Returns distinct [id_a < id_b] pairs.
     """
-    signatures = signatures.where(F.col("mh_0") != 2_147_483_647)
+    signatures = signatures.where(F.col("mh_0") != MINHASH_SENTINEL)
     buckets = (
         lsh_bands(signatures, id_col)
         .groupBy("band_idx", "band_key")
@@ -218,7 +219,7 @@ def incremental_minhash_dedup(
     normal regime) AQE broadcasts the batch's bands so the persisted
     signature store is never shuffled. Returns surviving new-doc ids.
     """
-    sentinel = 2_147_483_647
+    sentinel = MINHASH_SENTINEL
     new_sigs = minhash_signatures(new_docs, text_col, id_col).cache()
     new_b = lsh_bands(
         new_sigs.where(F.col("mh_0") != sentinel), id_col
@@ -512,7 +513,17 @@ def minhash_eval(
     Returns one row: candidate/truth/hit counts plus precision and
     recall. Empty candidate or truth sets define the corresponding
     ratio as 1.0 (nothing claimable was missed).
+
+    ``jaccard_threshold`` must be > 0: the inverted-index shortcut
+    enumerates only pairs sharing ≥ 1 shingle, which covers every pair
+    with Jaccard > 0 but not the disjoint pairs a threshold of 0 would
+    count — recall against that denominator would be silently inflated.
     """
+    if not jaccard_threshold > 0:
+        raise ValueError(
+            "jaccard_threshold must be > 0 (the shared-shingle ground "
+            f"truth excludes disjoint pairs), got {jaccard_threshold}"
+        )
     from pyspark.sql import Window
 
     sh_rows = (
@@ -663,14 +674,23 @@ def dedup_duplicate_lines(
     Returns ``[id_col, text_col]`` with the cleaned text; documents
     whose every line was removed are dropped when ``drop_empty_docs``
     (the Falcon behavior), else kept with an empty string.
+
+    ``sep`` is a LITERAL separator, matching the re-join below and the
+    DuckDB twin's string_split: it is \\Q...\\E-quoted before reaching
+    Spark's regex-based split, so a separator like "." or "|" splits
+    on the character itself, not on the regex it would otherwise be.
+    (A separator containing the literal sequence \\E is rejected — the
+    one thing the quoting cannot represent.)
     """
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if "\\E" in sep:
+        raise ValueError(r"sep must not contain the literal sequence \E")
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
-            "__pos", "__line"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
+        ).alias("__pos", "__line"),
     )
     dup_lines = (
         lines.select(id_col, "__line")
@@ -736,6 +756,10 @@ def trigram_fuzzy_pairs(
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if min_len < 3:
+        # a value shorter than 3 chars has no trigram: sequence(1, len-2)
+        # would DESCEND and emit position-0/negative pseudo-grams
+        raise ValueError(f"min_len must be >= 3, got {min_len}")
     vals = df.select(F.col(col).alias("v")).distinct().filter(
         F.length("v") >= min_len
     )

@@ -38,7 +38,7 @@ def hash_sample(
     """Deterministic ``fraction`` sample keyed on ``key_col``."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return df.where(_bucket(F.col(key_col), salt) < int(fraction * _BUCKETS))
+    return df.where(_bucket(F.col(key_col), salt) < round(fraction * _BUCKETS))
 
 
 def stratified_hash_sample(
@@ -52,10 +52,10 @@ def stratified_hash_sample(
     """Per-stratum deterministic sampling (e.g. downsample a dominant
     source while keeping all of a rare one). Strata absent from
     ``fractions`` use ``default_fraction``."""
-    threshold = F.lit(int(default_fraction * _BUCKETS))
+    threshold = F.lit(round(default_fraction * _BUCKETS))
     for value, fraction in sorted(fractions.items()):
         threshold = F.when(
-            F.col(strata_col) == value, F.lit(int(fraction * _BUCKETS))
+            F.col(strata_col) == value, F.lit(round(fraction * _BUCKETS))
         ).otherwise(threshold)
     return df.where(_bucket(F.col(key_col), salt) < threshold)
 
@@ -81,7 +81,7 @@ def hash_split(
     lo = 0
     names = sorted(weights)
     for i, name in enumerate(names):
-        hi = _BUCKETS if i == len(names) - 1 else lo + int(weights[name] * _BUCKETS)
+        hi = _BUCKETS if i == len(names) - 1 else lo + round(weights[name] * _BUCKETS)
         cond = bucket < hi if expr is None else (bucket >= lo) & (bucket < hi)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
         lo = hi
@@ -104,7 +104,7 @@ def hash_sample_sql(
 ) -> str:
     return (
         f"SELECT * FROM {table} "
-        f"WHERE {bucket_sql(key_col, salt)} < {int(fraction * _BUCKETS)}"
+        f"WHERE {bucket_sql(key_col, salt)} < {round(fraction * _BUCKETS)}"
     )
 
 
@@ -150,6 +150,11 @@ def balanced_sample(
     window is bounded by the label's row count — for heavily skewed
     labels combine with :func:`stratified_hash_sample` to pre-thin the
     giants before the exact top-k rank.
+
+    Reproducibility requires ``key_col`` values to be UNIQUE within a
+    label: the rank orders by (hash(key), key), so two rows tying on
+    key_col tie on both terms and the engine breaks the tie by scan
+    order. Key on a row id, not on free text that may repeat.
     """
     from pyspark.sql import Window
 
@@ -226,12 +231,18 @@ def temperature_resample(
     bucket clears ``floor(rate * BUCKETS)``. Same stability guarantees
     as :func:`hash_sample` (subset-nesting, engine-agnostic); the rate
     join is an explicit broadcast so no shuffle touches the corpus.
+
+    The rate join is NULL-SAFE: a NULL stratum is a stratum —
+    temperature_rates counts it (groupBy keeps NULL keys), so a plain
+    equi-join would silently drop all NULL-stratum rows while every
+    other stratum's rate was computed assuming that mass is
+    selectable, leaving the output short of the budget.
     """
     rates = temperature_rates(df, strata_col, alpha, budget).select(
         F.col("stratum"), F.floor(F.col("rate") * _BUCKETS).alias("__thr")
     )
     joined = df.join(
-        F.broadcast(rates), df[strata_col] == rates["stratum"], "left"
+        F.broadcast(rates), df[strata_col].eqNullSafe(rates["stratum"]), "left"
     )
     return (
         joined.where(

@@ -25,11 +25,14 @@ Determinism notes (why the estimate bit-matches across engines):
 * the final estimate is one division of an exact literal by that exact
   sum.
 
-The small-cardinality linear-counting correction (m·ln(m/V)) is
-deliberately omitted: ``ln`` is only faithfully-rounded and would
-break cross-engine equality. Callers with tiny cardinalities should
-use exact countDistinct — the sketch is for the regime where exact is
-too expensive.
+The small-cardinality linear-counting correction (m·ln(m/V)) IS
+applied (round 4): without it the estimate at cardinalities ≪ m is
+off by an order of magnitude (measured 190 vs 15 exact at p=8). The
+``ln`` determinism concern (faithful-vs-correct rounding differs
+across libms) is resolved the same way as every other transcendental
+in the repo: the ln is rounded to 9 decimals in BOTH engines before
+the final multiply, so the corrected estimate bit-matches wherever
+the two libms agree to 9 decimals — the repo-wide recipe.
 """
 
 from __future__ import annotations
@@ -47,6 +50,39 @@ def _alpha_m2(m: int) -> float:
     return alpha * m * m
 
 
+def _small_range_correct(raw, empties, m: int):
+    """Standard HLL small-range correction: when the raw harmonic-mean
+    estimate is ≤ 2.5·m and empty registers remain, switch to linear
+    counting, ``m · ln(m / V)`` (V = empty-register count). Without it
+    the raw estimate at cardinalities ≪ m is off by an order of
+    magnitude (measured: 190 vs 15 exact at p=8). ln is rounded to 9
+    decimals — the repo-wide transcendental determinism recipe — so
+    both engines agree bit-for-bit.
+    """
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (empties > 0),
+        F.lit(float(m)) * F.round(F.log(F.lit(float(m)) / empties), 9),
+    ).otherwise(raw)
+
+
+#: raw HLL harmonic-mean estimate (alpha*m^2 / (S + empties)), shared
+#: by both SQL twins so the corrected and raw forms stay in lockstep
+_HLL_RAW_SQL = (
+    "{a!r} / (SUM(1.0 / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE)) "
+    "+ CAST({m} - count(*) AS DOUBLE))"
+)
+
+
+def _small_range_correct_sql(raw: str, empties: str, m: int) -> str:
+    """DuckDB twin of :func:`_small_range_correct` (same literals, same
+    rounded-ln recipe)."""
+    return (
+        f"CASE WHEN ({raw}) <= {2.5 * m!r} AND ({empties}) > 0 "
+        f"THEN CAST({m} AS DOUBLE) * round(ln(CAST({m} AS DOUBLE) / ({empties})), 9) "
+        f"ELSE ({raw}) END"
+    )
+
+
 def hll_distinct(
     df: DataFrame, col: str, p: int = 6, out_col: str = "hll_estimate"
 ) -> DataFrame:
@@ -57,9 +93,15 @@ def hll_distinct(
     split into a bucket (low p bits) and a 32-p bit window whose
     leading-zero count (via the bit-length of its binary rendering —
     integer/string ops only, no log2 floats) yields the register rank.
+
+    NULLs are excluded: a NULL item would form a (NULL, NULL) register
+    row that count(*) counts but the 2^-reg sum skips, systematically
+    inflating the estimate (and an all-NULL column would return NULL
+    instead of ~0).
     """
     m = 1 << p
     w_bits = 32 - p
+    df = df.where(F.col(col).isNotNull())
     h = h32(F.col(col).cast("string"))
     bucket = (h % m).alias("bucket")
     w = F.shiftright(h, p)
@@ -80,11 +122,12 @@ def hll_distinct(
     term = F.lit(1.0) / F.expr(
         "cast(shiftleft(cast(1 as bigint), reg) as double)"
     )
+    raw = F.lit(_alpha_m2(m)) / (
+        F.sum(term) + (F.lit(m) - F.count(F.lit(1))).cast("double")
+    )
+    empties = (F.lit(m) - F.count(F.lit(1))).cast("double")
     return registers.agg(
-        (
-            F.lit(_alpha_m2(m))
-            / (F.sum(term) + (F.lit(m) - F.count(F.lit(1))).cast("double"))
-        ).alias(out_col),
+        _small_range_correct(raw, empties, m).alias(out_col),
         F.count(F.lit(1)).alias("n_registers"),
     )
 
@@ -100,7 +143,7 @@ def hll_distinct_sql(
     return f"""WITH hashed AS (
   SELECT {h} % {m} AS bucket,
     {h} >> {p} AS w
-  FROM {table}
+  FROM {table} WHERE {col} IS NOT NULL
 ),
 regs AS (
   SELECT bucket,
@@ -108,8 +151,7 @@ regs AS (
              ELSE {w_bits + 1} - length(bin(w)) END) AS reg
   FROM hashed GROUP BY bucket
 )
-SELECT {_alpha_m2(m)!r} / (SUM(1.0 / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE))
-    + CAST({m} - count(*) AS DOUBLE)) AS {out_col},
+SELECT {_small_range_correct_sql(_HLL_RAW_SQL.format(a=_alpha_m2(m), m=m), f"CAST({m} - count(*) AS DOUBLE)", m)} AS {out_col},
   count(*) AS n_registers
 FROM regs"""
 
@@ -338,9 +380,11 @@ def hll_group_distinct(
     partial max carries at most ``m`` register rows per group, so
     estimating distincts for millions of groups costs one bounded
     hash-aggregate pass (the built-in exact countDistinct would
-    shuffle every raw value)."""
+    shuffle every raw value). NULL items are excluded for the same
+    register-corruption reason as :func:`hll_distinct`."""
     m = 1 << p
     w_bits = 32 - p
+    df = df.where(F.col(col).isNotNull())
     h = h32(F.col(col).cast("string"))
     bucket = (h % m).alias("bucket")
     w = F.shiftright(h, p)
@@ -358,9 +402,11 @@ def hll_group_distinct(
         "cast(shiftleft(cast(1 as bigint), reg) as double)"
     )
     return registers.groupBy(group_col).agg(
-        (
+        _small_range_correct(
             F.lit(_alpha_m2(m))
-            / (F.sum(term) + (F.lit(m) - F.count(F.lit(1))).cast("double"))
+            / (F.sum(term) + (F.lit(m) - F.count(F.lit(1))).cast("double")),
+            (F.lit(m) - F.count(F.lit(1))).cast("double"),
+            m,
         ).alias(out_col),
         F.count(F.lit(1)).alias("n_registers"),
     )
@@ -380,7 +426,7 @@ def hll_group_distinct_sql(
     return f"""WITH hashed AS (
   SELECT {group_col}, {h} % {m} AS bucket,
     {h} >> {p} AS w
-  FROM {table}
+  FROM {table} WHERE {col} IS NOT NULL
 ),
 regs AS (
   SELECT {group_col}, bucket,
@@ -389,7 +435,6 @@ regs AS (
   FROM hashed GROUP BY 1, 2
 )
 SELECT {group_col},
-  {_alpha_m2(m)!r} / (SUM(1.0 / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE))
-    + CAST({m} - count(*) AS DOUBLE)) AS {out_col},
+  {_small_range_correct_sql(_HLL_RAW_SQL.format(a=_alpha_m2(m), m=m), f"CAST({m} - count(*) AS DOUBLE)", m)} AS {out_col},
   count(*) AS n_registers
 FROM regs GROUP BY {group_col}"""

@@ -60,7 +60,11 @@ def stream_minhash_signatures(
     aggregation state is evicted once a document's window passes.
     """
     from shaha_spark.functions.text import h28, perm_hash, shingles, tokens
-    from shaha_spark.operators.constants import MINHASH_PERMS, SHINGLE_N
+    from shaha_spark.operators.constants import (
+        MINHASH_PERMS,
+        MINHASH_SENTINEL,
+        SHINGLE_N,
+    )
 
     sh = shingles(tokens(F.col(text_col)), SHINGLE_N)
     hashed = (
@@ -68,7 +72,7 @@ def stream_minhash_signatures(
         .select(F.col(id_col), F.col(ts_col), F.explode_outer(sh).alias("__shingle"))
         .select(F.col(id_col), F.col(ts_col), h28(F.col("__shingle")).alias("__h"))
     )
-    sentinel = F.lit(2_147_483_647).cast("long")
+    sentinel = F.lit(MINHASH_SENTINEL).cast("long")
     aggs = [
         F.coalesce(F.min(perm_hash(F.col("__h"), a, b)), sentinel).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)

@@ -13,6 +13,11 @@ def _model_chunks(text, chunk, overlap):
     s = 0
     while s * stride < len(toks):
         piece = toks[s * stride : s * stride + chunk]
+        # a window after the first that adds no token beyond the
+        # previous window's end is a strict subset — never emitted
+        # (round 4: it was, duplicating training text)
+        if s > 0 and len(piece) <= overlap:
+            break
         out[s] = (len(piece), " ".join(piece))
         s += 1
     return out

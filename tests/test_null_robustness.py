@@ -175,3 +175,91 @@ def test_remove_dup_gram_spans_single_corpus_scan(spark, sf_dir):
     # toks is checkpointed: the corpus parquet appears in ONE branch,
     # not once per consumer (was 5 scans before round 4)
     assert plan.count("Scan parquet") <= 1, plan.count("Scan parquet")
+
+
+def test_chunk_documents_no_subset_trailing_chunk(spark):
+    from shaha_spark.operators.chunking import chunk_documents
+
+    # 32 tokens, chunk=32, overlap=8: the naive window grid would also
+    # emit chunk 1 = tokens 24..31, a strict subset of chunk 0
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(32)))], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, chunk=32, overlap=8).collect()
+    assert len(rows) == 1 and rows[0].chunk_id == 0 and rows[0].n_tokens == 32
+
+
+def test_hll_null_items_excluded(spark):
+    from shaha_spark.operators.sketch import hll_distinct
+
+    vals = spark.createDataFrame([("x",), (None,), (None,)], "v string")
+    just_x = spark.createDataFrame([("x",)], "v string")
+    est_with_nulls = hll_distinct(vals, "v").head()
+    est_clean = hll_distinct(just_x, "v").head()
+    assert est_with_nulls.hll_estimate == est_clean.hll_estimate
+    assert est_with_nulls.n_registers == 1
+
+
+def test_dedup_duplicate_lines_metachar_separator(spark):
+    from shaha_spark.operators.dedup import dedup_duplicate_lines
+
+    # '.'-separated "lines"; the boilerplate sentence appears in both
+    # docs and must be removed; '.' must split literally, not as regex
+    df = spark.createDataFrame(
+        [(1, "unique one.SPAM AD.keep me"), (2, "SPAM AD.other text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in
+           dedup_duplicate_lines(df, min_docs=2, sep=".").collect()}
+    assert out[1] == "unique one.keep me"
+    assert out[2] == "other text"
+
+
+def test_temperature_resample_null_stratum_not_dropped(spark):
+    from shaha_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "en") for i in range(50)] + [(i + 100, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_resample(df, "lang", "doc_id", alpha=1.0)
+    # alpha=1, no budget -> every stratum rate 1.0: nothing may vanish
+    assert out.count() == 100
+    assert out.where(F.col("lang").isNull()).count() == 50
+
+
+def test_hash_sample_fraction_rounds_to_documented_resolution(spark):
+    from shaha_spark.operators.sampling import hash_sample
+    from shaha_spark.operators.sampling import _bucket
+
+    # 0.57 * 10000 is 5699.999... in IEEE; int() used to truncate to
+    # 5699 - one bucket short of the documented 1/10000 resolution
+    df = spark.createDataFrame([(i,) for i in range(20000)], "k long")
+    got = hash_sample(df, 0.57, "k").count()
+    want = df.where(_bucket(F.col("k"), "") < 5700).count()
+    assert got == want
+
+
+def test_trigram_fuzzy_pairs_rejects_min_len_below_3(spark):
+    from shaha_spark.operators.dedup import trigram_fuzzy_pairs
+
+    df = spark.createDataFrame([("ab",)], "word string")
+    with pytest.raises(ValueError, match="min_len"):
+        trigram_fuzzy_pairs(df, min_len=2)
+
+
+def test_minhash_eval_rejects_zero_threshold(spark):
+    from shaha_spark.operators.dedup import minhash_eval
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="jaccard_threshold"):
+        minhash_eval(df, jaccard_threshold=0.0)
+
+
+def test_hll_small_range_correction(spark):
+    from shaha_spark.operators.sketch import hll_distinct
+
+    # 15 distinct values, m=256 registers: the raw harmonic-mean
+    # estimate reads ~190 (order-of-magnitude wrong); linear counting
+    # must bring it within HLL's error bound of the truth
+    df = spark.createDataFrame([(f"v{i % 15}",) for i in range(100)], "v string")
+    est = hll_distinct(df, "v", p=8).head().hll_estimate
+    assert abs(est - 15) / 15 < 0.2, est
