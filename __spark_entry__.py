@@ -5239,9 +5239,9 @@ q AS (
 ),
 ranked AS (
   SELECT c.id, row_number() OVER (
-    PARTITION BY c.comp ORDER BY q.quality DESC, c.id ASC
+    PARTITION BY c.comp ORDER BY q.quality DESC NULLS LAST, c.id ASC
   ) AS rk
-  FROM comp c JOIN q ON q.doc_id = c.id
+  FROM comp c LEFT JOIN q ON q.doc_id = c.id
 ),
 losers AS (SELECT id AS doc_id FROM ranked WHERE rk > 1)
 SELECT d.doc_id FROM documents d LEFT JOIN losers l USING (doc_id)
@@ -5979,18 +5979,19 @@ q AS (
 qn AS (SELECT query_id, sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
 adc AS (
   SELECT q.query_id, cb.sub_id, cb.centroid_id AS code,
-         list_dot_product(
+         CAST(round(list_dot_product(
            list_slice(q.qv, cb.sub_id * {sd} + 1, (cb.sub_id + 1) * {sd}),
-           cb.cv) AS pdot
+           cb.cv), 9) AS DECIMAL(25,9)) AS pdot
   FROM q CROSS JOIN cb
 ),
 sc AS (
-  SELECT a.query_id, e.vec_id, sum(a.pdot) AS sdot
+  SELECT a.query_id, e.vec_id, CAST(sum(a.pdot) AS DOUBLE) AS sdot
   FROM enc e JOIN adc a ON e.sub_id = a.sub_id AND e.code = a.code
   GROUP BY 1, 2
 ),
 fin AS (
-  SELECT sc.query_id, sc.vec_id, sc.sdot / (qn.qnorm * vn.vnorm) AS ac
+  SELECT sc.query_id, sc.vec_id,
+         round(sc.sdot / (qn.qnorm * vn.vnorm), 6) AS ac
   FROM sc JOIN qn USING (query_id) JOIN vn USING (vec_id)
 )""".format(sd=sub_dim)
     )
@@ -5998,7 +5999,7 @@ fin AS (
         "WITH "
         + ",\n".join(pq_parts)
         + f"""
-SELECT query_id, vec_id, round(ac, 6) AS approx_cosine,
+SELECT query_id, vec_id, ac AS approx_cosine,
        CAST(rank AS INTEGER) AS rank
 FROM (
   SELECT *, row_number() OVER (
@@ -6309,9 +6310,16 @@ terms AS (
            (CASE WHEN e.rank IS NOT NULL THEN 6.0 - e.rank ELSE 0.0 END)
            / (a.rank + 1.0), 9) AS DECIMAL(19,9)) AS term
   FROM approx a LEFT JOIN exact e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+),
+perq AS (
+  SELECT query_id, round(CAST(SUM(term) AS DOUBLE) / {ndcg_ideal(5)!r}, 6) AS ndcg
+  FROM terms GROUP BY query_id
+),
+allq AS (
+  SELECT query_id FROM exact UNION SELECT query_id FROM approx
 )
-SELECT query_id, round(CAST(SUM(term) AS DOUBLE) / {ndcg_ideal(5)!r}, 6) AS ndcg
-FROM terms GROUP BY query_id"""
+SELECT allq.query_id, COALESCE(perq.ndcg, 0.0) AS ndcg
+FROM allq LEFT JOIN perq USING (query_id)"""
 
     sql["snapshot_row_diff"] = f"""WITH {_WORDS_CTE},
 odd AS (SELECT DISTINCT word FROM words WHERE doc_id % 2 = 1)

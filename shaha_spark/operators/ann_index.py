@@ -119,6 +119,11 @@ def ivf_index_topk(
         probe_scored.withColumn("__r", F.row_number().over(wp))
         .where(F.col("__r") <= nprobe)
         .select(query_id_col, "__qvec", "centroid_id")
+        # materialized once: the plan is consumed twice (the IN-list
+        # collect below AND the candidate join), and without the
+        # checkpoint the queries-side crossJoin + window would run
+        # twice — expensive when `queries` is itself derived
+        .localCheckpoint(eager=True)
     )
     # static IN-list from the union of probed buckets (<= k values —
     # model-sized) so the scan prunes partition DIRECTORIES, not rows

@@ -47,6 +47,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iters):
         nbr = (
             sym.join(labels, sym.dst == labels.id)
@@ -72,6 +73,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning silently would hand dedup a graph where distant
+        # members of one component carry different labels — duplicate
+        # copies would survive, presented as a converged result
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing). Component "
+            "diameter exceeds max_iters — raise max_iters (propagation "
+            "needs O(diameter) rounds)."
+        )
     return labels
 
 
@@ -124,7 +135,12 @@ def keep_best_per_component(
     ``score`` is any [id_col, score_col] frame (e.g.
     textops.quality_score output); only component members join against
     it, so the score pass can be lazy/pre-filtered. Isolated documents
-    (no near-dup edge) always survive.
+    (no near-dup edge) always survive. Members MISSING from the score
+    table still count as members — they join LEFT and rank below every
+    scored member (score desc NULLS LAST, id asc), so an unscored
+    near-dup copy loses to any scored one instead of silently
+    surviving alongside the winner; a fully-unscored component keeps
+    its lowest id.
 
     Scale shape: component labels come from the same label-propagation
     pass as :func:`minhash_dedup_cc`; the survivor choice is one
@@ -149,10 +165,12 @@ def keep_best_per_component(
     sigs.unpersist()
 
     w = Window.partitionBy("comp").orderBy(
-        F.col(score_col).desc(), F.col("id").asc()
+        F.col(score_col).desc_nulls_last(), F.col("id").asc()
     )
     member_losers = (
-        comps.join(score.select(F.col(id_col).alias("id"), score_col), "id")
+        comps.join(
+            score.select(F.col(id_col).alias("id"), score_col), "id", "left"
+        )
         .withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") > 1)
         .select(F.col("id").alias(id_col))

@@ -41,10 +41,19 @@ GRID = 1 << 20
 
 def _dim(df: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from one row (schema-level lookup; the
-    arrays are fixed-width by construction)."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).head()
+    arrays are fixed-width by construction). NULL vectors are ignored
+    for the probe — and rejected with a clear message if the column
+    holds nothing else."""
+    row = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .head()
+    )
     if row is None:
-        raise ValueError("empty embedding table")
+        raise ValueError(
+            f"no non-null vectors in column {vec_col!r} "
+            "(empty table or all-NULL embeddings)"
+        )
     return int(row.d)
 
 
@@ -76,21 +85,14 @@ def quantize_int8(
     Returns (id, pos, code) exploded for oracle comparison; the packed
     array form is a trivial ``collect_list`` away.
     """
+    # delegate to sq_code_arrays so the affine-uint8 expression exists
+    # ONCE in this file (its extra floor clamp at 0 is a no-op here:
+    # corpus vectors satisfy x >= min by construction of dim_stats)
     stats = dim_stats(df, vec_col)
-    mins = F.array(*[F.lit(mn).cast("double") for mn, _ in stats])
-    spans = F.array(*[F.lit(mx - mn).cast("double") for mn, mx in stats])
-    codes = F.zip_with(
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"), mins, lambda x, mn: x - mn
-        ),
-        spans,
-        lambda delta, span: F.when(span == 0.0, F.lit(0)).otherwise(
-            F.least(F.lit(255), F.floor(delta / span * F.lit(256.0)).cast("int"))
-        ),
-    )
-    return df.select(
+    coded = sq_code_arrays(df, stats, vec_col, id_col)
+    return coded.select(
         F.col(id_col),
-        F.posexplode(codes).alias("pos", "code"),
+        F.posexplode("__codes").alias("pos", "code"),
     ).select(
         F.col(id_col),
         F.col("pos").cast("bigint").alias("pos"),
@@ -226,6 +228,15 @@ def top_principal_component(
     for _ in range(iters):
         v = _matvec(grid, v)
     scale = float(max(abs(c) for c in v))
+    if scale == 0.0:
+        # zero iterate: every centered value quantized to 0 (identical
+        # vectors / single row), or the all-ones start lies in the
+        # grid's null space — there is no dominant direction to report
+        raise ValueError(
+            "top_principal_component: power iterate is the zero vector "
+            "(no variance in the corpus, or the start vector is in the "
+            "null space); the principal direction is undefined"
+        )
     rows = [(p, round(c / scale, 9)) for p, c in enumerate(v)]
     spark = df.sparkSession
     return spark.createDataFrame(rows, "pos bigint, comp double")

@@ -31,29 +31,13 @@ from shaha_spark.operators.similarity import cosine_sim
 
 def _means(assigned: DataFrame, vec_col: str) -> DataFrame:
     """Per-centroid decimal-exact mean vector (float-rounded), plus
-    member counts. assigned: [centroid_id, vec_col]."""
-    exploded = assigned.select(
-        "centroid_id", F.posexplode(vec_col).alias("pos", "v")
-    )
-    return (
-        exploded.groupBy("centroid_id", "pos")
-        .agg(
-            (
-                F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .groupBy("centroid_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
-            F.first("n").alias("n_members"),
-        )
-        .select(
-            "centroid_id",
-            F.transform("pm", lambda s: s.getField("m").cast("float")).alias("centroid"),
-            "n_members",
-        )
+    member counts. assigned: [centroid_id, vec_col]. Delegates to
+    similarity.label_centroids — the single home of the decimal-mean
+    determinism recipe both operators' oracles replicate."""
+    from shaha_spark.operators.similarity import label_centroids
+
+    return label_centroids(
+        assigned, vec_col, label_col="centroid_id", with_counts=True
     )
 
 

@@ -67,9 +67,13 @@ def pq_train(
     dim must be divisible by m (PQ's usual constraint; pad upstream if
     not).
     """
-    first = corpus.select(F.size(vec_col).alias("d")).first()
+    first = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
     if first is None:
-        raise ValueError("empty corpus")
+        raise ValueError("empty corpus (or all-NULL embeddings)")
     dim = first["d"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -138,6 +142,89 @@ def pq_encode(
     )
 
 
+def _adc_score(
+    coded: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    per_query_codes: bool,
+) -> DataFrame:
+    """Shared ADC scoring tail of :func:`pq_topk` and
+    :func:`ivf_pq_topk`: build the broadcast per-query
+    (sub, code) → partial-dot table, aggregate each coded row's m
+    entries, re-rank, top-k.
+
+    ``per_query_codes`` = the coded frame already carries
+    ``query_id_col`` (the IVF-probed case) — the ADC join then keys on
+    (query, sub, code) so each code row scores only against its own
+    query's table.
+
+    Determinism (the module's cross-engine contract): each partial dot
+    is rounded to 9 decimals and summed as exact DECIMAL — double
+    addition is non-associative and the m addends arrive in
+    shuffle-dependent order, so a raw F.sum could flip ulp-close ranks
+    across runs or engines. The rank window orders by the ROUNDED
+    6-decimal cosine (like every sibling top-k), id ascending.
+    """
+    sub_dim_row = codebooks.select(F.size("centroid").alias("d")).first()
+    if sub_dim_row is None:
+        raise ValueError("empty codebooks")
+    sub_dim = sub_dim_row["d"]
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    adc = (
+        q.crossJoin(F.broadcast(codebooks))
+        .select(
+            query_id_col,
+            "__qnorm",
+            "sub_id",
+            F.col("centroid_id").alias("code"),
+            F.round(
+                dot(
+                    _subvec(F.col("__qv"), F.col("sub_id"), sub_dim),
+                    F.col("centroid"),
+                ),
+                9,
+            )
+            .cast("decimal(25,9)")
+            .alias("__pdot"),
+        )
+    )
+    explode_cols = [F.col(id_col), F.col("vnorm")]
+    join_keys = ["sub_id", "code"]
+    if per_query_codes:
+        explode_cols.insert(0, F.col(query_id_col))
+        join_keys = [query_id_col, "sub_id", "code"]
+    exploded = coded.select(
+        *explode_cols, F.posexplode("codes").alias("sub_id", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(adc), join_keys)
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(
+                F.sum("__pdot").cast("double")
+                / (F.first("__qnorm") * F.first("vnorm")),
+                6,
+            ).alias("approx_cosine")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_cosine", "rank")
+    )
+
+
 def pq_topk(
     codes: DataFrame,
     codebooks: DataFrame,
@@ -163,50 +250,14 @@ def pq_topk(
     small int rows per corpus vector (m ≪ dim — this is exactly the
     width PQ saved), partial aggregation combines map-side, and the
     only full shuffle is the per-query top-k window over already-
-    aggregated (query, id) scores.
+    aggregated (query, id) scores. Scoring and ranking live in
+    :func:`_adc_score` (shared with :func:`ivf_pq_topk`), which sums
+    the partial dots as exact decimals and ranks on the rounded
+    cosine — the module's determinism contract.
     """
-    sub_dim_row = codebooks.select(F.size("centroid").alias("d")).first()
-    if sub_dim_row is None:
-        raise ValueError("empty codebooks")
-    sub_dim = sub_dim_row["d"]
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qv"),
-        norm(F.col(vec_col)).alias("__qnorm"),
-    )
-    adc = (
-        q.crossJoin(F.broadcast(codebooks))
-        .select(
-            query_id_col,
-            "__qnorm",
-            "sub_id",
-            F.col("centroid_id").alias("code"),
-            dot(
-                _subvec(F.col("__qv"), F.col("sub_id"), sub_dim), F.col("centroid")
-            ).alias("__pdot"),
-        )
-    )
-    exploded = codes.select(
-        F.col(id_col),
-        F.col("vnorm"),
-        F.posexplode("codes").alias("sub_id", "code"),
-    )
-    scored = (
-        exploded.join(F.broadcast(adc), ["sub_id", "code"])
-        .groupBy(query_id_col, id_col)
-        .agg(
-            (
-                F.sum("__pdot") / (F.first("__qnorm") * F.first("vnorm"))
-            ).alias("approx_cosine")
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("approx_cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, F.round("approx_cosine", 6).alias("approx_cosine"), "rank")
+    return _adc_score(
+        codes, codebooks, queries, k, vec_col, id_col, query_id_col,
+        per_query_codes=False,
     )
 
 
@@ -274,50 +325,7 @@ def ivf_pq_topk(
     probed = bucketed_codes.join(
         F.broadcast(q_probe), "centroid_id"
     ).select(id_col, "codes", "vnorm", query_id_col)
-    sub_dim_row = codebooks.select(F.size("centroid").alias("d")).first()
-    sub_dim = sub_dim_row["d"]
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qv"),
-        norm(F.col(vec_col)).alias("__qnorm"),
-    )
-    adc = (
-        q.crossJoin(F.broadcast(codebooks))
-        .select(
-            query_id_col,
-            "__qnorm",
-            "sub_id",
-            F.col("centroid_id").alias("code"),
-            dot(
-                _subvec(F.col("__qv"), F.col("sub_id"), sub_dim), F.col("centroid")
-            ).alias("__pdot"),
-        )
-    )
-    exploded = probed.select(
-        query_id_col,
-        F.col(id_col),
-        F.col("vnorm"),
-        F.posexplode("codes").alias("sub_id", "code"),
-    )
-    scored = (
-        exploded.join(F.broadcast(adc), [query_id_col, "sub_id", "code"])
-        .groupBy(query_id_col, id_col)
-        .agg(
-            (
-                F.sum("__pdot") / (F.first("__qnorm") * F.first("vnorm"))
-            ).alias("approx_cosine")
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("approx_cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            F.round("approx_cosine", 6).alias("approx_cosine"),
-            "rank",
-        )
+    return _adc_score(
+        probed, codebooks, queries, k, vec_col, id_col, query_id_col,
+        per_query_codes=True,
     )

@@ -117,7 +117,10 @@ def ivf_assign(
 
 
 def label_centroids(
-    corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    with_counts: bool = False,
 ) -> DataFrame:
     """Mean vector per label — a cheap stand-in for k-means centroids
     (the IVF structure is identical; swap in real k-means offline).
@@ -126,25 +129,34 @@ def label_centroids(
     and divides once in DOUBLE: float summation order varies with
     partitioning, so a plain avg() would make the centroids — and any
     assignment decided by a near-tie — depend on the physical plan.
+
+    This is the ONE home of the decimal-mean/array_sort reassembly
+    recipe — kmeans._means delegates here (``with_counts=True`` adds
+    ``n_members``), so a precision or rounding tweak cannot desync the
+    two against their shared DuckDB oracle.
     """
     exploded = corpus.select(
         F.col(label_col).alias("centroid_id"), F.posexplode(vec_col).alias("pos", "v")
     )
-    return (
-        exploded.groupBy("centroid_id", "pos")
-        .agg(
-            (
-                F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
-        .groupBy("centroid_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(
-            "centroid_id",
-            F.transform("pm", lambda s: s.getField("m").cast("float")).alias("centroid"),
-        )
+    per_pos = exploded.groupBy("centroid_id", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
     )
+    aggs = [F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")]
+    if with_counts:
+        aggs.append(F.first("n").alias("n_members"))
+    out_cols = [
+        F.col("centroid_id"),
+        F.transform("pm", lambda s: s.getField("m").cast("float")).alias(
+            "centroid"
+        ),
+    ]
+    if with_counts:
+        out_cols.append(F.col("n_members"))
+    return per_pos.groupBy("centroid_id").agg(*aggs).select(*out_cols)
 
 
 def ivf_topk(
@@ -351,6 +363,12 @@ def ndcg_at_k(
     Scale: both inputs are k·|queries| rows; one equi-join + one
     per-query aggregation — negligible next to the search that
     produced them.
+
+    Every query present in EITHER input gets a row: a query for which
+    the approximate search returned nothing (e.g. all probed IVF
+    buckets empty) scores ndcg = 0.0 instead of silently vanishing —
+    consistent with :func:`topk_recall`, which reports such queries as
+    recall 0.
     """
     e = exact.select(
         F.col(query_col), F.col(id_col), F.col(rank_col).alias("__erank")
@@ -367,15 +385,16 @@ def ndcg_at_k(
         rel / (F.col("__arank").cast("double") + F.lit(1.0)), 9
     ).cast("decimal(19,9)")
     ideal = ndcg_ideal(k)
-    return (
-        joined.groupBy(query_col)
-        .agg(F.sum(term).alias("__dcg"))
-        .select(
-            F.col(query_col),
-            F.round(F.col("__dcg").cast("double") / F.lit(ideal), 6).alias(
-                "ndcg"
-            ),
-        )
+    per_q = joined.groupBy(query_col).agg(F.sum(term).alias("__dcg"))
+    all_queries = (
+        e.select(query_col).unionAll(a.select(query_col)).distinct()
+    )
+    return all_queries.join(per_q, query_col, "left").select(
+        F.col(query_col),
+        F.coalesce(
+            F.round(F.col("__dcg").cast("double") / F.lit(ideal), 6),
+            F.lit(0.0),
+        ).alias("ndcg"),
     )
 
 

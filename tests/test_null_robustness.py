@@ -263,3 +263,72 @@ def test_hll_small_range_correction(spark):
     df = spark.createDataFrame([(f"v{i % 15}",) for i in range(100)], "v string")
     est = hll_distinct(df, "v", p=8).head().hll_estimate
     assert abs(est - 15) / 15 < 0.2, est
+
+
+def test_keep_best_unscored_member_still_loses(spark):
+    from shaha_spark.operators.components import keep_best_per_component
+
+    text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    # only doc 1 is scored; doc 2 (identical text) must still lose
+    score = spark.createDataFrame([(1, 0.9)], "doc_id long, quality double")
+    ids = {r.doc_id for r in keep_best_per_component(df, score).collect()}
+    assert ids == {1}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    from shaha_spark.operators.components import connected_components
+
+    # a 12-node chain needs ~10 propagation rounds; cap at 2
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2)
+    # and converges fine with the default budget
+    comps = connected_components(edges)
+    assert {r.comp for r in comps.collect()} == {1}
+
+
+def test_ndcg_reports_zero_for_missing_queries(spark):
+    from shaha_spark.operators.similarity import ndcg_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 10, 1)],
+        "query_id long, vec_id long, rank long",
+    )
+    # approx returned nothing for query 2
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, vec_id long, rank long"
+    )
+    out = {r.query_id: r.ndcg for r in ndcg_at_k(exact, approx, k=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[2] == 0.0 and out[1] > 0.0
+
+
+def test_top_principal_component_degenerate_corpus_raises(spark):
+    from shaha_spark.operators.embeddings import top_principal_component
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.25]), (2, [0.5, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="power iterate"):
+        top_principal_component(df)
+
+
+def test_dim_probe_skips_null_vectors(spark):
+    from shaha_spark.operators.embeddings import _dim
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    assert _dim(df, "embedding") == 3
+    all_null = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        _dim(all_null, "embedding")
