@@ -6260,7 +6260,7 @@ sel AS (
          THEN tus - prev_tus ELSE next_tus - tus END AS delta
   FROM res WHERE side = 1
 )
-SELECT user_id, event_id, tus, near_tus, near_event_id, CAST(delta AS BIGINT) AS delta
+SELECT user_id, event_id, tus, near_tus, near_event_id, CAST(delta AS BIGINT) AS near_delta
 FROM sel WHERE near_tus IS NOT NULL AND delta <= 600000000"""
 
     from shaha_spark.operators.similarity import ndcg_ideal

@@ -488,22 +488,26 @@ def roc_auc(
 
     Scale shape: the rank-sum formulation needs global ranks, which a
     naive window computes in ONE partition — a scale wall. Instead
-    scores aggregate to per-distinct-score buckets first (the scorer
-    emits 6-decimal-rounded probabilities, so the bucket table is at
-    most ~10^6 rows regardless of input size); the cumulative
-    negative count then runs over the BUCKET table, exactly like
+    scores are ROUNDED TO 6 DECIMALS HERE (not trusted to be pre-
+    rounded — full-precision doubles would make the bucket table ~one
+    row per distinct margin, i.e. O(n), defeating the design) and
+    aggregate to per-distinct-score buckets, capping the bucket table
+    at ~2·10^6 rows regardless of input size; the cumulative negative
+    count then runs over the BUCKET table, exactly like
     cumulative_distinct's calendar-sized window. AUC is recovered as
 
         auc = Σ_b n_pos_b · (2·cumneg_below_b + n_neg_b) / (2·P·N)
 
     — every term an exact integer (the ×2 absorbs the half-credit tie
-    term), summed as bigints, with ONE final correctly-rounded
+    term), accumulated as DECIMAL(38,0) (the bigint bound 2·P·N
+    overflows int64 once P·N > 4.6·10^18 — reachable at the 10^10-row
+    scale this operator targets), with ONE final correctly-rounded
     division, rounded to 9 decimals. Bit-deterministic at any
     partitioning; degenerate inputs (no positives or no negatives)
     report auc = 0.0 rather than null.
     """
     lab = F.col(label_col).cast("boolean")
-    buckets = scored.groupBy(F.col(prob_col).alias("__p")).agg(
+    buckets = scored.groupBy(F.round(F.col(prob_col), 6).alias("__p")).agg(
         F.sum(F.when(lab, 1).otherwise(0)).alias("__np"),
         F.sum(F.when(~lab, 1).otherwise(0)).alias("__nn"),
     )
@@ -515,12 +519,12 @@ def roc_auc(
         "__np",
         "__nn",
         (
-            F.col("__np")
+            F.col("__np").cast("decimal(19,0)")
             * (
                 F.lit(2) * (F.sum("__nn").over(w) - F.col("__nn"))
                 + F.col("__nn")
-            )
-        ).cast("bigint").alias("__num2"),
+            ).cast("decimal(19,0)")
+        ).alias("__num2"),
     )
     return contrib.agg(
         F.sum("__num2").alias("__num"),

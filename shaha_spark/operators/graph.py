@@ -56,6 +56,10 @@ def pagerank_fixed(
     outdeg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = outdeg.select(F.col("src").alias("node"), "outdeg")
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # no edges -> no ranked nodes; an empty frame with the output
+        # schema, not a ZeroDivisionError in the driver
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_fp")).limit(0)
     base = PR_SCALE // n_nodes
     teleport = (15 * base) // 100
     ranks = nodes.select(
@@ -140,6 +144,9 @@ def triangle_count(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
+        # consumed by deg, keyed, and the final edge count: without
+        # materialization the scan + dedup shuffle re-runs per branch
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -156,7 +163,8 @@ def triangle_count(
     oriented = keyed.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+        # three consumers (both wedge legs + the closing semi-join)
+    ).localCheckpoint(eager=True)
     w1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     w2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
     wedges = w1.join(w2, "y").select("x", "y", "z")
@@ -223,6 +231,15 @@ def k_core(
             e = pruned
             break
         e = pruned
+    else:
+        # falling through the loop means the last pass still removed
+        # edges: the survivor set is NOT a k-core, and returning it as
+        # one would violate the documented invariant silently
+        raise RuntimeError(
+            f"k_core did not reach the peeling fixpoint in {max_iters} "
+            "iterations; raise max_iters (cascading peels need up to "
+            "O(nodes) rounds on path-like graphs)"
+        )
     return (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))

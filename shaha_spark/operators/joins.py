@@ -32,8 +32,20 @@ def dedup_keep_latest(
     df: DataFrame, key_cols: list[str], tie_col: str
 ) -> DataFrame:
     """One row per key, keeping the arg-max of ``tie_col`` — the
-    deterministic tiebreak both the Spark and oracle sides share."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(tie_col).desc())
+    deterministic tiebreak both the Spark and oracle sides share.
+
+    Rows tying on (key, tie_col) are further ordered by every
+    remaining column (as a struct): without the full-row tiebreak,
+    row_number would keep whichever tied row the shuffle delivered
+    first — nondeterministic across runs and engines, exactly what
+    this helper exists to prevent."""
+    rest = [
+        c for c in df.columns if c not in key_cols and c != tie_col
+    ]
+    order = [F.col(tie_col).desc()]
+    if rest:
+        order.append(F.struct(*[F.col(c) for c in rest]).asc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -61,7 +73,15 @@ def asof_join(
     by (time, side) → running ``last`` — linear at any key density, and
     an equal-timestamp right row sorts before the left row so the match
     is inclusive.
+
+    Right rows with a NULL ``time_col`` are dropped: NULL sorts first,
+    so the running last would otherwise hand their payload to every
+    left row with no genuine predecessor — a match at asof_time=NULL
+    that ``right.time <= left.time`` semantics can never produce. A
+    left row with NULL time matches nothing (its window prefix is
+    empty of real right rows).
     """
+    right = right.where(F.col(time_col).isNotNull())
     lcols = [c for c in left.columns]
     payload = F.struct(
         F.col(time_col).alias(f"{prefix}{time_col}"),
@@ -111,11 +131,17 @@ def interval_join(
     """Join events to half-open intervals [start, end) per key without a
     quadratic range join.
 
-    ``max_len`` is the guaranteed maximum interval length (same unit as
-    ``time_col``); it is the bucket width W, so each interval covers at
-    most two buckets and the candidate equi-join on (key, bucket) stays
-    linear. Returns events ⨝ intervals rows (all columns of both
-    sides); aggregate afterwards as needed.
+    ``max_len`` is the EXPECTED maximum interval length (same unit as
+    ``time_col``); it is the bucket width W, so a conforming interval
+    covers at most two buckets and the candidate equi-join on
+    (key, bucket) stays linear. Returns events ⨝ intervals rows (all
+    columns of both sides); aggregate afterwards as needed.
+
+    Intervals LONGER than ``max_len`` remain correct: each interval
+    explodes to every bucket it overlaps (``sequence(start DIV W,
+    (end-1) DIV W)``), not just its first and last — an over-long
+    interval costs extra candidate rows instead of silently losing
+    every match in its middle buckets.
     """
     if max_len is None:
         raise ValueError("interval_join requires max_len (the bucket width)")
@@ -125,11 +151,9 @@ def interval_join(
     iv = intervals.withColumn(
         "_bucket",
         F.explode(
-            F.array_distinct(
-                F.array(
-                    F.expr(f"{start_col} DIV {w}"),
-                    F.expr(f"({end_col} - 1) DIV {w}"),
-                )
+            F.sequence(
+                F.expr(f"{start_col} DIV {w}"),
+                F.expr(f"({end_col} - 1) DIV {w}"),
             )
         ),
     )
@@ -214,7 +238,27 @@ def nearest_join(
 
     ``order_col`` breaks ordering ties among same-timestamp rows
     deterministically (defaults to the first right value column).
+    Numeric (or numeric-string) order columns sort numerically —
+    matching the oracle recipe; any other type falls back to a
+    deterministic hash order via try_cast + xxhash64, instead of the
+    ANSI-mode cast error a hard bigint cast would raise on e.g. a
+    status string.
+
+    Right rows with a NULL ``time_col`` are dropped (same argument as
+    :func:`asof_join`: NULL sorts first and would pollute the running
+    backward candidate with a match no distance can be computed to).
+    The match-distance column is ``{prefix}delta`` — prefixed like
+    every other attached column, so it cannot collide with a left
+    column named ``delta``.
     """
+    right = right.where(F.col(time_col).isNotNull())
+
+    def _ord_of(col):
+        return F.coalesce(
+            F.expr(f"try_cast(cast({col} as string) as bigint)"),
+            F.xxhash64(F.col(col).cast("string")),
+        )
+
     ocol = order_col or right_value_cols[0]
     lcols = list(left.columns)
     payload = F.struct(
@@ -225,7 +269,7 @@ def nearest_join(
         F.col(key_col),
         F.col(time_col),
         F.lit(0).alias("_side"),
-        F.col(ocol).cast("bigint").alias("_ord"),
+        _ord_of(ocol).alias("_ord"),
         payload.alias("_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
     )
@@ -233,9 +277,7 @@ def nearest_join(
         F.col(key_col),
         F.col(time_col),
         F.lit(1).alias("_side"),
-        F.col(ocol if ocol in left.columns else lcols[0])
-        .cast("bigint")
-        .alias("_ord"),
+        _ord_of(ocol if ocol in left.columns else lcols[0]).alias("_ord"),
         F.lit(None).cast(r_tagged.schema["_r"].dataType).alias("_r"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
@@ -280,7 +322,7 @@ def nearest_join(
         F.col(f"_chosen.{prefix}{c}").alias(f"{prefix}{c}")
         for c in right_value_cols
     )
-    out_cols.append(F.col("_delta").cast("bigint").alias("delta"))
+    out_cols.append(F.col("_delta").cast("bigint").alias(f"{prefix}delta"))
     return (
         resolved.withColumn("_chosen", chosen)
         .withColumn("_delta", delta)

@@ -332,3 +332,74 @@ def test_dim_probe_skips_null_vectors(spark):
     )
     with pytest.raises(ValueError, match="non-null"):
         _dim(all_null, "embedding")
+
+
+def test_asof_join_ignores_null_time_right_rows(spark):
+    from shaha_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "k long, t long")
+    right = spark.createDataFrame([(1, None, "ghost")], "k long, t long, rv string")
+    out = asof_join(left, right, "k", "t", ["rv"]).collect()
+    # the null-time right row must not match as a predecessor
+    assert len(out) == 1 and out[0].asof_rv is None
+
+
+def test_nearest_join_string_order_col_no_ansi_crash(spark):
+    from shaha_spark.operators.joins import nearest_join
+
+    left = spark.createDataFrame([(1, 100, "L")], "k long, t long, lv string")
+    right = spark.createDataFrame(
+        [(1, 90, "open"), (1, 250, "closed")], "k long, t long, status string"
+    )
+    out = nearest_join(
+        left, right, key_col="k", time_col="t", tolerance=50,
+        right_value_cols=["status"], order_col="status",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].near_status == "open" and out[0].near_delta == 10
+
+
+def test_interval_join_long_interval_middle_buckets(spark):
+    from shaha_spark.operators.joins import interval_join
+
+    events = spark.createDataFrame([(1, 15)], "k long, t long")
+    intervals = spark.createDataFrame(
+        [(1, 0, 30, "iv")], "k long, start_us long, end_us long, name string"
+    )
+    # interval longer than max_len: the middle-bucket event must match
+    out = interval_join(events, intervals, "k", "t", max_len=10).collect()
+    assert len(out) == 1 and out[0].name == "iv"
+
+
+def test_k_core_raises_when_peeling_unconverged(spark):
+    from shaha_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(edges, k=2, max_iters=2)
+    # a path graph has an empty 2-core at the true fixpoint
+    assert k_core(edges, k=2, max_iters=50).count() == 0
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from shaha_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    out = pagerank_fixed(edges)
+    assert out.count() == 0
+    assert set(out.columns) == {"node", "rank_fp"}
+
+
+def test_dedup_keep_latest_full_row_tiebreak(spark):
+    from shaha_spark.operators.joins import dedup_keep_latest
+
+    # two rows tie on (key, tie_col); the struct tiebreak must pick the
+    # same row regardless of partitioning
+    df = spark.createDataFrame(
+        [(1, 10, "b"), (1, 10, "a")], "k long, seq long, v string"
+    )
+    for parts in (1, 7):
+        out = dedup_keep_latest(df.repartition(parts), ["k"], "seq").collect()
+        assert len(out) == 1 and out[0].v == "a"

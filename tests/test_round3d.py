@@ -30,7 +30,7 @@ def test_nearest_join_picks_closest_either_direction(spark):
     assert len(out) == 1
     r = out[0]
     # 105 is 5 away, 80 is 20 away -> forward match wins
-    assert r.near_event_id == 21 and r.near_tus == 105 and r.delta == 5
+    assert r.near_event_id == 21 and r.near_tus == 105 and r.near_delta == 5
 
 
 def test_nearest_join_equidistant_tie_resolves_backward(spark):
@@ -41,7 +41,7 @@ def test_nearest_join_equidistant_tie_resolves_backward(spark):
         right_value_cols=["event_id"], order_col="event_id",
     ).collect()
     assert len(out) == 1
-    assert out[0].near_event_id == 20 and out[0].delta == 10
+    assert out[0].near_event_id == 20 and out[0].near_delta == 10
 
 
 def test_nearest_join_equal_timestamp_counts_as_backward(spark):
@@ -52,7 +52,7 @@ def test_nearest_join_equal_timestamp_counts_as_backward(spark):
         right_value_cols=["event_id"], order_col="event_id",
     ).collect()
     assert len(out) == 1
-    assert out[0].near_event_id == 20 and out[0].delta == 0
+    assert out[0].near_event_id == 20 and out[0].near_delta == 0
 
 
 def test_nearest_join_tolerance_drops_far_and_unmatched(spark):

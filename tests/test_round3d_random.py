@@ -165,7 +165,7 @@ def test_nearest_join_vs_pure_python_brute_force(spark, seed):
     right = spark.createDataFrame(
         rows_r, "user_id bigint, event_id bigint, tus bigint")
     got = sorted(
-        (r.user_id, r.event_id, r.tus, r.near_tus, r.near_event_id, r.delta)
+        (r.user_id, r.event_id, r.tus, r.near_tus, r.near_event_id, r.near_delta)
         for r in nearest_join(
             left, right, "user_id", "tus", tol,
             ["event_id"], order_col="event_id",
