@@ -26,6 +26,18 @@ def write_text(spark: SparkSession, path: str, content: str) -> None:
         out.close()
 
 
+def write_text_atomic(spark: SparkSession, path: str, content: str) -> None:
+    """Write-then-rename so readers never observe a torn file — for
+    commit markers (slice/forget manifests) whose PRESENCE means
+    "committed": a crash mid-write must leave either nothing or the
+    complete content, never partial JSON."""
+    tmp = path + ".tmp"
+    write_text(spark, tmp, content)
+    if not rename(spark, tmp, path):
+        delete(spark, tmp)
+        raise IOError(f"atomic write: could not move {tmp} to {path}")
+
+
 def read_text(spark: SparkSession, path: str) -> str | None:
     """File contents, or None if the path does not exist."""
     fs, jpath = _fs_and_path(spark, path)
@@ -81,6 +93,15 @@ def human_bytes(n: int) -> str:
             return f"{size:.2f} {unit}" if unit != "B" else f"{int(size)} B"
         size /= 1024
     raise AssertionError
+
+
+def file_size(spark: SparkSession, path: str) -> int:
+    """Size of ONE file via a single getFileStatus call — use instead
+    of scanning a directory listing when the exact path is known."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return 0
+    return fs.getFileStatus(jpath).getLen()
 
 
 def rename(spark: SparkSession, src: str, dst: str) -> bool:

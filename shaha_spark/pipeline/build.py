@@ -356,6 +356,18 @@ def build(
     )
 
     swap = append and io_util.exists(spark, output_path)
+    if swap and not partition_by_algorithm:
+        # appending to an algorithm-partitioned database must keep the
+        # layout — the merged rewrite replaces the WHOLE dataset, so
+        # forgetting the flag here would silently flatten algorithm=
+        # directories and drop pruning for every later filtered query
+        # (compact_hashdb auto-detects the same way)
+        from . import snapshot as _snapshot
+
+        partition_by_algorithm = any(
+            "/algorithm=" in p
+            for p, _ in _snapshot.live_files(spark, output_path)
+        )
     lock_path = None
     if swap:
         # Serialize concurrent appends to the same output: two builds
@@ -404,45 +416,9 @@ def build(
             from . import snapshot
 
             old_live = snapshot.live_files(spark, output_path)
-            # FileSystem.rename reports failure by RETURNING FALSE (and on
-            # some filesystems moves src INTO an existing destination dir);
-            # every step is checked so a failed swap can never silently
-            # nest the temp dataset or leave the DB absent-but-"built".
-            backup = output_path.rstrip("/") + ".__old__"
-            io_util.delete(spark, backup)
-            if not io_util.rename(spark, output_path, backup):
-                raise IOError(
-                    f"append swap failed: could not move {output_path} aside "
-                    f"to {backup}; new data left at {target}"
-                )
-            if not io_util.rename(spark, target, output_path):
-                restored = io_util.rename(spark, backup, output_path)
-                raise IOError(
-                    f"append swap failed: could not move {target} into place"
-                    + ("" if restored else f"; MANUAL RESTORE NEEDED from {backup}")
-                )
-            # the swap carried the snapshot log aside with the old data —
-            # restore it and retire (rename, not copy) every replaced
-            # file a snapshot still references
-            old_snaps = backup.rstrip("/") + "/" + snapshot.SNAP_DIR
-            if io_util.exists(spark, old_snaps):
-                if not io_util.rename(
-                    spark,
-                    old_snaps,
-                    output_path.rstrip("/") + "/" + snapshot.SNAP_DIR,
-                ):
-                    # deleting the backup now would destroy the entire
-                    # snapshot log and all retained history — leave it
-                    # in place for manual recovery instead
-                    raise IOError(
-                        f"append swap: could not restore snapshot log "
-                        f"from {old_snaps}; backup left at {backup} for "
-                        "manual recovery"
-                    )
-                snapshot.retire_replaced_tree(
-                    spark, output_path, backup, old_live
-                )
-            io_util.delete(spark, backup)
+            snapshot.swap_live_tree(
+                spark, output_path, target, old_live, op="append"
+            )
 
         total_records = int(obs.get["n"])
         write_sidecar(

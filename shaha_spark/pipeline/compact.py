@@ -98,33 +98,7 @@ def compact_hashdb(
         partition_by_algorithm=partitioned,
     )
 
-    backup = path.rstrip("/") + ".__old__"
-    io_util.delete(spark, backup)
-    if not io_util.rename(spark, path, backup):
-        io_util.delete(spark, tmp)
-        raise IOError(f"compaction swap failed: could not move {path} aside")
-    if not io_util.rename(spark, tmp, path):
-        restored = io_util.rename(spark, backup, path)
-        raise IOError(
-            f"compaction swap failed: could not move {tmp} into place"
-            + ("" if restored else f"; MANUAL RESTORE NEEDED from {backup}")
-        )
-    # the whole-directory swap moved the snapshot log aside with the old
-    # data — restore it, then retire (rename, no copy) every replaced
-    # file a snapshot still references before the backup is dropped
-    old_snaps = backup.rstrip("/") + "/" + snapshot.SNAP_DIR
-    if io_util.exists(spark, old_snaps):
-        if not io_util.rename(
-            spark, old_snaps, path.rstrip("/") + "/" + snapshot.SNAP_DIR
-        ):
-            # deleting the backup now would destroy the entire snapshot
-            # log and all retained history — leave it for manual recovery
-            raise IOError(
-                f"compaction swap: could not restore snapshot log from "
-                f"{old_snaps}; backup left at {backup} for manual recovery"
-            )
-        snapshot.retire_replaced_tree(spark, path, backup, old_live)
-    io_util.delete(spark, backup)
+    snapshot.swap_live_tree(spark, path, tmp, old_live, op="compaction")
 
     if meta is not None:
         write_sidecar(
@@ -252,8 +226,20 @@ def recover_slices(spark: SparkSession, path: str) -> dict[str, int]:
     for p in sorted(names):
         base = os.path.basename(p)
         if base.startswith("_incoming-") and p.endswith(MANIFEST_SUFFIX):
-            manifest = json.loads(io_util.read_text(spark, p) or "{}")
             incoming = p[: -len(MANIFEST_SUFFIX)]
+            try:
+                manifest = json.loads(io_util.read_text(spark, p) or "")
+                manifest["final"]
+            except (ValueError, KeyError, TypeError):
+                # torn manifest (crash mid-write, pre-atomic-write
+                # legacy): the commit point was never reached, so the
+                # originals are all intact — drop the stage and the
+                # torn marker instead of crashing recovery forever
+                io_util.delete(spark, p)
+                if incoming in names:
+                    io_util.delete(spark, incoming)
+                    dropped += 1
+                continue
             for orig in manifest.get("originals", []):
                 io_util.delete(spark, orig)
             if incoming in names:
@@ -315,17 +301,9 @@ def compact_slices(
         files = [p for p, _ in s["files"]]
         df = spark.read.parquet(*files)
         sort_cols = ["hash"] + (["algorithm"] if "algorithm" in df.columns else [])
-        n_rows = df.count()
         tmp = s["dir"].rstrip("/") + f"/.__slice_{uuid.uuid4().hex[:8]}__"
-        (
-            df.coalesce(1)
-            .sortWithinPartitions(*sort_cols)
-            .write.mode("overwrite")
-            .option("compression", "zstd")
-            .option("parquet.bloom.filter.enabled#hash", "true")
-            .option("parquet.bloom.filter.adaptive.enabled", "true")
-            .parquet(tmp)
-        )
+        # write_hashdb is the one home of the zstd/bloom writer options
+        write_hashdb(df.coalesce(1).sortWithinPartitions(*sort_cols), tmp)
         part = next(
             p for p, _ in io_util.list_files(spark, tmp) if p.endswith(".parquet")
         )
@@ -337,7 +315,7 @@ def compact_slices(
             raise IOError(f"slice compaction: could not stage {incoming}")
         # commit point: once the manifest exists, recovery rolls this
         # swap FORWARD (deletes finished, replacement made visible)
-        io_util.write_text(
+        io_util.write_text_atomic(
             spark,
             incoming + MANIFEST_SUFFIX,
             json.dumps({"originals": files, "final": final}),

@@ -147,15 +147,10 @@ def forget_digests(
             dropped += 1
             continue
         tmp = d + f"/.__forget_{uuid.uuid4().hex[:8]}__"
-        (
-            remaining.coalesce(1)
-            .sortWithinPartitions("hash")
-            .write.mode("overwrite")
-            .option("compression", "zstd")
-            .option("parquet.bloom.filter.enabled#hash", "true")
-            .option("parquet.bloom.filter.adaptive.enabled", "true")
-            .parquet(tmp)
-        )
+        from shaha_spark.pipeline.build import write_hashdb
+
+        # write_hashdb is the one home of the zstd/bloom writer options
+        write_hashdb(remaining.coalesce(1).sortWithinPartitions("hash"), tmp)
         part = next(
             q for q, _ in io_util.list_files(spark, tmp) if q.endswith(".parquet")
         )
@@ -165,7 +160,7 @@ def forget_digests(
         if not io_util.rename(spark, part, incoming):
             io_util.delete(spark, tmp)
             raise IOError(f"forget: could not stage {incoming}")
-        io_util.write_text(
+        io_util.write_text_atomic(
             spark,
             incoming + MANIFEST_SUFFIX,
             json.dumps({"originals": [p], "final": final}),

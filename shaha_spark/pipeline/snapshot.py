@@ -120,13 +120,22 @@ def _write_retained_map(
 
 def live_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """The CURRENT dataset's parquet files: everything maintenance and
-    stats should see — snapshot internals excluded."""
-    marker = "/" + SNAP_DIR + "/"
-    return [
-        (p, sz)
-        for p, sz in io_util.list_files(spark, path)
-        if marker not in p
-    ]
+    stats should see — snapshot internals excluded, and so is anything
+    the parquet reader itself cannot see (any path segment starting
+    with ``_`` or ``.``): staged ``_incoming-*`` swap files and
+    crash-leftover ``.__slice_*__`` temp dirs are NOT live data, and
+    pinning one into a snapshot manifest would break the snapshot as
+    soon as recovery renames it."""
+    out = []
+    for p, sz in io_util.list_files(spark, path):
+        try:
+            rel = _rel(path, p)
+        except ValueError:
+            continue
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        out.append((p, sz))
+    return out
 
 
 def snapshot_list(spark: SparkSession, path: str) -> list[dict[str, Any]]:
@@ -367,6 +376,93 @@ def retire_replaced_tree(
     return moved
 
 
+def heal_stale_backup(spark: SparkSession, live_path: str) -> bool:
+    """Finish the interrupted tail of a previous directory swap whose
+    ``.__old__`` backup still exists.
+
+    If the backup holds a snapshot log that never made it back into the
+    live tree (the swap raised at the restore step), restore it and
+    retire every still-referenced file out of the backup — only then is
+    the backup safe to drop. Returns True if healing ran. Raises, with
+    the backup preserved, when the situation is ambiguous (both trees
+    hold a snapshot log) or the restore fails again.
+    """
+    live = live_path.rstrip("/")
+    backup = live + ".__old__"
+    b_snaps = backup + "/" + SNAP_DIR
+    if not io_util.exists(spark, b_snaps):
+        return False
+    live_snaps = live + "/" + SNAP_DIR
+    if io_util.exists(spark, live_snaps):
+        raise IOError(
+            f"stale swap backup {backup} holds a snapshot log but the "
+            "live dataset has one too — resolve manually before retrying "
+            "(deleting the backup could destroy retained history)"
+        )
+    if not io_util.rename(spark, b_snaps, live_snaps):
+        raise IOError(
+            f"could not restore snapshot log from {b_snaps}; backup "
+            f"left at {backup} for manual recovery"
+        )
+    pseudo_old = [
+        (live + "/" + _rel(backup, p), sz)
+        for p, sz in io_util.list_files(spark, backup)
+    ]
+    retire_replaced_tree(spark, live, backup, pseudo_old)
+    return True
+
+
+def swap_live_tree(
+    spark: SparkSession,
+    live_path: str,
+    tmp_path: str,
+    old_live: list[tuple[str, int]],
+    op: str,
+) -> None:
+    """Checked whole-directory swap: move the live dataset aside, move
+    ``tmp_path`` into place, restore the snapshot log the swap carried
+    aside, retire replaced-but-referenced files, drop the backup.
+
+    The ONE home of the protocol (build's append path and
+    compact_hashdb both call it). Every rename is checked —
+    FileSystem.rename reports failure by returning False, and on some
+    filesystems moves src INTO an existing destination dir — so a
+    failed swap can never silently nest the temp dataset or leave the
+    DB absent-but-"built". A pre-existing backup from a PREVIOUS failed
+    swap is healed (snapshot log + referenced files recovered) before
+    anything is deleted — a retry must never destroy the history the
+    earlier failure deliberately preserved.
+    """
+    live = live_path.rstrip("/")
+    backup = live + ".__old__"
+    heal_stale_backup(spark, live)
+    io_util.delete(spark, backup)
+    if not io_util.rename(spark, live, backup):
+        raise IOError(
+            f"{op} swap failed: could not move {live} aside to {backup}; "
+            f"new data left at {tmp_path}"
+        )
+    if not io_util.rename(spark, tmp_path, live):
+        restored = io_util.rename(spark, backup, live)
+        raise IOError(
+            f"{op} swap failed: could not move {tmp_path} into place"
+            + ("" if restored else f"; MANUAL RESTORE NEEDED from {backup}")
+        )
+    old_snaps = backup + "/" + SNAP_DIR
+    if io_util.exists(spark, old_snaps):
+        if not io_util.rename(spark, old_snaps, live + "/" + SNAP_DIR):
+            # deleting the backup now would destroy the entire snapshot
+            # log and all retained history — leave it for manual recovery
+            # (the next attempt's heal_stale_backup also finishes the
+            # job automatically if the filesystem has recovered)
+            raise IOError(
+                f"{op} swap: could not restore snapshot log from "
+                f"{old_snaps}; backup left at {backup} for manual recovery"
+            )
+        retire_replaced_tree(spark, live, backup, old_live)
+    io_util.delete(spark, backup)
+
+
 def alias_rel(
     spark: SparkSession, db_path: str, rel_old: str, rel_new: str
 ) -> None:
@@ -425,10 +521,10 @@ def vacuum(
             continue
         if not disp.startswith("@"):
             abs_p = _retain_dir(path) + "/" + disp
-            for p, sz in io_util.list_files(spark, _retain_dir(path)):
-                if p.endswith("/" + disp):
-                    freed_bytes += sz
-                    break
+            # one getFileStatus on the exact path: re-listing the whole
+            # retained tree per entry was O(n^2) metadata calls, and a
+            # bare suffix match could attribute another file's size
+            freed_bytes += io_util.file_size(spark, abs_p)
             io_util.delete(spark, abs_p)
             freed_files += 1
         del retained[rel]
