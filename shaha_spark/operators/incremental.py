@@ -52,14 +52,36 @@ def merge_rollup(existing: DataFrame, increment: DataFrame) -> DataFrame:
     bucket key, counts and decimal sums add; buckets absent from one
     side pass through unchanged."""
     key_cols = [c for c in existing.columns if c not in ("n", "sv")]
+    # NULL-SAFE key equality: groupBy put all NULL-key rows in ONE
+    # bucket on each side, but a null-unsafe full-outer join would
+    # never match them, accumulating duplicate (key, NULL) rows across
+    # increments and breaking the oracle identity. Key columns are
+    # RENAMED per side first — both inputs often share lineage (state
+    # merged with an increment of the same source), where a[k]/b[k]
+    # would resolve to one attribute and degenerate to always-true.
     a = existing.select(
-        *key_cols, F.col("n").alias("__na"), F.col("sv").alias("__sa")
+        *[F.col(k).alias(f"__ka{i}") for i, k in enumerate(key_cols)],
+        F.col("n").alias("__na"),
+        F.col("sv").alias("__sa"),
     )
     b = increment.select(
-        *key_cols, F.col("n").alias("__nb"), F.col("sv").alias("__sb")
+        *[F.col(k).alias(f"__kb{i}") for i, k in enumerate(key_cols)],
+        F.col("n").alias("__nb"),
+        F.col("sv").alias("__sb"),
     )
     zero = F.lit(0).cast("decimal(38,2)")
-    return a.join(b, key_cols, "full_outer").select(
+    cond = None
+    for i in range(len(key_cols)):
+        c = F.col(f"__ka{i}").eqNullSafe(F.col(f"__kb{i}"))
+        cond = c if cond is None else cond & c
+    joined = a.join(b, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__ka{i}"), F.col(f"__kb{i}")).alias(k)
+            for i, k in enumerate(key_cols)
+        ],
+        "__na", "__sa", "__nb", "__sb",
+    )
+    return joined.select(
         *key_cols,
         (F.coalesce(F.col("__na"), F.lit(0)) + F.coalesce(F.col("__nb"), F.lit(0)))
         .cast("bigint")

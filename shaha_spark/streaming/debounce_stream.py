@@ -52,12 +52,17 @@ def _make_update(min_gap_us: int):
         state,  # GroupState
     ) -> Iterator[pd.DataFrame]:
         last_kept = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
-            keep, last_kept = _kept_mask(pdf, last_kept, min_gap_us)
-            out = pdf.loc[keep, ["event_id", "user_id", "event_type", "ts_us"]]
-            if len(out):
-                yield out
+        # CONCAT before sorting: a group larger than the Arrow batch
+        # size arrives as multiple chunks in arbitrary order, and a
+        # per-chunk sort would feed the sequential kernel events out of
+        # global time order — silently diverging from the batch twin
+        whole = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts_us", "event_id"], kind="mergesort"
+        )
+        keep, last_kept = _kept_mask(whole, last_kept, min_gap_us)
+        out = whole.loc[keep, ["event_id", "user_id", "event_type", "ts_us"]]
+        if len(out):
+            yield out
         if last_kept is not None:
             state.update((int(last_kept),))
 

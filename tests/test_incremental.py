@@ -80,6 +80,26 @@ def test_late_data_creates_or_updates_buckets(spark):
     assert out["1970-01-01 02:00:00"] == (1, 8.0)
 
 
+def test_null_keys_merge_into_one_bucket(spark):
+    """groupBy collapses NULL keys into one bucket per side; the merge
+    join must match them null-safely or every merge would append a
+    fresh duplicate (NULL, hour) row instead of folding the counts."""
+    rows_a = [(None, 10, 1.0), ("buy", 20, 2.0)]
+    rows_b = [(None, 30, 4.0), (None, 40, 8.0)]
+    schema = "event_type string, tus long, value double"
+    a = rollup_increment(spark.createDataFrame(rows_a, schema))
+    b = rollup_increment(spark.createDataFrame(rows_b, schema))
+    merged = merge_rollup(a, b)
+    out = finalize_rollup(merged).collect()
+    assert len(out) == 2  # one NULL bucket, one "buy" bucket
+    null_rows = [r for r in out if r.event_type is None]
+    assert len(null_rows) == 1
+    assert (null_rows[0].n_events, null_rows[0].sum_value) == (3, 13.0)
+    # merging the other direction gives the identical result
+    out_rev = finalize_rollup(merge_rollup(b, a)).collect()
+    assert set(map(tuple, out)) == set(map(tuple, out_rev))
+
+
 def test_merged_totals_survive_past_18_digits(spark):
     """ADVICE r3: the partial-state sum must stay at widened precision
     end to end — a per-merge cast back to decimal(18,2) silently NULLs

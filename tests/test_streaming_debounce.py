@@ -75,6 +75,46 @@ def test_batch_twin_matches_reference_on_fixture(spark, sf_dir):
     assert got == _ref(rows)
 
 
+def test_stream_group_larger_than_arrow_batch(spark, tmp_path):
+    """A group bigger than the Arrow batch size reaches the update
+    function as MULTIPLE chunks; the kernel must concat before sorting
+    or a per-chunk sort feeds events out of global time order and the
+    stream silently diverges from the batch twin."""
+    # 8 events, one key, written to the source file in REVERSE time
+    # order so any per-chunk processing sees late events first
+    rows = [
+        {"event_id": i, "user_id": 1, "event_type": "e", "ts_us": i * 45_000_000}
+        for i in range(8)
+    ][::-1]
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        out = stream_debounce(stream, GAP)
+        collected: list = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _bid: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # 45s gaps with a 60s rule: keep 0, drop 1 (45s), keep 2 (90s), ...
+    # -> every even event_id survives, exactly the driver reference
+    assert {r.event_id for r in collected} == {0, 2, 4, 6} == _ref(
+        [(r["event_id"], r["user_id"], r["event_type"], r["ts_us"]) for r in rows]
+    )
+
+
 def test_stream_matches_batch_and_carries_state(spark, tmp_path):
     rows_b1 = [
         {"event_id": 1, "user_id": 1, "event_type": "e", "ts_us": 0},
