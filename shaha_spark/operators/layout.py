@@ -60,12 +60,19 @@ def zorder_value(
     with_bounds = df.crossJoin(F.broadcast(bounds))
 
     def norm(c: str, mn: str, mx: str) -> Column:
-        span = F.col(mx) - F.col(mn)
-        # integer DIV keeps this exact and engine-portable; a constant
-        # column (span = 0) maps to 0
+        # integer DIV keeps this exact and engine-portable; the
+        # arithmetic runs in DECIMAL(38,0) because (c - mn) * 65535
+        # overflows int64 once the column spans more than ~1.4e14
+        # (about 4.5 years of epoch micros) — silently wrapping under
+        # non-ANSI semantics. A constant column (span = 0) maps to 0.
+        span = F.expr(f"CAST({mx} AS DECIMAL(38,0)) - {mn}")
         return F.when(
             span > 0,
-            F.expr(f"(({c} - {mn}) * {(1 << ZORDER_BITS) - 1}) DIV ({mx} - {mn})"),
+            F.expr(
+                f"CAST((CAST({c} AS DECIMAL(38,0)) - {mn})"
+                f" * {(1 << ZORDER_BITS) - 1}"
+                f" DIV (CAST({mx} AS DECIMAL(38,0)) - {mn}) AS BIGINT)"
+            ),
         ).otherwise(F.lit(0)).cast("long")
 
     zx = _spread_bits(norm(col_x, "_mnx", "_mxx"))
@@ -89,9 +96,12 @@ def zorder_value_sql(
         return out
 
     def norm(c: str, mn: str, mx: str) -> str:
+        # HUGEINT mirrors the Spark side's DECIMAL(38,0) widening: the
+        # multiply must not wrap for full-range BIGINT columns
         return (
-            f"CASE WHEN {mx} - {mn} > 0 THEN "
-            f"(({c} - {mn}) * {(1 << ZORDER_BITS) - 1}) // ({mx} - {mn}) "
+            f"CASE WHEN CAST({mx} AS HUGEINT) - {mn} > 0 THEN "
+            f"CAST((CAST({c} AS HUGEINT) - {mn}) * {(1 << ZORDER_BITS) - 1}"
+            f" // (CAST({mx} AS HUGEINT) - {mn}) AS BIGINT) "
             f"ELSE 0 END"
         )
 

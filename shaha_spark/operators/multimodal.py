@@ -135,15 +135,29 @@ def real_decode_header(payload: bytes) -> tuple[int, str, int, int]:
         return n, "gif", width, height
     if payload[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
-        while i + 9 <= n:
+        while i + 2 <= n:
             if payload[i] != 0xFF:
+                break
+            # the spec allows any run of 0xFF FILL bytes before the
+            # marker byte — skip them or the next 0xFF would be
+            # misread as a length-bearing marker and the walk would
+            # jump past the real SOF
+            while i + 2 <= n and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 2 > n:
                 break
             marker = payload[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
                 i += 2
                 continue
+            if marker == 0xD9:  # EOI: stream over, no SOF seen
+                break
+            if i + 4 > n:
+                break
             seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    break  # truncated inside the SOF payload
                 height, width = struct.unpack(">HH", payload[i + 5 : i + 9])
                 return n, "jpeg", width, height
             i += 2 + seg_len
@@ -169,10 +183,14 @@ def real_decode_audio(payload: bytes) -> tuple[int, str, int, int, int]:
         while i + 8 <= n:
             ctype = payload[i : i + 4]
             (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
-            if ctype == b"fmt " and i + 16 <= n:
+            # a standard fmt chunk body is >= 16 bytes; the bits-per-
+            # sample field sits at i+22, so the guard must cover i+24
+            # or a payload truncated inside fmt raises struct.error
+            # instead of the contract's NotImplementedError
+            if ctype == b"fmt " and clen >= 16 and i + 24 <= n:
                 channels, sample_rate = struct.unpack("<HI", payload[i + 10 : i + 16])
                 (bits,) = struct.unpack("<H", payload[i + 22 : i + 24])
-            elif ctype == b"data" and channels and bits:
+            elif ctype == b"data" and channels and bits and bits >= 8:
                 n_frames = clen // (channels * (bits // 8))
             i += 8 + clen + (clen % 2)  # chunks are word-aligned
         if channels and sample_rate:
@@ -196,15 +214,22 @@ def real_decode_video(payload: bytes) -> tuple[int, str, int, int]:
     n = len(payload)
 
     def walk(lo: int, hi: int, want: bytes) -> tuple[int, int] | None:
+        # clamp: a parent box's declared size may point past the
+        # actual payload end, and every read below assumes hi <= n
+        hi = min(hi, n)
         i = lo
         while i + 8 <= hi:
             (size,) = struct.unpack(">I", payload[i : i + 4])
             btype = payload[i + 4 : i + 8]
             body = i + 8
             if size == 1:  # 64-bit largesize
+                if i + 16 > hi:
+                    return None  # truncated inside the largesize field
                 (size,) = struct.unpack(">Q", payload[i + 8 : i + 16])
                 body = i + 16
-            if size < 8:
+                if size < 16:
+                    return None  # a largesize box is at least 16 bytes
+            elif size < 8:
                 return None
             if btype == want:
                 return body, i + size
@@ -215,16 +240,23 @@ def real_decode_video(payload: bytes) -> tuple[int, str, int, int]:
         moov = walk(0, n, b"moov")
         if moov:
             mvhd = walk(*moov, b"mvhd")
-            if mvhd:
+            if mvhd and mvhd[0] < n:
                 body = mvhd[0]
                 version = payload[body]
-                if version == 1:
+                # bounds-check the fixed-layout reads: a truncated
+                # mvhd must fall through to NotImplementedError, not
+                # crash the task with struct.error
+                if version == 1 and body + 32 <= n:
                     timescale, duration = struct.unpack(
                         ">IQ", payload[body + 20 : body + 32]
                     )
-                else:
+                elif version == 0 and body + 20 <= n:
                     timescale, duration = struct.unpack(
                         ">II", payload[body + 12 : body + 20]
+                    )
+                else:
+                    raise NotImplementedError(
+                        "truncated mvhd box — needs a full demuxer"
                     )
                 ms = duration * 1000 // timescale if timescale else 0
                 return n, "mp4", timescale, ms

@@ -258,8 +258,9 @@ def tf_cosine_pairs(
     term_stats lesson) → group by term into postings → explode both
     sides of each posting — the same bucket-join construction as the
     LSH pair generator, so the corpus is never self-joined. The
-    postings list for a term of document frequency f yields f² pair
-    rows: ``max_df`` caps that fanout by dropping stop-terms (the
+    postings list for a term of document frequency f yields f(f-1)/2
+    pair rows (in-array later-neighbor enumeration, no explode-both-
+    sides): ``max_df`` caps that fanout by dropping stop-terms (the
     standard prefix-filtering relaxation for sparse similarity); at
     100 TB you set it so the largest posting fits an executor
     (quadratic-bucket math identical to LSH — see SCALE.md)."""
@@ -279,15 +280,29 @@ def tf_cosine_pairs(
     )
     if max_df is not None:
         weighted = weighted.filter(F.col("df") <= max_df)
+    # array_sort on the (id, wt, nrm) structs orders each posting list
+    # by id (ids are unique), so pairs enumerate as "each element with
+    # its later neighbors" — f(f-1)/2 rows per posting instead of the
+    # f² explode-both-sides-then-filter, halving shuffle and CPU on
+    # the hottest term (this operator's stated bottleneck)
     postings = weighted.groupBy("term").agg(
-        F.collect_list(F.struct(F.col(id_col).alias("id"), "wt", "nrm")).alias("ps")
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), "wt", "nrm"))
+        ).alias("ps")
+    )
+    arr = F.col("ps")
+    pair_expr = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     pairs = (
-        postings.select(
-            F.explode("ps").alias("a"), F.col("ps").alias("ps_b")
-        )
-        .select("a", F.explode("ps_b").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
+        postings.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

@@ -341,14 +341,23 @@ def mean_shift_points(
     """
     df = df.where(F.col(value_col).isNotNull())
     v = F.col(value_col).cast("decimal(18,2)")
+    # the range frame is in MICROSECONDS; a timestamp column cast to
+    # long yields SECONDS, which would silently widen the frames 1e6×
+    # (every window covers the whole series and real shifts vanish) —
+    # so timestamps go through unix_micros explicitly
+    ts_type = df.schema[ts_col].dataType.typeName()
+    if ts_type in ("timestamp", "timestamp_ntz"):
+        order_key = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    else:
+        order_key = F.col(ts_col).cast("long")
     before = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col).cast("long"))
+        .orderBy(order_key)
         .rangeBetween(-window_us, -1)
     )
     after = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col).cast("long"))
+        .orderBy(order_key)
         .rangeBetween(0, window_us - 1)
     )
     framed = df.select(

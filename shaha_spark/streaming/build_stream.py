@@ -15,7 +15,6 @@ arbitrary batch transformation, which foreachBatch explicitly permits.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def incremental_build(
@@ -40,12 +39,14 @@ def incremental_build(
     driver-side manifest write per batch (schedule `vacuum` to bound
     retention growth).
     """
-    from shaha_spark.pipeline.build import build
+    from shaha_spark.pipeline.build import build, words_from_lines
 
     lines = spark.readStream.text(landing_dir)
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        words = batch.select(F.col("value").alias("word")).filter(F.length("word") > 0)
+        # the batch build's own F1 projection — streaming ingest must
+        # track its semantics, not re-state them
+        words = words_from_lines(batch)
         if words.isEmpty():
             return
         build(

@@ -30,6 +30,24 @@ def test_zorder_matches_bitwise_reference(spark):
         assert rows[(x, y)] == _morton_ref(x, y), (x, y)
 
 
+def test_zorder_wide_span_does_not_overflow(spark):
+    """(c - mn) * 65535 wraps int64 once the span exceeds ~1.4e14 —
+    e.g. any multi-year epoch-micros column, or a full-range bigint
+    key. The decimal-widened normalization must keep the fixed-point
+    mapping exact and monotone at those spans."""
+    lo, hi = -(2**62), 2**62  # span 2^63: far past the wrap point
+    xs = [lo, lo + 1, 0, hi - 1, hi]
+    df = spark.createDataFrame([(x, 0) for x in xs], "x bigint, y bigint")
+    got = {r["x"]: r["zval"] for r in zorder_value(df, "x", "y").collect()}
+    span = hi - lo
+    for x in xs:
+        expect_norm = ((x - lo) * 65535) // span  # exact big-int python
+        assert got[x] == _morton_ref(expect_norm, 0), (x, got[x])
+    # corners land on the fixed-point extremes
+    assert got[lo] == _morton_ref(0, 0)
+    assert got[hi] == _morton_ref(65535, 0)
+
+
 def test_zorder_constant_column_is_safe(spark):
     df = spark.createDataFrame([(5, 1), (5, 2)], "x bigint, y bigint")
     vals = [r["zval"] for r in zorder_value(df, "x", "y").collect()]

@@ -120,3 +120,77 @@ def test_real_decode_truncated_headers_raise(spark):
                     b"GIF89a", b"\xff\xd8\xff"):
         with _pytest.raises(NotImplementedError):
             real_decode_header(payload)
+
+
+def test_real_decode_jpeg_fill_bytes_and_eoi():
+    """Spec-valid JPEGs may pad any marker with 0xFF fill bytes; the
+    walk must skip them instead of misreading the second 0xFF as a
+    length-bearing marker. A stream ending in EOI with no SOF raises
+    the contract error, not struct.error."""
+    import struct
+
+    import pytest as _pytest
+
+    from shaha_spark.operators.multimodal import real_decode_header
+
+    # SOI, fill-padded APP0 (len 4), fill-padded SOF0 (h=7, w=9)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xff\xc0" + struct.pack(">H", 8) + b"\x08"
+        + struct.pack(">HH", 7, 9) + b"\x01"
+    )
+    assert real_decode_header(jpeg) == (len(jpeg), "jpeg", 9, 7)
+    # EOI right after SOI: clean NotImplementedError
+    with _pytest.raises(NotImplementedError):
+        real_decode_header(b"\xff\xd8\xff\xd9")
+
+
+def test_real_decode_audio_video_truncated_raise_contract_error():
+    """Payloads truncated inside the fmt chunk / largesize field /
+    mvhd body must raise NotImplementedError (the codec-boundary
+    contract), never escape as struct.error and kill the task."""
+    import struct
+
+    import pytest as _pytest
+
+    from shaha_spark.operators.multimodal import (
+        real_decode_audio,
+        real_decode_video,
+    )
+
+    # RIFF/WAVE truncated inside the fmt chunk: channels/rate present,
+    # bits-per-sample cut off (the exact window where the old i+16
+    # guard passed but the i+22 read crashed)
+    wav = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIH", 1, 2, 44100, 0)  # 10 of 16 body bytes
+    )
+    with _pytest.raises(NotImplementedError):
+        real_decode_audio(wav)
+    # zero bits-per-sample must not divide by zero on the data chunk
+    wav_zero_bits = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 2, 44100, 0, 0, 0)
+        + b"data" + struct.pack("<I", 8) + b"\x00" * 8
+    )
+    n, fmt, rate, ch, frames = real_decode_audio(wav_zero_bits)
+    assert (fmt, rate, ch, frames) == ("wav", 44100, 2, 0)
+
+    # MP4 ending 8 bytes into a largesize box header
+    mp4 = (
+        struct.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x00\x00"
+        + struct.pack(">I", 1) + b"moov"
+    )
+    with _pytest.raises(NotImplementedError):
+        real_decode_video(mp4)
+    # moov whose declared size lies past payload end, truncated mvhd
+    mp4b = (
+        struct.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x00\x00"
+        + struct.pack(">I", 4096) + b"moov"
+        + struct.pack(">I", 4000) + b"mvhd" + b"\x01\x00\x00\x00"
+    )
+    with _pytest.raises(NotImplementedError):
+        real_decode_video(mp4b)

@@ -236,6 +236,53 @@ def test_pair_counts_bounded_expansion(spark):
     assert r.lift == round(3 * 4 / (3 * 3), 9)
 
 
+def test_null_basket_keys_are_not_a_basket(spark):
+    """A NULL transaction key identifies no transaction: groupBy would
+    otherwise collect every null-key row into ONE mega-basket and
+    fabricate co-occurrence pairs across unrelated rows."""
+    from shaha_spark.operators.basket import (
+        basket_rules,
+        pair_counts,
+        set_similarity_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"),
+         (None, "x"), (None, "y"), (None, "z")],   # orphan rows
+        "basket bigint, item string",
+    )
+    pc = {(r.item_a, r.item_b): r.n_pair
+          for r in pair_counts(df, "basket", "item").collect()}
+    assert pc == {("a", "b"): 1}  # no fabricated x/y/z pairs
+
+    rules = basket_rules(df, "basket", "item", min_pair_count=1, top=5).collect()
+    assert [(r.item_a, r.item_b) for r in rules] == [("a", "b")]
+    assert rules[0].support == 1.0  # 1 basket total: nulls don't count
+
+    sims = set_similarity_join(
+        df.union(df.where("basket = 1").withColumn("basket", F.lit(2))),
+        "basket", "item", threshold=0.5,
+    ).collect()
+    assert [(r.basket_a, r.basket_b) for r in sims] == [(1, 2)]
+
+
+def test_basket_rules_plan_single_scan_no_eager_count(spark):
+    """basket_rules must not run a driver-side count at plan-build
+    time, and the three branches (pairs, item counts, basket total)
+    must reuse one exchange over the basket aggregation."""
+    from shaha_spark.operators.basket import basket_rules
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")], "basket bigint, item string"
+    )
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    plan_df = basket_rules(df, "basket", "item", min_pair_count=1, top=5)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "plan construction ran a Spark job"
+    rows = plan_df.collect()
+    assert {(r.item_a, r.item_b) for r in rows} == {("a", "b")}
+
+
 def test_cumulative_distinct_first_seen_semantics(spark):
     from shaha_spark.operators.timeseries import cumulative_distinct
 
@@ -511,6 +558,37 @@ def test_mean_shift_detects_level_change(spark):
     assert mean_shift_points(
         flat, "k", "tus", "value", window_us=4, min_points=3, threshold=0.1
     ).count() == 0
+
+
+def test_mean_shift_timestamp_column_uses_microsecond_frames(spark):
+    """A timestamp ts column cast('long') yields SECONDS while
+    window_us is MICROSECONDS — the frames would silently widen 1e6×
+    and pull distant history into every window. The timestamp path
+    must agree exactly with the long-micros path."""
+    from pyspark.sql import Row as _R
+
+    from shaha_spark.operators.timeseries import mean_shift_points
+
+    # an old burst 1000 s in the past would contaminate the 'before'
+    # frame of the level change if the frame were seconds-wide
+    rows = [_R(k="a", tus=-1_000_000_000 + i * 10_000_000, value=77.0)
+            for i in range(3)]
+    rows += [_R(k="a", tus=i * 10_000_000, value=0.0) for i in range(3)]
+    rows += [_R(k="a", tus=(3 + i) * 10_000_000, value=100.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, tus bigint, value double")
+    kwargs = dict(window_us=30_000_000, min_points=3, threshold=50.0)
+    expected = {
+        r.tus: (r.mean_before, r.mean_after, r.shift)
+        for r in mean_shift_points(df, "k", "tus", "value", **kwargs).collect()
+    }
+    assert expected, "fixture must produce at least one shift"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_df = df.select("k", F.timestamp_micros("tus").alias("ts"), "value")
+    got = {
+        r.ts: (r.mean_before, r.mean_after, r.shift)
+        for r in mean_shift_points(ts_df, "k", "ts", "value", **kwargs).collect()
+    }
+    assert {int(k.timestamp() * 1_000_000): v for k, v in got.items()} == expected
 
 
 def test_weighted_quantile_known_values(spark):
