@@ -1906,7 +1906,7 @@ def q_docs_bpe_pairs(spark, sf_dir):
 
 _WORDS_CTE = """words AS (
   SELECT w AS word, source, doc_id FROM (
-    SELECT unnest(string_split(text, ' ')) AS w, source, doc_id FROM documents
+    SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\r]+')) AS w, source, doc_id FROM documents
   ) WHERE w <> ''
 )"""
 
@@ -1923,7 +1923,7 @@ multi AS (
 )
 
 _TOKS_CTE = """toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), t -> t <> '') AS t FROM documents
 )"""
 
 _SHINGLES_CTE = (
@@ -2360,7 +2360,7 @@ FROM per_session GROUP BY 1"""
     qf_hi = f"max(CASE WHEN rn = CAST(ceil({qf_t}) AS BIGINT) THEN quality END) OVER (PARTITION BY source)"
     qf_thr = f"{qf_lo} + ({qf_hi} - {qf_lo}) * ({qf_t} - floor({qf_t}))"
     sql["docs_quality_filter"] = f"""WITH base AS (
-  SELECT doc_id, text, source, list_filter(string_split(text, ' '), t -> t <> '') AS t FROM documents
+  SELECT doc_id, text, source, list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), t -> t <> '') AS t FROM documents
 ),
 comp AS (
   SELECT doc_id, source,
@@ -2470,7 +2470,7 @@ FROM est CROSS JOIN ex"""
     )
 
     cms_inner = cms_frequencies_sql(
-        "(SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w "
+        "(SELECT w FROM (SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\r]+')) AS w "
         "FROM documents) WHERE w <> '') wq",
         "w",
         CMS_PROBE_WORDS,
@@ -2704,7 +2704,7 @@ WHERE CAST(c_acctbal AS DOUBLE) > t
   )
 GROUP BY c_nationkey"""
     sql["text_vocab"] = """WITH toks AS (
-  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+  SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\r]+')) AS term FROM documents
 )
 SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM toks WHERE term <> ''
@@ -2712,7 +2712,7 @@ GROUP BY term
 ORDER BY n_occurrences DESC, term ASC
 LIMIT 10"""
     sql["text_oov"] = """WITH tk AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\r]+')) AS term FROM documents
 ),
 tk2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
 vocab AS (
@@ -2734,7 +2734,7 @@ SELECT d.doc_id,
   END AS oov_rate
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
     sql["docs_repetition"] = """WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\r]+') AS l FROM documents
 ),
 z AS (
   SELECT doc_id, unnest(l) AS w, unnest(range(1, len(l) + 1)) AS pos FROM toks
@@ -2758,7 +2758,7 @@ SELECT d.doc_id,
   END AS dup_gram_ratio
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
     sql["docs_cosine_pairs"] = """WITH tk AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\r]+')) AS term FROM documents
 ),
 tk2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tk2 GROUP BY 1, 2),
@@ -3045,11 +3045,11 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4"""
     sql["text_token_count"] = f"""SELECT doc_id,
-  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
   CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_pieces
 FROM documents"""
     sql["text_quality"] = f"""WITH base AS (
-  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS t FROM documents
+  SELECT doc_id, text, list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), t -> t <> '') AS t FROM documents
 ),
 comp AS (
   SELECT doc_id,
@@ -4971,7 +4971,7 @@ def _dsir_weights_sql(num_buckets: int = 4096) -> str:
     SELECT doc_id, lang, unnest(ts) AS w,
            unnest(range(1, len(ts) + 1)) AS pos
     FROM (SELECT doc_id, lang,
-                 list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                 list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), t -> t <> '') AS ts
           FROM documents)
   )
 ),
@@ -5101,7 +5101,7 @@ FROM facts f LEFT JOIN scd s
 SELECT doc_id, text FROM ld"""
 
     sql["docs_dup_span_removed"] = """WITH toks0 AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), x -> x <> '') AS l
   FROM documents
 ), toks AS (
   SELECT doc_id, unnest(l) AS w, unnest(range(0, len(l))) AS idx FROM toks0
@@ -5165,7 +5165,7 @@ WHERE {bucket_sql('doc_id', '')} < coalesce(t.thr, 0)"""
 
     sql["docs_top_keywords"] = """WITH words AS (
   SELECT w AS word, doc_id FROM (
-    SELECT unnest(string_split(text, ' ')) AS w, doc_id FROM documents
+    SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\r]+')) AS w, doc_id FROM documents
   ) WHERE w <> ''
 ),
 tf AS (SELECT doc_id, word AS term, count(*) AS tf FROM words GROUP BY 1, 2),
@@ -5220,7 +5220,7 @@ reach(id, comp) AS (
 ),
 comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
 qbase AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS qt
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), t -> t <> '') AS qt
   FROM documents
 ),
 q AS (
@@ -5249,7 +5249,7 @@ WHERE l.doc_id IS NULL"""
 
     feat_cte = f"""words AS (
   SELECT w AS word, doc_id FROM (
-    SELECT unnest(string_split(text, ' ')) AS w, doc_id FROM documents
+    SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\r]+')) AS w, doc_id FROM documents
   ) WHERE w <> ''
 ),
 feat AS (
@@ -5530,8 +5530,8 @@ FROM tf GROUP BY c"""
     sql["words_collocations"] = f"""WITH {_WORDS_CTE},
 toks AS (
   SELECT doc_id, w AS w1, p FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-           unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\r]+')) AS w,
+           unnest(range(1, len(regexp_split_to_array(text, '[ \\t\\n\\r]+')) + 1)) AS p
     FROM documents
   ) WHERE w <> ''
 ),
@@ -6012,7 +6012,7 @@ FROM (
   SELECT doc_id, w, pos FROM (
     SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS pos
     FROM (SELECT doc_id,
-                 list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                 list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), t -> t <> '') AS ts
           FROM documents)
   )
 ),
@@ -6109,7 +6109,7 @@ FROM documents d LEFT JOIN per p USING (doc_id)"""
     sql["docs_curated"] = f"""WITH {_LINES_CTE},
 w AS (
   SELECT doc_id, w2 AS word FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS w2 FROM ld
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\r]+')) AS w2 FROM ld
   ) WHERE w2 <> ''
 ),
 gagg AS (

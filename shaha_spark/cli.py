@@ -180,28 +180,40 @@ def _run_source(args) -> int:
     from shaha_spark.sources import aspell, seclists
 
     provider = args.provider
+    if provider not in ("seclists", "aspell"):
+        print(
+            f"Unknown provider: '{provider}'. Available: seclists, aspell",
+            file=sys.stderr,
+        )
+        return 2
     if args.source_command == "pull":
         if provider == "seclists":
             seclists.ensure_clone()
             return 0
-        if provider == "aspell":
-            if aspell.aspell_available():
-                print("aspell is installed and ready.", file=sys.stderr)
-                return 0
-            print("aspell is not installed.", file=sys.stderr)
+        if aspell.aspell_available():
+            print("aspell is installed and ready.", file=sys.stderr)
+            return 0
+        print("aspell is not installed.", file=sys.stderr)
+        return 1
+    if args.source_command == "list":
+        try:
+            if provider == "seclists":
+                print("\n".join(seclists.list_wordlists(args.path)))
+            else:
+                print("\n".join(aspell.list_dicts()))
+        except RuntimeError as err:  # provider backend unavailable
+            print(f"error: {err}", file=sys.stderr)
             return 1
-    elif args.source_command == "list":
-        if provider == "seclists":
-            print("\n".join(seclists.list_wordlists(args.path)))
-            return 0
-        if provider == "aspell":
-            print("\n".join(aspell.list_dicts()))
-            return 0
-    elif args.source_command == "path":
-        if provider == "seclists":
-            print(seclists.cache_dir())
-            return 0
-    print(f"Unknown provider: '{provider}'. Available: seclists, aspell", file=sys.stderr)
+        return 0
+    # path: known provider, but only seclists has a cache directory
+    if provider == "seclists":
+        print(seclists.cache_dir())
+        return 0
+    print(
+        f"'source path' is not supported for provider '{provider}' "
+        "(aspell dictionaries live in the system aspell installation)",
+        file=sys.stderr,
+    )
     return 2
 
 
@@ -298,6 +310,12 @@ def main(argv: list[str] | None = None) -> int:
                     flat.write.mode("overwrite").json(out)
                 else:
                     df.write.mode("overwrite").parquet(out)
+                # same contract as the printing paths: no matches exits
+                # non-zero (ref query.rs:82) — the cheap post-write
+                # emptiness probe reads one row via the same predicates
+                if df.isEmpty():
+                    print("No matches found", file=sys.stderr)
+                    return 1
                 print(f"wrote matches to {out}", file=sys.stderr)
                 return 0
             if args.format == "plain":
@@ -363,41 +381,36 @@ def main(argv: list[str] | None = None) -> int:
                 forget_digests,
                 forget_preimages,
                 plan_forget,
+                preimage_digests,
             )
 
-            digests = [bytes.fromhex(h) for h in args.digest]
-            if args.dry_run:
-                from pyspark.sql import functions as F
-
-                from shaha_spark.functions.hashers import hash_expr
-                from shaha_spark.pipeline.build import read_sidecar
-
+            try:
+                digests = [bytes.fromhex(h) for h in args.digest]
+                if args.dry_run:
+                    # the SAME digest expansion as the real run (incl.
+                    # the sidecar-missing scan fallback) — a dry-run
+                    # must never claim a no-op for a run that deletes
+                    if args.word:
+                        digests += preimage_digests(
+                            spark, args.database, args.word,
+                            algorithms=args.algorithm,
+                        )
+                    plan = plan_forget(spark, args.database, digests)
+                    plan.pop("candidates")
+                    print(json.dumps(plan, indent=2))
+                    return 0
+                report = {"rows_deleted": 0, "files_rewritten": 0, "files_dropped": 0}
+                if digests:
+                    report = forget_digests(spark, args.database, digests)
                 if args.word:
-                    meta = read_sidecar(spark, args.database) or {}
-                    algos = args.algorithm or meta.get("algorithms", [])
-                    wdf = spark.createDataFrame(
-                        [(w,) for w in args.word], "word string"
+                    r2 = forget_preimages(
+                        spark, args.database, args.word, algorithms=args.algorithm
                     )
-                    digests += [
-                        bytes(r.d)
-                        for a in algos
-                        for r in wdf.select(
-                            hash_expr(a, F.col("word")).alias("d")
-                        ).collect()
-                    ]
-                plan = plan_forget(spark, args.database, digests)
-                plan.pop("candidates")
-                print(json.dumps(plan, indent=2))
-                return 0
-            report = {"rows_deleted": 0, "files_rewritten": 0, "files_dropped": 0}
-            if digests:
-                report = forget_digests(spark, args.database, digests)
-            if args.word:
-                r2 = forget_preimages(
-                    spark, args.database, args.word, algorithms=args.algorithm
-                )
-                for k in ("rows_deleted", "files_rewritten", "files_dropped"):
-                    report[k] = report.get(k, 0) + r2.get(k, 0)
+                    for k in ("rows_deleted", "files_rewritten", "files_dropped"):
+                        report[k] = report.get(k, 0) + r2.get(k, 0)
+            except ValueError as err:  # bad hex digest / unknown -a name
+                print(f"error: {err}", file=sys.stderr)
+                return 2
             print(json.dumps(report, indent=2))
             return 0
 
@@ -407,9 +420,13 @@ def main(argv: list[str] | None = None) -> int:
             if args.at_version is not None:
                 from shaha_spark.pipeline import snapshot as snap
 
-                base = snap.read_snapshot(
-                    spark, args.database, args.at_version
-                )
+                try:
+                    base = snap.read_snapshot(
+                        spark, args.database, args.at_version
+                    )
+                except (ValueError, FileNotFoundError) as err:
+                    print(f"error: {err}", file=sys.stderr)
+                    return 2
             else:
                 base = read_hashdb(spark, args.database)
             base.createOrReplaceTempView("db")
@@ -432,10 +449,18 @@ def main(argv: list[str] | None = None) -> int:
                         return bytes(v).hex()
                     if isinstance(v, list):
                         return [_j(x) for x in v]
+                    if isinstance(v, dict):
+                        return {k: _j(x) for k, x in v.items()}
+                    if hasattr(v, "asDict"):  # struct columns (Row)
+                        return {k: _j(x) for k, x in v.asDict().items()}
                     return v
 
+                # default=str renders the non-JSON-native scalar types
+                # SQL legitimately returns (timestamp, date, Decimal)
+                # instead of dying on a TypeError traceback
                 print(json.dumps(
-                    [{c: _j(r[c]) for c in res.columns} for r in rows]
+                    [{c: _j(r[c]) for c in res.columns} for r in rows],
+                    default=str,
                 ))
             else:
                 print("\t".join(res.columns))
@@ -469,19 +494,30 @@ def main(argv: list[str] | None = None) -> int:
                 ]
                 print(json.dumps(out, indent=2))
             elif args.snapshot_command == "read":
-                df = snap.read_snapshot(
-                    spark, args.database, args.version,
-                    allow_missing=args.allow_missing,
-                )
-                print(json.dumps({
-                    "version": args.version,
-                    "rows": df.count(),
-                    "columns": df.columns,
-                }, indent=2))
+                # nonexistent versions and vacuum-made holes are routine
+                # user errors: clean message + exit 2, like the query
+                # verb handles the identical conditions
+                try:
+                    df = snap.read_snapshot(
+                        spark, args.database, args.version,
+                        allow_missing=args.allow_missing,
+                    )
+                    print(json.dumps({
+                        "version": args.version,
+                        "rows": df.count(),
+                        "columns": df.columns,
+                    }, indent=2))
+                except (ValueError, FileNotFoundError) as err:
+                    print(f"error: {err}", file=sys.stderr)
+                    return 2
             elif args.snapshot_command == "diff":
-                print(json.dumps(snap.snapshot_diff(
-                    spark, args.database, args.versions[0], args.versions[1]
-                ), indent=2))
+                try:
+                    print(json.dumps(snap.snapshot_diff(
+                        spark, args.database, args.versions[0], args.versions[1]
+                    ), indent=2))
+                except (ValueError, FileNotFoundError) as err:
+                    print(f"error: {err}", file=sys.stderr)
+                    return 2
             return 0
 
         if args.command == "vacuum":

@@ -203,6 +203,67 @@ def blake3_batch(datas: list[bytes]) -> list[bytes]:
     return out  # type: ignore[return-value]
 
 
+def _parent_cv(left: tuple[int, ...], right: tuple[int, ...], flags: int = 0):
+    return _compress(_IV, list(left) + list(right), 0, _BLOCK_LEN, _PARENT | flags)
+
+
+class Blake3Hasher:
+    """Incremental BLAKE3 (update()/digest()), for streamed inputs that
+    must not be buffered whole — e.g. multi-GB file fingerprints.
+
+    The standard chunk-stack construction: each completed 1024-byte
+    chunk's CV is pushed onto a stack, merging two equal-size subtrees
+    whenever the completed-chunk count gains a trailing zero bit; this
+    reproduces exactly the spec's left-heavy tree (left subtree =
+    largest power of two < total), verified differentially against the
+    one-shot :func:`blake3` across chunk-boundary sizes. A chunk is
+    only finalized once a further byte arrives, because the last chunk
+    compresses with the ROOT flag and cannot be known early.
+
+    ``digest()`` is non-destructive — more ``update()`` calls may
+    follow, matching hashlib semantics.
+    """
+
+    def __init__(self) -> None:
+        self._stack: list[tuple[int, ...]] = []
+        self._chunks = 0
+        self._buf = bytearray()
+
+    def update(self, data: bytes) -> "Blake3Hasher":
+        self._buf += data
+        while len(self._buf) > _CHUNK_LEN:
+            chunk = bytes(self._buf[:_CHUNK_LEN])
+            del self._buf[:_CHUNK_LEN]
+            cv, words, counter, block_len, flags = _chunk_output(
+                chunk, self._chunks
+            )
+            cv8 = tuple(_compress(cv, words, counter, block_len, flags)[:8])
+            self._chunks += 1
+            total = self._chunks
+            while total & 1 == 0:
+                cv8 = tuple(_parent_cv(self._stack.pop(), cv8)[:8])
+                total >>= 1
+            self._stack.append(cv8)
+        return self
+
+    def digest(self) -> bytes:
+        cv, words, counter, block_len, flags = _chunk_output(
+            bytes(self._buf), self._chunks
+        )
+        if not self._stack:
+            out = _compress(cv, words, counter, block_len, flags | _ROOT)
+            return b"".join(w.to_bytes(4, "little") for w in out[:8])
+        current = tuple(_compress(cv, words, counter, block_len, flags)[:8])
+        stack = list(self._stack)
+        while len(stack) > 1:
+            current = tuple(_parent_cv(stack.pop(), current)[:8])
+        out = _parent_cv(stack.pop(), current, _ROOT)
+        return b"".join(w.to_bytes(4, "little") for w in out[:8])
+
+    def hexdigest(self) -> str:
+        return self.digest().hex()
+
+
 def blake3(data: bytes) -> bytes:
     """BLAKE3 digest, default (unkeyed) mode, 32 bytes."""
     chunks = [data[i : i + _CHUNK_LEN] for i in range(0, len(data), _CHUNK_LEN)] or [b""]

@@ -28,16 +28,39 @@ from shaha_spark.functions.keccak import keccak256_batch as _keccak256_batch
 from shaha_spark.schema import DIGEST_LENGTHS
 
 
-def _to_bytes(value: object) -> bytes:
+def _to_bytes(value: object) -> bytes | None:
+    # NULL propagates: the JVM-native algorithms (md5/sha2/...) return
+    # NULL for NULL input, and the UDF lane must agree — str(None)
+    # would fabricate the digest of the literal string "None"
+    if value is None:
+        return None
     if isinstance(value, (bytes, bytearray)):
         return bytes(value)
     return str(value).encode("utf-8")
 
 
+def _null_safe_batch(
+    kernel: Callable[[list[bytes]], list[bytes]], s: pd.Series
+) -> pd.Series:
+    """Run a list[bytes]→list[bytes] kernel over an Arrow batch,
+    passing NULL rows through untouched."""
+    datas = [_to_bytes(v) for v in s]
+    idx = [i for i, d in enumerate(datas) if d is not None]
+    out: list[bytes | None] = [None] * len(datas)
+    if idx:
+        for i, d in zip(idx, kernel([datas[i] for i in idx])):
+            out[i] = d
+    return pd.Series(out, index=s.index, dtype=object)
+
+
 @pandas_udf(BinaryType())
 def _ripemd160_udf(s: pd.Series) -> pd.Series:
     # hashlib's ripemd160 is a C kernel; per-row map is already cheap
-    return s.map(lambda v: hashlib.new("ripemd160", _to_bytes(v)).digest())
+    return s.map(
+        lambda v: None
+        if (b := _to_bytes(v)) is None
+        else hashlib.new("ripemd160", b).digest()
+    )
 
 
 #: resolved lazily PER WORKER PROCESS (None = not yet probed), same
@@ -70,7 +93,7 @@ def _keccak256_digests(datas: list[bytes]) -> list[bytes]:
 def _keccak256_udf(s: pd.Series) -> pd.Series:
     # numpy-vectorized over the Arrow batch (~70x the scalar sponge),
     # or pycryptodome's C kernel when present (see _keccak256_digests)
-    return pd.Series(_keccak256_digests([_to_bytes(v) for v in s]), index=s.index)
+    return _null_safe_batch(_keccak256_digests, s)
 
 
 #: resolved lazily PER WORKER PROCESS (None = not yet probed): the
@@ -99,7 +122,7 @@ def _blake3_digests(datas: list[bytes]) -> list[bytes]:
 def _blake3_udf(s: pd.Series) -> pd.Series:
     # numpy-vectorized over the Arrow batch (~300x the scalar tree),
     # or the native wheel when present (see _blake3_digests)
-    return pd.Series(_blake3_digests([_to_bytes(v) for v in s]), index=s.index)
+    return _null_safe_batch(_blake3_digests, s)
 
 
 def _md5(col: Column) -> Column:

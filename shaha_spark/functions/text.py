@@ -10,12 +10,31 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from shaha_spark.operators.constants import MERSENNE_P, SHINGLE_N
+from shaha_spark.operators.constants import (
+    MERSENNE_P,
+    SHINGLE_N,
+    TOKEN_SPLIT_RE,
+)
 
 
 def tokens(col: Column) -> Column:
     """Whitespace tokens, empties dropped → array<string>."""
-    return F.filter(F.split(col, " "), lambda t: t != F.lit(""))
+    return F.filter(F.split(col, TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def sql_tokens(text_expr: str) -> str:
+    """DuckDB twin of :func:`tokens`: same whitespace class, empties
+    dropped — interpolate into oracle SQL."""
+    return (
+        f"list_filter(regexp_split_to_array({text_expr}, "
+        f"'{TOKEN_SPLIT_RE}'), x -> x <> '')"
+    )
+
+
+def sql_split(text_expr: str) -> str:
+    """DuckDB twin of ``F.split(col, TOKEN_SPLIT_RE)`` — the RAW split
+    (empties kept), for oracles that mirror posexplode positions."""
+    return f"regexp_split_to_array({text_expr}, '{TOKEN_SPLIT_RE}')"
 
 
 def h_bits(col: Column, hex_digits: int) -> Column:

@@ -42,6 +42,16 @@ LSH_ROWS_PER_BAND = 4
 #: Token-shingle width for MinHash / Jaccard.
 SHINGLE_N = 3
 
+#: Tokenizer split pattern — an explicit whitespace class (space, tab,
+#: newline, carriage return) written with backslash escapes so the SAME
+#: string is a valid Java regex (Spark F.split) and RE2 regex (DuckDB
+#: regexp_split_to_array). A bare literal-space split would glue words
+#: across line breaks and count every '\n' boundary as a symbol token
+#: (silently failing multi-line docs in the gopher/quality filters);
+#: Java's and RE2's builtin \s classes differ on vertical tab, so the
+#: class is spelled out rather than using \s.
+TOKEN_SPLIT_RE = r"[ \t\n\r]+"
+
 #: SimHash width in bits (fits int64 comfortably).
 SIMHASH_BITS = 32
 

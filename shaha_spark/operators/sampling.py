@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from shaha_spark.operators.constants import TOKEN_SPLIT_RE
 from shaha_spark.functions.text import h28
 
 #: membership granularity: fractions resolve to 1/10000
@@ -280,7 +281,7 @@ def _hashed_grams(
 
     toks = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+        F.posexplode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("pos", "w"),
     ).filter(F.col("w") != "")
     wnd = Window.partitionBy(id_col).orderBy("pos")
     with_next = toks.select(
@@ -544,7 +545,7 @@ def token_budget_select_sql(
     bucket-partitioned prefix sum equals."""
     return f"""WITH sized AS (
   SELECT {id_col}, CAST({score_col} AS BIGINT) AS score,
-    CAST(len(list_filter(string_split({text_col}, ' '), x -> x <> ''))
+    CAST(len(list_filter(regexp_split_to_array({text_col}, '[ \\t\\n\\r]+'), x -> x <> ''))
          AS BIGINT) AS n_tokens
   FROM {table}
 ),

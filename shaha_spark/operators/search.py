@@ -119,7 +119,7 @@ def _postings_cte(
     SELECT {id_col}, unnest(l) AS term,
            unnest(range(0, len(l))) AS pos
     FROM (SELECT {id_col},
-                 list_filter(string_split({text_col}, ' '), x -> x <> '') AS l
+                 list_filter(regexp_split_to_array({text_col}, '[ \\t\\n\\r]+'), x -> x <> '') AS l
           FROM {table})
   )
 )"""

@@ -28,12 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from shaha_spark.operators.constants import TOKEN_SPLIT_RE
+
 
 def tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, term) pairs, empties dropped — whitespace tokenization."""
     return docs.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        F.explode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("term"),
     ).filter(F.col("term") != "")
 
 
@@ -97,7 +99,7 @@ def word_ngrams(
         raise ValueError(f"n must be >= 1, got {n}")
     toks = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+        F.posexplode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("pos", "w"),
     ).filter(F.col("w") != "")
     if n == 1:
         return toks.select(id_col, F.col("w").alias("gram")).distinct()
@@ -199,7 +201,7 @@ def ngram_repetition(
         raise ValueError(f"n must be >= 1, got {n}")
     toks = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+        F.posexplode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("pos", "w"),
     ).filter(F.col("w") != "")
     if n == 1:
         assembled = toks.select(F.col(id_col), F.col("w").alias("gram"))
@@ -463,7 +465,7 @@ def remove_dup_gram_spans(
     toks = (
         docs.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+            F.posexplode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("pos", "w"),
         )
         .filter(F.col("w") != "")
         .select(
@@ -557,7 +559,7 @@ def bigram_logprob(
 
     toks = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+        F.posexplode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("pos", "w"),
     ).filter(F.col("w") != "")
     wnd = W.partitionBy(id_col).orderBy("pos")
     pairs = (
@@ -626,7 +628,7 @@ def trigram_backoff_logprob(
     def _toks(df):
         return df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+            F.posexplode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("pos", "w"),
         ).filter(F.col("w") != "")
 
     def _tris(df):

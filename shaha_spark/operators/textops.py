@@ -457,7 +457,7 @@ def winnow_fingerprints_sql(
 
     gram_expr = " || ' ' || ".join(f"l[i+{j}]" for j in range(k))
     return f"""WITH toks AS (
-  SELECT {id_col}, list_filter(string_split({text_col}, ' '), x -> x <> '') AS l
+  SELECT {id_col}, list_filter(regexp_split_to_array({text_col}, '[ \\t\\n\\r]+'), x -> x <> '') AS l
   FROM {table}
 ),
 grams AS (

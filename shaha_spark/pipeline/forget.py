@@ -217,16 +217,20 @@ def forget_digests(
     }
 
 
-def forget_preimages(
+def preimage_digests(
     spark: SparkSession,
     path: str,
     preimages: list[str],
     algorithms: list[str] | None = None,
-) -> dict[str, Any]:
-    """Erase ``preimages`` under every algorithm the database holds
-    (or an explicit subset). Digests are computed with the engine's own
-    hasher kernels on a tiny in-memory DataFrame — no driver-side
-    reimplementation to drift."""
+) -> list[bytes]:
+    """Expand preimages into the digests to erase, under every
+    algorithm the database holds (or an explicit subset). The algorithm
+    list comes from the sidecar, FALLING BACK TO A SCAN when the
+    sidecar is missing — the single shared expansion for both the real
+    erasure and the CLI dry-run, so the plan can never claim a no-op
+    for a run that would delete rows. Digests are computed with the
+    engine's own hasher kernels on a tiny in-memory DataFrame — no
+    driver-side reimplementation to drift."""
     from shaha_spark.functions.hashers import hash_expr
     from shaha_spark.pipeline.stats import scan_stats
 
@@ -236,11 +240,24 @@ def forget_preimages(
             meta["algorithms"] if meta else scan_stats(spark, path)["algorithms"]
         )
     if not preimages or not algorithms:
-        return _empty_forget_report()
+        return []
     words = spark.createDataFrame([(w,) for w in preimages], "word string")
-    digests = [
+    return [
         bytes(r.d)
         for algo in algorithms
         for r in words.select(hash_expr(algo, F.col("word")).alias("d")).collect()
     ]
+
+
+def forget_preimages(
+    spark: SparkSession,
+    path: str,
+    preimages: list[str],
+    algorithms: list[str] | None = None,
+) -> dict[str, Any]:
+    """Erase ``preimages`` under every algorithm the database holds
+    (or an explicit subset) — see :func:`preimage_digests`."""
+    digests = preimage_digests(spark, path, preimages, algorithms)
+    if not digests:
+        return _empty_forget_report()
     return forget_digests(spark, path, digests)

@@ -112,6 +112,15 @@ def query(
     # use the bloom-eligible equality form when it is provably exact.
     max_len: int | None = None
     if algorithm is not None:
+        # validate up front: a typo'd name would otherwise just filter
+        # to zero rows and report "No matches found" for a hash that IS
+        # in the database (the reference's enum parse errors instead,
+        # ref query.rs:69-70)
+        if algorithm not in DIGEST_LENGTHS:
+            raise ValueError(
+                f"unknown algorithm {algorithm!r} "
+                f"(available: {', '.join(sorted(DIGEST_LENGTHS))})"
+            )
         max_len = DIGEST_LENGTHS.get(algorithm)
     else:
         meta = read_sidecar(spark, db_path) or {}

@@ -43,7 +43,18 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus)
+        # SPARK_GRAFT_CPUS feeds the local[{n}] master string, where
+        # '*' (all cores) is valid Spark syntax — honor it here too
+        # instead of crashing every command on int('*')
+        try:
+            shuffle_partitions = int(cpus)
+        except ValueError:
+            if cpus.strip() == "*":
+                shuffle_partitions = os.cpu_count() or 8
+            else:
+                raise ValueError(
+                    f"SPARK_GRAFT_CPUS must be an integer or '*', got {cpus!r}"
+                ) from None
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -12,19 +12,32 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from shaha_spark.functions.blake3_pure import blake3
+from shaha_spark.functions.blake3_pure import Blake3Hasher
 
 
-def content_hash_file(path: str) -> str:
+def content_hash_file(path: str, block_size: int = 64 * 1024) -> str:
     """Streamed blake3 fingerprint of a local file (ref file.rs:43-56).
 
-    Note: the pure-Python kernel processes the whole buffer at once, so
-    we accumulate then hash; wordlists are small relative to driver RAM
-    (the data-plane never takes this path).
+    Reads fixed blocks through an incremental hasher — the fingerprint
+    of a multi-GB wordlist must be bounded by the block size, never by
+    driver memory (a whole-file read here would undo url_source's
+    streamed download). The native wheel's Rust kernel is used when
+    importable; the pure chunk-stack hasher is the dependency-free
+    fallback, both producing identical spec digests.
     """
+    try:
+        from blake3 import blake3 as _native  # type: ignore[import-not-found]
+
+        hasher = _native()
+    except ImportError:
+        hasher = Blake3Hasher()
     with open(path, "rb") as fh:
-        data = fh.read()
-    return blake3(data).hex()
+        while True:
+            block = fh.read(block_size)
+            if not block:
+                break
+            hasher.update(block)
+    return hasher.digest().hex()
 
 
 def file_source(spark: SparkSession, path: str):

@@ -174,3 +174,51 @@ def test_sql_verb_live_and_time_travel(tmp_path):
     )
     assert tsv.stdout.splitlines() == ["algorithm\tn", "sha256\t3"]
     run_cli("sql", "SELECT nope FROM db", "-d", db, expect=2)
+
+
+def test_source_dispatch_messages():
+    """Known provider + unsupported subcommand must not claim the
+    provider is unknown; truly unknown providers exit 2."""
+    proc = run_cli("source", "path", "aspell", expect=2)
+    assert "Unknown provider" not in proc.stderr
+    assert "not supported" in proc.stderr
+    proc = run_cli("source", "path", "nosuch", expect=2)
+    assert "Unknown provider" in proc.stderr
+
+
+def test_cli_error_contract_batch(tmp_path):
+    """One subprocess-paying batch over a tiny db: unknown query
+    algorithm exits 2 with a clean message (not silent no-match),
+    query --out with zero matches exits 1, sql --format json renders
+    timestamps/decimals, snapshot read of a nonexistent version exits
+    2 cleanly, forget with a bad -a exits 2 cleanly."""
+    w = tmp_path / "w.txt"
+    w.write_text("alpha\nbeta\n")
+    db = str(tmp_path / "db")
+    run_cli("build", str(w), "-a", "sha256", "-o", db, "--quiet")
+
+    proc = run_cli("query", "ab", "-d", db, "-a", "SHA256", expect=2)
+    assert "unknown algorithm" in proc.stderr and "sha256" in proc.stderr
+
+    out = str(tmp_path / "none.csv")
+    import hashlib as _h
+    absent = _h.sha256(b"not-in-db").hexdigest()
+    proc = run_cli("query", absent, "-d", db, "--out", out, expect=1)
+    assert "No matches found" in proc.stderr
+
+    proc = run_cli(
+        "sql",
+        "SELECT current_timestamp() AS t, CAST(1.5 AS DECIMAL(10,2)) AS d",
+        "-d", db, "--format", "json",
+    )
+    row = json.loads(proc.stdout)[0]
+    assert "t" in row and row["d"] in ("1.50", "1.5")
+
+    proc = run_cli("snapshot", "read", "-d", db, "-v", "99", expect=2)
+    assert proc.stderr.startswith("error:") or "error:" in proc.stderr
+    assert "Traceback" not in proc.stderr
+
+    proc = run_cli("forget", "-d", db, "-w", "alpha", "-a", "sha-256",
+                   "--dry-run", expect=2)
+    assert "unknown algorithm" in proc.stderr
+    assert "Traceback" not in proc.stderr

@@ -172,3 +172,22 @@ def test_forget_decrements_live_count_only(spark, tmp_path):
     from shaha_spark.pipeline.build import read_hashdb
 
     assert read_hashdb(spark, out).count() == after
+
+
+def test_preimage_digests_scan_fallback_without_sidecar(spark, tmp_path):
+    """The digest expansion (shared by the real run AND the CLI
+    dry-run) must fall back to scanning for the algorithm list when
+    the sidecar is missing — a dry-run that reports a no-op while the
+    real run would delete rows is the worst possible plan output."""
+    import os
+
+    from shaha_spark.pipeline.forget import preimage_digests
+
+    out = _db(spark, tmp_path, words=20, num_files=2)
+    for name in os.listdir(out):
+        if name.startswith("_shaha_meta"):
+            io_util.delete(spark, f"{out}/{name}")
+    assert read_sidecar(spark, out) is None
+    ds = preimage_digests(spark, out, ["word0003"])
+    # both algorithms recovered from the scan: 2 digests for 1 word
+    assert len(ds) == 2 and len({len(d) for d in ds}) == 2

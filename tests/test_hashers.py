@@ -157,3 +157,56 @@ def test_keccak_native_fast_path_selection(monkeypatch):
         hashers._keccak256_digests([b"hello"])[0].hex()
         == "1c8aff950685c2ed4bc3174f3472287b56d9517b9c948127319a09a7a36deac8"
     )
+
+
+def test_blake3_incremental_matches_one_shot():
+    """Blake3Hasher (the streamed chunk-stack construction) must agree
+    with the one-shot spec tree at every chunk-boundary size and under
+    arbitrary update() splits — including digest() mid-stream."""
+    import random
+
+    from shaha_spark.functions.blake3_pure import Blake3Hasher, blake3
+
+    rng = random.Random(7)
+    sizes = [0, 1, 63, 64, 65, 1023, 1024, 1025, 2048, 2049,
+             3072, 4096, 5000, 8192, 31744, 102_400]
+    for size in sizes:
+        data = bytes(rng.randrange(256) for _ in range(size))
+        h = Blake3Hasher()
+        i = 0
+        while i < len(data):
+            step = rng.choice([1, 7, 64, 1000, 1024, 4096])
+            h.update(data[i : i + step])
+            i += step
+        assert h.digest() == blake3(data), size
+        # digest() is non-destructive: updating afterwards still works
+        h.update(b"tail")
+        assert h.digest() == blake3(data + b"tail"), size
+
+
+def test_content_hash_file_streams(tmp_path):
+    """content_hash_file must produce the spec digest while reading in
+    bounded blocks (multi-chunk file, block size ≠ chunk size)."""
+    from shaha_spark.functions.blake3_pure import blake3
+    from shaha_spark.sources.file import content_hash_file
+
+    data = bytes((i * 37 + 11) % 256 for i in range(200_000))
+    p = tmp_path / "w.txt"
+    p.write_bytes(data)
+    assert content_hash_file(str(p), block_size=4096) == blake3(data).hex()
+
+
+def test_udf_algorithms_propagate_null(spark):
+    """NULL input must yield a NULL digest on the UDF lane exactly as
+    the JVM-native lane does — not the digest of the string 'None'."""
+    from pyspark.sql import functions as F
+
+    from shaha_spark.functions.hashers import hash_expr
+
+    df = spark.createDataFrame([("x",), (None,)], "word string")
+    for algo in ("md5", "sha256", "keccak256", "ripemd160", "blake3", "hash160"):
+        rows = {r.word: r.d for r in df.select(
+            "word", hash_expr(algo, F.col("word")).alias("d")
+        ).collect()}
+        assert rows[None] is None, algo
+        assert rows["x"] is not None, algo

@@ -681,6 +681,22 @@ def test_gopher_rules_symbol_and_alpha_ratios(spark):
     assert row["keep"] == 0
 
 
+def test_gopher_rules_multiline_doc_not_penalized(spark):
+    """Tokenization splits on ANY whitespace run: a clean document
+    written as multiple lines must score identically to its one-line
+    form — with a literal-space split every '\\n' boundary would glue
+    two words into one symbol-bearing token and the multi-line form
+    would be silently dropped."""
+    one_line = "the a " * 2 + "word " * 21
+    multi_line = one_line.strip().replace("word word ", "word\nword\n\t", 5)
+    docs = spark.createDataFrame(
+        [(1, one_line), (2, multi_line)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in textops.gopher_rules(docs).collect()}
+    assert got[1] == {**got[2], "doc_id": 1}
+    assert got[2]["keep"] == 1 and got[2]["symbol_ratio"] == 0.0
+
+
 def test_minhash_mass_duplicates_bounded_by_exact_dedup_prepass(spark):
     """The documented hot-bucket mitigation (SCALE.md, dedup.py): a
     mass-identical family produces C(n,2) LSH candidates — the
