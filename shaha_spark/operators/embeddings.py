@@ -145,6 +145,11 @@ def _mean_grid(df: DataFrame, vec_col: str) -> list[float]:
     """Per-dimension decimal-exact mean, rounded to float32 (the same
     cross-engine determinism recipe as the kmeans centroid means)."""
     d = _dim(df, vec_col)
+    # divide by the NON-NULL element count, not the row count: _dim
+    # explicitly supports NULL embeddings (they carry no mass in the
+    # sums), so dividing by all rows would deflate the mean and leave
+    # centered_grid un-centered. Matches the oracle twin, where
+    # unnest() emits no rows for a NULL vector.
     aggs = [
         (
             F.sum(
@@ -152,7 +157,7 @@ def _mean_grid(df: DataFrame, vec_col: str) -> list[float]:
                 .cast("double")
                 .cast("decimal(25,10)")
             ).cast("double")
-            / F.count(F.lit(1))
+            / F.count(F.element_at(F.col(vec_col), p + 1))
         )
         .cast("float")
         .alias(f"m{p}")
@@ -224,7 +229,7 @@ def top_principal_component(
     """
     grid, _means = centered_grid(df, vec_col)
     grid = grid.select("__xq").localCheckpoint(eager=True)
-    v = [1] * _dim(df, vec_col)
+    v = [1] * len(_means)  # dimensionality already known — no extra job
     for _ in range(iters):
         v = _matvec(grid, v)
     scale = float(max(abs(c) for c in v))

@@ -28,7 +28,14 @@ def numeric_profile(
     s = F.sum(dec).cast("double")
     sq = F.sum(dec * dec).cast("double")
     mean = s / n
-    var = F.when(n > 1, (sq - s * s / n) / (n - F.lit(1))).otherwise(F.lit(0.0))
+    # clamp at 0: for a constant column double cancellation can leave
+    # sumsq - sum²/n a hair NEGATIVE (e.g. 3 rows of 0.1 → -2e-18) and
+    # sqrt would return NaN, which then compares TRUE against any
+    # threshold downstream. greatest() is one more deterministic IEEE
+    # op replayed identically by the oracle twin.
+    var = F.when(
+        n > 1, F.greatest((sq - s * s / n) / (n - F.lit(1)), F.lit(0.0))
+    ).otherwise(F.lit(0.0))
     return df.agg(
         n.alias("n"),
         F.count(F.when(F.col(column).isNull(), 1)).alias("n_null"),
@@ -69,7 +76,10 @@ def table_profile(
         s = F.col(f"__s_{c}")
         sq = F.col(f"__sq_{c}")
         mean = s / n
-        var = F.when(n > 1, (sq - s * s / n) / (n - F.lit(1))).otherwise(F.lit(0.0))
+        # same negative-cancellation clamp as numeric_profile
+        var = F.when(
+            n > 1, F.greatest((sq - s * s / n) / (n - F.lit(1)), F.lit(0.0))
+        ).otherwise(F.lit(0.0))
         structs.append(
             F.struct(
                 F.lit(c).alias("column_name"),
@@ -99,9 +109,9 @@ def table_profile_sql(
   CAST(max({c}) AS DOUBLE) AS max_value,
   CAST(SUM(CAST({c} AS {precision})) AS DOUBLE) / count({c}) AS mean_value,
   sqrt(CASE WHEN count({c}) > 1 THEN
-    (CAST(SUM(CAST({c} AS {precision}) * CAST({c} AS {precision})) AS DOUBLE)
+    greatest((CAST(SUM(CAST({c} AS {precision}) * CAST({c} AS {precision})) AS DOUBLE)
      - CAST(SUM(CAST({c} AS {precision})) AS DOUBLE) * CAST(SUM(CAST({c} AS {precision})) AS DOUBLE) / count({c}))
-    / (count({c}) - 1) ELSE 0.0 END) AS stddev_value
+    / (count({c}) - 1), 0.0) ELSE 0.0 END) AS stddev_value
 FROM {table}""")
     return "\nUNION ALL\n".join(selects)
 
@@ -116,9 +126,9 @@ def profile_sql(table: str, column: str, precision: str = "DECIMAL(18,2)") -> st
   CAST(max({column}) AS DOUBLE) AS max_value,
   CAST(SUM(CAST({column} AS {precision})) AS DOUBLE) / count({column}) AS mean_value,
   sqrt(CASE WHEN count({column}) > 1 THEN
-    (CAST(SUM(CAST({column} AS {precision}) * CAST({column} AS {precision})) AS DOUBLE)
+    greatest((CAST(SUM(CAST({column} AS {precision}) * CAST({column} AS {precision})) AS DOUBLE)
      - CAST(SUM(CAST({column} AS {precision})) AS DOUBLE) * CAST(SUM(CAST({column} AS {precision})) AS DOUBLE) / count({column}))
-    / (count({column}) - 1) ELSE 0.0 END) AS stddev_value
+    / (count({column}) - 1), 0.0) ELSE 0.0 END) AS stddev_value
 FROM {table}"""
 
 

@@ -155,8 +155,11 @@ def oov_rate(
     map-side membership probe and one hash-agg by document; no shuffle
     of the token stream itself beyond the final per-doc aggregation.
     The rate is one IEEE division of two exact counts."""
+    # distinct() before the probe: a vocab table with duplicate terms
+    # would otherwise MULTIPLY matched token rows through the join and
+    # deflate the rate (n_tokens counts join-output rows)
     marked = tokens(docs, text_col, id_col).join(
-        F.broadcast(vocab.select("term").withColumn("__known", F.lit(1))),
+        F.broadcast(vocab.select("term").distinct().withColumn("__known", F.lit(1))),
         "term",
         "left",
     )
