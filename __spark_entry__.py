@@ -3293,30 +3293,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_build_multi_algo(spark, "/root/testdata/sf0.001")
 
 
-#: The three entries guaranteed a round-4 window slot even though they
-#: already appeared in a CORRECTNESS file: `similarity_ivf` gained its
-#: oracle only AFTER its single (rows-only) driver row, and
-#: `docs_packed` / `tpch_q12` were red in r3 on a DuckDB-HUGEINT
-#: oracle type artifact, fixed by CAST(... AS BIGINT) this round —
-#: all three need a fresh driver hash row (VERDICT r3 items 1/4).
-R4_WINDOW_ANCHORS = ["similarity_ivf", "docs_packed", "tpch_q12"]
+#: Round-5 driver-window ordering, computed mechanically by
+#: scripts/plan_window.py from CORRECTNESS_r01–r04 (see WINDOW_r5.txt):
+#: the 30 registry entries that have never had a driver row lead, then
+#: `events_interarrival` (red in r4 on a last-ULP rounding divergence,
+#: fixed this round — needs a fresh hash row), then the remaining slots
+#: filled least-recently-verified first (all r01 rows). After this
+#: window runs, EVERY oracled registry entry has a green driver row.
+R5_WINDOW_ORDER = [
+    "events_pit_join", "events_rollup_incremental", "docs_source_cap",
+    "docs_ppl_buckets", "events_gapfill", "events_debounce",
+    "users_scd2", "docs_line_dedup", "docs_dup_span_removed",
+    "docs_temperature_rates", "docs_temperature_resample",
+    "docs_dsir_weights", "docs_dsir_topk", "docs_top_keywords",
+    "docs_redact", "dedup_keep_best", "docs_hashed_features",
+    "docs_logreg_score", "emb_semantic_dedup", "emb_pq_topk",
+    "emb_ivf_pq_topk", "docs_bpe_encode", "docs_char_entropy",
+    "docs_trigram_backoff", "docs_curated", "docs_postings_stats",
+    "docs_phrase_search", "docs_winnowing", "docs_token_budget",
+    "emb_diverse_sample",
+    "events_interarrival",
+    "profile_lineitem", "words_intersect", "words_except",
+    "dedup_exact", "dedup_minhash_sigs", "dedup_minhash_pairs",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_minhash_survivors", "similarity_topk", "embedding_near_dup",
+    "text_token_count", "text_quality", "text_langid",
+    "text_fingerprint", "multimodal_meta", "multimodal_frame_count",
+    "wordlist_scan",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness harness checks the FIRST 50
-    # entries only. Window layout this round: the three re-verification
-    # anchors, then the merged round-4 registrations (none has ever had a
-    # driver row) until the window is full; the staged spill-over follows
-    # immediately (front of the round-5 window), then everything already
-    # driver-verified. tests/test_coverage_guard.py enforces the invariant.
-    prior = _queries_prior()
-    staged = queries_r4()
+    # entries only. Round-5 layout: R5_WINDOW_ORDER (never-driver-verified
+    # block + re-verification anchor + least-recently-verified backfill)
+    # occupies the window; everything else keeps its registry order after
+    # it. tests/test_coverage_guard.py enforces the invariant.
+    merged = dict(_queries_prior())
+    merged.update(queries_r4())
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in R4_WINDOW_ANCHORS:
-        out[name] = prior[name]
-    for name, fn in staged.items():
-        out[name] = fn
-    for name, fn in prior.items():
+    for name in R5_WINDOW_ORDER:
+        out[name] = merged[name]
+    for name, fn in merged.items():
         out.setdefault(name, fn)
     return out
 
@@ -3898,13 +3916,30 @@ def q_events_interarrival(spark, sf_dir):
     med = group_quantiles(gaps, "user_id", "gap", [0.5]).select(
         "user_id", F.col("p50").alias("median_gap_us")
     )
-    means = gaps.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
-        F.round(
-            F.sum(F.col("gap").cast("decimal(20,0)")).cast("double")
-            / F.count(F.lit(1)),
-            9,
-        ).alias("mean_gap_us"),
+    # mean_gap_us determinism: gaps are ~1e10 us, so round(double, 9)
+    # needs 19+ significant digits — beyond double precision, and Spark
+    # (BigDecimal HALF_UP) vs DuckDB diverge in the last ULP (r4 red
+    # row, 10/150 rows). Instead compute the half-up 6-dp quotient with
+    # EXACT integer arithmetic — floor((2*S*1e6 + n) / (2*n)) — then one
+    # IEEE double division by the exactly-representable 1e6. Both steps
+    # are bit-identical across engines by construction.
+    means = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum(F.col("gap").cast("decimal(38,0)")).alias("_s"),
+        )
+        .select(
+            "user_id",
+            "n_gaps",
+            (
+                F.expr(
+                    "CAST((2 * _s * 1000000 + n_gaps) div (2 * n_gaps)"
+                    " AS DOUBLE)"
+                )
+                / F.lit(1000000.0)
+            ).alias("mean_gap_us"),
+        )
     )
     return means.join(med, "user_id")
 
@@ -5347,8 +5382,12 @@ med AS (
   FROM r GROUP BY user_id
 ),
 m AS (
+  -- exact half-up 6-dp mean via integer arithmetic, then one IEEE
+  -- double division by 1e6 (bit-identical to the Spark side; see the
+  -- determinism note at q_events_interarrival)
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
-    round(CAST(SUM(CAST(gap AS DECIMAL(20,0))) AS DOUBLE) / COUNT(*), 9) AS mean_gap_us
+    CAST((2 * SUM(CAST(gap AS HUGEINT)) * 1000000 + COUNT(*))
+         // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS mean_gap_us
   FROM gaps GROUP BY user_id
 )
 SELECT m.user_id, m.n_gaps, m.mean_gap_us, med.median_gap_us

@@ -384,33 +384,47 @@ def main(argv: list[str] | None = None) -> int:
                 preimage_digests,
             )
 
+            # Validate ALL user arguments before any file is touched:
+            # a ValueError mid-erasure (after files were rewritten)
+            # must surface as the real failure it is, not be
+            # misreported as a bad-argument exit 2 that also discards
+            # the partial-deletion report.
             try:
                 digests = [bytes.fromhex(h) for h in args.digest]
-                if args.dry_run:
-                    # the SAME digest expansion as the real run (incl.
-                    # the sidecar-missing scan fallback) — a dry-run
-                    # must never claim a no-op for a run that deletes
-                    if args.word:
-                        digests += preimage_digests(
-                            spark, args.database, args.word,
-                            algorithms=args.algorithm,
+                if args.algorithm:
+                    from shaha_spark.functions.hashers import HASHERS
+
+                    unknown = [a for a in args.algorithm if a not in HASHERS]
+                    if unknown:
+                        raise ValueError(
+                            f"unknown algorithm{'s' if len(unknown) > 1 else ''}:"
+                            f" {', '.join(sorted(unknown))}"
                         )
-                    plan = plan_forget(spark, args.database, digests)
-                    plan.pop("candidates")
-                    print(json.dumps(plan, indent=2))
-                    return 0
-                report = {"rows_deleted": 0, "files_rewritten": 0, "files_dropped": 0}
-                if digests:
-                    report = forget_digests(spark, args.database, digests)
-                if args.word:
-                    r2 = forget_preimages(
-                        spark, args.database, args.word, algorithms=args.algorithm
-                    )
-                    for k in ("rows_deleted", "files_rewritten", "files_dropped"):
-                        report[k] = report.get(k, 0) + r2.get(k, 0)
             except ValueError as err:  # bad hex digest / unknown -a name
                 print(f"error: {err}", file=sys.stderr)
                 return 2
+            if args.dry_run:
+                # the SAME digest expansion as the real run (incl.
+                # the sidecar-missing scan fallback) — a dry-run
+                # must never claim a no-op for a run that deletes
+                if args.word:
+                    digests += preimage_digests(
+                        spark, args.database, args.word,
+                        algorithms=args.algorithm,
+                    )
+                plan = plan_forget(spark, args.database, digests)
+                plan.pop("candidates")
+                print(json.dumps(plan, indent=2))
+                return 0
+            report = {"rows_deleted": 0, "files_rewritten": 0, "files_dropped": 0}
+            if digests:
+                report = forget_digests(spark, args.database, digests)
+            if args.word:
+                r2 = forget_preimages(
+                    spark, args.database, args.word, algorithms=args.algorithm
+                )
+                for k in ("rows_deleted", "files_rewritten", "files_dropped"):
+                    report[k] = report.get(k, 0) + r2.get(k, 0)
             print(json.dumps(report, indent=2))
             return 0
 

@@ -487,10 +487,16 @@ def token_budget_select(
     from shaha_spark.functions.text import tokens
     from shaha_spark.util import ensure_parallelism
 
+    # NULL-text pin: size(tokens(NULL)) is -1 under Spark's legacy
+    # sizeOfNull while the SQL twin's len(NULL) is NULL — either would
+    # corrupt the running total or silently drop the row on one side
+    # only. Both sides define a null-text document as 0 tokens.
     sized = ensure_parallelism(docs).select(
         F.col(id_col),
         F.col(score_col).cast("long").alias("__score"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.greatest(F.size(tokens(F.col(text_col))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
     ).withColumn("__bkt", F.expr(f"__score div {bucket_width}"))
     # explicit null-bucket filter: the inner join below infers
     # isnotnull(__bkt) on the probe side only, which would make the two
@@ -545,7 +551,7 @@ def token_budget_select_sql(
     bucket-partitioned prefix sum equals."""
     return f"""WITH sized AS (
   SELECT {id_col}, CAST({score_col} AS BIGINT) AS score,
-    CAST(len(list_filter(regexp_split_to_array({text_col}, '[ \\t\\n\\r]+'), x -> x <> ''))
+    CAST(COALESCE(len(list_filter(regexp_split_to_array({text_col}, '[ \\t\\n\\r]+'), x -> x <> '')), 0)
          AS BIGINT) AS n_tokens
   FROM {table}
 ),

@@ -18,8 +18,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import re
+
 from shaha_spark.functions.text import tokens
+from shaha_spark.operators.constants import TOKEN_SPLIT_RE
 from shaha_spark.util import ensure_parallelism
+
+
+def _phrase_terms(phrase: str) -> list[str]:
+    """Tokenize a query phrase with the SAME whitespace class documents
+    are indexed with (TOKEN_SPLIT_RE) — splitting on a literal space
+    would turn a tab/newline-containing phrase into terms that can
+    never match any posting, silently returning zero matches."""
+    return [t for t in re.split(TOKEN_SPLIT_RE, phrase) if t]
 
 
 def postings(
@@ -72,7 +83,7 @@ def phrase_search(
     postings. No text rescan, no cross join; duplicate-heavy phrase
     terms stay safe because every join key includes the position.
     """
-    terms = [t for t in phrase.split(" ") if t]
+    terms = _phrase_terms(phrase)
     if not terms:
         raise ValueError("empty phrase")
     p = postings(docs, text_col, id_col)
@@ -145,7 +156,7 @@ def phrase_search_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> str:
-    terms = [t for t in phrase.split(" ") if t]
+    terms = _phrase_terms(phrase)
     joins = []
     for i, t in enumerate(terms):
         esc = t.replace("'", "''")

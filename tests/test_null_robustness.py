@@ -403,3 +403,20 @@ def test_dedup_keep_latest_full_row_tiebreak(spark):
     for parts in (1, 7):
         out = dedup_keep_latest(df.repartition(parts), ["k"], "seq").collect()
         assert len(out) == 1 and out[0].v == "a"
+
+
+def test_token_budget_null_text_counts_zero_tokens(spark):
+    """ADVICE r4: size(tokens(NULL)) is -1 under legacy sizeOfNull,
+    which silently corrupted the running token total while the DuckDB
+    twin skipped the row. Both sides now pin null text to 0 tokens."""
+    from shaha_spark.operators.sampling import token_budget_select
+
+    rows = [(1, 100, "alpha beta"), (2, 90, None), (3, 80, "gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long, text string")
+    out = {r.doc_id: r for r in token_budget_select(df, budget=3).collect()}
+    # doc 1 (2 tokens, start 0) and doc 2 (0 tokens, start 2) fit;
+    # doc 3 starts at 2 as well (null text added nothing) and is the
+    # straddler crossing the boundary -> kept by convention
+    assert out[2].n_tokens == 0 and out[2].start == 2
+    assert out[3].start == 2
+    assert set(out) == {1, 2, 3}

@@ -34,10 +34,15 @@ def duck(sf_dir):
 
 
 def _norm(v):
+    # FULL precision (shortest round-trip repr): the driver's value
+    # hash compares exact bits, and r4's events_interarrival red row
+    # proved a 10-significant-digit local norm is too loose to predict
+    # it. Equal doubles have equal reprs; anything else is a real
+    # cross-engine divergence the driver would also flag.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        return repr(v)
     return v
 
 

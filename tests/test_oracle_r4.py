@@ -34,10 +34,11 @@ def duck(sf_dir):
 
 
 def _norm(v):
+    # full-precision norm; see the rationale in tests/test_oracle.py
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        return repr(v)
     return v
 
 

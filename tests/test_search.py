@@ -171,3 +171,17 @@ def test_phrase_search_order_invariant_and_rarest_anchor(spark):
     got2 = {r.doc_id: r.n_matches
             for r in phrase_search(docs, "the needle").collect()}
     assert got2 == {0: 1}
+
+
+def test_phrase_terms_match_document_tokenization(spark):
+    """ADVICE r4: a phrase containing tabs/newlines must tokenize with
+    the same whitespace class documents are indexed with, or it can
+    never match any posting."""
+    from shaha_spark.operators.search import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha gamma")],
+        "doc_id long, text string",
+    )
+    out = phrase_search(df, "alpha\tbeta\ngamma").collect()
+    assert len(out) == 1 and out[0].doc_id == 1 and out[0].n_matches == 1
