@@ -3599,14 +3599,20 @@ def q_emb_semantic_dedup(spark, sf_dir):
 
 def q_docs_bpe_encode(spark, sf_dir):
     """BPE round trip: train 8 merges on the corpus vocabulary, encode
-    every token occurrence (operators.terms.bpe_train / bpe_encode).
-    Iterative — registered rows-only (no SQL oracle)."""
+    every token occurrence, and DECODE each encoding back
+    (operators.terms.bpe_train / bpe_encode). The merge loop itself is
+    iterative (not SQL-expressible), but the roundtrip IS oracle-
+    checkable: decode(encode(term)) must equal term for every token
+    occurrence, so the DuckDB twin predicts the exact output from the
+    token stream alone — any dropped/duplicated/reordered piece or a
+    wrong join-back multiplicity breaks the value hash. Segmentation
+    content stays pinned by known-answer tests (tests/test_terms.py)."""
     from shaha_spark.operators.terms import bpe_encode, bpe_train
 
     docs = _t(spark, sf_dir, "documents")
     enc = bpe_encode(docs, bpe_train(docs, num_merges=8))
     return enc.select(
-        "doc_id", "term", F.concat_ws(" ", "pieces").alias("pieces_joined")
+        "doc_id", "term", F.concat_ws("", "pieces").alias("decoded")
     )
 
 
@@ -3641,11 +3647,12 @@ def q_emb_pq_topk(spark, sf_dir):
 
 def q_emb_ivf_pq_topk(spark, sf_dir):
     """IVF-PQ composition (operators.pq.ivf_pq_topk): coarse-bucket
-    probe plus ADC scoring over PQ codes. The probe set depends on
-    which buckets each query ranks — SQL-expressible in principle but
-    the full chain (coarse kmeans + m sub-kmeans + probe + ADC) is
-    registered rows-only; its two halves are each independently under
-    the oracle gate (similarity_ivf_kmeans, emb_pq_topk)."""
+    probe plus ADC scoring over PQ codes. Oracled since r5: the DuckDB
+    twin composes the verified emb_pq_topk recipe (m sub-kmeans chains
+    + codebook + encode + ADC) with the verified similarity_ivf_kmeans
+    probe recipe (coarse kmeans chain + argmax assign + nprobe rank),
+    restricting ADC scoring to candidate (query, vector) pairs — an
+    exact value-hash comparison of the full chain."""
     from shaha_spark.operators.kmeans import kmeans_fit
     from shaha_spark.operators.pq import ivf_pq_topk
 
@@ -4385,11 +4392,13 @@ def q_docs_rank_fusion(spark, sf_dir):
 
 
 def q_orders_kcore(spark, sf_dir):
-    """3-core of the part co-purchase graph — iterative peeling whose
-    iteration count is data-dependent (no fixed CTE chain expresses
-    it): a DOCUMENTED rows-only registration; the invariant pair
-    (every survivor has ≥k surviving neighbors, every dropped node
-    would not) is asserted in tests (operators.graph.k_core)."""
+    """3-core of the part co-purchase graph — iterative peeling to the
+    fixpoint (operators.graph.k_core). Oracled since r5: the DuckDB
+    twin runs the SAME peel as a bounded recursive CTE with a loud
+    fixpoint guard (graph.k_core_peel_sql) — an exact set comparison,
+    not an invariant check. The invariant pair (every survivor has ≥k
+    surviving neighbors, dropped nodes would not) stays asserted in
+    tests as a second, independent contract."""
     from shaha_spark.operators.basket import pair_counts
     from shaha_spark.operators.graph import k_core
 
@@ -6047,6 +6056,96 @@ FROM (
 ) WHERE rank <= {PQ_TOPK}"""
     )
 
+    # IVF-PQ composition oracle (r5 — upgrades the rows-only
+    # registration): the SAME sub-kmeans chains + codebook + encode +
+    # ADC recipe as emb_pq_topk, with scoring restricted to candidate
+    # (query, vector) pairs from a coarse kmeans probe — the coarse fit
+    # is the parameterized kmeans chain on the FULL vector (namespaced
+    # g*), assignment/probe use the identical argmax/rank recipe the
+    # green similarity_ivf_kmeans oracle verified.
+    ivfpq_parts = pq_parts[:-1] + _kmeans_parts(
+        k=PQ_K, iters=PQ_ITERS, prefix="g"
+    )
+    ivfpq_parts.append(
+        """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+vn AS (SELECT vec_id, sqrt(list_dot_product(ev, ev)) AS vnorm FROM base),
+enc AS (
+  SELECT vec_id, sub_id, centroid_id AS code FROM (
+    SELECT b.vec_id, cb.sub_id, cb.centroid_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id, cb.sub_id
+             ORDER BY list_dot_product(
+               list_slice(b.ev, cb.sub_id * {sd} + 1, (cb.sub_id + 1) * {sd}),
+               cb.cv) DESC,
+             cb.centroid_id ASC
+           ) AS r
+    FROM base b CROSS JOIN cb
+  ) WHERE r = 1
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+qn AS (SELECT query_id, sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
+gassign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(CAST(v.e AS DOUBLE[]), c.cv) DESC,
+                      c.centroid_id ASC
+           ) AS r
+    FROM gv v CROSS JOIN gc{it} c
+  ) WHERE r = 1
+),
+gprobe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                      c.centroid_id ASC
+           ) AS r
+    FROM q CROSS JOIN gc{it} c
+  ) WHERE r <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM gprobe p JOIN gassign a USING (centroid_id)
+),
+adc AS (
+  SELECT q.query_id, cb.sub_id, cb.centroid_id AS code,
+         CAST(round(list_dot_product(
+           list_slice(q.qv, cb.sub_id * {sd} + 1, (cb.sub_id + 1) * {sd}),
+           cb.cv), 9) AS DECIMAL(25,9)) AS pdot
+  FROM q CROSS JOIN cb
+),
+sc AS (
+  SELECT a.query_id, e.vec_id, CAST(sum(a.pdot) AS DOUBLE) AS sdot
+  FROM enc e
+  JOIN adc a ON e.sub_id = a.sub_id AND e.code = a.code
+  JOIN cand cd ON cd.query_id = a.query_id AND cd.vec_id = e.vec_id
+  GROUP BY 1, 2
+),
+fin AS (
+  SELECT sc.query_id, sc.vec_id,
+         round(sc.sdot / (qn.qnorm * vn.vnorm), 6) AS ac
+  FROM sc JOIN qn USING (query_id) JOIN vn USING (vec_id)
+)""".format(sd=sub_dim, it=PQ_ITERS, nprobe=2)
+    )
+    sql["emb_ivf_pq_topk"] = (
+        "WITH "
+        + ",\n".join(ivfpq_parts)
+        + f"""
+SELECT query_id, vec_id, ac AS approx_cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY ac DESC, vec_id ASC
+  ) AS rank FROM fin
+) WHERE rank <= {PQ_TOPK}"""
+    )
+
     sql["docs_trigram_backoff"] = f"""WITH toks AS (
   SELECT doc_id, w, pos FROM (
     SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS pos
@@ -6551,4 +6650,28 @@ FROM (
   FROM fassign
 ) WHERE quota_rank <= 10"""
 
+    # BPE roundtrip oracle (r5): decode(encode(term)) == term for every
+    # token occurrence — predictable from the token stream alone.
+    sql["docs_bpe_encode"] = """SELECT doc_id, term, term AS decoded
+FROM (
+  SELECT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(text, '[ \\t\\n\\r]+'), t -> t <> ''
+         )) AS term
+  FROM documents
+)"""
+
+    from shaha_spark.operators.graph import k_core_peel_sql
+
+    sql["orders_kcore"] = k_core_peel_sql(
+        """di AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n_pair
+  FROM di a JOIN di b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT a, b FROM pc WHERE n_pair >= 2)""",
+        k=3,
+    )
     return sql

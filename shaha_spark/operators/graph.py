@@ -245,3 +245,46 @@ def k_core(
         .unionByName(e.select(F.col("b").alias("node")))
         .distinct()
     )
+
+
+def k_core_peel_sql(edges_cte: str, k: int, max_iters: int = 40) -> str:
+    """DuckDB twin of :func:`k_core`: bounded recursive peeling with a
+    LOUD fixpoint guard.
+
+    The peel's iteration count is data-dependent, but a recursive CTE
+    carries the FULL survivor set per iteration (DuckDB's working
+    table is exactly the previous iteration's rows), so a bounded
+    recursion reaches any fixpoint within ``max_iters`` — and when it
+    does NOT converge, the guard emits an impossible ``node = -1`` row
+    so the cross-engine hash comparison fails loudly instead of
+    silently blessing a non-core (the same contract as the Spark
+    side's RuntimeError). ``edges_cte`` must define ``e(a, b)`` with
+    ``a < b``, deduplicated.
+    """
+    return f"""WITH RECURSIVE {edges_cte},
+und AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e),
+peel(iter, node) AS (
+  SELECT 0, n FROM (SELECT a AS n FROM e UNION SELECT b FROM e)
+  UNION ALL
+  SELECT p.iter + 1, d.n
+  FROM (
+    SELECT x.n, count(*) AS deg
+    FROM und x
+    JOIN peel pp ON pp.node = x.n
+    JOIN peel p2 ON p2.node = x.m
+    GROUP BY x.n
+  ) d, (SELECT max(iter) AS iter FROM peel) p
+  WHERE d.deg >= {k} AND p.iter < {max_iters}
+),
+last_set AS (SELECT node FROM peel WHERE iter = {max_iters}),
+prev_set AS (SELECT node FROM peel WHERE iter = {max_iters - 1}),
+unconverged AS (
+  SELECT count(*) AS c FROM (
+    (SELECT node FROM last_set EXCEPT SELECT node FROM prev_set)
+    UNION ALL
+    (SELECT node FROM prev_set EXCEPT SELECT node FROM last_set)
+  )
+)
+SELECT CAST(node AS BIGINT) AS node FROM last_set
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS node FROM unconverged WHERE c > 0"""

@@ -33,12 +33,6 @@ DRIVER_WINDOW = 50
 NO_ORACLE_OK = {
     "build_hash256",     # DuckDB lacks sha256(BLOB); kernel covered by
                          # build_all_algos known-answer vectors
-    "orders_kcore",      # data-dependent peeling depth; invariant-pair
-                         # tested (tests/test_oracle_r4.py)
-    "emb_ivf_pq_topk",   # probe-dependent composition; both halves
-                         # separately oracled (emb_pq_topk, emb_ivf_index_topk)
-    "docs_bpe_encode",   # iterative merge loop, non-SQL-expressible;
-                         # lossless-ness invariant tested
 }
 
 

@@ -57,13 +57,11 @@ def test_every_oracle_has_query():
 
 
 def test_only_documented_oracle_less():
-    # non-SQL-expressible registrations must stay explicit exceptions
-    # (bpe: iterative merge loop; ivf-pq: probe-dependent composition
-    # whose two halves are each under the oracle gate; k-core:
-    # data-dependent peeling depth, invariant-tested instead)
-    assert set(QUERIES) - set(ORACLES) == {
-        "docs_bpe_encode", "emb_ivf_pq_topk", "orders_kcore",
-    }
+    # every r4 registration is oracled as of r5: orders_kcore via the
+    # recursive-peel twin (graph.k_core_peel_sql), emb_ivf_pq_topk via
+    # the composed PQ+IVF SQL chain, docs_bpe_encode via the roundtrip
+    # invariant (decode(encode(term)) == term, exact rows).
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 def test_kcore_rows_only_invariants(spark, sf_dir):
@@ -153,16 +151,21 @@ def test_char_entropy_known_values(spark):
     assert e[2] == pytest.approx(math.log2(26), abs=0.01)
 
 
-def test_bpe_encode_rows_only(spark, sf_dir):
+def test_bpe_encode_roundtrip_registration(spark, sf_dir):
     out = QUERIES["docs_bpe_encode"](spark, sf_dir)
-    assert out.columns == ["doc_id", "term", "pieces_joined"]
+    assert out.columns == ["doc_id", "term", "decoded"]
     n = out.count()
     assert n > 0
-    # every occurrence keeps its pieces; concatenating pieces restores
-    # the term (merge application never loses characters)
+    # the oracle-checked invariant locally too: concatenating pieces
+    # restores the term (merge application never loses characters)
     from pyspark.sql import functions as F
 
-    bad = out.where(
-        F.replace(F.col("pieces_joined"), F.lit(" "), F.lit("")) != F.col("term")
-    ).count()
+    bad = out.where(F.col("decoded") != F.col("term")).count()
     assert bad == 0
+    # the encoding is non-trivial: at least one term actually merged
+    # into fewer pieces than characters (8 merges on real text must
+    # fire), so the roundtrip isn't vacuously the identity
+    from shaha_spark.operators.terms import bpe_train
+
+    docs = staging._t(spark, sf_dir, "documents")
+    assert len(bpe_train(docs, num_merges=8)) > 0
