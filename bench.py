@@ -49,6 +49,22 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
 
+    # Machine-load markers: r4's driver bench ran ~1.1x slower than r3
+    # with several untouched query paths regressing together — the
+    # signature of machine contention, but unprovable without load
+    # evidence in the JSON itself. Record the 1-minute loadavg at start
+    # and end plus the host CPU count so a cross-round delta is
+    # attributable to code or to the machine.
+    def _loadavg() -> float:
+        try:
+            with open("/proc/loadavg") as fh:
+                return float(fh.read().split()[0])
+        except (OSError, ValueError):
+            return -1.0
+
+    extras["host_cpus"] = float(os.cpu_count() or -1)
+    extras["loadavg_start"] = _loadavg()
+
     def timed(name: str, fn) -> None:
         t0 = time.perf_counter()
         fn()
@@ -142,7 +158,13 @@ def main() -> None:
     # compilation of the widest generated classes, later reps hit the
     # source-text cache. Headline timings stay the cold-comparable
     # median; the split makes data-path deltas visible across rounds.
-    for name in ("text_quality", "dedup_minhash_pairs"):
+    # (r5: extended to every query the r4 driver run showed regressing
+    # without a code change — the cold/warm delta isolates driver-side
+    # codegen/compile noise from real data-path cost.)
+    for name in (
+        "text_quality", "dedup_minhash_pairs", "dedup_simhash",
+        "similarity_topk", "events_sessionize", "tpch_q1", "tpch_q3",
+    ):
         reps = samples.get(name, [])
         if len(reps) >= 2:
             extras[f"{name}_cold_sec"] = round(reps[0], 4)
@@ -154,6 +176,16 @@ def main() -> None:
     # as an extra, NOT added to the headline total, so totals stay
     # comparable across rounds.
     from shaha_spark.functions.hashers import hash_expr
+
+    # Warm the Python UDF workers first: this is the FIRST pandas-UDF
+    # job of the session, so without a warm-up the blake3 number
+    # silently includes 32 workers importing pandas/numpy/pyarrow —
+    # r4 measured blake3 "1.4x slower" than keccak for exactly this
+    # ordering artifact (keccak ran second, on warm workers). Same
+    # one-time-cost rationale as the codegen warm-up above.
+    words.limit(64).select(
+        F.length(hash_expr("blake3", F.col("word").cast("binary")))
+    ).collect()
 
     t0 = time.perf_counter()
     words.select(
@@ -225,6 +257,42 @@ def main() -> None:
     n_records = meta.get("total_records", 1)
     extras["db_bytes_per_record"] = round(tree_size(spark, db_path) / max(n_records, 1), 2)
 
+    # Database lifecycle surfaces (r5 — previously correctness-tested
+    # but never benched; at 100 TB the compact rewrite is the most
+    # expensive operation the engine owns). Runs AFTER the
+    # bytes/record measurement so retained snapshot copies don't
+    # inflate it. One cold pass each, recorded as extras.
+    from shaha_spark.pipeline.compact import compact_hashdb
+    from shaha_spark.pipeline.forget import forget_digests
+    from shaha_spark.pipeline.snapshot import read_snapshot, snapshot_create
+
+    snap = snapshot_create(spark, db_path, note="bench")
+    t0 = time.perf_counter()
+    n_snap_rows = read_snapshot(spark, db_path, snap["version"]).count()
+    extras["snapshot_read_sec"] = round(time.perf_counter() - t0, 4)
+    extras["snapshot_read_rows_per_sec"] = round(
+        n_snap_rows / max(extras["snapshot_read_sec"], 1e-9), 1
+    )
+
+    victims = [
+        bytes(r.hash)
+        for r in read_hashdb(spark, db_path).select("hash").limit(200).collect()
+    ]
+    t0 = time.perf_counter()
+    forget_report = forget_digests(spark, db_path, victims)
+    extras["forget_rewrite_sec"] = round(time.perf_counter() - t0, 4)
+    extras["forget_rows_deleted"] = float(forget_report["rows_deleted"])
+
+    t0 = time.perf_counter()
+    compact_hashdb(spark, db_path, force=True)
+    extras["compact_rewrite_sec"] = round(time.perf_counter() - t0, 4)
+    extras["compact_rows_per_sec"] = round(
+        max(n_records - forget_report["rows_deleted"], 1)
+        / max(extras["compact_rewrite_sec"], 1e-9),
+        1,
+    )
+
+    extras["loadavg_end"] = _loadavg()
     shutil.rmtree(tmp, ignore_errors=True)
     total = round(sum(timings.values()), 4)
     print(

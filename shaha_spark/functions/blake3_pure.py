@@ -139,40 +139,51 @@ def blake3_batch(datas: list[bytes]) -> list[bytes]:
 
     u32 = np.uint32
 
-    def rotr(v, s):
-        return (v >> u32(s)) | (v << u32(32 - s))
-
-    def g(st, a, b, c, d, mx, my):
-        st[a] = st[a] + st[b] + mx
-        st[d] = rotr(st[d] ^ st[a], 16)
-        st[c] = st[c] + st[d]
-        st[b] = rotr(st[b] ^ st[c], 12)
-        st[a] = st[a] + st[b] + my
-        st[d] = rotr(st[d] ^ st[a], 8)
-        st[c] = st[c] + st[d]
-        st[b] = rotr(st[b] ^ st[c], 7)
-
-    def compress_batch(cv, words, block_len, flags):
-        """cv: (8, n); words: (16, n); block_len: (n,); flags: scalar."""
-        n = cv.shape[1]
+    # In-place round function over preallocated state/scratch rows:
+    # every +, ^, shift writes into an existing (n,)-buffer instead of
+    # allocating a temporary (uint32 arithmetic wraps mod 2^32, which
+    # is exactly the spec's arithmetic). rotr(v, s) is expressed as
+    # t = v >> s; v <<= (32-s); v |= t with one shared scratch row.
+    def make_compress(n):
         st = np.empty((16, n), dtype=np.uint32)
-        st[:8] = cv
-        st[8] = _IV[0]; st[9] = _IV[1]; st[10] = _IV[2]; st[11] = _IV[3]
-        st[12] = 0; st[13] = 0
-        st[14] = block_len
-        st[15] = u32(flags)
-        m = [words[i] for i in range(16)]
-        for round_idx in range(7):
-            g(st, 0, 4, 8, 12, m[0], m[1]); g(st, 1, 5, 9, 13, m[2], m[3])
-            g(st, 2, 6, 10, 14, m[4], m[5]); g(st, 3, 7, 11, 15, m[6], m[7])
-            g(st, 0, 5, 10, 15, m[8], m[9]); g(st, 1, 6, 11, 12, m[10], m[11])
-            g(st, 2, 7, 8, 13, m[12], m[13]); g(st, 3, 4, 9, 14, m[14], m[15])
-            if round_idx < 6:
-                m = [m[p] for p in _MSG_PERMUTATION]
-        return st[:8] ^ st[8:]
+        t = np.empty(n, dtype=np.uint32)
+
+        def g(a, b, c, d, mx, my):
+            st[a] += st[b]; st[a] += mx
+            st[d] ^= st[a]
+            np.right_shift(st[d], 16, out=t); st[d] <<= u32(16); st[d] |= t
+            st[c] += st[d]
+            st[b] ^= st[c]
+            np.right_shift(st[b], 12, out=t); st[b] <<= u32(20); st[b] |= t
+            st[a] += st[b]; st[a] += my
+            st[d] ^= st[a]
+            np.right_shift(st[d], 8, out=t); st[d] <<= u32(24); st[d] |= t
+            st[c] += st[d]
+            st[b] ^= st[c]
+            np.right_shift(st[b], 7, out=t); st[b] <<= u32(25); st[b] |= t
+
+        def compress_batch(cv, words, block_len, flags):
+            """cv: (8, n); words: (16, n); block_len: (n,); flags: scalar."""
+            st[:8] = cv
+            st[8] = _IV[0]; st[9] = _IV[1]; st[10] = _IV[2]; st[11] = _IV[3]
+            st[12] = 0; st[13] = 0
+            st[14] = block_len
+            st[15] = u32(flags)
+            m = [words[i] for i in range(16)]
+            for round_idx in range(7):
+                g(0, 4, 8, 12, m[0], m[1]); g(1, 5, 9, 13, m[2], m[3])
+                g(2, 6, 10, 14, m[4], m[5]); g(3, 7, 11, 15, m[6], m[7])
+                g(0, 5, 10, 15, m[8], m[9]); g(1, 6, 11, 12, m[10], m[11])
+                g(2, 7, 8, 13, m[12], m[13]); g(3, 4, 9, 14, m[14], m[15])
+                if round_idx < 6:
+                    m = [m[p] for p in _MSG_PERMUTATION]
+            return st[:8] ^ st[8:]
+
+        return compress_batch
 
     for n_blocks, idxs in groups.items():
         n = len(idxs)
+        compress_batch = make_compress(n)
         buf = np.zeros((n, n_blocks * _BLOCK_LEN), dtype=np.uint8)
         lens = np.empty(n, dtype=np.int64)
         for row, i in enumerate(idxs):
