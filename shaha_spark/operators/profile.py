@@ -10,8 +10,63 @@ reproduce across engines (per-partition float accumulation differs).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_SPLIT_TEN = 10_000_000_000  # 10^10
+
+
+def _dec_scale(precision: str) -> int:
+    """Scale of a 'decimal(p,s)' type string."""
+    return int(re.search(r"\(\s*\d+\s*,\s*(\d+)\s*\)", precision).group(1))
+
+
+def split_cast_double(col, scale: int):
+    """Cross-engine deterministic DECIMAL -> DOUBLE cast.
+
+    DuckDB 1.x casts DECIMAL->DOUBLE in TWO roundings — int128 unscaled
+    value to double first, then / 10^scale — while the JVM's
+    BigDecimal.doubleValue() rounds once, correctly. The moment the
+    unscaled value crosses 2^53 the two engines can diverge in the last
+    ULP: a sum of squares over 600k price-sized rows (sf0.1 lineitem,
+    SUM = 2224071148386123.1690) already does — DuckDB yields
+    ...123.0 where the nearest double is ...123.2. Found by the r5
+    sf0.1 oracle sweep; invisible at the sf0.01 driver gate.
+
+    Recipe: split the EXACT unscaled integer u = |value|·10^scale into
+    hi = u div 10^10 and lo = u mod 10^10. Both parts stay below 2^53
+    for |value| up to ~10^25/10^scale, so both engines cast them to
+    double EXACTLY (zero rounding), and the recombination
+    ``(hi·1e10 + lo) / 10^scale`` is a fixed 3-op IEEE sequence (mul,
+    add, div on exactly-representable constants) replayed bit-for-bit
+    by :func:`split_cast_double_sql`. The split runs on the absolute
+    value — Spark's pmod and DuckDB's % disagree on negative operands —
+    and the sign is restored by IEEE negation, which is exact.
+    """
+    a = F.abs(col)
+    u = (a * F.lit(10**scale)).cast("decimal(38,0)")
+    lo = F.pmod(u, F.lit(_SPLIT_TEN).cast("decimal(11,0)"))
+    # (u - lo) is an exact multiple of 10^10, so the decimal division
+    # is exact regardless of the result scale Spark assigns it
+    hi = ((u - lo) / F.lit(_SPLIT_TEN)).cast("decimal(28,0)")
+    mag = (hi.cast("double") * F.lit(1.0e10) + lo.cast("double")) / F.lit(
+        float(10**scale)
+    )
+    return F.when(col < 0, -mag).otherwise(mag)
+
+
+def split_cast_double_sql(expr: str, scale: int) -> str:
+    """DuckDB twin of :func:`split_cast_double` — the same hi/lo split
+    and the same 3-op IEEE recombination, so both engines produce the
+    identical bit pattern at any magnitude."""
+    u = f"CAST(ABS({expr}) * {10**scale} AS HUGEINT)"
+    mag = (
+        f"((CAST(({u}) // {_SPLIT_TEN} AS DOUBLE) * 1e10 + "
+        f"CAST(({u}) % {_SPLIT_TEN} AS DOUBLE)) / {float(10**scale)!r})"
+    )
+    return f"(CASE WHEN ({expr}) < 0 THEN -{mag} ELSE {mag} END)"
 
 
 def numeric_profile(
@@ -24,9 +79,10 @@ def numeric_profile(
     operation is a single IEEE op on identical inputs.
     """
     dec = F.col(column).cast(precision)
+    sc = _dec_scale(precision)
     n = F.count(F.col(column))
-    s = F.sum(dec).cast("double")
-    sq = F.sum(dec * dec).cast("double")
+    s = split_cast_double(F.sum(dec), sc)
+    sq = split_cast_double(F.sum(dec * dec), 2 * sc)
     mean = s / n
     # clamp at 0: for a constant column double cancellation can leave
     # sumsq - sum²/n a hair NEGATIVE (e.g. 3 rows of 0.1 → -2e-18) and
@@ -59,6 +115,7 @@ def table_profile(
     as :func:`numeric_profile`.
     """
     aggs = []
+    sc = _dec_scale(precision)
     for c in columns:
         dec = F.col(c).cast(precision)
         aggs += [
@@ -66,8 +123,8 @@ def table_profile(
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"),
             F.min(F.col(c)).cast("double").alias(f"__mn_{c}"),
             F.max(F.col(c)).cast("double").alias(f"__mx_{c}"),
-            F.sum(dec).cast("double").alias(f"__s_{c}"),
-            F.sum(dec * dec).cast("double").alias(f"__sq_{c}"),
+            split_cast_double(F.sum(dec), sc).alias(f"__s_{c}"),
+            split_cast_double(F.sum(dec * dec), 2 * sc).alias(f"__sq_{c}"),
         ]
     one = df.agg(*aggs)
     structs = []
@@ -99,18 +156,23 @@ def table_profile_sql(
 ) -> str:
     """DuckDB oracle twin of :func:`table_profile`: the same per-column
     formulas, one SELECT per column, UNION ALL."""
+    sc = _dec_scale(precision)
     selects = []
     for c in columns:
+        s = split_cast_double_sql(f"SUM(CAST({c} AS {precision}))", sc)
+        sq = split_cast_double_sql(
+            f"SUM(CAST({c} AS {precision}) * CAST({c} AS {precision}))", 2 * sc
+        )
         selects.append(f"""SELECT
   '{c}' AS column_name,
   count({c}) AS n,
   count(CASE WHEN {c} IS NULL THEN 1 END) AS n_null,
   CAST(min({c}) AS DOUBLE) AS min_value,
   CAST(max({c}) AS DOUBLE) AS max_value,
-  CAST(SUM(CAST({c} AS {precision})) AS DOUBLE) / count({c}) AS mean_value,
+  {s} / count({c}) AS mean_value,
   sqrt(CASE WHEN count({c}) > 1 THEN
-    greatest((CAST(SUM(CAST({c} AS {precision}) * CAST({c} AS {precision})) AS DOUBLE)
-     - CAST(SUM(CAST({c} AS {precision})) AS DOUBLE) * CAST(SUM(CAST({c} AS {precision})) AS DOUBLE) / count({c}))
+    greatest(({sq}
+     - {s} * {s} / count({c}))
     / (count({c}) - 1), 0.0) ELSE 0.0 END) AS stddev_value
 FROM {table}""")
     return "\nUNION ALL\n".join(selects)
@@ -119,15 +181,21 @@ FROM {table}""")
 def profile_sql(table: str, column: str, precision: str = "DECIMAL(18,2)") -> str:
     """DuckDB oracle twin of :func:`numeric_profile` (same formula, same
     op order — do NOT substitute the engine's stddev())."""
+    sc = _dec_scale(precision)
+    s = split_cast_double_sql(f"SUM(CAST({column} AS {precision}))", sc)
+    sq = split_cast_double_sql(
+        f"SUM(CAST({column} AS {precision}) * CAST({column} AS {precision}))",
+        2 * sc,
+    )
     return f"""SELECT
   count({column}) AS n,
   count(CASE WHEN {column} IS NULL THEN 1 END) AS n_null,
   CAST(min({column}) AS DOUBLE) AS min_value,
   CAST(max({column}) AS DOUBLE) AS max_value,
-  CAST(SUM(CAST({column} AS {precision})) AS DOUBLE) / count({column}) AS mean_value,
+  {s} / count({column}) AS mean_value,
   sqrt(CASE WHEN count({column}) > 1 THEN
-    greatest((CAST(SUM(CAST({column} AS {precision}) * CAST({column} AS {precision})) AS DOUBLE)
-     - CAST(SUM(CAST({column} AS {precision})) AS DOUBLE) * CAST(SUM(CAST({column} AS {precision})) AS DOUBLE) / count({column}))
+    greatest(({sq}
+     - {s} * {s} / count({column}))
     / (count({column}) - 1), 0.0) ELSE 0.0 END) AS stddev_value
 FROM {table}"""
 
@@ -234,10 +302,13 @@ def pearson_corr(
         F.sum(y * y).alias("syy"),
         F.sum(x * y).alias("sxy"),
     )
+    sc = _dec_scale(precision)
     n = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    sxy = F.col("sxy").cast("double")
+    sx = split_cast_double(F.col("sx"), sc)
+    sy = split_cast_double(F.col("sy"), sc)
+    sxx = split_cast_double(F.col("sxx"), 2 * sc)
+    syy = split_cast_double(F.col("syy"), 2 * sc)
+    sxy = split_cast_double(F.col("sxy"), 2 * sc)
     return agg.select(
         F.col("n"),
         ((n * sxy - sx * sy)
@@ -251,6 +322,12 @@ def pearson_corr_sql(
 ) -> str:
     """DuckDB oracle twin of :func:`pearson_corr` (same op order; NOT
     the engine's corr())."""
+    sc = _dec_scale(precision)
+    dsx = split_cast_double_sql("sx", sc)
+    dsy = split_cast_double_sql("sy", sc)
+    dsxx = split_cast_double_sql("sxx", 2 * sc)
+    dsyy = split_cast_double_sql("syy", 2 * sc)
+    dsxy = split_cast_double_sql("sxy", 2 * sc)
     return f"""WITH s AS (
   SELECT count(*) AS n,
     SUM(CAST({col_x} AS {precision})) AS sx,
@@ -261,9 +338,9 @@ def pearson_corr_sql(
   FROM {table} WHERE {col_x} IS NOT NULL AND {col_y} IS NOT NULL
 )
 SELECT CAST(n AS BIGINT) AS n,
-  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
+  (CAST(n AS DOUBLE) * {dsxy} - {dsx} * {dsy})
+  / (sqrt(CAST(n AS DOUBLE) * {dsxx} - {dsx} * {dsx})
+     * sqrt(CAST(n AS DOUBLE) * {dsyy} - {dsy} * {dsy})) AS pearson_r
 FROM s"""
 
 
@@ -415,9 +492,10 @@ def zscore_outliers(
         F.sum(v).over(w).alias("__s"),
         F.sum(v * v).over(w).alias("__s2"),
     )
+    sc = _dec_scale(precision)
     n = F.col("__n").cast("double")
-    s = F.col("__s").cast("double")
-    s2 = F.col("__s2").cast("double")
+    s = split_cast_double(F.col("__s"), sc)
+    s2 = split_cast_double(F.col("__s2"), 2 * sc)
     mean = s / n
     sd = F.sqrt((s2 - s * s / n) / (n - F.lit(1.0)))
     # singleton groups first (n - 1 = 0 is a hard DIVIDE_BY_ZERO under
@@ -451,6 +529,9 @@ def zscore_outliers_sql(
     """DuckDB oracle twin of :func:`zscore_outliers` — same window
     sums, same double op order (NOT the engine's stddev_samp)."""
     groups = ", ".join(group_cols)
+    sc = _dec_scale(precision)
+    dsv = split_cast_double_sql("sv", sc)
+    dsv2 = split_cast_double_sql("sv2", 2 * sc)
     return f"""WITH s AS (
   SELECT {id_col}, {groups}, {value_col},
     COUNT(*) OVER w AS n,
@@ -461,13 +542,13 @@ def zscore_outliers_sql(
 ),
 g AS (
   SELECT {id_col}, {groups}, {value_col}, n, sv,
-    sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+    sqrt(({dsv2} - {dsv} * {dsv} / CAST(n AS DOUBLE))
          / (CAST(n AS DOUBLE) - 1.0)) AS sd
   FROM s WHERE n >= 2
 ),
 zc AS (
   SELECT {id_col}, {groups}, {value_col},
-    ({value_col} - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) / sd AS zscore
+    ({value_col} - {dsv} / CAST(n AS DOUBLE)) / sd AS zscore
   FROM g WHERE sd > 0 AND NOT isnan(sd)
 )
 SELECT {id_col}, {groups}, {value_col}, zscore
@@ -635,9 +716,12 @@ def welch_t(
         F.sum(F.when(is_b, v).otherwise(zero)).alias("sb"),
         F.sum(F.when(is_b, v * v).otherwise(zero)).alias("ssb"),
     )
+    sc = _dec_scale(precision)
     na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
-    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
-    ssa, ssb = F.col("ssa").cast("double"), F.col("ssb").cast("double")
+    sa = split_cast_double(F.col("sa"), sc)
+    sb = split_cast_double(F.col("sb"), sc)
+    ssa = split_cast_double(F.col("ssa"), 2 * sc)
+    ssb = split_cast_double(F.col("ssb"), 2 * sc)
     ma, mb = sa / na, sb / nb
     va = (ssa - sa * sa / na) / (na - F.lit(1.0))
     vb = (ssb - sb * sb / nb) / (nb - F.lit(1.0))
@@ -664,6 +748,15 @@ def welch_t_sql(
 ) -> str:
     """DuckDB oracle twin of :func:`welch_t` (same op order)."""
     v = f"CAST({value_col} AS {precision})"
+    sc = _dec_scale(precision)
+    dsa = split_cast_double_sql("sa", sc)
+    dsb = split_cast_double_sql("sb", sc)
+    dssa = split_cast_double_sql("ssa", 2 * sc)
+    dssb = split_cast_double_sql("ssb", 2 * sc)
+    se = (
+        f"sqrt((({dssa} - {dsa} * {dsa} / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)"
+        f"   + (({dssb} - {dsb} * {dsb} / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE))"
+    )
     return f"""WITH s AS (
   SELECT
     SUM(CASE WHEN {group_col} = {group_a} THEN 1 ELSE 0 END) AS na,
@@ -675,15 +768,13 @@ def welch_t_sql(
   FROM {table} WHERE {value_col} IS NOT NULL
 )
 SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-  CASE WHEN na > 0 THEN CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) ELSE 0.0 END AS mean_a,
-  CASE WHEN nb > 0 THEN CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) ELSE 0.0 END AS mean_b,
+  CASE WHEN na > 0 THEN {dsa} / CAST(na AS DOUBLE) ELSE 0.0 END AS mean_a,
+  CASE WHEN nb > 0 THEN {dsb} / CAST(nb AS DOUBLE) ELSE 0.0 END AS mean_b,
   CASE WHEN na > 1 AND nb > 1 AND
-    sqrt(((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)
-       + ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE)) > 0
+    {se} > 0
   THEN
-    (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
-    / sqrt(((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)
-         + ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE))
+    ({dsa} / CAST(na AS DOUBLE) - {dsb} / CAST(nb AS DOUBLE))
+    / {se}
   ELSE 0.0 END AS t_stat
 FROM s"""
 

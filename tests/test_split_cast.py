@@ -1,0 +1,136 @@
+"""split_cast_double: cross-engine DECIMAL->DOUBLE determinism.
+
+DuckDB 1.x casts DECIMAL->DOUBLE with TWO roundings (int128 unscaled ->
+double, then / 10^scale); the JVM rounds once, correctly. Above 2^53 in
+unscaled units the engines can diverge in the last ULP — the r5 sf0.1
+oracle sweep caught exactly this in profile_table / profile_lineitem /
+profile_correlation (SUM(x^2) over 600k price-sized rows:
+2224071148386123.1690 -> DuckDB ...123.0, nearest double ...123.2).
+
+The fix splits the exact unscaled integer into hi/lo parts that BOTH
+engines cast exactly, then recombines with a fixed 3-op IEEE sequence.
+These tests pin the helper on the original repro value, on sign
+handling (Spark pmod vs DuckDB % disagree on negatives), and on the
+operators that consume it, at magnitudes past 2^53.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from decimal import Decimal
+from fractions import Fraction
+import random
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from shaha_spark.operators.profile import (
+    numeric_profile,
+    pearson_corr,
+    pearson_corr_sql,
+    profile_sql,
+    split_cast_double,
+    split_cast_double_sql,
+    welch_t,
+    welch_t_sql,
+)
+
+# the r4/r5 repro value and friends; unscaled units span both sides of
+# 2^53 and both signs
+VALUES = [
+    "2224071148386123.1690",
+    "-2224071148386123.1690",
+    "0.0001",
+    "-0.0001",
+    "0.0000",
+    "9007199254740993.0001",  # 2^53 + 1 in the integer part
+    "-9007199254740993.0001",
+    "31771202123.6000",
+]
+
+
+def test_helper_bitwise_equal_both_engines(spark):
+    con = duckdb.connect()
+    for v in VALUES:
+        sv = spark.sql(
+            f"SELECT CAST('{v}' AS DECIMAL(38,4)) AS d"
+        ).select(split_cast_double(F.col("d"), 4).alias("v")).collect()[0].v
+        dec_expr = "CAST('" + v + "' AS DECIMAL(38,4))"
+        dv = con.execute(
+            "SELECT " + split_cast_double_sql(dec_expr, 4)
+        ).fetchone()[0]
+        assert repr(sv) == repr(dv), f"{v}: spark {sv!r} vs duckdb {dv!r}"
+
+
+def test_repro_value_correctly_rounded(spark):
+    """For the r5 repro value the split sequence happens to equal the
+    correctly-rounded conversion — the value DuckDB's native cast gets
+    wrong."""
+    v = "2224071148386123.1690"
+    sv = spark.sql(
+        f"SELECT CAST('{v}' AS DECIMAL(38,4)) AS d"
+    ).select(split_cast_double(F.col("d"), 4).alias("v")).collect()[0].v
+    assert sv == float(Fraction(22240711483861231690, 10**4))
+    # and DuckDB's native cast is indeed the wrong bit — the reason the
+    # helper exists; if a future DuckDB fixes this, the helper still
+    # matches (both paths are then correctly rounded for in-range hi)
+    naive = duckdb.connect().execute(
+        f"SELECT CAST(CAST('{v}' AS DECIMAL(38,4)) AS DOUBLE)"
+    ).fetchone()[0]
+    assert naive != sv  # documents DuckDB 1.x behavior
+
+
+@pytest.fixture(scope="module")
+def big_mixed(spark):
+    """50k mixed-sign price-like decimals whose sum-of-squares unscaled
+    value is far beyond 2^53 (~1e21)."""
+    random.seed(7)
+    # per-value unscaled magnitude stays < 1e9: DuckDB computes the
+    # DECIMAL(18,2) square in int64 and overflows past ~1e18 unscaled.
+    # 50k squares of ~5e6 still sum to ~1e18 (unscaled ~1e22 >> 2^53).
+    rows = [
+        (
+            i,
+            Decimal(random.randrange(-900_000_000, 150_000_000)) / 100,
+            Decimal(random.randrange(-600_000_000, 600_000_000)) / 100,
+            i % 2,
+        )
+        for i in range(50_000)
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, x decimal(18,2), y decimal(18,2), g int"
+    )
+    pq = tempfile.mkdtemp(prefix="shaha_splitcast_") + "/t.parquet"
+    df.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    return df, con
+
+
+def _eq(spark_row, duck_row):
+    return [repr(float(a)) if a is not None else None for a in spark_row] == [
+        repr(float(b)) if b is not None else None for b in duck_row
+    ]
+
+
+def test_numeric_profile_past_2_53(spark, big_mixed):
+    df, con = big_mixed
+    sp = numeric_profile(df, "x").collect()[0]
+    dp = con.execute(profile_sql("t", "x")).fetchone()
+    assert _eq(sp, dp), f"{list(sp)} vs {list(dp)}"
+
+
+def test_pearson_corr_past_2_53(spark, big_mixed):
+    df, con = big_mixed
+    sc_ = pearson_corr(df, "x", "y").collect()[0]
+    dc = con.execute(pearson_corr_sql("t", "x", "y")).fetchone()
+    assert _eq(sc_, dc), f"{list(sc_)} vs {list(dc)}"
+
+
+def test_welch_t_past_2_53(spark, big_mixed):
+    df, con = big_mixed
+    sw = welch_t(df, "g", "x", 0, 1).collect()[0]
+    dw = con.execute(welch_t_sql("t", "g", "x", "0", "1")).fetchone()
+    assert _eq(sw, dw), f"{list(sw)} vs {list(dw)}"
