@@ -85,6 +85,8 @@ from shaha_spark.operators.constants import (
     MINHASH_PERMS,
     QUALITY_STOPWORDS,
 )
+from shaha_spark.operators.profile import split_cast_double as _split_cast
+from shaha_spark.operators.profile import split_cast_double_sql as _split_cast_sql
 from shaha_spark.util import normalize_event_ts
 
 # deterministic full-digest constant for the point-lookup query:
@@ -444,7 +446,12 @@ def q_events_rollup(spark, sf_dir):
         ev.rollup("day", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("sum_value"),
+            # the grand-total row is a whole-table sum: split-cast so
+            # the decimal->double conversion stays cross-engine exact
+            # past 2^53 unscaled (operators.profile.split_cast_double)
+            _split_cast(F.sum(_dec("value", "decimal(18,2)")), 2).alias(
+                "sum_value"
+            ),
         )
         .select(
             F.coalesce("day", F.lit("ALL")).alias("day"),
@@ -2084,7 +2091,7 @@ def _kmeans_parts(
         # scales FLOAT→DECIMAL in float32 arithmetic, losing ~7 digits
         parts.append(f"""{p_}m{i} AS (
   SELECT centroid_id, p,
-         CAST(CAST(CAST(SUM(CAST(CAST(comp AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS FLOAT) AS DOUBLE) AS m,
+         CAST(CAST({_split_cast_sql('SUM(CAST(CAST(comp AS DOUBLE) AS DECIMAL(20,10)))', 10)} / COUNT(*) AS FLOAT) AS DOUBLE) AS m,
          COUNT(*) AS n
   FROM (SELECT centroid_id, unnest(e) AS comp,
                unnest(range(1, len(e) + 1)) AS p FROM {p_}a{i})
@@ -2183,6 +2190,7 @@ def oracle_sql() -> dict[str, str]:
         group_quantiles_sql,
         histogram_sql,
         pearson_corr_sql,
+        split_cast_double_sql,
     )
     from shaha_spark.operators.sampling import bucket_sql
     from shaha_spark.operators.sketch import hll_distinct_sql
@@ -2563,13 +2571,13 @@ GROUP BY 1"""
     )
     sql["docs_chunked"] = chunk_documents_sql("documents", chunk=32, overlap=8)
     sql["docs_packed"] = pack_sequences_sql("documents", capacity=256)
-    sql["events_rollup"] = """WITH base AS (
+    sql["events_rollup"] = f"""WITH base AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, value
   FROM events
 )
 SELECT coalesce(day, 'ALL') AS day, coalesce(event_type, 'ALL') AS event_type,
   count(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  {split_cast_double_sql("SUM(CAST(value AS DECIMAL(18,2)))", 2)} AS sum_value
 FROM base GROUP BY ROLLUP (day, event_type)"""
     sql["text_term_stats"] = f"""WITH {_WORDS_CTE},
 tf AS (SELECT doc_id, word AS term, count(*) AS tf FROM words GROUP BY 1, 2),
@@ -2835,9 +2843,9 @@ SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_candidates,
 FROM j"""
     sql["part_filter"] = """SELECT p_partkey, p_name, p_brand, p_retailprice
 FROM part WHERE p_name LIKE '%small%' AND p_size >= 10"""
-    sql["events_salted_agg"] = """SELECT event_type,
+    sql["events_salted_agg"] = f"""SELECT event_type,
   count(*) AS n_rows,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  {split_cast_double_sql("SUM(CAST(value AS DECIMAL(18,2)))", 2)} AS sum_value
 FROM events GROUP BY event_type"""
     from shaha_spark.operators.profile import profile_sql
 
@@ -2971,7 +2979,7 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
     # IVF ANN: same deterministic construction as operators/similarity.py —
     # decimal-exact centroid means cast through FLOAT, argmax assignment and
     # nprobe probing as row_number windows with (sim DESC, id ASC) tiebreaks.
-    sql["similarity_ivf"] = """WITH v AS (
+    sql["similarity_ivf"] = f"""WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ),
 q AS (
@@ -2985,7 +2993,7 @@ pos AS (
 ),
 cent AS (
   SELECT label AS centroid_id, p,
-         CAST(CAST(CAST(SUM(CAST(CAST(comp AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS FLOAT) AS DOUBLE) AS m
+         CAST(CAST({_split_cast_sql('SUM(CAST(CAST(comp AS DOUBLE) AS DECIMAL(20,10)))', 10)} / COUNT(*) AS FLOAT) AS DOUBLE) AS m
   FROM pos GROUP BY label, p
 ),
 cvec AS (SELECT centroid_id, list(m ORDER BY p) AS cv FROM cent GROUP BY centroid_id),
@@ -3189,11 +3197,11 @@ SELECT bucket, MIN(vec_id) AS keep_id, COUNT(*) AS n_members FROM sig GROUP BY b
     # integer-exact power iteration: mirrors operators/embeddings.py
     # step for step (decimal-exact float-rounded means -> 2^20 grid ->
     # two exact matvecs in HUGEINT/DEC38 -> one rounded normalization)
-    sql["embedding_top_pc"] = """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    sql["embedding_top_pc"] = f"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
 x AS (SELECT vec_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS p FROM v),
 m AS (
   SELECT p,
-         CAST(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS FLOAT) AS DOUBLE) AS m
+         CAST(CAST({_split_cast_sql('SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,10)))', 10)} / COUNT(*) AS FLOAT) AS DOUBLE) AS m
   FROM x GROUP BY p
 ),
 g AS (
@@ -3215,7 +3223,7 @@ lp AS (
   FROM lm, (SELECT SUM(tf) AS total FROM lm)
 )
 SELECT doc_id, COUNT(*) AS n_tokens,
-       CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+       {_split_cast_sql('SUM(lp)', 8)} / COUNT(*) AS avg_logprob
 FROM toks JOIN lp USING (term)
 GROUP BY doc_id"""
     stops_in = "(" + ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS) + ")"
@@ -3270,7 +3278,7 @@ cc AS (SELECT w1, w2, c2, SUM(c2) OVER (PARTITION BY w1) AS c1 FROM c2),
 lp AS (SELECT w1, w2,
   CAST(ROUND(LN(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)), 8) AS DECIMAL(20,8)) AS lp FROM cc)
 SELECT doc_id, count(*) AS n_bigrams,
-  CAST(SUM(lp) AS DOUBLE) / count(*) AS avg_logprob
+  {_split_cast_sql('SUM(lp)', 8)} / count(*) AS avg_logprob
 FROM pairs JOIN lp USING (w1, w2) GROUP BY doc_id"""
     sql["docs_bpe_pairs"] = f"""WITH {_WORDS_CTE},
 vocab AS (SELECT word AS term, count(*) AS freq FROM words GROUP BY 1),
@@ -5065,6 +5073,7 @@ _QUALITY_STOPS_LIST = "[" + ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS) + "]"
 
 
 def oracle_sql_r4() -> dict[str, str]:
+    from shaha_spark.operators.profile import split_cast_double_sql
     from shaha_spark.operators.sampling import source_cap_sql
     from shaha_spark.operators.incremental import incremental_rollup_sql
     from shaha_spark.operators.timeseries import (
@@ -5087,7 +5096,7 @@ lp AS (
   FROM lm, (SELECT SUM(tf) AS total FROM lm)
 ),
 score AS (
-  SELECT doc_id, CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+  SELECT doc_id, {_split_cast_sql('SUM(lp)', 8)} / COUNT(*) AS avg_logprob
   FROM toks JOIN lp USING (term) GROUP BY doc_id
 )
 SELECT d.doc_id, d.lang, s.avg_logprob,
@@ -5365,7 +5374,7 @@ binned AS (
   SELECT p, lab, LEAST(9, CAST(FLOOR(p * 10.0) AS INTEGER)) AS bin FROM scored
 )
 SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
-  round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 9) AS mean_prob,
+  round({split_cast_double_sql("SUM(CAST(round(p, 6) AS DECIMAL(16,6)))", 6)} / COUNT(*), 9) AS mean_prob,
   round(SUM(CASE WHEN lab THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate
 FROM binned GROUP BY bin"""
 
@@ -5775,7 +5784,7 @@ WHERE nb >= 3 AND na >= 3
 
     # chi2 via the marginal identity sum(o^2/e) - n (absent cells fold
     # in exactly); per-cell terms rounded 9 + decimal sums
-    sql["events_chi_square"] = """WITH ev AS (
+    sql["events_chi_square"] = f"""WITH ev AS (
   SELECT event_type, user_id % 2 AS cohort FROM events
   WHERE event_type IS NOT NULL AND user_id IS NOT NULL
 ),
@@ -5794,7 +5803,7 @@ cells AS (
     9) AS DECIMAL(25,9)) AS t, n, ka, kb
   FROM obs JOIN ra USING (event_type) JOIN cb USING (cohort) CROSS JOIN tot
 )
-SELECT round(CAST(SUM(t) AS DOUBLE) - ANY_VALUE(CAST(n AS DOUBLE)), 9) AS chi2,
+SELECT round({split_cast_double_sql("SUM(t)", 9)} - ANY_VALUE(CAST(n AS DOUBLE)), 9) AS chi2,
   CAST((ANY_VALUE(ka) - 1) * (ANY_VALUE(kb) - 1) AS BIGINT) AS dof,
   CAST(ANY_VALUE(n) AS BIGINT) AS n
 FROM cells"""
@@ -6208,7 +6217,7 @@ lp AS (
 ),
 per AS (
   SELECT o.doc_id, count(*) AS n_trigrams,
-         CAST(sum(lp.lp) AS DOUBLE) / count(*) AS avg_logprob
+         {_split_cast_sql('sum(lp.lp)', 8)} / count(*) AS avg_logprob
   FROM occ o JOIN lp USING (w1, w2, w3) GROUP BY 1
 )
 SELECT d.doc_id, CAST(coalesce(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,

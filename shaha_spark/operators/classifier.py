@@ -47,6 +47,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from shaha_spark.functions.text import h28, tokens
+from shaha_spark.operators.profile import split_cast_double
 
 
 def hashed_features(
@@ -165,7 +166,10 @@ def logreg_train(
                 .alias("g"),
             )
             .groupBy("idx")
-            .agg(F.sum("g").cast("double").alias("g"))
+            # gradient sums grow with n: unscaled (scale 9) crosses
+            # 2^53 near n ~ 9e6 docs — split-cast keeps the collected
+            # model bit-stable against any decimal->double path
+            .agg(split_cast_double(F.sum("g"), 9).alias("g"))
             .collect()
         )
         grad = {r["idx"]: r["g"] for r in rows}
@@ -274,7 +278,7 @@ def logreg_train_distributed(
                 .alias("__c"),
             )
             .groupBy(id_col, "__y")
-            .agg(F.sum("__c").cast("double").alias("__m"))
+            .agg(split_cast_double(F.sum("__c"), 9).alias("__m"))
         )
         errs = margins.select(
             id_col,
@@ -291,7 +295,11 @@ def logreg_train_distributed(
                 .alias("__g"),
             )
             .groupBy("idx")
-            .agg((F.sum("__g").cast("double") / F.lit(float(n))).alias("__g"))
+            .agg(
+                (split_cast_double(F.sum("__g"), 9) / F.lit(float(n))).alias(
+                    "__g"
+                )
+            )
         )
         w = (
             w.join(grad, "idx", "left")
@@ -343,7 +351,7 @@ def logreg_score_joined(
             .alias("__c"),
         )
         .groupBy(id_col)
-        .agg(F.sum("__c").cast("double").alias("__m"))
+        .agg(split_cast_double(F.sum("__c"), 9).alias("__m"))
     )
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))
     return feat_df.join(margins, id_col, "left").withColumn(
@@ -467,9 +475,9 @@ def calibration_bins(
         .select(
             F.col("bin").cast("bigint").alias("bin"),
             F.col("n").cast("bigint").alias("n"),
-            F.round(F.col("__psum").cast("double") / F.col("n"), 9).alias(
-                "mean_prob"
-            ),
+            F.round(
+                split_cast_double(F.col("__psum"), 6) / F.col("n"), 9
+            ).alias("mean_prob"),
             F.round(
                 F.col("__pos").cast("double") / F.col("n").cast("double"), 9
             ).alias("pos_rate"),

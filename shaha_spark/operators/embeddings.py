@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from shaha_spark.operators.profile import split_cast_double
+
 #: Fixed-point grid for the integer-exact power iteration: 2^20.
 #: Multiplying a double by a power of two is EXACT, so quantization is
 #: deterministic; 20 fractional bits keep centered float32 embeddings
@@ -152,11 +154,14 @@ def _mean_grid(df: DataFrame, vec_col: str) -> list[float]:
     # unnest() emits no rows for a NULL vector.
     aggs = [
         (
-            F.sum(
-                F.element_at(F.col(vec_col), p + 1)
-                .cast("double")
-                .cast("decimal(25,10)")
-            ).cast("double")
+            split_cast_double(
+                F.sum(
+                    F.element_at(F.col(vec_col), p + 1)
+                    .cast("double")
+                    .cast("decimal(25,10)")
+                ),
+                10,
+            )
             / F.count(F.element_at(F.col(vec_col), p + 1))
         )
         .cast("float")

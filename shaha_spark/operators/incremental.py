@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from shaha_spark.operators.profile import split_cast_double, split_cast_double_sql
+
 
 def rollup_increment(
     events: DataFrame,
@@ -102,7 +104,7 @@ def finalize_rollup(rollup: DataFrame, key_col: str = "event_type") -> DataFrame
         F.col(key_col),
         F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.col("n").cast("bigint").alias("n_events"),
-        F.col("sv").cast("double").alias("sum_value"),
+        split_cast_double(F.col("sv"), 2).alias("sum_value"),
     )
 
 
@@ -113,5 +115,5 @@ def incremental_rollup_sql(table: str = "events") -> str:
     return f"""SELECT event_type,
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
   CAST(count(*) AS BIGINT) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  {split_cast_double_sql("SUM(CAST(value AS DECIMAL(18,2)))", 2)} AS sum_value
 FROM {table} GROUP BY 1, 2"""

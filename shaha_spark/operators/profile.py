@@ -1003,7 +1003,11 @@ def chi_square(
     )
     return cells.agg(
         F.round(
-            F.sum("__t").cast("double") - F.first("__n").cast("double"), 9
+            # split-cast: SUM(t) ~ n + chi2 crosses 2^53 in unscaled
+            # units (scale 9) near n ~ 9e6 rows — see split_cast_double
+            split_cast_double(F.sum("__t"), 9)
+            - F.first("__n").cast("double"),
+            9,
         ).alias("chi2"),
         ((F.first("__ka") - 1) * (F.first("__kb") - 1))
         .cast("bigint")

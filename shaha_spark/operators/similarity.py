@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from shaha_spark.operators.profile import split_cast_double
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold double dot product of two float arrays."""
@@ -140,7 +142,7 @@ def label_centroids(
     )
     per_pos = exploded.groupBy("centroid_id", "pos").agg(
         (
-            F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+            split_cast_double(F.sum(F.col("v").cast("decimal(20,10)")), 10)
             / F.count(F.lit(1))
         ).alias("m"),
         F.count(F.lit(1)).alias("n"),

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from shaha_spark.operators.profile import split_cast_double
+
 
 def salted_agg(
     df: DataFrame,
@@ -66,7 +68,7 @@ def salted_count_sum(
     return out.select(
         *keys,
         F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.col("__sum_dec").cast("double").alias("sum_value"),
+        split_cast_double(F.col("__sum_dec"), 2).alias("sum_value"),
     )
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from shaha_spark.operators.constants import TOKEN_SPLIT_RE
+from shaha_spark.operators.profile import split_cast_double
 
 
 def tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -589,7 +590,7 @@ def bigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+            (split_cast_double(F.sum("lp"), 8) / F.count(F.lit(1))).alias("avg_logprob"),
         )
     )
 
@@ -725,7 +726,7 @@ def trigram_backoff_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
-            (F.sum("__lp").cast("double") / F.count(F.lit(1))).alias(
+            (split_cast_double(F.sum("__lp"), 8) / F.count(F.lit(1))).alias(
                 "avg_logprob"
             ),
         )
@@ -816,7 +817,7 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+            (split_cast_double(F.sum("lp"), 8) / F.count(F.lit(1))).alias("avg_logprob"),
         )
     )
 

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from shaha_spark.operators.profile import split_cast_double, split_cast_double_sql
+
 
 def gapfill(
     events: DataFrame,
@@ -77,8 +79,10 @@ def gapfill(
         F.col(key_col),
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
-        F.coalesce(F.col("sv"), F.lit(0)).cast("double").alias("sum_value"),
-        F.last("sv", ignorenulls=True).over(w).cast("double").alias(
+        split_cast_double(F.coalesce(F.col("sv"), F.lit(0)), 2).alias(
+            "sum_value"
+        ),
+        split_cast_double(F.last("sv", ignorenulls=True).over(w), 2).alias(
             "ffill_sum_value"
         ),
     )
@@ -105,11 +109,11 @@ j AS (
 )
 SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
   CAST(coalesce(n, 0) AS BIGINT) AS n_events,
-  CAST(coalesce(sv, 0) AS DOUBLE) AS sum_value,
-  CAST(last_value(sv IGNORE NULLS) OVER (
+  {split_cast_double_sql("coalesce(sv, 0)", 2)} AS sum_value,
+  {split_cast_double_sql('''last_value(sv IGNORE NULLS) OVER (
     PARTITION BY event_type ORDER BY h
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ) AS DOUBLE) AS ffill_sum_value
+  )''', 2)} AS ffill_sum_value
 FROM j"""
 
 
