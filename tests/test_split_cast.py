@@ -129,6 +129,52 @@ def test_pearson_corr_past_2_53(spark, big_mixed):
     assert _eq(sc_, dc), f"{list(sc_)} vs {list(dc)}"
 
 
+def test_random_magnitude_sweep(spark):
+    """300 seeded-random decimals spanning 1e-4 .. 1e24 unscaled, both
+    signs, in ONE Spark job vs ONE DuckDB query — the whole helper
+    domain, not just the repro value."""
+    rng = random.Random(11)
+    vals = []
+    for _ in range(300):
+        digits = rng.randrange(1, 25)
+        u = rng.randrange(0, 10**digits)
+        if rng.random() < 0.5:
+            u = -u
+        vals.append(Decimal(u) / 10**4)
+    df = spark.createDataFrame(
+        [(i, str(v)) for i, v in enumerate(vals)], "i int, s string"
+    )
+    sp = {
+        r.i: r.v
+        for r in df.select(
+            "i",
+            split_cast_double(
+                F.col("s").cast("decimal(38,4)"), 4
+            ).alias("v"),
+        ).collect()
+    }
+    sp = [sp[i] for i in range(len(vals))]
+    con = duckdb.connect()
+    expr = split_cast_double_sql("CAST(s AS DECIMAL(38,4))", 4)
+    con.execute("CREATE TABLE vals (i INT, s VARCHAR)")
+    con.executemany(
+        "INSERT INTO vals VALUES (?, ?)",
+        [(i, str(v)) for i, v in enumerate(vals)],
+    )
+    dv = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {expr} FROM vals ORDER BY i"
+        ).fetchall()
+    ]
+    bad = [
+        (v, a, b)
+        for v, a, b in zip(vals, sp, dv)
+        if repr(a) != repr(b)
+    ]
+    assert not bad, f"{len(bad)} mismatches; first: {bad[:3]}"
+
+
 def test_welch_t_past_2_53(spark, big_mixed):
     df, con = big_mixed
     sw = welch_t(df, "g", "x", 0, 1).collect()[0]
