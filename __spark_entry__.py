@@ -3319,7 +3319,7 @@ R5_WINDOW_ORDER = [
     "emb_ivf_pq_topk", "docs_bpe_encode", "docs_char_entropy",
     "docs_trigram_backoff", "docs_curated", "docs_postings_stats",
     "docs_phrase_search", "docs_winnowing", "docs_token_budget",
-    "emb_diverse_sample",
+    "emb_diverse_sample", "emb_hard_negatives", "emb_knn_accuracy",
     "events_interarrival",
     "profile_lineitem", "words_intersect", "words_except",
     "dedup_exact", "dedup_minhash_sigs", "dedup_minhash_pairs",
@@ -4904,6 +4904,32 @@ def q_emb_diverse_sample(spark, sf_dir):
     )
 
 
+def q_emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-5 most-similar corpus vectors with a DIFFERENT label — the
+    near-boundary negatives a retrieval/contrastive trainer batches
+    (operators/similarity.py hard_negatives)."""
+    from shaha_spark.operators.similarity import hard_negatives
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return hard_negatives(embs, queries, k=5)
+
+
+def q_emb_knn_accuracy(spark, sf_dir):
+    """Leave-one-out kNN label-consistency eval: per-label accuracy of
+    majority-vote over each probe's 5 nearest neighbors (self excluded)
+    — the standard embedding-space class-separation benchmark
+    (operators/similarity.py knn_label_accuracy)."""
+    from shaha_spark.operators.similarity import knn_label_accuracy
+
+    embs = _t(spark, sf_dir, "embeddings")
+    probes = embs.filter(F.col("vec_id") % 20 == 0)
+    return knn_label_accuracy(embs, probes, k=5)
+
+
 def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "emb_sq_topk": q_emb_sq_topk,
@@ -4983,6 +5009,8 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_winnowing": q_docs_winnowing,
         "docs_token_budget": q_docs_token_budget,
         "emb_diverse_sample": q_emb_diverse_sample,
+        "emb_hard_negatives": q_emb_hard_negatives,
+        "emb_knn_accuracy": q_emb_knn_accuracy,
     }
 
 
@@ -6683,4 +6711,63 @@ pc AS (
 e AS (SELECT a, b FROM pc WHERE n_pair >= 2)""",
         k=3,
     )
+
+    # Hard-negative mining (r5): brute-force cosine top-k restricted to
+    # different-label candidates. Same rounded-cosine + id tiebreak
+    # convention as similarity_topk.
+    sql["emb_hard_negatives"] = """WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id, CAST(label AS BIGINT) AS neg_label,
+         round(list_cosine_similarity(cv, qv), 6) AS cosine
+  FROM c, q WHERE label <> qlabel
+),
+ranked AS (
+  SELECT query_id, vec_id, neg_label, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, neg_label, cosine, rank FROM ranked WHERE rank <= 5"""
+
+    # Leave-one-out kNN label accuracy (r5): neighbor ties break on
+    # (rounded cosine DESC, id ASC); vote ties on (count DESC, label
+    # ASC); accuracy is one IEEE division of exact small integers.
+    sql["emb_knn_accuracy"] = """WITH p AS (
+  SELECT vec_id AS probe_id, label AS plabel,
+         CAST(embedding AS DOUBLE[]) AS pv
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT probe_id, plabel, vec_id, label,
+         round(list_cosine_similarity(cv, pv), 6) AS cos
+  FROM c, p WHERE vec_id <> probe_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT probe_id, plabel, label,
+           row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS r
+    FROM scored
+  ) WHERE r <= 5
+),
+votes AS (
+  SELECT probe_id, plabel, label, count(*) AS votes
+  FROM topk GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT probe_id, plabel, label AS pred_label FROM (
+    SELECT probe_id, plabel, label, votes,
+           row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label ASC) AS r
+    FROM votes
+  ) WHERE r = 1
+)
+SELECT CAST(plabel AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN pred_label = plabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN pred_label = plabel THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accuracy
+FROM pred GROUP BY 1"""
     return sql

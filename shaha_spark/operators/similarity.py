@@ -219,6 +219,148 @@ def ivf_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-k most-similar corpus vectors carrying a DIFFERENT label —
+    the negatives that sit closest to the decision boundary, which is
+    exactly what a contrastive/retrieval trainer wants in the batch.
+
+    Plan shape is :func:`brute_force_topk` with the label-inequality
+    pushed BELOW the top-k window: broadcast the (small) query batch,
+    scan the corpus once shuffle-free, filter same-label candidates
+    before anything is ranked, then one per-query top-k window.
+    At 100 TB the stage-A scan swaps for the IVF/PQ candidate
+    generation (ivf_topk / pq_topk) with the same label predicate —
+    the mining semantics live entirely in this filter + window, not in
+    how candidates are produced. Ties break deterministically on the
+    rounded cosine, then corpus id.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(label_col).alias("__qlabel"),
+            F.col(vec_col).alias("__qvec"),
+        )
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(label_col), F.col(vec_col))
+        .crossJoin(q)
+        .where(F.col(label_col) != F.col("__qlabel"))
+        .select(
+            query_id_col,
+            id_col,
+            F.col(label_col).cast("bigint").alias("neg_label"),
+            F.round(cosine_sim(F.col(vec_col), F.col("__qvec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "neg_label",
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def knn_label_accuracy(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out kNN label-consistency evaluation — THE standard
+    embedding-quality benchmark: for each probe vector, predict its
+    label by majority vote over its k nearest corpus neighbors
+    (cosine, self excluded) and report per-label accuracy. Complements
+    :func:`~shaha_spark.operators.embeddings` silhouette (geometry)
+    and :func:`topk_recall` (search fidelity): this one measures
+    whether the embedding space actually separates the classes.
+
+    Probes are a sample (evaluation never needs every vector), so the
+    plan is the broadcast-probe shape: shuffle-free corpus scan, one
+    per-probe top-k window, then two tiny aggregations over k·|probes|
+    rows. Determinism: neighbor ties break on (rounded cosine, id);
+    vote ties break on (count DESC, label ASC); accuracy is a single
+    IEEE division of exact small integers — identical in any engine.
+    """
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("__probe_id"),
+            F.col(label_col).alias("__plabel"),
+            F.col(vec_col).alias("__pvec"),
+        )
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(label_col), F.col(vec_col))
+        .crossJoin(p)
+        .where(F.col(id_col) != F.col("__probe_id"))
+        .select(
+            "__probe_id",
+            "__plabel",
+            F.col(id_col),
+            F.col(label_col),
+            F.round(cosine_sim(F.col(vec_col), F.col("__pvec")), 6).alias(
+                "__cos"
+            ),
+        )
+    )
+    wk = Window.partitionBy("__probe_id").orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    topk = scored.withColumn("__r", F.row_number().over(wk)).where(
+        F.col("__r") <= k
+    )
+    votes = topk.groupBy("__probe_id", "__plabel", label_col).agg(
+        F.count(F.lit(1)).alias("__votes")
+    )
+    wv = Window.partitionBy("__probe_id").orderBy(
+        F.col("__votes").desc(), F.col(label_col).asc()
+    )
+    pred = (
+        votes.withColumn("__r", F.row_number().over(wv))
+        .where(F.col("__r") == 1)
+        .select(
+            "__probe_id",
+            "__plabel",
+            F.col(label_col).alias("__pred"),
+        )
+    )
+    return pred.groupBy(F.col("__plabel").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(
+            F.when(F.col("__pred") == F.col("__plabel"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+    ).select(
+        "label",
+        "n_probes",
+        "n_correct",
+        (F.col("n_correct").cast("double") / F.col("n_probes")).alias(
+            "accuracy"
+        ),
+    )
+
+
 def topk_recall(
     exact: DataFrame,
     approx: DataFrame,

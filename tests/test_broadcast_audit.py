@@ -145,6 +145,11 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
      "queries.select(F.col(query_id_col), F.col(vec_col).alias('__"): _QUERY,
     ("shaha_spark/operators/similarity.py", "prefix_topk", "cands"):
         _QUERY + " (k' candidate ids per query after the prefix stage)",
+    ("shaha_spark/operators/similarity.py", "hard_negatives",
+     "queries.select(F.col(query_id_col), F.col(label_col).alias('"): _QUERY,
+    ("shaha_spark/operators/similarity.py", "knn_label_accuracy",
+     "probes.select(F.col(id_col).alias('__probe_id'), F.col(label"):
+        _QUERY + " (probes are an evaluation sample by contract)",
     ("shaha_spark/operators/sketch.py", "cms_frequencies", "cells"):
         _MODEL + " (d*w CMS cells, fixed)",
     ("shaha_spark/operators/sketch.py", "bloom_membership", "set_bits"):

@@ -119,3 +119,35 @@ def test_topk_recall_counts_overlap_per_query(spark):
     out = {r.query_id: (r.n_hits, r.recall) for r in
            topk_recall(exact, approx, k=2).collect()}
     assert out == {1: (1, 0.5), 2: (2, 1.0)}
+
+
+def test_hard_negatives_excludes_same_label_and_ranks_k(emb):
+    from shaha_spark.operators.similarity import hard_negatives
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    out = hard_negatives(emb, queries, k=5).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    qlabels = {r.query_id: labels[r.query_id] for r in out}
+    per_q = {}
+    for r in out:
+        # a hard negative must carry a different label than its query
+        assert r.neg_label == labels[r.vec_id]
+        assert r.neg_label != qlabels[r.query_id]
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_knn_label_accuracy_probe_partition(emb):
+    from shaha_spark.operators.similarity import knn_label_accuracy
+
+    probes = emb.filter(F.col("vec_id") % 20 == 0)
+    out = knn_label_accuracy(emb, probes, k=5).collect()
+    # every probe is classified exactly once: per-label probe counts
+    # partition the probe sample, and accuracy = n_correct / n_probes
+    assert sum(r.n_probes for r in out) == probes.count()
+    for r in out:
+        assert 0 <= r.n_correct <= r.n_probes
+        assert r.accuracy == r.n_correct / r.n_probes
