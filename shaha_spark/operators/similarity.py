@@ -332,8 +332,11 @@ def knn_label_accuracy(
     votes = topk.groupBy("__probe_id", "__plabel", label_col).agg(
         F.count(F.lit(1)).alias("__votes")
     )
+    # asc_nulls_last: Spark default-orders NULL FIRST ascending while
+    # DuckDB orders NULL LAST — a null label winning a vote tie would
+    # silently diverge across engines
     wv = Window.partitionBy("__probe_id").orderBy(
-        F.col("__votes").desc(), F.col(label_col).asc()
+        F.col("__votes").desc(), F.col(label_col).asc_nulls_last()
     )
     pred = (
         votes.withColumn("__r", F.row_number().over(wv))
