@@ -4126,15 +4126,22 @@ def q_emb_silhouette(spark, sf_dir):
     b = min distance to any other; per-point terms rounded 9 and
     decimal-summed into per-cluster means."""
     from shaha_spark.operators.kmeans import kmeans_fit
-    from shaha_spark.operators.similarity import cosine_sim, ivf_assign
+    from shaha_spark.operators.similarity import (
+        cosine_sim_hoisted,
+        dot,
+        ivf_assign,
+        norm2,
+    )
 
     embs = _t(spark, sf_dir, "embeddings")
     cents = kmeans_fit(embs, k=4, iters=2).localCheckpoint(eager=True)
     assigned = ivf_assign(embs, cents)
-    dists = assigned.crossJoin(
+    dists = assigned.withColumn("__vn2", norm2(F.col("embedding"))).crossJoin(
         F.broadcast(
             cents.select(
-                F.col("centroid_id").alias("cid"), F.col("centroid")
+                F.col("centroid_id").alias("cid"),
+                F.col("centroid"),
+                norm2(F.col("centroid")).alias("__cn2"),
             )
         )
     ).select(
@@ -4142,7 +4149,15 @@ def q_emb_silhouette(spark, sf_dir):
         "centroid_id",
         "cid",
         (
-            F.lit(1.0) - F.round(cosine_sim(F.col("embedding"), F.col("centroid")), 6)
+            F.lit(1.0)
+            - F.round(
+                cosine_sim_hoisted(
+                    dot(F.col("embedding"), F.col("centroid")),
+                    F.col("__vn2"),
+                    F.col("__cn2"),
+                ),
+                6,
+            )
         ).alias("d"),
     )
     per_point = dists.groupBy("vec_id", "centroid_id").agg(

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from .. import io_util
 from .kmeans import kmeans_fit
-from .similarity import cosine_sim, ivf_assign
+from .similarity import cosine_sim, cosine_sim_hoisted, dot, ivf_assign, norm2
 
 CENTROID_SIDECAR = "_ivf_centroids.json"
 
@@ -118,7 +118,12 @@ def ivf_index_topk(
     probes = (
         probe_scored.withColumn("__r", F.row_number().over(wp))
         .where(F.col("__r") <= nprobe)
-        .select(query_id_col, "__qvec", "centroid_id")
+        .select(
+            query_id_col,
+            "__qvec",
+            norm2(F.col("__qvec")).alias("__qn2"),
+            "centroid_id",
+        )
         # materialized once: the plan is consumed twice (the IN-list
         # collect below AND the candidate join), and without the
         # checkpoint the queries-side crossJoin + window would run
@@ -133,12 +138,19 @@ def ivf_index_topk(
     index = spark.read.parquet(path).filter(
         F.col("centroid_id").isin(probed_ids)
     )
-    cands = index.join(F.broadcast(probes), "centroid_id").select(
+    cands = index.withColumn("__vn2", norm2(F.col(vec_col))).join(
+        F.broadcast(probes), "centroid_id"
+    ).select(
         query_id_col,
         id_col,
-        F.round(cosine_sim(F.col(vec_col), F.col("__qvec")), 6).alias(
-            "approx_cosine"
-        ),
+        F.round(
+            cosine_sim_hoisted(
+                dot(F.col(vec_col), F.col("__qvec")),
+                F.col("__vn2"),
+                F.col("__qn2"),
+            ),
+            6,
+        ).alias("approx_cosine"),
     )
     wk = Window.partitionBy(query_id_col).orderBy(
         F.col("approx_cosine").desc(), F.col(id_col).asc()

@@ -418,18 +418,25 @@ def embedding_near_dup_pairs(
     block the join is bucket-local; without (None) it degrades to the
     O(n²) cross join — only for small n.
     """
-    from shaha_spark.operators.similarity import cosine_sim
+    from shaha_spark.operators.similarity import cosine_sim_hoisted, dot, norm2
 
+    # squared norm hoisted to the (single) pre-join projection: computed
+    # once per row, not once per joined pair — bit-identical ops
     norm = df.select(
         F.col(id_col),
         F.col(vec_col),
+        norm2(F.col(vec_col)).alias("__n2"),
         *([F.col(bucket_col)] if bucket_col else []),
     )
     a = norm.alias("a")
     b = norm.alias("b")
     on = [F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}")] if bucket_col else []
     joined = a.join(b, on=on if on else None, how="inner") if on else a.crossJoin(b)
-    sim = cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    sim = cosine_sim_hoisted(
+        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+        F.col("a.__n2"),
+        F.col("b.__n2"),
+    )
     return (
         joined.where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(

@@ -358,15 +358,34 @@ def sq_topk(
         .where(F.col("__r") <= m)
         .select(query_id_col, id_col, "adc")
     )
+    from shaha_spark.operators.similarity import cosine_sim_hoisted, dot, norm2
+
     rescored = F.broadcast(cands).join(
-        corpus.select(F.col(id_col), F.col(vec_col)), on=id_col
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            norm2(F.col(vec_col)).alias("__cn2"),
+        ),
+        on=id_col,
     ).join(
-        F.broadcast(qcodes.select(query_id_col, "__qvec")), on=query_id_col
+        F.broadcast(
+            qcodes.select(
+                query_id_col, "__qvec", norm2(F.col("__qvec")).alias("__qn2")
+            )
+        ),
+        on=query_id_col,
     ).select(
         query_id_col,
         id_col,
         "adc",
-        F.round(cosine_sim(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+        F.round(
+            cosine_sim_hoisted(
+                dot(F.col(vec_col), F.col("__qvec")),
+                F.col("__cn2"),
+                F.col("__qn2"),
+            ),
+            6,
+        ).alias("cosine"),
     )
     wb = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from shaha_spark.operators.similarity import cosine_sim
+from shaha_spark.operators.similarity import cosine_sim_hoisted, dot, norm2
 
 
 def _means(assigned: DataFrame, vec_col: str) -> DataFrame:
@@ -49,12 +49,22 @@ def assign_nearest(
 ) -> DataFrame:
     """Nearest-centroid (max cosine, id-asc ties) per vector: broadcast
     centroids, shuffle-free scan, per-vector argmax window."""
-    c = F.broadcast(centroids.select("centroid_id", "centroid"))
-    scored = corpus.crossJoin(c).select(
+    c = F.broadcast(
+        centroids.select(
+            "centroid_id", "centroid", norm2(F.col("centroid")).alias("__ctn2")
+        )
+    )
+    scored = corpus.withColumn("__vn2", norm2(F.col(vec_col))).crossJoin(
+        c
+    ).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("centroid_id"),
-        cosine_sim(F.col(vec_col), F.col("centroid")).alias("__sim"),
+        cosine_sim_hoisted(
+            dot(F.col(vec_col), F.col("centroid")),
+            F.col("__vn2"),
+            F.col("__ctn2"),
+        ).alias("__sim"),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("__sim").desc(), F.col("centroid_id").asc()
