@@ -103,9 +103,9 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
     ("shaha_spark/operators/embeddings.py", "sq_topk", "cands"):
         _QUERY + " (k*|queries| candidate ids after stage A)",
     ("shaha_spark/operators/embeddings.py", "sq_topk",
-     "qcodes.select(query_id_col, '__qvec')"): _QUERY,
+     "qcodes.select(query_id_col, '__qvec', norm2(F.col('__qvec'))"): _QUERY,
     ("shaha_spark/operators/kmeans.py", "assign_nearest",
-     "centroids.select('centroid_id', 'centroid')"): _MODEL,
+     "centroids.select('centroid_id', 'centroid', norm2(F.col('cen"): _MODEL,
     ("shaha_spark/operators/layout.py", "zorder_value", "bounds"): _SCALAR,
     ("shaha_spark/operators/pq.py", "_adc_score", "codebooks"): _MODEL,
     ("shaha_spark/operators/pq.py", "_adc_score", "adc"):
@@ -137,7 +137,7 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
     ("shaha_spark/operators/similarity.py", "brute_force_topk",
      "queries.select(F.col(query_id_col), F.col(vec_col).alias('__"): _QUERY,
     ("shaha_spark/operators/similarity.py", "ivf_assign",
-     "centroids.select(centroid_id_col, centroid_vec_col)"): _MODEL,
+     "centroids.select(centroid_id_col, centroid_vec_col, norm2(F."): _MODEL,
     ("shaha_spark/operators/similarity.py", "ivf_topk", "centroids"): _MODEL,
     ("shaha_spark/operators/similarity.py", "ivf_topk", "q_probe"):
         _QUERY + " (nprobe rows per query)",
