@@ -73,7 +73,16 @@ NOTES = {
     ),
     "similarity_topk": (
         "Query side broadcast, corpus scan shuffle-free; the only "
-        "exchange is the per-query top-k window keyed by query_id."
+        "exchange is the per-query top-k window keyed by query_id. "
+        "Round 5: squared norms are projected per input row (one double "
+        "each side) instead of recomputed per scored pair — same IEEE "
+        "ops, bit-identical cosines, per-pair work is the dot alone."
+    ),
+    "emb_hard_negatives": (
+        "Hard-negative mining (round 5): brute_force_topk's broadcast-"
+        "probe shape with the label-inequality filter BELOW the top-k "
+        "window — same-label candidates never enter the rank exchange. "
+        "Norms hoisted per row; per-pair work is one dot product."
     ),
     "similarity_ivf": (
         "Round 2: the centroid table is materialized once (localCheckpoint "

@@ -13,13 +13,26 @@ Stage order (each stage optional, all deterministic):
 Scale shape: redaction is a zero-shuffle codegen'd projection; line
 dedup and the quality gate are each one explode + doc-id-keyed
 reassembly; exact dedup is one digest-keyed agg; the mixture stage is a
-broadcast filter. Every join in the chain keys on the SAME doc id, so
-the doc-id hash partitioning established by the first reassembly is
-reused by Spark for the later joins (exchange reuse) instead of
-re-shuffling per stage. No collect, no global sort, no Python in the
-data path — the whole pipeline is one lazy plan, so Catalyst prunes
-columns through every stage and AQE sizes the reducers once, at run
-time.
+broadcast filter. No collect, no global sort, no Python in the data
+path.
+
+Stage-boundary materialization: every stage consumes its input TWICE —
+once to derive the keep set (line frequencies, Gopher stats, digest
+survivors, mixture rates) and once as the side being filtered. Spark
+does not share common subplans across a join, so the naive lazy chain
+re-derives everything below each stage on BOTH sides, compounding per
+stage (measured: 24 parquet scans / 59 exchanges for the 5-stage chain
+at sf0.01 — at 100 TB that is 24 corpus reads for one curation pass).
+Each twice-consumed stage input is therefore cut with a LAZY
+``localCheckpoint``: nothing runs until the caller's first action, but
+both consumers then share ONE computation of the stage below — the
+whole chain executes each stage exactly once (4 scans total, one per
+materialized boundary). This is the in-engine analog of what a
+production 100 TB curation run does anyway: persist each stage's
+output to the lake before deriving corpus-wide statistics from it.
+The checkpointed blocks free when the returned DataFrame's RDDs are
+garbage collected (Spark's ContextCleaner), so repeated calls in a
+long-lived session do not accumulate storage.
 """
 
 from __future__ import annotations
@@ -59,11 +72,18 @@ def curate_corpus(
     out = docs
     other_cols = [c for c in docs.columns if c != text_col]
 
+    # lazy stage boundary: both consumers of the stage input (keep-set
+    # derivation + the filtered side) share one computation — see the
+    # module docstring for the measured cost of omitting this
+    def barrier(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False)
+
     if patterns is not None:
         redacted, _counts = redact_exprs(text_col, patterns)
         out = out.select(*other_cols, redacted.alias(text_col))
 
     if line_dedup:
+        out = barrier(out)
         cleaned = dedup_duplicate_lines(
             out,
             text_col=text_col,
@@ -74,6 +94,7 @@ def curate_corpus(
         out = cleaned.join(out.select(*other_cols), id_col)
 
     if gopher:
+        out = barrier(out)
         keep_ids = (
             gopher_rules(out, text_col=text_col, id_col=id_col)
             .where(F.col("keep") == 1)
@@ -82,12 +103,14 @@ def curate_corpus(
         out = out.join(keep_ids, id_col, "left_semi")
 
     if exact:
+        out = barrier(out)
         survivors = exact_dedup(out, text_col=text_col, id_col=id_col).select(
             id_col
         )
         out = out.join(survivors, id_col, "left_semi")
 
     if mix_col is not None:
+        out = barrier(out)
         out = temperature_resample(
             out, mix_col, id_col, alpha=mix_alpha, budget=mix_budget, salt=salt
         )
