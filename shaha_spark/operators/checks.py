@@ -76,23 +76,37 @@ def referential_check(
     [relation, n_child_rows, n_orphans, passed].
 
     ``relations`` is [(name, child_df, child_key, parent_df,
-    parent_key)]. Each check is a LEFT ANTI join on the key — at scale
-    a plain shuffle hash join whose build side is the parent's DISTINCT
-    key projection (column-pruned at the scan; Catalyst broadcasts it
-    when small). Results union into one report; each relation's subtree
-    stays independent, so Spark runs them as parallel stages of one
-    job rather than one scan per interactive query.
+    parent_key)]. Each check is ONE pass over the child: a LEFT join
+    against the parent's DISTINCT key projection (no fan-out — the
+    build side is distinct; column-pruned at the scan, broadcast by
+    Catalyst when small) feeding a single aggregate that counts rows
+    and unmatched rows together. The previous two-pass form (separate
+    count + anti-join) scanned every child table twice. Results union
+    into one report; each relation's subtree stays independent, so
+    Spark runs them as parallel stages of one job.
     """
     if not relations:
         raise ValueError("referential_check requires at least one relation")
     outs = []
     for name, child, ckey, parent, pkey in relations:
-        pk = parent.select(F.col(pkey).alias(ckey)).distinct()
-        orphans = child.select(ckey).join(pk, ckey, "left_anti")
+        pk = (
+            parent.select(F.col(pkey).alias(ckey))
+            .distinct()
+            .withColumn("__parent", F.lit(1))
+        )
+        joined = child.select(ckey).join(pk, ckey, "left")
         outs.append(
-            child.agg(F.count(F.lit(1)).alias("n_child_rows"))
-            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
-            .select(
+            joined.agg(
+                F.count(F.lit(1)).alias("n_child_rows"),
+                # coalesce: SUM over an empty child is NULL, but the
+                # report's contract (and the old anti-join count) is 0
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__parent").isNull(), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_orphans"),
+            ).select(
                 F.lit(name).alias("relation"),
                 F.col("n_child_rows").cast("bigint").alias("n_child_rows"),
                 F.col("n_orphans").cast("bigint").alias("n_orphans"),

@@ -358,7 +358,17 @@ def ngram_jaccard(
 
     Intended as the verification stage after LSH candidate generation —
     feeding it n² pairs is a caller bug.
+
+    ``pairs`` (typically the whole LSH subtree: corpus scan → signature
+    agg → banding → bucket explode) is consumed FIVE times below (two
+    unpivot branches, the member semi-join, the shingle-side join, the
+    jaccard-0 restore join); Spark re-derives it per consumer, so
+    without a boundary this operator re-ran candidate generation five
+    times (measured 27 exchanges at sf0.01). The pair list is
+    candidate-sized — materializing it lazily is cheap at any corpus
+    scale.
     """
+    pairs = pairs.localCheckpoint(eager=False)
     stack = pairs.select(
         "id_a", "id_b", F.col("id_a").alias(id_col), F.lit(1).alias("is_a")
     ).unionAll(

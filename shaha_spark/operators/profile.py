@@ -823,10 +823,15 @@ def psi(
         )
         .alias("__bin"),
     )
+    # |bins|-row table consumed twice (totals + the PSI terms) — the
+    # lazy checkpoint stops the whole union+bin+agg subtree running
+    # once per consumer (was 8 parquet scans for one PSI). The raw
+    # bounds pass still rescans the union — one extra pruned scan is
+    # cheaper than materializing the corpus-sized binned stream.
     counts = binned.groupBy("__bin").agg(
         F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("__ca"),
         F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("__cb"),
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.agg(
         F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
     )

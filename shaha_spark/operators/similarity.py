@@ -493,6 +493,9 @@ def prefix_topk(
     (write-time truncation) so stage A's scan prunes to d' floats at
     the parquet layer; here the slice is in-plan for oracle replay.
     """
+    # the query batch feeds both stages (prefix scoring + full re-rank);
+    # the lazy checkpoint stops Spark re-deriving it per broadcast build
+    queries = queries.localCheckpoint(eager=False)
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
@@ -610,6 +613,12 @@ def ndcg_at_k(
     consistent with :func:`topk_recall`, which reports such queries as
     recall 0.
     """
+    # both inputs are consumed twice (the relevance join + the
+    # all-queries spine union); without a boundary Spark re-runs the
+    # SEARCHES that produced them once per consumer. k·|queries|-sized —
+    # materializing lazily is free next to the searches it deduplicates.
+    exact = exact.localCheckpoint(eager=False)
+    approx = approx.localCheckpoint(eager=False)
     e = exact.select(
         F.col(query_col), F.col(id_col), F.col(rank_col).alias("__erank")
     )

@@ -648,10 +648,20 @@ def trigram_backoff_logprob(
             .filter(F.col("w3").isNotNull())
         )
 
+    # The LM count tables are each consumed by several joins below, and
+    # Spark re-derives the whole lm_toks subtree (scan + explode [+
+    # window]) for every consumer — measured 9 parquet scans / 22
+    # exchanges for this one operator before the lazy-checkpoint
+    # barriers. The count tables are VOCABULARY-sized, so materializing
+    # them once is cheap at any corpus scale; `occ` is corpus-sized,
+    # where the barrier trades one extra scan+window recomputation for
+    # local-storage residency of the trigram stream — the right trade
+    # on a warm cluster, and the first action still triggers everything
+    # lazily.
     lm_toks = _toks(lm_docs)
     c1 = lm_toks.groupBy(F.col("w").alias("u1")).agg(
         F.count(F.lit(1)).alias("c1")
-    )
+    ).localCheckpoint(eager=False)
     lm_wnd = W.partitionBy(id_col).orderBy("pos")
     lm_bi = (
         lm_toks.select(
@@ -662,17 +672,17 @@ def trigram_backoff_logprob(
         .filter(F.col("b2").isNotNull())
         .groupBy("b1", "b2")
         .agg(F.count(F.lit(1)).alias("c2"))
-    )
+    ).localCheckpoint(eager=False)
     lm_tri = (
         _tris(lm_docs)
         .groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("c3"))
-    )
+    ).localCheckpoint(eager=False)
     totals = c1.agg(
         F.sum("c1").alias("__N"), F.count(F.lit(1)).alias("__V")
     )
 
-    occ = _tris(docs)
+    occ = _tris(docs).localCheckpoint(eager=False)
     keys = occ.select("w1", "w2", "w3").distinct()
     scored_keys = (
         keys.join(lm_tri, ["w1", "w2", "w3"], "left")
@@ -1040,13 +1050,24 @@ def bm25_scores(
     toks = tokens(docs, text_col, id_col)
     qlit = F.array(*[F.lit(t) for t in query_terms])
     n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    # dl and tf are each consumed twice below (avgdl + contrib;
+    # dfreq + contrib) and Spark re-derives the token explode per
+    # consumer — the lazy checkpoints make each aggregate compute once.
+    # dl is narrow (id, count) and tf is bounded by |docs|·|Q|; the raw
+    # token stream itself stays UNmaterialized, so tokenization runs
+    # exactly twice (once per barriered aggregate) — cheaper than
+    # holding corpus-scale token rows in block storage.
+    dl = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__dl")
+    ).localCheckpoint(eager=False)
     avgdl = dl.agg(
         F.sum("__dl").cast("double").alias("__tot"),
         F.count(F.lit(1)).cast("double").alias("__nd"),
     ).select((F.col("__tot") / F.col("__nd")).alias("__avgdl"))
     qtoks = toks.filter(F.array_contains(qlit, F.col("term")))
-    tf = qtoks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    tf = qtoks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("__tf")
+    ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
         "term",

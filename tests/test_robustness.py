@@ -194,3 +194,28 @@ def test_real_decode_audio_video_truncated_raise_contract_error():
     )
     with _pytest.raises(NotImplementedError):
         real_decode_video(mp4b)
+
+
+def test_referential_check_empty_child_and_null_keys(spark):
+    """Single-pass orphan counting must keep the two-pass contract:
+    an EMPTY child reports 0 orphans (SUM over no rows is NULL without
+    the coalesce), and NULL child keys count as orphans (a null never
+    equals a parent key in either the old anti-join or the left join)."""
+    from shaha_spark.operators.checks import referential_check
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk bigint")
+    child = spark.createDataFrame(
+        [(1,), (None,), (3,)], "fk bigint"
+    )
+    empty_child = spark.createDataFrame([], "fk bigint")
+    report = {
+        r.relation: (r.n_child_rows, r.n_orphans, r.passed)
+        for r in referential_check(
+            [
+                ("child->parent", child, "fk", parent, "pk"),
+                ("empty->parent", empty_child, "fk", parent, "pk"),
+            ]
+        ).collect()
+    }
+    assert report["child->parent"] == (3, 2, False)  # null + 3 are orphans
+    assert report["empty->parent"] == (0, 0, True)
