@@ -53,6 +53,42 @@ GLOBAL_WINDOW_OK = {
 }
 
 
+#: query -> {table: max same-table scans} for queries that legitimately
+#: read one table more than SCAN_REPEAT_THRESHOLD times. Every entry is
+#: a set of INDEPENDENT single passes (train/encode/search stages,
+#: self-join sides, marginal counts) — not the compounding re-derivation
+#: the lint exists to catch (the round-5 audit found a curation chain
+#: re-running its upstream 24 times because each stage's keep-set join
+#: consumed the same lineage twice; see pipeline/curate.py).
+SCAN_REPEAT_OK: dict[str, dict[str, int]] = {
+    "docs_ppl_buckets": {"documents": 4},      # hash-split LM train + scored
+                                               # halves, each a pruned pass
+    "emb_ivf_pq_topk": {"embeddings": 5},      # coarse train, PQ train,
+                                               # encode, assign, re-rank
+    "emb_sq_topk": {"embeddings": 4},          # dim stats, corpus codes,
+                                               # query codes, exact re-rank
+    "orders_basket_rules": {"lineitem": 4},    # item counts, pair sides,
+                                               # basket total
+    "events_audience_overlap": {"events": 4},  # audience self-join sides +
+                                               # per-type totals
+    "words_collocations": {"documents": 4},    # bigram pass + unigram
+                                               # lookups + token total
+    "events_chi_square": {"events": 4},        # observed + two marginals +
+                                               # grand total
+    "events_mad_outliers": {"events": 4},      # median pass, MAD pass,
+                                               # outlier pass (quantiles
+                                               # cannot fuse)
+    "orders_set_similarity": {"lineitem": 4},  # basket-set join sides +
+                                               # item frequencies
+    "emb_ann_recall": {"embeddings": 4},       # exact + approx searches,
+                                               # each corpus + queries
+}
+
+#: A table scanned more than this many times in one query is flagged
+#: unless enrolled above with its independent-passes argument.
+SCAN_REPEAT_THRESHOLD = 3
+
+
 @pytest.fixture(scope="module")
 def plans(spark):
     sf = "/root/testdata/sf0.001"
@@ -127,6 +163,48 @@ def test_allowlist_has_no_stale_entries(plans):
     assert not stale, (
         f"GLOBAL_WINDOW_OK entries whose queries no longer plan a global "
         f"window (delete them): {stale}"
+    )
+
+
+def _repeated_scans(plan: str) -> dict[str, int]:
+    from collections import Counter
+
+    tables = re.findall(r"(\w+)\.parquet", plan)
+    return {
+        t: c for t, c in Counter(tables).items() if c > SCAN_REPEAT_THRESHOLD
+    }
+
+
+def test_no_compounding_table_rescans(plans):
+    """Spark re-evaluates a DataFrame's lineage once per join consumer;
+    a chain where every stage consumes its input twice compounds to
+    2^stages scans of the base table. Each query may scan one table at
+    most SCAN_REPEAT_THRESHOLD times, unless enrolled in SCAN_REPEAT_OK
+    with the argument for why its passes are independent (and a count
+    ceiling, so a later regression past the documented number still
+    fails)."""
+    bad = {}
+    for name, plan in plans.items():
+        for table, count in _repeated_scans(plan).items():
+            allowed = SCAN_REPEAT_OK.get(name, {}).get(table, SCAN_REPEAT_THRESHOLD)
+            if count > allowed:
+                bad[(name, table)] = count
+    assert not bad, (
+        f"tables re-scanned beyond their documented pass count: {bad} — "
+        "a twice-consumed stage input compounds at scale; cut it with a "
+        "lazy localCheckpoint (see pipeline/curate.py) or enroll the "
+        "independent passes in SCAN_REPEAT_OK"
+    )
+
+
+def test_scan_repeat_allowlist_not_stale(plans):
+    stale = {
+        n for n in SCAN_REPEAT_OK
+        if n in plans and not _repeated_scans(plans[n])
+    }
+    assert not stale, (
+        f"SCAN_REPEAT_OK entries whose queries no longer exceed the scan "
+        f"threshold (delete them): {stale}"
     )
 
 
