@@ -121,7 +121,12 @@ def forget_digests(
     for cand in plan["candidates"]:
         p = cand["file"]
         df: DataFrame = spark.read.parquet(p)
-        remaining = df.where(~F.col("hash").isin(targets))
+        # lazy checkpoint: the survivor set is consumed twice (the count
+        # that decides drop-vs-rewrite, then the rewrite itself) — one
+        # filtered read of the candidate file instead of two
+        remaining = df.where(~F.col("hash").isin(targets)).localCheckpoint(
+            eager=False
+        )
         n_after = remaining.count()
         n_delete = cand["rows"] - n_after
         if n_delete == 0:

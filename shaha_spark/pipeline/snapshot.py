@@ -559,8 +559,11 @@ def snapshot_row_diff(
 
     old = read_snapshot(spark, path, v_old)
     new = read_snapshot(spark, path, v_new)
-    ok = old.select(*key_cols)
-    nk = new.select(*key_cols)
+    # each key projection feeds BOTH anti-joins (probe side of one,
+    # build side of the other); the lazy checkpoints make each
+    # snapshot read + key projection run once instead of per consumer
+    ok = old.select(*key_cols).localCheckpoint(eager=False)
+    nk = new.select(*key_cols).localCheckpoint(eager=False)
     added = nk.join(ok, key_cols, "left_anti").select(
         *key_cols, F.lit("insert").alias("change")
     )
