@@ -239,6 +239,16 @@ def main() -> None:
         docs, patterns={"num": "[0-9]+"}, mix_col="lang", mix_alpha=0.7
     ).count()
     extras["curate_docs_per_sec"] = round(n_docs / (time.perf_counter() - t0), 1)
+    # warm split (same rationale as the codegen cold/warm splits above):
+    # the cold pass pays plan compilation for all five stages; the warm
+    # number is the data-path throughput the r5 stage-boundary fix moved
+    t0 = time.perf_counter()
+    curate_corpus(
+        docs, patterns={"num": "[0-9]+"}, mix_col="lang", mix_alpha=0.7
+    ).count()
+    extras["curate_docs_per_sec_warm"] = round(
+        n_docs / (time.perf_counter() - t0), 1
+    )
 
     # round-3 additions, as extras (headline total stays comparable
     # across rounds): two-stage SQ8 ANN vs the brute-force scan it
