@@ -295,6 +295,12 @@ def ivf_pq_topk(
     from shaha_spark.operators.similarity import cosine_sim, ivf_assign
 
     coarse = coarse_centroids.localCheckpoint(eager=True)
+    # the query batch feeds both the coarse probe and the ADC scorer;
+    # without a boundary its derivation re-runs per consumer, and the
+    # extra consumers make the plan's scan count depend on surrounding
+    # join strategy (observed 5 vs 6 corpus scans across sessions).
+    # Query batches are small by contract.
+    queries = queries.localCheckpoint(eager=False)
     assigned = ivf_assign(corpus, coarse, vec_col, id_col)
     codes = pq_encode(corpus, codebooks, vec_col, id_col)
     bucketed_codes = codes.join(
