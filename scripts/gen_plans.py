@@ -78,6 +78,23 @@ NOTES = {
         "each side) instead of recomputed per scored pair — same IEEE "
         "ops, bit-identical cosines, per-pair work is the dot alone."
     ),
+    "docs_curated": (
+        "5-stage curation chain (redact → line dedup → Gopher gate → "
+        "exact dedup → mixture). Round 5: each stage input is cut with "
+        "a lazy localCheckpoint so both its consumers (keep-set "
+        "derivation + the filtered side) share ONE computation — the "
+        "naive lazy chain re-derived everything below each stage per "
+        "consumer, compounding to 24 parquet scans / 59 exchanges; now "
+        "1 scan + 3 exchanges (the checkpoint boundaries print as "
+        "ExistingRDD scans)."
+    ),
+    "dedup_ngram_jaccard": (
+        "Exact-Jaccard verification of LSH candidates. Round 5: the "
+        "candidate-pair frame (the whole LSH subtree) is checkpointed "
+        "once — it is consumed five times (unpivot branches, member "
+        "semi-join, shingle join, jaccard-0 restore), which previously "
+        "re-ran candidate generation per consumer (27 exchanges, now 7)."
+    ),
     "emb_hard_negatives": (
         "Hard-negative mining (round 5): brute_force_topk's broadcast-"
         "probe shape with the label-inequality filter BELOW the top-k "
