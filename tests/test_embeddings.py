@@ -151,3 +151,40 @@ def test_knn_label_accuracy_probe_partition(emb):
     for r in out:
         assert 0 <= r.n_correct <= r.n_probes
         assert r.accuracy == r.n_correct / r.n_probes
+
+
+def test_hoisted_cosine_is_bit_identical_to_inline(spark):
+    """The norm-hoisted scoring form must be the SAME double as the
+    inline cosine on every pair: dot/sqrt(na2*nb2) with precomputed
+    norms is the identical 3-op IEEE sequence, so equality is exact
+    (==), not approximate. Random mixed-magnitude vectors, fixed seed."""
+    import random
+
+    from shaha_spark.operators.similarity import (
+        cosine_sim,
+        cosine_sim_hoisted,
+        dot,
+        norm2,
+    )
+
+    rng = random.Random(20260815)
+    rows = [
+        (
+            i,
+            [rng.uniform(-1e3, 1e3) * (10 ** rng.randint(-6, 6)) for _ in range(17)],
+            [rng.uniform(-1e3, 1e3) * (10 ** rng.randint(-6, 6)) for _ in range(17)],
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, a array<double>, b array<double>"
+    )
+    out = df.select(
+        cosine_sim(F.col("a"), F.col("b")).alias("inline"),
+        cosine_sim_hoisted(
+            dot(F.col("a"), F.col("b")),
+            norm2(F.col("a")),
+            norm2(F.col("b")),
+        ).alias("hoisted"),
+    ).collect()
+    assert all(r.inline == r.hoisted for r in out)
