@@ -88,6 +88,27 @@ def generate() -> str:
     return "\n".join(lines)
 
 
+def _stable_projection(text: str) -> str:
+    """The comparison view used by ``--check``: registry-table rows with
+    the volatile 'driver rows' cell removed.
+
+    The driver drops a new CORRECTNESS_r{N}.json into the tree AT ROUND
+    END — after the round's last commit — which flips every windowed
+    entry's 'pending' to 'r{N}' in the generated text. Comparing that
+    cell would make the shipped tree's sync guard fail at every round
+    boundary through no drift of the registry itself (the exact
+    round-3/4 failure mode). Names, order, oracle flags and counts stay
+    strictly compared; the rows column is refreshed by the round-start
+    rotation (scripts/plan_window.py workflow)."""
+    import re as _re
+
+    out = []
+    for ln in text.split("\n"):
+        m = _re.match(r"^(\| \d+ \| `[^`]+` \| [a-z-]+ )\| .* \|$", ln)
+        out.append(m.group(1) + "|" if m else ln)
+    return "\n".join(out)
+
+
 def main() -> int:
     check = "--check" in sys.argv
     path = os.path.join(REPO, "COVERAGE.md")
@@ -101,7 +122,7 @@ def main() -> int:
     else:
         new = doc.rstrip() + "\n\n" + block + "\n"
     if check:
-        if new != doc:
+        if _stable_projection(new) != _stable_projection(doc):
             print("COVERAGE.md registry section is stale; rerun "
                   "scripts/gen_coverage_registry.py", file=sys.stderr)
             return 1
