@@ -3301,46 +3301,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_build_multi_algo(spark, "/root/testdata/sf0.001")
 
 
-#: Round-5 driver-window ordering, computed mechanically by
-#: scripts/plan_window.py from CORRECTNESS_r01–r04 (see WINDOW_r5.txt):
-#: the 30 registry entries that have never had a driver row lead, then
-#: `events_interarrival` (red in r4 on a last-ULP rounding divergence,
-#: fixed this round — needs a fresh hash row), then the remaining slots
-#: filled least-recently-verified first (all r01 rows). After this
-#: window runs, EVERY oracled registry entry has a green driver row.
-R5_WINDOW_ORDER = [
-    "events_pit_join", "events_rollup_incremental", "docs_source_cap",
-    "docs_ppl_buckets", "events_gapfill", "events_debounce",
-    "users_scd2", "docs_line_dedup", "docs_dup_span_removed",
-    "docs_temperature_rates", "docs_temperature_resample",
-    "docs_dsir_weights", "docs_dsir_topk", "docs_top_keywords",
-    "docs_redact", "dedup_keep_best", "docs_hashed_features",
-    "docs_logreg_score", "emb_semantic_dedup", "emb_pq_topk",
-    "emb_ivf_pq_topk", "docs_bpe_encode", "docs_char_entropy",
-    "docs_trigram_backoff", "docs_curated", "docs_postings_stats",
-    "docs_phrase_search", "docs_winnowing", "docs_token_budget",
-    "emb_diverse_sample", "emb_hard_negatives", "emb_knn_accuracy",
-    "events_interarrival",
-    "profile_lineitem", "words_intersect", "words_except",
-    "dedup_exact", "dedup_minhash_sigs", "dedup_minhash_pairs",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_minhash_survivors", "similarity_topk", "embedding_near_dup",
-    "text_token_count", "text_quality", "text_langid",
-    "text_fingerprint", "multimodal_meta", "multimodal_frame_count",
-    "wordlist_scan",
+#: Round-6 driver-window ordering, computed mechanically by
+#: scripts/plan_window.py from CORRECTNESS_r01–r05 (see WINDOW_r6.txt):
+#: `orders_kcore` leads (its exact recursive-CTE oracle landed in r5
+#: AFTER its only driver row, which was r4 rows-only — this is the one
+#: entry whose current oracle has never faced the driver), then the
+#: least-recently-verified backfill: every entry whose newest driver row
+#: is r01/r02, oldest first, closing with the first r03 entry. Exactly
+#: 50 names = the driver window size.
+R6_WINDOW_ORDER = [
+    "orders_kcore",
+    "multimodal_frame_count", "wordlist_scan", "word_dedup",
+    "build_sha256", "build_hash256", "build_all_algos",
+    "query_prefix", "query_algo_filter", "query_topk_by_hash",
+    "db_stats", "build_summary",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18",
+    "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q19",
+    "tpch_q22",
+    "text_vocab", "text_oov", "docs_repetition", "docs_cosine_pairs",
+    "events_redact", "words_lev_pairs", "events_retention",
+    "events_outliers", "dedup_minhash_eval", "part_filter",
+    "events_salted_agg", "events_hourly", "events_sessionize",
+    "events_json_extract", "events_asof_join", "events_interval_join",
+    "events_rollup", "text_term_stats", "docs_decontaminate",
+    "tpch_q4", "tpch_q13", "part_never_shipped", "events_pivot",
+    "events_unpivot", "events_rolling", "events_hll_distinct",
+    "sketch_cms_words",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness harness checks the FIRST 50
-    # entries only. Round-5 layout: R5_WINDOW_ORDER (never-driver-verified
-    # block + re-verification anchor + least-recently-verified backfill)
-    # occupies the window; everything else keeps its registry order after
-    # it. tests/test_coverage_guard.py enforces the invariant.
+    # entries only. Round-6 layout: R6_WINDOW_ORDER (stale-oracle anchor +
+    # least-recently-verified backfill) occupies the window; everything
+    # else keeps its registry order after it.
+    # tests/test_coverage_guard.py enforces the invariant.
     merged = dict(_queries_prior())
     merged.update(queries_r4())
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in R5_WINDOW_ORDER:
+    for name in R6_WINDOW_ORDER:
         out[name] = merged[name]
     for name, fn in merged.items():
         out.setdefault(name, fn)
