@@ -3295,6 +3295,21 @@ FROM pr GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""
 # Driver entry points
 # --------------------------------------------------------------------
 
+#: Oracles whose contract is deliberately WEAKER than a full
+#: value-equivalence twin. Rendered into COVERAGE.md by
+#: scripts/gen_coverage_registry.py so the weaker contract is never
+#: presented as a full oracle. Keep entries short and factual.
+ORACLE_CONTRACT_NOTES: dict[str, str] = {
+    "docs_bpe_encode": (
+        "roundtrip-only oracle: the DuckDB twin checks row multiplicity "
+        "and decode(encode(term)) == term per token occurrence, not "
+        "which merges fired; segmentation content is pinned by "
+        "known-answer + pure-Python-reference tests "
+        "(tests/test_terms.py, tests/test_curation_new.py)"
+    ),
+}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the multi-algorithm
     hash-database build projection (the engine's core pipeline)."""

@@ -60,12 +60,17 @@ def generate() -> str:
         "| # | query | oracle | driver rows |",
         "|---|---|---|---|",
     ]
+    notes = getattr(entry_mod, "ORACLE_CONTRACT_NOTES", {})
     for i, k in enumerate(keys, 1):
         window = " (windowed)" if i <= DRIVER_WINDOW else ""
-        lines.append(
-            f"| {i} | `{k}` | {'yes' if k in oracles else 'rows-only'} "
-            f"| {status(k)}{window} |"
-        )
+        flag = "yes" if k in oracles else "rows-only"
+        if k in notes:
+            flag = "yes-weak" if k in oracles else flag
+        lines.append(f"| {i} | `{k}` | {flag} | {status(k)}{window} |")
+    if notes:
+        lines += ["", "Weaker-contract oracles (`yes-weak` above):", ""]
+        for k, note in sorted(notes.items()):
+            lines.append(f"- `{k}` — {note}")
 
     skeys = [k for k in entry_mod.queries_r4() if k not in set(keys[:DRIVER_WINDOW])]
     lines += [

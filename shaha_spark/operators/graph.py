@@ -258,8 +258,19 @@ def k_core_peel_sql(edges_cte: str, k: int, max_iters: int = 40) -> str:
     does NOT converge, the guard emits an impossible ``node = -1`` row
     so the cross-engine hash comparison fails loudly instead of
     silently blessing a non-core (the same contract as the Spark
-    side's RuntimeError). ``edges_cte`` must define ``e(a, b)`` with
-    ``a < b``, deduplicated.
+    side's RuntimeError). An EMPTY survivor set is always a fixpoint
+    of peeling (peeling nothing yields nothing), so an empty
+    ``last_set`` converges by definition even when ``prev_set`` was
+    nonempty — the guard must not poison that case. ``edges_cte``
+    must define ``e(a, b)`` with ``a < b``, deduplicated.
+
+    Cost note: each iteration re-emits the full survivor set (the
+    working table never empties once a stable core exists), so the
+    recursion always runs all ``max_iters`` iterations even after
+    early convergence. Each iteration is one hash join + group-by
+    over the survivor set — acceptable for an ORACLE (driver runs it
+    at sf0.01); the production path is :func:`k_core`, which stops at
+    the data-dependent fixpoint.
     """
     return f"""WITH RECURSIVE {edges_cte},
 und AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e),
@@ -287,4 +298,5 @@ unconverged AS (
 )
 SELECT CAST(node AS BIGINT) AS node FROM last_set
 UNION ALL
-SELECT CAST(-1 AS BIGINT) AS node FROM unconverged WHERE c > 0"""
+SELECT CAST(-1 AS BIGINT) AS node FROM unconverged
+WHERE c > 0 AND EXISTS (SELECT 1 FROM last_set)"""

@@ -11,16 +11,26 @@ reproduce across engines (per-partition float accumulation differs).
 from __future__ import annotations
 
 import re
+from decimal import Decimal as _Dec
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _SPLIT_TEN = 10_000_000_000  # 10^10
+#: Exclusive bound on the unscaled |value|·10^scale for which the hi/lo
+#: split is exactly representable: hi < 2^53 requires u < 2^53·10^10.
+_SPLIT_LIMIT = (1 << 53) * _SPLIT_TEN
 
 
 def _dec_scale(precision: str) -> int:
     """Scale of a 'decimal(p,s)' type string."""
-    return int(re.search(r"\(\s*\d+\s*,\s*(\d+)\s*\)", precision).group(1))
+    m = re.search(r"\(\s*\d+\s*,\s*(\d+)\s*\)", precision)
+    if m is None:
+        raise ValueError(
+            f"precision must be a 'decimal(p,s)' type string, "
+            f"got {precision!r}"
+        )
+    return int(m.group(1))
 
 
 def split_cast_double(col, scale: int):
@@ -37,13 +47,23 @@ def split_cast_double(col, scale: int):
 
     Recipe: split the EXACT unscaled integer u = |value|·10^scale into
     hi = u div 10^10 and lo = u mod 10^10. Both parts stay below 2^53
-    for |value| up to ~10^25/10^scale, so both engines cast them to
-    double EXACTLY (zero rounding), and the recombination
+    for u < 2^53·10^10 (≈9.007e25 unscaled), so both engines cast them
+    to double EXACTLY (zero rounding), and the recombination
     ``(hi·1e10 + lo) / 10^scale`` is a fixed 3-op IEEE sequence (mul,
     add, div on exactly-representable constants) replayed bit-for-bit
     by :func:`split_cast_double_sql`. The split runs on the absolute
     value — Spark's pmod and DuckDB's % disagree on negative operands —
     and the sign is restored by IEEE negation, which is exact.
+
+    Domain guard: past u ≥ 2^53·10^10 the hi part itself exceeds 2^53
+    and the bit-equality guarantee would silently degrade to
+    last-ULP-maybe — so BOTH this function and the SQL twin return
+    NULL there (symmetrically, via the same comparison on the same
+    exact integer). An out-of-domain magnitude therefore surfaces as a
+    visible NULL in the output instead of passing (or failing) the
+    oracle by accident. Past decimal(38) capacity Spark's non-ANSI
+    cast already yields NULL; DuckDB's HUGEINT path errors loudly —
+    both are detectable, neither silently blesses a wrong value.
     """
     a = F.abs(col)
     u = (a * F.lit(10**scale)).cast("decimal(38,0)")
@@ -54,19 +74,25 @@ def split_cast_double(col, scale: int):
     mag = (hi.cast("double") * F.lit(1.0e10) + lo.cast("double")) / F.lit(
         float(10**scale)
     )
-    return F.when(col < 0, -mag).otherwise(mag)
+    # 2^53·10^10 exceeds a JVM long, so the literal goes in as Decimal
+    in_domain = u < F.lit(_Dec(_SPLIT_LIMIT)).cast("decimal(38,0)")
+    return F.when(in_domain & (col < 0), -mag).when(in_domain, mag)
 
 
 def split_cast_double_sql(expr: str, scale: int) -> str:
-    """DuckDB twin of :func:`split_cast_double` — the same hi/lo split
-    and the same 3-op IEEE recombination, so both engines produce the
-    identical bit pattern at any magnitude."""
+    """DuckDB twin of :func:`split_cast_double` — the same hi/lo split,
+    the same 3-op IEEE recombination, and the same NULL-out-of-domain
+    guard on the same exact unscaled integer, so both engines produce
+    the identical bit pattern (or both NULL) at any magnitude."""
     u = f"CAST(ABS({expr}) * {10**scale} AS HUGEINT)"
     mag = (
         f"((CAST(({u}) // {_SPLIT_TEN} AS DOUBLE) * 1e10 + "
         f"CAST(({u}) % {_SPLIT_TEN} AS DOUBLE)) / {float(10**scale)!r})"
     )
-    return f"(CASE WHEN ({expr}) < 0 THEN -{mag} ELSE {mag} END)"
+    return (
+        f"(CASE WHEN ({u}) >= {_SPLIT_LIMIT} THEN NULL "
+        f"WHEN ({expr}) < 0 THEN -{mag} ELSE {mag} END)"
+    )
 
 
 def numeric_profile(

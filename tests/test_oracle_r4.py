@@ -169,3 +169,35 @@ def test_bpe_encode_roundtrip_registration(spark, sf_dir):
 
     docs = staging._t(spark, sf_dir, "documents")
     assert len(bpe_train(docs, num_merges=8)) > 0
+
+
+def _peel(edges_sql: str, k: int, max_iters: int):
+    from shaha_spark.operators.graph import k_core_peel_sql
+
+    sql = k_core_peel_sql(f"e(a, b) AS ({edges_sql})", k=k, max_iters=max_iters)
+    return sorted(r[0] for r in duckdb.connect().execute(sql).fetchall())
+
+
+def test_kcore_sql_empty_at_max_iters_is_converged():
+    """Regression (r6): a path graph's 2-core is EMPTY; when the peel
+    empties exactly at iteration max_iters, the empty set is a true
+    fixpoint and the -1 poison row must NOT be emitted."""
+    # path 1-2-3-4-5-6 peels 2 endpoints/iter: iters 1..3 -> 4, 2, 0
+    path6 = "VALUES (1,2),(2,3),(3,4),(4,5),(5,6)"
+    assert _peel(path6, k=2, max_iters=3) == []
+    # plenty of budget: same answer
+    assert _peel(path6, k=2, max_iters=10) == []
+
+
+def test_kcore_sql_unconverged_still_poisons():
+    # cut off mid-peel with a NONEMPTY, still-shrinking survivor set:
+    # iter 2 = {3,4} != iter 1 = {2,3,4,5} -> loud -1 row
+    path6 = "VALUES (1,2),(2,3),(3,4),(4,5),(5,6)"
+    assert -1 in _peel(path6, k=2, max_iters=2)
+
+
+def test_kcore_sql_stable_core_unchanged():
+    # a triangle is its own 2-core from iteration zero
+    tri = "VALUES (1,2),(1,3),(2,3)"
+    assert _peel(tri, k=2, max_iters=1) == [1, 2, 3]
+    assert _peel(tri, k=2, max_iters=7) == [1, 2, 3]

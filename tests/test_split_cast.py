@@ -180,3 +180,52 @@ def test_welch_t_past_2_53(spark, big_mixed):
     sw = welch_t(df, "g", "x", 0, 1).collect()[0]
     dw = con.execute(welch_t_sql("t", "g", "x", "0", "1")).fetchone()
     assert _eq(sw, dw), f"{list(sw)} vs {list(dw)}"
+
+
+def test_out_of_domain_is_null_both_engines(spark):
+    """r6 domain guard: past u >= 2^53*10^10 the hi part would exceed
+    2^53 and bit-equality would silently degrade — both engines must
+    return NULL instead (symmetric, loud in output)."""
+    from shaha_spark.operators.profile import _SPLIT_LIMIT
+
+    lim = _SPLIT_LIMIT  # unscaled units at scale 4
+    cases = {
+        str(Decimal(lim - 1) / 10**4): False,   # largest in-domain
+        str(Decimal(lim) / 10**4): True,        # first out-of-domain
+        str(Decimal(-(lim + 12345)) / 10**4): True,
+        str(Decimal(lim * 3) / 10**4): True,
+        "1234.5678": False,
+    }
+    con = duckdb.connect()
+    for v, expect_null in cases.items():
+        sv = spark.sql(
+            f"SELECT CAST('{v}' AS DECIMAL(38,4)) AS d"
+        ).select(split_cast_double(F.col("d"), 4).alias("v")).collect()[0].v
+        dv = con.execute(
+            "SELECT " + split_cast_double_sql(f"CAST('{v}' AS DECIMAL(38,4))", 4)
+        ).fetchone()[0]
+        if expect_null:
+            assert sv is None and dv is None, f"{v}: {sv!r} vs {dv!r}"
+        else:
+            assert sv is not None and repr(sv) == repr(dv), f"{v}: {sv!r} vs {dv!r}"
+
+
+def test_null_input_stays_null(spark):
+    sv = spark.sql(
+        "SELECT CAST(NULL AS DECIMAL(38,4)) AS d"
+    ).select(split_cast_double(F.col("d"), 4).alias("v")).collect()[0].v
+    dv = duckdb.connect().execute(
+        "SELECT " + split_cast_double_sql("CAST(NULL AS DECIMAL(38,4))", 4)
+    ).fetchone()[0]
+    assert sv is None and dv is None
+
+
+def test_dec_scale_rejects_unscaled_type_string():
+    from shaha_spark.operators.profile import _dec_scale
+
+    import re
+
+    assert _dec_scale("decimal(18,2)") == 2
+    for bad in ("double", "decimal", "decimal(18)"):
+        with pytest.raises(ValueError, match=re.escape(repr(bad))):
+            _dec_scale(bad)
