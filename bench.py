@@ -161,7 +161,11 @@ def main() -> None:
     # (r5: extended to every query the r4 driver run showed regressing
     # without a code change — the cold/warm delta isolates driver-side
     # codegen/compile noise from real data-path cost.)
+    # (r6: build_hashdb added — it was the one headline query without a
+    # split when its r4->r5 +9.7% drift needed attributing; its per-rep
+    # times are also recorded verbatim so drift is visible rep-by-rep.)
     for name in (
+        "build_hashdb",
         "text_quality", "dedup_minhash_pairs", "dedup_simhash",
         "similarity_topk", "events_sessionize", "tpch_q1", "tpch_q3",
     ):
@@ -169,6 +173,7 @@ def main() -> None:
         if len(reps) >= 2:
             extras[f"{name}_cold_sec"] = round(reps[0], 4)
             extras[f"{name}_warm_sec"] = round(min(reps[1:]), 4)
+    extras["build_hashdb_reps"] = [round(t, 4) for t in samples["build_hashdb"]]
     extras["build_words_per_sec"] = round(n_words / timings["build_hashdb"], 1)
     extras["bench_reps"] = REPS
 
