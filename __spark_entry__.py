@@ -3299,6 +3299,43 @@ FROM pr GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""
 #: value-equivalence twin. Rendered into COVERAGE.md by
 #: scripts/gen_coverage_registry.py so the weaker contract is never
 #: presented as a full oracle. Keep entries short and factual.
+def local_oracle_sql() -> dict[str, str]:
+    """Oracles that require :func:`local_oracle_setup` on the DuckDB
+    connection first (Python-API scalar UDFs via ``create_function``).
+
+    NOT merged into :func:`oracle_sql`: the driver's gate runs the
+    oracle strings on a plain connection and cannot register custom
+    functions, so these entries stay rows-only there. The local suite
+    (tests/test_oracle.py) runs them through the driver's exact
+    comparison (columns + rows + full-precision values), closing the
+    "DuckDB lacks sha256(BLOB)" gap at the component level."""
+    return {
+        # hash256 = SHA256(SHA256(x)) — Bitcoin txid style
+        # (ref src/hasher/mod.rs:63-75)
+        "build_hash256": (
+            f"WITH {_DWORDS_CTE} SELECT "
+            "lower(hex(sha256_bin(sha256_bin(encode(word))))) AS hash_hex, "
+            "word AS preimage, 'hash256' AS algorithm FROM dwords"
+        ),
+    }
+
+
+def local_oracle_setup(con) -> None:
+    """Register the scalar functions :func:`local_oracle_sql` needs.
+
+    ``sha256_bin`` is the binary-in/binary-out SHA-256 DuckDB's SQL
+    surface lacks (its builtin ``sha256`` returns hex VARCHAR and, in
+    DuckDB 1.x, has no BLOB-returning form to compose double-hashing
+    from)."""
+    import hashlib
+
+    from duckdb.typing import BLOB
+
+    con.create_function(
+        "sha256_bin", lambda b: hashlib.sha256(b).digest(), [BLOB], BLOB
+    )
+
+
 ORACLE_CONTRACT_NOTES: dict[str, str] = {
     "docs_bpe_encode": (
         "roundtrip-only oracle: the DuckDB twin checks row multiplicity "

@@ -61,12 +61,23 @@ def generate() -> str:
         "|---|---|---|---|",
     ]
     notes = getattr(entry_mod, "ORACLE_CONTRACT_NOTES", {})
+    local = set(getattr(entry_mod, "local_oracle_sql", dict)())
     for i, k in enumerate(keys, 1):
         window = " (windowed)" if i <= DRIVER_WINDOW else ""
         flag = "yes" if k in oracles else "rows-only"
-        if k in notes:
-            flag = "yes-weak" if k in oracles else flag
+        if k in local and k not in oracles:
+            flag = "local-udf"
+        if k in notes and k in oracles:
+            flag = "yes-weak"
         lines.append(f"| {i} | `{k}` | {flag} | {status(k)}{window} |")
+    if local:
+        lines += [
+            "",
+            "`local-udf`: full value oracle in the LOCAL suite via DuckDB "
+            "`create_function` (tests/test_oracle.py + "
+            "`__spark_entry__.local_oracle_sql`); the driver gate runs "
+            "plain SQL, so its row for these stays rows-only.",
+        ]
     if notes:
         lines += ["", "Weaker-contract oracles (`yes-weak` above):", ""]
         for k, note in sorted(notes.items()):

@@ -31,7 +31,10 @@ DRIVER_WINDOW = 50
 #: Queries with a justified missing oracle (DuckDB can't express them);
 #: the driver records a weaker rows-only check for these.
 NO_ORACLE_OK = {
-    "build_hash256",     # DuckDB lacks sha256(BLOB); kernel covered by
+    "build_hash256",     # DuckDB SQL lacks sha256(BLOB) so the DRIVER
+                         # row stays rows-only; locally it carries a
+                         # full value oracle via create_function
+                         # (__spark_entry__.local_oracle_sql), plus the
                          # build_all_algos known-answer vectors
 }
 

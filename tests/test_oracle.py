@@ -29,6 +29,9 @@ def duck(sf_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    # local-only scalar UDFs (sha256_bin for build_hash256); the driver
+    # gate runs plain SQL and cannot do this — see local_oracle_sql()
+    entry_mod.local_oracle_setup(con)
     yield con
     con.close()
 
@@ -53,21 +56,31 @@ def _sorted_rows(rows, cols):
 
 
 ORACLES = entry_mod.oracle_sql()
+#: driver oracles + local-UDF oracles; the comparison is identical,
+#: only the driver can't run the latter (no create_function there)
+ALL_ORACLES = {**ORACLES, **entry_mod.local_oracle_sql()}
 QUERIES = entry_mod.queries()
 
 
 def test_every_query_has_callable():
-    assert set(ORACLES) <= set(QUERIES), "oracle without query"
+    assert set(ALL_ORACLES) <= set(QUERIES), "oracle without query"
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_local_oracles_disjoint_from_driver_oracles():
+    overlap = set(ORACLES) & set(entry_mod.local_oracle_sql())
+    assert not overlap, (
+        f"locally-oracled entries would shadow driver oracles: {overlap}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_query_matches_oracle(spark, duck, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    duck_tbl = duck.execute(ORACLES[name]).arrow()
-    res = duck.execute(ORACLES[name])
+    duck_tbl = duck.execute(ALL_ORACLES[name]).arrow()
+    res = duck.execute(ALL_ORACLES[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
 
@@ -86,7 +99,7 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ALL_ORACLES)))
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
