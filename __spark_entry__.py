@@ -86,6 +86,7 @@ from shaha_spark.operators.constants import (
     QUALITY_STOPWORDS,
 )
 from shaha_spark.operators.profile import split_cast_double as _split_cast
+from shaha_spark.operators.profile import split_cast_double as _split_cast
 from shaha_spark.operators.profile import split_cast_double_sql as _split_cast_sql
 from shaha_spark.util import normalize_event_ts
 
@@ -297,6 +298,13 @@ def q_build_summary(spark, sf_dir):
 
 
 def q_tpch_q1(spark, sf_dir):
+    """Pricing summary. The four decimal sums grow with data volume in
+    a HANDFUL of groups, so their unscaled values cross 2^53 with
+    scale — the scale-6 sum_charge did so at sf1 (2.79e16 unscaled),
+    where DuckDB's double-rounding DECIMAL->DOUBLE cast diverges in
+    the last ULP (caught by the r6 sf1 oracle sweep). Every
+    sum->double conversion therefore goes through split_cast_double,
+    bit-identical on both engines at any in-domain magnitude."""
     _utc(spark)
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
@@ -307,11 +315,11 @@ def q_tpch_q1(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            _split_cast(F.sum(_dec("l_quantity")), 2).alias("sum_qty"),
+            _split_cast(F.sum(_dec("l_extendedprice")), 2).alias("sum_base_price"),
+            _split_cast(F.sum(disc_price), 4).alias("sum_disc_price"),
+            _split_cast(F.sum(charge), 6).alias("sum_charge"),
+            (_split_cast(F.sum(_dec("l_quantity")), 2) / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1072,7 +1080,8 @@ def q_tpch_q5(spark, sf_dir):
         .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        # split-cast: per-nation revenue grows with volume in 5 groups
+        .agg(_split_cast(F.sum(disc_price), 4).alias("revenue"))
     )
 
 
@@ -1087,7 +1096,8 @@ def q_tpch_q6(spark, sf_dir):
         & (F.col("l_quantity") < 24)
     )
     revenue = _dec("l_extendedprice") * _dec("l_discount", "decimal(4,2)")
-    return li.agg(F.sum(revenue).cast("double").alias("revenue"))
+    # split-cast: one global sum — the fastest-growing magnitude shape
+    return li.agg(_split_cast(F.sum(revenue), 4).alias("revenue"))
 
 
 def q_tpch_q18(spark, sf_dir):
@@ -1175,10 +1185,11 @@ def q_tpch_q14(spark, sf_dir):
     agg = (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(12,2)")))
-            .cast("double")
-            .alias("promo_revenue"),
-            F.sum(rev).cast("double").alias("total_revenue"),
+            _split_cast(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(12,2)"))),
+                4,
+            ).alias("promo_revenue"),
+            _split_cast(F.sum(rev), 4).alias("total_revenue"),
         )
     )
     return agg.select(
@@ -1211,7 +1222,7 @@ def q_tpch_q15(spark, sf_dir):
         .select(
             "s_suppkey",
             "s_name",
-            F.col("__rev").cast("double").alias("total_revenue"),
+            _split_cast(F.col("__rev"), 4).alias("total_revenue"),
         )
     )
 
@@ -1279,7 +1290,7 @@ def q_tpch_q19(spark, sf_dir):
         )
     )
     return joined.filter(cond).agg(
-        F.sum(rev).cast("double").alias("revenue"),
+        _split_cast(F.sum(rev), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -2243,12 +2254,25 @@ SELECT count(*) AS total_words,
        count(*) - count(DISTINCT word) AS duplicates,
        count(DISTINCT word) * 2 AS records_to_generate
 FROM words"""
-    sql["tpch_q1"] = """SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+    _q1_qty = "SUM(CAST(l_quantity AS DECIMAL(12,2)))"
+    _q1_base = "SUM(CAST(l_extendedprice AS DECIMAL(12,2)))"
+    _q1_disc = (
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+        "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"
+    )
+    _q1_charge = (
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+        "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * "
+        "(CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))"
+    )
+    # split-cast on every sum->double: the scale-6 sum_charge crossed
+    # 2^53 unscaled at sf1, where DuckDB's native cast double-rounds
+    sql["tpch_q1"] = f"""SELECT l_returnflag, l_linestatus,
+  {_split_cast_sql(_q1_qty, 2)} AS sum_qty,
+  {_split_cast_sql(_q1_base, 2)} AS sum_base_price,
+  {_split_cast_sql(_q1_disc, 4)} AS sum_disc_price,
+  {_split_cast_sql(_q1_charge, 6)} AS sum_charge,
+  {_split_cast_sql(_q1_qty, 2)} / COUNT(*) AS avg_qty,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -2614,8 +2638,14 @@ SELECT s.doc_id,
   CAST(coalesce(sh.n_shared_grams, 0) > 0 AS INTEGER) AS contaminated
 FROM split s LEFT JOIN shared sh USING (doc_id)
 WHERE s.bucket >= 1000"""
-    sql["tpch_q5"] = """SELECT n_name,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    # volume-growing revenue sums (scale 4): split-cast both engines,
+    # same rationale as tpch_q1 (sf1 sweep divergence past 2^53)
+    _REV_SUM = (
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+        "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"
+    )
+    sql["tpch_q5"] = f"""SELECT n_name,
+  {_split_cast_sql(_REV_SUM, 4)} AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -2624,8 +2654,8 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
 GROUP BY n_name"""
-    sql["tpch_q6"] = """SELECT
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    sql["tpch_q6"] = f"""SELECT
+  {_split_cast_sql("SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)))", 4)} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -2657,12 +2687,13 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20"""
-    sql["tpch_q14"] = """WITH agg AS (
-  SELECT
-    CAST(SUM(CASE WHEN p_type = 'PROMO'
+    _q14_promo = """SUM(CASE WHEN p_type = 'PROMO'
       THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+      ELSE CAST(0 AS DECIMAL(12,2)) END)"""
+    sql["tpch_q14"] = f"""WITH agg AS (
+  SELECT
+    {_split_cast_sql(_q14_promo, 4)} AS promo_revenue,
+    {_split_cast_sql(_REV_SUM, 4)} AS total_revenue
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
@@ -2670,7 +2701,7 @@ LIMIT 20"""
 SELECT promo_revenue, total_revenue,
   100.0 * promo_revenue / total_revenue AS promo_pct
 FROM agg"""
-    sql["tpch_q15"] = """WITH revenue AS (
+    sql["tpch_q15"] = f"""WITH revenue AS (
   SELECT l_suppkey,
     SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
   FROM lineitem
@@ -2678,7 +2709,7 @@ FROM agg"""
     AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+SELECT s_suppkey, s_name, {_split_cast_sql("rev", 4)} AS total_revenue
 FROM revenue JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev = (SELECT MAX(rev) FROM revenue)"""
     sql["tpch_q17"] = """WITH brand_li AS (
@@ -2691,8 +2722,8 @@ WHERE rev = (SELECT MAX(rev) FROM revenue)"""
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
 FROM brand_li
 WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sum_qty"""
-    sql["tpch_q19"] = """SELECT
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+    sql["tpch_q19"] = f"""SELECT
+  {_split_cast_sql(_REV_SUM, 4)} AS revenue,
   COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
