@@ -234,11 +234,36 @@ def main() -> None:
         n_words / (time.perf_counter() - t0), 1
     )
 
+    # streaming curation twin (r6): drain the documents through
+    # Structured Streaming (readStream.parquet → stream_curate →
+    # noop sink, availableNow) so the streaming surface gets
+    # round-over-round throughput tracking like build_stream does.
+    from shaha_spark.streaming.curation import stream_curate
+
+    doc_landing = os.path.join(tmp, "doc_landing")
+    docs.repartition(4).write.mode("overwrite").parquet(doc_landing)
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    (
+        stream_curate(
+            spark.readStream.schema(docs.schema).parquet(doc_landing),
+            mix_rates={"en": 0.9, "de": 0.7, "fr": 0.5},
+            patterns={"num": "[0-9]+"},
+        )
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(tmp, "curate_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    extras["stream_curate_docs_per_sec"] = round(
+        n_docs / (time.perf_counter() - t0), 1
+    )
+
     # end-to-end curation chain (redact → line dedup → Gopher gate →
     # exact dedup → temperature mixture) — an extra for the same reason.
     from shaha_spark.pipeline.curate import curate_corpus
 
-    n_docs = docs.count()
     t0 = time.perf_counter()
     curate_corpus(
         docs, patterns={"num": "[0-9]+"}, mix_col="lang", mix_alpha=0.7

@@ -897,9 +897,28 @@ def bpe_train(
     the symbol table is localCheckpoint'ed per step so the plan stays
     one-iteration deep. The only driver transfer is the single winning
     pair per step.
+
+    Cost bound: ``2 * num_merges`` sequential Spark jobs, each
+    O(|vocab| · avg_term_len) distributed work — the symbol table is
+    VOCAB-sized (distinct terms), never corpus-sized, so per-round
+    cost is flat in data volume once the vocabulary saturates. The
+    round-trip latency (~0.1-0.3 s/round locally) is what scales
+    badly: production-scale merge lists (32k, GPT-2-sized) would cost
+    tens of thousands of sequential jobs. For that regime use
+    :func:`bpe_train_local`, which is bit-identical (same counts, same
+    tie-break, same greedy merge) and pays ONE distributed job total;
+    this function refuses ``num_merges > 512`` to keep the
+    wrong-shape-at-scale path unmistakable.
     """
     if num_merges < 0:
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    if num_merges > 512:
+        raise ValueError(
+            f"num_merges={num_merges}: the per-merge-round Spark-job "
+            "shape is wrong past a few hundred merges (2 sequential "
+            "jobs per merge). Use bpe_train_local — bit-identical "
+            "output, one distributed job."
+        )
     vocab = (
         tokens(docs, text_col, id_col)
         .groupBy("term")
@@ -925,6 +944,74 @@ def bpe_train(
         syms = syms.withColumn(
             "syms", _merge_pair_expr(F.col("syms"), l, r)
         ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_train_local(
+    docs: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    max_vocab: int = 5_000_000,
+) -> list[tuple[int, str, str, str, int]]:
+    """Bit-identical twin of :func:`bpe_train` with the production
+    cost shape: ONE distributed job (the frequency-weighted vocabulary
+    aggregation — the only corpus-sized work BPE training contains),
+    then every merge round runs driver-side over the collected vocab.
+
+    Why this is the 100 TB shape: the vocabulary is MODEL-sized — a
+    trillion-token corpus holds a few million distinct terms, and the
+    collect is bounded by ``max_vocab`` rows (a loud ValueError past
+    it, ~100 MB at the default) — while the merge loop is pure
+    CPU on that small table. Trading 2·num_merges sequential Spark
+    jobs (latency-bound, see :func:`bpe_train`) for one collect makes
+    32k-merge training minutes instead of hours, with byte-identical
+    output: same frequency weighting, same (count desc, left, right)
+    tie-break, same greedy left-to-right non-overlapping merge rule as
+    ``_merge_pair_expr``. Real BPE trainers (e.g. the published
+    sentencepiece / GPT-2 implementations) use exactly this split.
+    """
+    if num_merges < 0:
+        raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    vocab_df = (
+        tokens(docs, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rows = vocab_df.limit(max_vocab + 1).collect()
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab={max_vocab}; raise the bound "
+            "explicitly if the driver can hold it"
+        )
+    syms: list[list[str]] = [list(r.term) for r in rows]
+    freqs: list[int] = [r.freq for r in rows]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for s, f in zip(syms, freqs):
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        # max count, ties broken lexicographically ascending on (l, r)
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merged = l + r
+        merges.append((step, l, r, merged, cnt))
+        for s in syms:
+            # greedy left-to-right non-overlapping, the exact
+            # _merge_pair_expr fold
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            s[:] = out
     return merges
 
 

@@ -237,3 +237,51 @@ def test_top_keywords_rare_terms_win(spark):
     # doc 3: only 'common' (tf=2, df=3 -> weight 2.0); no rank-2 row
     assert got[(3, 1)] == ("common", 2.0)
     assert (3, 2) not in got
+
+
+def test_bpe_train_local_bit_matches_distributed(spark):
+    """bpe_train_local (one collect + driver-side rounds — the
+    production shape for 32k-merge lists) must produce the EXACT merge
+    list of the distributed per-round loop: same counts, same
+    (count desc, l, r) tie-break, same greedy merge rule."""
+    from shaha_spark.operators.terms import bpe_train, bpe_train_local
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert bpe_train_local(docs, num_merges=16) == bpe_train(docs, num_merges=16)
+
+
+def test_bpe_train_local_bit_matches_on_adversarial_corpus(spark):
+    import random
+
+    rng = random.Random(3)
+    # heavy ties + overlap-prone runs (aaa..., abab...) stress both the
+    # tie-break and the greedy non-overlapping rule
+    words = ["aaa", "aaaa", "abab", "ababab", "ba", "ab", "aab", "bba"]
+    rows = [
+        (i, " ".join(rng.choices(words, k=rng.randrange(1, 12))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from shaha_spark.operators.terms import bpe_train, bpe_train_local
+
+    assert bpe_train_local(docs, num_merges=12, min_count=1) == bpe_train(
+        docs, num_merges=12, min_count=1
+    )
+
+
+def test_bpe_train_refuses_production_scale_merge_lists(spark):
+    from shaha_spark.operators.terms import bpe_train
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="bpe_train_local"):
+        bpe_train(docs, num_merges=513)
+
+
+def test_bpe_train_local_vocab_bound(spark):
+    from shaha_spark.operators.terms import bpe_train_local
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="max_vocab"):
+        bpe_train_local(docs, num_merges=2, max_vocab=3)
