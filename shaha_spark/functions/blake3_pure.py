@@ -184,13 +184,17 @@ def blake3_batch(datas: list[bytes]) -> list[bytes]:
     for n_blocks, idxs in groups.items():
         n = len(idxs)
         compress_batch = make_compress(n)
+        # vectorized packing (same fix as keccak256_batch r6): the
+        # per-row copy loop costs on the order of the compression
+        # itself for word-sized inputs — join once, scatter with one
+        # fancy-index assignment
         buf = np.zeros((n, n_blocks * _BLOCK_LEN), dtype=np.uint8)
-        lens = np.empty(n, dtype=np.int64)
-        for row, i in enumerate(idxs):
-            d = datas[i]
-            lens[row] = len(d)
-            if d:
-                buf[row, : len(d)] = np.frombuffer(d, dtype=np.uint8)
+        lens = np.fromiter((len(datas[i]) for i in idxs), dtype=np.int64, count=n)
+        flat = np.frombuffer(b"".join(datas[i] for i in idxs), dtype=np.uint8)
+        starts = np.cumsum(lens) - lens
+        row_idx = np.repeat(np.arange(n), lens)
+        col_idx = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        buf[row_idx, col_idx] = flat
         # words for block b: (16, n)
         cv = np.empty((8, n), dtype=np.uint32)
         for j in range(8):
