@@ -3392,14 +3392,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: least-recently-verified backfill: every entry whose newest driver row
 #: is r01/r02, oldest first, closing with the first r03 entry. Exactly
 #: 50 names = the driver window size.
-#: Entries allowed to precede the never-driver-verified block in the
-#: registry (see tests/test_coverage_guard.py): re-verification anchors
-#: whose current oracle postdates their newest driver row.
-WINDOW_ANCHORS = ["orders_kcore"]
-
 R6_WINDOW_ORDER = [
     "orders_kcore",
-    "docs_bm25_topk",  # new in r6 — never-verified entries lead
     "multimodal_frame_count", "wordlist_scan", "word_dedup",
     "build_sha256", "build_hash256", "build_all_algos",
     "query_prefix", "query_algo_filter", "query_topk_by_hash",
@@ -3415,6 +3409,7 @@ R6_WINDOW_ORDER = [
     "events_rollup", "text_term_stats", "docs_decontaminate",
     "tpch_q4", "tpch_q13", "part_never_shipped", "events_pivot",
     "events_unpivot", "events_rolling", "events_hll_distinct",
+    "sketch_cms_words",
 ]
 
 
@@ -4977,19 +4972,6 @@ def q_docs_phrase_search(spark, sf_dir):
     return phrase_search(_t(spark, sf_dir, "documents"), "order fast")
 
 
-BM25_QUERY_TERMS = ["hash", "join", "vector", "stream"]
-
-
-def q_docs_bm25_topk(spark, sf_dir):
-    """BM25 lexical retrieval over the corpus: top-10 documents for a
-    fixed 4-term query (operators/search.py bm25_topk) — the ranked
-    complement of the boolean postings/phrase surface. One token-stream
-    aggregation + broadcast df/stats; rank window runs over 10 rows."""
-    from shaha_spark.operators.search import bm25_topk
-
-    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=10)
-
-
 def q_docs_winnowing(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al.): windowed-min shingle
     hashes, the position-robust dedup fingerprint
@@ -5121,7 +5103,6 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curated": q_docs_curated,
         "docs_postings_stats": q_docs_postings_stats,
         "docs_phrase_search": q_docs_phrase_search,
-        "docs_bm25_topk": q_docs_bm25_topk,
         "docs_winnowing": q_docs_winnowing,
         "docs_token_budget": q_docs_token_budget,
         "emb_diverse_sample": q_emb_diverse_sample,
@@ -6778,11 +6759,6 @@ FROM rn WHERE rn = 1 AND op <> 'delete'"""
 
     sql["docs_postings_stats"] = postings_stats_sql("documents", top=20)
     sql["docs_phrase_search"] = phrase_search_sql("documents", "order fast")
-    from shaha_spark.operators.search import bm25_topk_sql
-
-    sql["docs_bm25_topk"] = bm25_topk_sql(
-        "documents", BM25_QUERY_TERMS, k=10
-    )
     sql["docs_winnowing"] = winnow_fingerprints_sql("documents", k=3, w=4)
     sql["docs_token_budget"] = token_budget_select_sql("documents", budget=5000)
     cent = "c2"

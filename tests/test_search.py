@@ -185,90 +185,3 @@ def test_phrase_terms_match_document_tokenization(spark):
     )
     out = phrase_search(df, "alpha\tbeta\ngamma").collect()
     assert len(out) == 1 and out[0].doc_id == 1 and out[0].n_matches == 1
-
-
-# ---------------------------------------------------------------- BM25
-
-
-def test_bm25_ranks_by_relevance(spark):
-    from shaha_spark.operators.search import bm25_topk
-
-    docs = spark.createDataFrame(
-        [
-            (1, "cat cat cat"),          # high tf, short
-            (2, "cat dog"),               # one hit each term
-            (3, "dog dog dog dog"),       # dog-heavy
-            (4, "bird bird bird"),        # no query term
-            (5, "cat"),                   # single very short doc
-        ],
-        "doc_id bigint, text string",
-    )
-    out = bm25_topk(docs, ["cat", "dog"], k=5).collect()
-    ids = [r.doc_id for r in out]
-    assert 4 not in ids, "doc without query terms must not appear"
-    assert [r.rank for r in out] == list(range(1, len(out) + 1))
-    scores = [r.score for r in out]
-    assert scores == sorted(scores, reverse=True)
-    # doc 2 matches BOTH terms — with symmetric idf it must beat the
-    # single-hit doc 5 (same tf per term, same-ish length)
-    assert ids.index(2) < ids.index(5)
-
-
-def test_bm25_hand_computed_score(spark):
-    """Single-doc single-term corpus: score must equal the closed-form
-    BM25 value computed independently here."""
-    import math
-
-    from shaha_spark.operators.search import bm25_topk
-
-    docs = spark.createDataFrame(
-        [(1, "cat mat"), (2, "mat mat")], "doc_id bigint, text string"
-    )
-    out = {r.doc_id: r.score for r in bm25_topk(docs, ["cat"], k=2).collect()}
-    n_docs, n_t, tf, dl, n_toks = 2, 1, 1, 2, 4
-    idf = round(math.log((n_docs - n_t + 0.5) / (n_t + 0.5) + 1.0), 9)
-    k1, b = 1.2, 0.75
-    denom = (tf + k1 * (1 - b)) + (k1 * b * (dl * n_docs / n_toks))
-    expect = round(idf * (tf * (k1 + 1.0) / denom), 6)
-    assert out == {1: pytest.approx(expect, abs=1e-9)}
-
-
-def test_bm25_tie_breaks_on_doc_id(spark):
-    from shaha_spark.operators.search import bm25_topk
-
-    docs = spark.createDataFrame(
-        [(i, "cat mat") for i in (7, 3, 5)], "doc_id bigint, text string"
-    )
-    out = bm25_topk(docs, ["cat"], k=3).collect()
-    assert [r.doc_id for r in out] == [3, 5, 7]
-    assert len({r.score for r in out}) == 1
-
-
-def test_bm25_k_limits_and_validation(spark):
-    from shaha_spark.operators.search import bm25_topk
-
-    docs = spark.createDataFrame(
-        [(i, "cat") for i in range(6)], "doc_id bigint, text string"
-    )
-    assert bm25_topk(docs, ["cat"], k=3).count() == 3
-    with pytest.raises(ValueError, match="non-empty"):
-        bm25_topk(docs, [])
-    with pytest.raises(ValueError, match="distinct"):
-        bm25_topk(docs, ["cat", "cat"])
-
-
-def test_bm25_no_matches_returns_empty(spark):
-    from shaha_spark.operators.search import bm25_topk
-
-    docs = spark.createDataFrame([(1, "cat")], "doc_id bigint, text string")
-    assert bm25_topk(docs, ["zebra"], k=5).count() == 0
-
-
-def test_bm25_null_text_ignored(spark):
-    from shaha_spark.operators.search import bm25_topk
-
-    docs = spark.createDataFrame(
-        [(1, "cat"), (2, None)], "doc_id bigint, text string"
-    )
-    out = bm25_topk(docs, ["cat"], k=5).collect()
-    assert [r.doc_id for r in out] == [1]
