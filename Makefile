@@ -1,8 +1,9 @@
 # Developer ergonomics (the reference ships a justfile; same idea).
 
 SF ?= /root/testdata/sf0.001
+SF1_DIR ?= /tmp/shaha_sf1
 
-.PHONY: test oracle oracle-big bench plans clean
+.PHONY: test oracle oracle-big sf1 oracle-sf1 bench plans coverage window clean
 
 test:
 	python -m pytest tests/ -x -q
@@ -10,14 +11,27 @@ test:
 oracle:  ## differential correctness vs DuckDB at the driver-gate scale
 	SHAHA_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle.py -q
 
-oracle-big:  ## same at sf0.1 (10x the gate)
+oracle-big:  ## same at sf0.1 (10x the gate) — run at least once a round
 	SHAHA_TEST_SF_DIR=/root/testdata/sf0.1 python -m pytest tests/test_oracle.py -q
+
+sf1:  ## materialize the 10x replicated sf1 dataset (key-remapped; ~3 s)
+	python scripts/make_sf1.py $(SF1_DIR) 10
+
+oracle-sf1: sf1  ## magnitude-sensitive oracle family at sf1 (catches >2^53 divergence)
+	SHAHA_TEST_SF_DIR=$(SF1_DIR) python -m pytest tests/test_oracle.py -q \
+	  -k "query_matches_oracle and (tpch or profile or events_interarrival or events_hourly or events_rollup or events_retention or events_outliers or events_percentiles or token_budget or dsir or db_stats or build_summary or dq_ or winsorized or equidepth or gapfill or temperature)"
 
 bench:
 	python bench.py
 
-plans:  ## regenerate PLANS.md (see git history for the generator)
-	@echo "see commit history: PLANS.md is generated by the snippet in the repo log"
+plans:  ## regenerate PLANS.md from live sf0.01 plans
+	python scripts/gen_plans.py
+
+coverage:  ## regenerate the COVERAGE.md registry section
+	python scripts/gen_coverage_registry.py
+
+window:  ## print the recommended next-round driver-window rotation
+	python scripts/plan_window.py
 
 clean:
 	rm -rf .pytest_cache __pycache__ shaha_spark/__pycache__ spark-warehouse metastore_db derby.log
