@@ -192,20 +192,30 @@ def main() -> None:
         F.length(hash_expr("blake3", F.col("word").cast("binary")))
     ).collect()
 
-    t0 = time.perf_counter()
-    words.select(
-        F.length(hash_expr("blake3", F.col("word").cast("binary"))).alias("l")
-    ).agg(F.sum("l")).collect()
-    extras["blake3_words_per_sec"] = round(n_words / (time.perf_counter() - t0), 1)
+    # The single-pass number stays for cross-round comparability; the
+    # _best2 twin (min of two passes) damps the ±40% machine-state
+    # swing a one-shot 1-2 s measurement suffers (r6: observed 213k vs
+    # 143k for byte-identical blake3 code in back-to-back runs).
+    def _kernel_rate(algo: str) -> tuple[float, float]:
+        reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            words.select(
+                F.length(hash_expr(algo, F.col("word").cast("binary"))).alias("l")
+            ).agg(F.sum("l")).collect()
+            reps.append(time.perf_counter() - t0)
+        return round(n_words / reps[0], 1), round(n_words / min(reps), 1)
+
+    extras["blake3_words_per_sec"], extras["blake3_words_per_sec_best2"] = (
+        _kernel_rate("blake3")
+    )
 
     # keccak256 kernel throughput (pure lane-batched pandas UDF, or
     # pycryptodome's C kernel where importable) — an extra for the
     # same reason.
-    t0 = time.perf_counter()
-    words.select(
-        F.length(hash_expr("keccak256", F.col("word").cast("binary"))).alias("l")
-    ).agg(F.sum("l")).collect()
-    extras["keccak_words_per_sec"] = round(n_words / (time.perf_counter() - t0), 1)
+    extras["keccak_words_per_sec"], extras["keccak_words_per_sec_best2"] = (
+        _kernel_rate("keccak256")
+    )
 
     # streaming ingest: drain the same wordlist through Structured
     # Streaming (readStream.text → foreachBatch append-merge into the
