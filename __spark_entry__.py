@@ -325,6 +325,48 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_tpch_q1_rollup(spark, sf_dir):
+    """Multi-level pricing summary: the q1 aggregates at THREE grouping
+    levels — (returnflag, linestatus), (returnflag), () — in ONE pass
+    via ROLLUP. Spark plans an Expand (x3 rows) feeding a single
+    map-side-combining hash aggregation and one shuffle; at 100 TB the
+    alternative (three separate aggregations) would scan the fact
+    table three times. grouping_id disambiguates the NULL group keys
+    from real NULLs identically in both engines (same bitmask
+    semantics). Sum->double conversions split-cast, same rationale as
+    tpch_q1 (the () level is a GLOBAL sum — the fastest-growing
+    magnitude in the registry)."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    charge = disc_price * (one + _dec("l_tax", "decimal(4,2)"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            _split_cast(F.sum(_dec("l_quantity")), 2).alias("sum_qty"),
+            _split_cast(F.sum(disc_price), 4).alias("sum_disc_price"),
+            _split_cast(F.sum(charge), 6).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_events_ks(spark, sf_dir):
+    """Two-sample KS drift statistic between the 'click' and
+    'purchase' value distributions (operators/profile.py ks_2samp):
+    exact-BIGINT ECDF-difference numerator via the bucketed
+    distributed prefix sum, one final IEEE division."""
+    from shaha_spark.operators.profile import ks_2samp
+
+    return ks_2samp(
+        _t(spark, sf_dir, "events"), "event_type", "value", "click", "purchase"
+    )
+
+
 def q_tpch_q3(spark, sf_dir):
     _utc(spark)
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -2277,6 +2319,24 @@ FROM words"""
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
+    # ROLLUP twin: DuckDB's GROUPING(a, b) carries Spark's exact
+    # grouping_id bitmask semantics (verified: 0/1/3)
+    sql["tpch_q1_rollup"] = f"""SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+  {_split_cast_sql(_q1_qty, 2)} AS sum_qty,
+  {_split_cast_sql(_q1_disc, 4)} AS sum_disc_price,
+  {_split_cast_sql(_q1_charge, 6)} AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+    from shaha_spark.operators.profile import ks_2samp_sql
+
+    sql["events_ks"] = ks_2samp_sql(
+        "events", "event_type", "value", "click", "purchase"
+    )
+
     sql["tpch_q3"] = """SELECT o_orderkey,
   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
   o_orderpriority,
@@ -3392,8 +3452,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: least-recently-verified backfill: every entry whose newest driver row
 #: is r01/r02, oldest first, closing with the first r03 entry. Exactly
 #: 50 names = the driver window size.
+#: Entries allowed to precede the never-driver-verified block in the
+#: registry (tests/test_coverage_guard.py): re-verification anchors
+#: whose current oracle postdates their newest driver row.
+WINDOW_ANCHORS = ["orders_kcore"]
+
 R6_WINDOW_ORDER = [
     "orders_kcore",
+    # new in r6 (never driver-verified — they lead, after the anchor)
+    "tpch_q1_rollup", "events_ks",
     "multimodal_frame_count", "wordlist_scan", "word_dedup",
     "build_sha256", "build_hash256", "build_all_algos",
     "query_prefix", "query_algo_filter", "query_topk_by_hash",
@@ -3408,8 +3475,7 @@ R6_WINDOW_ORDER = [
     "events_json_extract", "events_asof_join", "events_interval_join",
     "events_rollup", "text_term_stats", "docs_decontaminate",
     "tpch_q4", "tpch_q13", "part_never_shipped", "events_pivot",
-    "events_unpivot", "events_rolling", "events_hll_distinct",
-    "sketch_cms_words",
+    "events_unpivot", "events_rolling",
 ]
 
 
@@ -3431,6 +3497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # round-6 additions (oracled in the main oracle_sql section)
+        "tpch_q1_rollup": q_tpch_q1_rollup,
+        "events_ks": q_events_ks,
         "sketch_cms_words": q_sketch_cms,
         "dedup_bloom_screen": q_dedup_bloom_screen,
         "docs_chunked": q_docs_chunked,

@@ -1149,3 +1149,132 @@ def weighted_quantile(
         F.first("__tw").cast("double").alias("total_weight"),
     )
     return agg
+
+
+def ks_2samp(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two groups — the nonparametric drift test
+    complementing :func:`psi` (binned) and the classifier AUC.
+
+    Exact-rational evaluation: with cumulative counts A(v), B(v) over
+    the DISTINCT sorted values, D = max |A(v)·n_b − B(v)·n_a| /
+    (n_a·n_b). The numerator is pure BIGINT arithmetic — both engines
+    agree bit-for-bit with no float comparisons anywhere in the max —
+    and the final statistic is ONE IEEE division of two exact-integer
+    casts. Bound: n_a·n_b must stay below 2^63 (n ≲ 3·10^9 rows per
+    side — beyond any statistically meaningful sample).
+
+    Scale shape (the token_budget_select pattern): cumulative counts
+    partition on an order-preserving value bucket computed in-plan from
+    the broadcast min/max (≤ ``n_buckets`` partitions), and only the
+    per-bucket totals pass through a single-partition running-total
+    window (``n_buckets`` rows at any scale). Bucketing only GROUPS the
+    prefix sum — integer addition is associative, so the result is
+    identical to the oracle's flat global window. NULL values are
+    excluded (an ECDF is undefined on them; both engines drop them in
+    the same filter).
+    """
+    from pyspark.sql import Window
+
+    f = df.where(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+    per_v = f.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0)).alias("__cb"),
+    )
+    stats = per_v.agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.sum("__ca").cast("long").alias("__n1"),
+        F.sum("__cb").cast("long").alias("__n2"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bucketed = per_v.crossJoin(F.broadcast(stats)).withColumn(
+        "__bkt",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.floor((F.col("__v") - F.col("__lo")) / width),
+                F.lit(n_buckets - 1),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bucketed.withColumn("__cum_a", F.sum("__ca").over(w_in)).withColumn(
+        "__cum_b", F.sum("__cb").over(w_in)
+    )
+    totals = cum.groupBy("__bkt").agg(
+        F.max("__cum_a").alias("__ta"), F.max("__cum_b").alias("__tb")
+    )
+    w_bkt = Window.orderBy(F.col("__bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__bkt",
+        F.coalesce(F.sum("__ta").over(w_bkt), F.lit(0)).alias("__oa"),
+        F.coalesce(F.sum("__tb").over(w_bkt), F.lit(0)).alias("__ob"),
+    )
+    diff = F.abs(
+        (F.col("__oa") + F.col("__cum_a")).cast("long") * F.col("__n2")
+        - (F.col("__ob") + F.col("__cum_b")).cast("long") * F.col("__n1")
+    )
+    return (
+        cum.join(F.broadcast(offsets), "__bkt")
+        .groupBy("__n1", "__n2")
+        .agg(F.max(diff).alias("__dnum"))
+        .select(
+            F.col("__n1").alias("n_a"),
+            F.col("__n2").alias("n_b"),
+            F.col("__dnum").cast("long").alias("d_num"),
+            (
+                F.col("__dnum").cast("double")
+                / (F.col("__n1") * F.col("__n2")).cast("double")
+            ).alias("d_stat"),
+        )
+    )
+
+
+def ks_2samp_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> str:
+    """DuckDB twin of :func:`ks_2samp` — a FLAT global cumulative
+    window (the oracle need not bucket; integer addition is
+    associative, so the bucketed Spark plan produces identical exact
+    integers), the same BIGINT numerator, and the same single final
+    IEEE division."""
+    return f"""WITH f AS (
+  SELECT {value_col} AS v,
+         CASE WHEN {group_col} = '{group_a}' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN {group_col} = '{group_b}' THEN 1 ELSE 0 END AS ib
+  FROM {table}
+  WHERE {group_col} IN ('{group_a}', '{group_b}') AND {value_col} IS NOT NULL
+),
+pv AS (SELECT v, SUM(ia) AS ca, SUM(ib) AS cb FROM f GROUP BY v),
+n AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1, CAST(SUM(cb) AS BIGINT) AS n2 FROM pv),
+c AS (
+  SELECT CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+  FROM pv
+)
+SELECT n1 AS n_a, n2 AS n_b,
+  CAST(MAX(ABS(cum_a * n2 - cum_b * n1)) AS BIGINT) AS d_num,
+  CAST(MAX(ABS(cum_a * n2 - cum_b * n1)) AS DOUBLE)
+    / CAST(n1 * n2 AS DOUBLE) AS d_stat
+FROM c CROSS JOIN n GROUP BY n1, n2"""

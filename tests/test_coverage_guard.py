@@ -65,7 +65,9 @@ def test_no_query_escapes_driver_verification():
     deeper in the registry would silently escape rotation."""
     keys = list(entry_mod.queries())
     verified = _verified_names()
-    anchors = set(getattr(entry_mod, "R4_WINDOW_ANCHORS", []))
+    anchors = set(getattr(entry_mod, "WINDOW_ANCHORS", [])) | set(
+        getattr(entry_mod, "R4_WINDOW_ANCHORS", [])
+    )
     never_idx = [i for i, k in enumerate(keys) if k not in verified]
     if not never_idx:
         return

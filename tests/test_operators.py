@@ -783,3 +783,42 @@ def test_redact_patterns_multiclass_ordered(spark):
     assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_number"]) == (1, 1, 1)
     assert got[2]["redacted"] == "no pii here"
     assert (got[2]["n_email"], got[2]["n_phone"], got[2]["n_number"]) == (0, 0, 0)
+
+
+def test_tpch_q1_rollup_levels_consistent(spark):
+    """The three ROLLUP levels must be internally consistent: leaf rows
+    sum to their returnflag subtotal, subtotals to the grand total, and
+    gid carries Spark's grouping_id bitmask (0 leaf, 1 subtotal, 3
+    total)."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_tpch_q1_rollup(spark, "/root/testdata/sf0.001").collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    assert set(by_gid) == {0, 1, 3}
+    assert len(by_gid[3]) == 1
+    total = by_gid[3][0]
+    assert total.l_returnflag is None and total.l_linestatus is None
+    assert total.count_order == sum(r.count_order for r in by_gid[0])
+    for sub in by_gid[1]:
+        leaves = [r for r in by_gid[0] if r.l_returnflag == sub.l_returnflag]
+        assert sub.count_order == sum(r.count_order for r in leaves)
+        # the subtotal is the cast of the exact decimal sum, while
+        # summing the leaf DOUBLES re-rounds per leaf — equal to
+        # float tolerance, not bit-equal (why the oracle compares the
+        # rollup rows directly instead of re-deriving levels)
+        leaf_qty = sum(r.sum_qty for r in leaves)
+        assert abs(sub.sum_qty - leaf_qty) <= 1e-9 * max(abs(leaf_qty), 1.0)
+    assert total.sum_charge > 0
+
+
+def test_tpch_q1_rollup_plans_single_scan_expand(spark):
+    """ROLLUP must plan ONE scan + Expand, not three aggregations."""
+    import __spark_entry__ as entry
+
+    plan = entry.q_tpch_q1_rollup(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("FileScan") <= 1

@@ -50,6 +50,9 @@ GLOBAL_WINDOW_OK = {
                          "(score_range/bucket_width rows — the "
                          "value-bucketed distributed prefix sum, "
                          "sampling.token_budget_select)",
+    "events_ks": "running offset over value buckets (n_buckets=256 "
+                 "rows at any scale — the same distributed prefix-sum "
+                 "shape, profile.ks_2samp)",
 }
 
 

@@ -109,3 +109,80 @@ def test_group_quantile_filter_single_lineage(spark):
     plan = group_quantile_filter(df, "g", "v", 0.5)._jdf.queryExecution().executedPlan().toString()
     # windowed threshold, not an aggregate joined back: input scanned once
     assert plan.count("Scan ExistingRDD") == 1 and "Join" not in plan
+
+
+# ------------------------------------------------------------- KS test
+
+
+def test_ks_2samp_hand_computed(spark):
+    """Tiny ECDFs checked against the closed form: a=(1,2,3), b=(2,3,4)
+    -> D = 1/3 at v=1 (A=1/3, B=0)."""
+    from shaha_spark.operators.profile import ks_2samp
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = ks_2samp(df, "g", "v", "a", "b").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    # cum at v=1: (1,0) -> |1*3 - 0*3| = 3; v=2: (2,1) -> 3; v=3: (3,2)
+    # -> 3; v=4: (3,3) -> 0. max numerator 3, D = 3/9 = 1/3.
+    assert r.d_num == 3
+    assert r.d_stat == 3 / 9
+
+
+def test_ks_2samp_identical_distributions_zero(spark):
+    from shaha_spark.operators.profile import ks_2samp
+
+    rows = [("a", float(i % 7)) for i in range(70)] + [
+        ("b", float(i % 7)) for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_2samp(df, "g", "v", "a", "b").collect()[0]
+    assert r.d_num == 0 and r.d_stat == 0.0
+
+
+def test_ks_2samp_disjoint_distributions_one(spark):
+    from shaha_spark.operators.profile import ks_2samp
+
+    rows = [("a", float(i)) for i in range(10)] + [
+        ("b", float(100 + i)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_2samp(df, "g", "v", "a", "b").collect()[0]
+    assert r.d_stat == 1.0 and r.d_num == 10 * 5
+
+
+def test_ks_2samp_null_values_excluded_and_unequal_sizes(spark):
+    from shaha_spark.operators.profile import ks_2samp
+
+    rows = [("a", 1.0), ("a", None), ("b", 1.0), ("b", 2.0), ("b", None), ("c", 9.9)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_2samp(df, "g", "v", "a", "b").collect()[0]
+    # a=(1), b=(1,2): cum v=1 (1,1) -> |1*2-1*1| = 1; v=2 (1,2) -> 0
+    assert (r.n_a, r.n_b, r.d_num) == (1, 2, 1)
+    assert r.d_stat == 1 / 2
+
+
+def test_ks_2samp_matches_flat_oracle_on_random_data(spark):
+    """The bucketed distributed prefix sum must equal DuckDB's flat
+    global window on seeded-random data with heavy ties."""
+    import random
+
+    import duckdb
+
+    from shaha_spark.operators.profile import ks_2samp, ks_2samp_sql
+
+    rng = random.Random(99)
+    rows = [
+        ("a" if rng.random() < 0.6 else "b", round(rng.gauss(0, 2), 1))
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = ks_2samp(df, "g", "v", "a", "b", n_buckets=16).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(ks_2samp_sql("t", "g", "v", "a", "b")).fetchone()
+    assert (got.n_a, got.n_b, got.d_num) == want[:3]
+    assert repr(got.d_stat) == repr(want[3])
