@@ -367,6 +367,20 @@ def q_events_ks(spark, sf_dir):
     )
 
 
+def q_events_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap CI of the mean event value
+    (operators/profile.py bootstrap_mean_ci): 40 replicate means in
+    ONE aggregation pass via hash-derived Poisson(1) weights — the
+    at-scale bootstrap. Fully deterministic cross-engine (md5 hex
+    slices -> integer inverse-CDF cutoffs -> decimal-exact weighted
+    sums -> split-cast divisions -> order statistics)."""
+    from shaha_spark.operators.profile import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(
+        _t(spark, sf_dir, "events"), "value", "event_id"
+    )
+
+
 def q_tpch_q3(spark, sf_dir):
     _utc(spark)
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -2331,10 +2345,13 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
 
-    from shaha_spark.operators.profile import ks_2samp_sql
+    from shaha_spark.operators.profile import bootstrap_mean_ci_sql, ks_2samp_sql
 
     sql["events_ks"] = ks_2samp_sql(
         "events", "event_type", "value", "click", "purchase"
+    )
+    sql["events_bootstrap_ci"] = bootstrap_mean_ci_sql(
+        "events", "value", "event_id"
     )
 
     sql["tpch_q3"] = """SELECT o_orderkey,
@@ -3460,7 +3477,7 @@ WINDOW_ANCHORS = ["orders_kcore"]
 R6_WINDOW_ORDER = [
     "orders_kcore",
     # new in r6 (never driver-verified — they lead, after the anchor)
-    "tpch_q1_rollup", "events_ks",
+    "tpch_q1_rollup", "events_ks", "events_bootstrap_ci",
     "multimodal_frame_count", "wordlist_scan", "word_dedup",
     "build_sha256", "build_hash256", "build_all_algos",
     "query_prefix", "query_algo_filter", "query_topk_by_hash",
@@ -3475,7 +3492,7 @@ R6_WINDOW_ORDER = [
     "events_json_extract", "events_asof_join", "events_interval_join",
     "events_rollup", "text_term_stats", "docs_decontaminate",
     "tpch_q4", "tpch_q13", "part_never_shipped", "events_pivot",
-    "events_unpivot", "events_rolling",
+    "events_unpivot",
 ]
 
 
@@ -3500,6 +3517,7 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 additions (oracled in the main oracle_sql section)
         "tpch_q1_rollup": q_tpch_q1_rollup,
         "events_ks": q_events_ks,
+        "events_bootstrap_ci": q_events_bootstrap_ci,
         "sketch_cms_words": q_sketch_cms,
         "dedup_bloom_screen": q_dedup_bloom_screen,
         "docs_chunked": q_docs_chunked,

@@ -1278,3 +1278,150 @@ SELECT n1 AS n_a, n2 AS n_b,
   CAST(MAX(ABS(cum_a * n2 - cum_b * n1)) AS DOUBLE)
     / CAST(n1 * n2 AS DOUBLE) AS d_stat
 FROM c CROSS JOIN n GROUP BY n1, n2"""
+
+
+#: Poisson(1) inverse-CDF cutoffs on a 28-bit uniform: P(X <= k) for
+#: k = 0..4, scaled to [0, 2^28) and floored IN PYTHON so both engines
+#: compare against identical integer literals. Weights cap at 5
+#: (P(X > 4) ~ 0.366% — the capped tail shifts each replicate's
+#: expected weight by < 0.004, far inside bootstrap noise, and keeps
+#: the CASE chain fixed-depth).
+_POIS1_CUTS = [
+    int((2**28) * p)
+    for p in (
+        0.36787944117144233,  # e^-1
+        0.7357588823428847,
+        0.9196986029286058,
+        0.9810118431238462,
+        0.9963401531726563,
+    )
+]
+
+
+def _pois1_weight(u28):
+    w = F.lit(5)
+    for k in range(len(_POIS1_CUTS) - 1, -1, -1):
+        w = F.when(u28 < F.lit(_POIS1_CUTS[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def _pois1_weight_sql(u28_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u28_expr} < {cut} THEN {k}"
+        for k, cut in enumerate(_POIS1_CUTS)
+    )
+    return f"(CASE {branches} ELSE 5 END)"
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_reps: int = 40,
+    alpha: float = 0.05,
+    salt: str = "boot",
+    precision: str = "decimal(12,2)",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean — the
+    at-scale bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012): instead of resampling n rows
+    B times (impossible distributed), each row gets B independent
+    Poisson(1) replicate weights, so ALL replicate estimates compute
+    in ONE aggregation pass over ONE scan.
+
+    Determinism recipe: replicate weights derive from md5 over
+    (key, replicate-group, salt) — one md5 yields FOUR independent
+    28-bit uniforms (hex slices), so B replicates cost ceil(B/4) md5
+    calls per row; the Poisson inverse-CDF cutoffs are integer
+    literals precomputed in Python (identical in both engines); each
+    replicate mean is an exact decimal weighted sum split-cast to
+    double over an exact integer weight count (one IEEE division);
+    the CI picks order statistics from the sorted replicate-mean
+    array (floor(alpha/2·B) from each end). NULL values are excluded.
+
+    Output: one row — n, mean_value, ci_lo, ci_hi, n_reps.
+    """
+    if n_reps < 4:
+        raise ValueError(f"n_reps must be >= 4, got {n_reps}")
+    sc = _dec_scale(precision)
+    x = F.col(value_col).cast(precision)
+    filtered = df.where(F.col(value_col).isNotNull())
+    weights = []
+    for b in range(n_reps):
+        grp, off = divmod(b, 4)
+        digest = F.md5(
+            F.concat(
+                F.col(key_col).cast("string"),
+                F.lit(f"|{grp}|{salt}"),
+            )
+        )
+        u28 = F.conv(
+            F.substring(digest, 1 + 7 * off, 7), 16, 10
+        ).cast("long")
+        weights.append(_pois1_weight(u28))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        (split_cast_double(F.sum(x), sc) / F.count(F.lit(1))).alias(
+            "mean_value"
+        ),
+    ]
+    for b, w in enumerate(weights):
+        aggs.append(
+            F.when(
+                F.sum(w) > 0,
+                split_cast_double(F.sum(x * w), sc)
+                / F.sum(w).cast("double"),
+            ).alias(f"__m_{b}")
+        )
+    one = filtered.agg(*aggs)
+    reps = F.sort_array(F.array(*[F.col(f"__m_{b}") for b in range(n_reps)]))
+    k = int((alpha / 2.0) * n_reps)
+    return one.select(
+        "n",
+        "mean_value",
+        F.element_at(reps, k + 1).alias("ci_lo"),
+        F.element_at(reps, n_reps - k).alias("ci_hi"),
+        F.lit(n_reps).cast("int").alias("n_reps"),
+    )
+
+
+def bootstrap_mean_ci_sql(
+    table: str,
+    value_col: str,
+    key_col: str,
+    n_reps: int = 40,
+    alpha: float = 0.05,
+    salt: str = "boot",
+    precision: str = "DECIMAL(12,2)",
+) -> str:
+    """DuckDB twin of :func:`bootstrap_mean_ci` — identical md5
+    slicing, integer cutoffs, decimal-exact weighted sums, split-cast
+    divisions, and order-statistic selection."""
+    sc = _dec_scale(precision.lower())
+    x = f"CAST({value_col} AS {precision})"
+    means = []
+    for b in range(n_reps):
+        grp, off = divmod(b, 4)
+        u28 = (
+            f"CAST(concat('0x', substr(md5(concat(CAST({key_col} AS VARCHAR), "
+            f"'|{grp}|{salt}')), {1 + 7 * off}, 7)) AS BIGINT)"
+        )
+        w = _pois1_weight_sql(u28)
+        means.append(
+            f"CASE WHEN SUM({w}) > 0 THEN "
+            f"{split_cast_double_sql(f'SUM({x} * {w})', sc)}"
+            f" / CAST(SUM({w}) AS DOUBLE) END AS m_{b}"
+        )
+    k = int((alpha / 2.0) * n_reps)
+    mean_list = ", ".join(f"m_{b}" for b in range(n_reps))
+    means_select = ",\n    ".join(means)
+    return f"""WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    {split_cast_double_sql(f'SUM({x})', sc)} / COUNT(*) AS mean_value,
+    {means_select}
+  FROM {table} WHERE {value_col} IS NOT NULL
+),
+s AS (SELECT n, mean_value, list_sort([{mean_list}]) AS reps FROM agg)
+SELECT n, mean_value, reps[{k + 1}] AS ci_lo, reps[{n_reps - k}] AS ci_hi,
+       CAST({n_reps} AS INT) AS n_reps
+FROM s"""

@@ -186,3 +186,82 @@ def test_ks_2samp_matches_flat_oracle_on_random_data(spark):
     want = con.execute(ks_2samp_sql("t", "g", "v", "a", "b")).fetchone()
     assert (got.n_a, got.n_b, got.d_num) == want[:3]
     assert repr(got.d_stat) == repr(want[3])
+
+
+# ------------------------------------------------- Poisson bootstrap
+
+
+def test_bootstrap_ci_brackets_true_mean(spark):
+    """On a well-behaved sample the 95% CI must bracket the exact mean
+    and be a sane width (~ 4 sd / sqrt(n) at most)."""
+    import statistics
+
+    from shaha_spark.operators.profile import bootstrap_mean_ci
+
+    vals = [float((i * 37) % 100) for i in range(2000)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id bigint, v double"
+    )
+    r = bootstrap_mean_ci(df, "v", "id").collect()[0]
+    true_mean = sum(vals) / len(vals)
+    assert r.n == 2000
+    assert abs(r.mean_value - true_mean) < 1e-9
+    assert r.ci_lo <= true_mean <= r.ci_hi
+    half = 4 * statistics.pstdev(vals) / (len(vals) ** 0.5)
+    assert (r.ci_hi - r.ci_lo) < 2 * half
+
+
+def test_bootstrap_weights_are_poisson1ish(spark):
+    """Mean replicate weight must be ~1 (the capped inverse CDF shifts
+    it by < 0.004): the replicate means of a CONSTANT column all equal
+    that constant, and ci_lo == ci_hi == mean."""
+    from shaha_spark.operators.profile import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(i, 7.25) for i in range(500)], "id bigint, v double"
+    )
+    r = bootstrap_mean_ci(df, "v", "id").collect()[0]
+    assert r.mean_value == 7.25 and r.ci_lo == 7.25 and r.ci_hi == 7.25
+
+
+def test_bootstrap_null_values_excluded(spark):
+    from shaha_spark.operators.profile import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, 4.0)], "id bigint, v double"
+    )
+    r = bootstrap_mean_ci(df, "v", "id").collect()[0]
+    assert r.n == 2 and r.mean_value == 3.0
+
+
+def test_bootstrap_validates_n_reps(spark):
+    import pytest
+
+    from shaha_spark.operators.profile import bootstrap_mean_ci
+
+    df = spark.createDataFrame([(1, 2.0)], "id bigint, v double")
+    with pytest.raises(ValueError, match="n_reps"):
+        bootstrap_mean_ci(df, "v", "id", n_reps=2)
+
+
+def test_bootstrap_matches_duckdb_on_random_data(spark):
+    import random
+
+    import duckdb
+
+    from shaha_spark.operators.profile import (
+        bootstrap_mean_ci,
+        bootstrap_mean_ci_sql,
+    )
+
+    rng = random.Random(4)
+    rows = [(i, round(rng.uniform(-50, 150), 2)) for i in range(1500)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    got = bootstrap_mean_ci(df, "v", "id", n_reps=16).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(bootstrap_mean_ci_sql("t", "v", "id", n_reps=16)).fetchone()
+    assert tuple(
+        repr(x) if isinstance(x, float) else x for x in got
+    ) == tuple(repr(x) if isinstance(x, float) else x for x in want)
