@@ -37,6 +37,22 @@ NOTES = {
         "Pushed l_shipdate filter, decimal-exact partial aggregation, "
         "single shuffle on the two group keys."
     ),
+    "tpch_q1_rollup": (
+        "Three grouping levels in ONE pass: Expand (x3) feeding a single "
+        "map-side-combining hash aggregation — one FileScan, one shuffle, "
+        "never three separate aggregations over the fact table."
+    ),
+    "events_ks": (
+        "Exact KS statistic: per-value conditional agg, cumulative ECDF "
+        "counts partitioned on in-plan value buckets, only the <=256 "
+        "bucket totals cross the single-partition offset window; the max "
+        "is pure BIGINT arithmetic."
+    ),
+    "events_bootstrap_ci": (
+        "40 Poisson-bootstrap replicate means in ONE aggregation over ONE "
+        "scan: hash-derived weights are row-local projections (no "
+        "resampling shuffle exists in the plan at any scale)."
+    ),
     "tpch_q3": (
         "Selective dimension filters pushed to each scan; broadcast joins "
         "for customer/orders sides; TakeOrderedAndProject for the top-10."
