@@ -3461,51 +3461,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_build_multi_algo(spark, "/root/testdata/sf0.001")
 
 
-#: Round-6 driver-window ordering, computed mechanically by
-#: scripts/plan_window.py from CORRECTNESS_r01–r05 (see WINDOW_r6.txt):
-#: `orders_kcore` leads (its exact recursive-CTE oracle landed in r5
-#: AFTER its only driver row, which was r4 rows-only — this is the one
-#: entry whose current oracle has never faced the driver), then the
-#: least-recently-verified backfill: every entry whose newest driver row
-#: is r01/r02, oldest first, closing with the first r03 entry. Exactly
-#: 50 names = the driver window size.
+#: Round-7 driver-window ordering, computed mechanically by
+#: scripts/plan_window.py from CORRECTNESS_r01–r06 (see WINDOW_r7.txt):
+#: no never-verified entries remain after r6, so the window is pure
+#: least-recently-verified backfill — the two entries whose newest
+#: driver row is r02 lead (events_rolling, events_hll_distinct), then
+#: the r03 cohort oldest-first. Exactly 50 names = the driver window
+#: size. New entries added mid-round go at the FRONT (never-verified
+#: block), displacing the tail of the backfill.
 #: Entries allowed to precede the never-driver-verified block in the
 #: registry (tests/test_coverage_guard.py): re-verification anchors
 #: whose current oracle postdates their newest driver row.
-WINDOW_ANCHORS = ["orders_kcore"]
+WINDOW_ANCHORS: list[str] = []
 
-R6_WINDOW_ORDER = [
-    "orders_kcore",
-    # new in r6 (never driver-verified — they lead, after the anchor)
-    "tpch_q1_rollup", "events_ks", "events_bootstrap_ci",
-    "multimodal_frame_count", "wordlist_scan", "word_dedup",
-    "build_sha256", "build_hash256", "build_all_algos",
-    "query_prefix", "query_algo_filter", "query_topk_by_hash",
-    "db_stats", "build_summary",
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18",
-    "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q19",
-    "tpch_q22",
-    "text_vocab", "text_oov", "docs_repetition", "docs_cosine_pairs",
-    "events_redact", "words_lev_pairs", "events_retention",
-    "events_outliers", "dedup_minhash_eval", "part_filter",
-    "events_salted_agg", "events_hourly", "events_sessionize",
-    "events_json_extract", "events_asof_join", "events_interval_join",
-    "events_rollup", "text_term_stats", "docs_decontaminate",
-    "tpch_q4", "tpch_q13", "part_never_shipped", "events_pivot",
-    "events_unpivot",
+R7_WINDOW_ORDER = [
+    "events_rolling", "events_hll_distinct", "sketch_cms_words",
+    "dedup_bloom_screen", "docs_chunked", "events_equidepth",
+    "events_dim_salted_join", "users_hll_by_type",
+    "docs_balanced_sample", "events_winsorized",
+    "tpch_q7", "tpch_q8", "tpch_q9",
+    "events_zorder", "events_percentiles", "orders_topk_per_cust",
+    "profile_table", "profile_correlation", "dq_lineitem",
+    "events_histogram", "events_funnel", "events_transitions",
+    "sample_documents", "sample_weighted", "split_documents",
+    "words_except_all", "text_normalize", "docs_quality_filter",
+    "dedup_minhash_cc", "dedup_incremental", "docs_pagerank",
+    "kmeans_centroids", "similarity_ivf_kmeans",
+    "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20", "tpch_q21",
+    "embedding_quantize", "embedding_bucket_dedup", "embedding_top_pc",
+    "docs_unigram_logprob", "docs_gopher_filter", "docs_mix_resample",
+    "docs_dup_grams", "docs_bigram_logprob", "docs_bpe_pairs",
+    "build_multi_algo", "query_point_lookup", "append_merge",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness harness checks the FIRST 50
-    # entries only. Round-6 layout: R6_WINDOW_ORDER (stale-oracle anchor +
-    # least-recently-verified backfill) occupies the window; everything
-    # else keeps its registry order after it.
-    # tests/test_coverage_guard.py enforces the invariant.
+    # entries only. Round-7 layout: R7_WINDOW_ORDER (pure
+    # least-recently-verified backfill — no never-verified entries
+    # remain) occupies the window; everything else keeps its registry
+    # order after it. tests/test_coverage_guard.py enforces the invariant.
     merged = dict(_queries_prior())
     merged.update(queries_r4())
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in R6_WINDOW_ORDER:
+    for name in R7_WINDOW_ORDER:
         out[name] = merged[name]
     for name, fn in merged.items():
         out.setdefault(name, fn)
