@@ -86,7 +86,6 @@ from shaha_spark.operators.constants import (
     QUALITY_STOPWORDS,
 )
 from shaha_spark.operators.profile import split_cast_double as _split_cast
-from shaha_spark.operators.profile import split_cast_double as _split_cast
 from shaha_spark.operators.profile import split_cast_double_sql as _split_cast_sql
 from shaha_spark.util import normalize_event_ts
 

@@ -1,7 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints three JSON lines, compact-last (the driver records only the
+trailing 2000 chars of stdout — r6 lost its per-query dict to a single
+oversized line):
+    {"metric": "e2e_bench_extras", ...everything...}
+    {"metric": "e2e_bench_warm", ...warm splits + kernel rates...}
+    {"metric": "e2e_bench_seconds", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "loadavg_start": ..., "loadavg_end": ...}
 
 Headliners cover the engine's three pillars:
   * the hash-database build pipeline (scan → dedup → multi-algo fanout →
@@ -389,6 +394,39 @@ def main() -> None:
     extras["loadavg_end"] = _loadavg()
     shutil.rmtree(tmp, ignore_errors=True)
     total = round(sum(timings.values()), 4)
+    # Two lines, verbose first, compact LAST. The driver records only
+    # the trailing 2000 chars of stdout; r6's sf1/cold-warm extras grew
+    # the single JSON line past that and pushed the per-query
+    # e2e_bench_seconds dict out of BENCH_r06 (VERDICT r6 item 2). The
+    # final line carries the headline metric + per-query dict + load
+    # markers and nothing else (~500 chars), so the tail capture always
+    # keeps it; the full extras line above it stays for local forensics.
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bench_extras",
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+    # Second-to-last: the warm/kernel numbers cross-round comparison
+    # rests on (cold medians confound janino compile + machine load).
+    warm_keys = [k for k in extras if k.endswith("_warm_sec")]
+    kernel_keys = [
+        "blake3_words_per_sec_best2", "keccak_words_per_sec_best2",
+        "stream_build_words_per_sec", "stream_curate_docs_per_sec",
+        "build_words_per_sec", "db_bytes_per_record",
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bench_warm",
+                **{k: extras[k] for k in warm_keys},
+                **{k: extras[k] for k in kernel_keys if k in extras},
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -397,7 +435,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                **extras,
+                "loadavg_start": extras["loadavg_start"],
+                "loadavg_end": extras["loadavg_end"],
             }
         )
     )

@@ -198,12 +198,12 @@ def k_core(
     drop nodes below degree k, recompute degrees on the induced
     subgraph, repeat to fixpoint (localCheckpoint per iteration keeps
     lineages shallow); each iteration is one degree aggregation + two
-    semi-joins. The iteration COUNT is data-dependent (peeling can
-    cascade), so no fixed CTE chain expresses it — this operator is a
-    documented rows-only registration; its correctness contract is the
-    invariant pair asserted in tests: every surviving node has ≥ k
-    surviving neighbors, and no dropped node would have ≥ k inside the
-    survivor set.
+    semi-joins. Correctness contract: the exact bounded-recursion
+    DuckDB oracle :func:`k_core_peel_sql` (a recursive CTE peeling the
+    same fixpoint with a poison-row guard — driver-verified green in
+    r06), plus the invariant pair asserted in tests: every surviving
+    node has ≥ k surviving neighbors, and no dropped node would have
+    ≥ k inside the survivor set.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")

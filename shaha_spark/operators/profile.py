@@ -1239,9 +1239,14 @@ def ks_2samp(
             F.col("__n1").alias("n_a"),
             F.col("__n2").alias("n_b"),
             F.col("__dnum").cast("long").alias("d_num"),
-            (
+            # Degenerate-input guard (ADVICE r6): if one group has zero
+            # rows the statistic is undefined — return NULL in BOTH
+            # engines instead of Spark's ANSI DIVIDE_BY_ZERO vs
+            # DuckDB's silent NULL (the SQL twin carries the same CASE).
+            F.when(
+                (F.col("__n1") > 0) & (F.col("__n2") > 0),
                 F.col("__dnum").cast("double")
-                / (F.col("__n1") * F.col("__n2")).cast("double")
+                / (F.col("__n1") * F.col("__n2")).cast("double"),
             ).alias("d_stat"),
         )
     )
@@ -1258,7 +1263,19 @@ def ks_2samp_sql(
     window (the oracle need not bucket; integer addition is
     associative, so the bucketed Spark plan produces identical exact
     integers), the same BIGINT numerator, and the same single final
-    IEEE division."""
+    IEEE division.
+
+    Contract (ADVICE r6): ``group_a``/``group_b`` are embedded as
+    single-quoted SQL string literals, so this twin accepts STRING
+    group values only — quote-free, like the other ``*_sql`` helpers.
+    The Spark side's ``isin()`` accepts arbitrary types; when pairing
+    the twins for an oracle, the group column must be a string."""
+    for g in (group_a, group_b):
+        if not isinstance(g, str) or "'" in g:
+            raise ValueError(
+                "ks_2samp_sql group values must be quote-free strings; "
+                f"got {g!r}"
+            )
     return f"""WITH f AS (
   SELECT {value_col} AS v,
          CASE WHEN {group_col} = '{group_a}' THEN 1 ELSE 0 END AS ia,
@@ -1275,8 +1292,10 @@ c AS (
 )
 SELECT n1 AS n_a, n2 AS n_b,
   CAST(MAX(ABS(cum_a * n2 - cum_b * n1)) AS BIGINT) AS d_num,
-  CAST(MAX(ABS(cum_a * n2 - cum_b * n1)) AS DOUBLE)
-    / CAST(n1 * n2 AS DOUBLE) AS d_stat
+  CASE WHEN n1 > 0 AND n2 > 0 THEN
+    CAST(MAX(ABS(cum_a * n2 - cum_b * n1)) AS DOUBLE)
+      / CAST(n1 * n2 AS DOUBLE)
+  END AS d_stat
 FROM c CROSS JOIN n GROUP BY n1, n2"""
 
 
@@ -1338,6 +1357,9 @@ def bootstrap_mean_ci(
     double over an exact integer weight count (one IEEE division);
     the CI picks order statistics from the sorted replicate-mean
     array (floor(alpha/2·B) from each end). NULL values are excluded.
+    A replicate whose total Poisson weight is 0 (tiny-n only) is
+    coalesced to the overall mean in both engines so the sorted
+    array's NULL placement can never diverge cross-engine.
 
     Output: one row — n, mean_value, ci_lo, ci_hi, n_reps.
     """
@@ -1374,7 +1396,20 @@ def bootstrap_mean_ci(
             ).alias(f"__m_{b}")
         )
     one = filtered.agg(*aggs)
-    reps = F.sort_array(F.array(*[F.col(f"__m_{b}") for b in range(n_reps)]))
+    # A replicate whose total Poisson weight is 0 (probability e^-n per
+    # replicate — only material at tiny n) has an undefined mean; it is
+    # coalesced to the overall mean in BOTH engines (ADVICE r6: Spark's
+    # sort_array places NULLs first, DuckDB's list_sort places them
+    # last, so leaving NULLs in the array skews the order-statistic
+    # index differently per engine).
+    reps = F.sort_array(
+        F.array(
+            *[
+                F.coalesce(F.col(f"__m_{b}"), F.col("mean_value"))
+                for b in range(n_reps)
+            ]
+        )
+    )
     k = int((alpha / 2.0) * n_reps)
     return one.select(
         "n",
@@ -1413,7 +1448,6 @@ def bootstrap_mean_ci_sql(
             f" / CAST(SUM({w}) AS DOUBLE) END AS m_{b}"
         )
     k = int((alpha / 2.0) * n_reps)
-    mean_list = ", ".join(f"m_{b}" for b in range(n_reps))
     means_select = ",\n    ".join(means)
     return f"""WITH agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -1421,7 +1455,9 @@ def bootstrap_mean_ci_sql(
     {means_select}
   FROM {table} WHERE {value_col} IS NOT NULL
 ),
-s AS (SELECT n, mean_value, list_sort([{mean_list}]) AS reps FROM agg)
+s AS (SELECT n, mean_value,
+      list_sort([{", ".join(f"COALESCE(m_{b}, mean_value)" for b in range(n_reps))}]) AS reps
+      FROM agg)
 SELECT n, mean_value, reps[{k + 1}] AS ci_lo, reps[{n_reps - k}] AS ci_hi,
        CAST({n_reps} AS INT) AS n_reps
 FROM s"""

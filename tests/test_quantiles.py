@@ -265,3 +265,68 @@ def test_bootstrap_matches_duckdb_on_random_data(spark):
     assert tuple(
         repr(x) if isinstance(x, float) else x for x in got
     ) == tuple(repr(x) if isinstance(x, float) else x for x in want)
+
+
+# ------------------------------------- ADVICE r6 regression coverage
+
+
+def test_ks_2samp_empty_group_null_in_both_engines(spark):
+    """Degenerate input (one group has zero rows): both engines must
+    return a row with NULL d_stat — previously Spark raised ANSI
+    DIVIDE_BY_ZERO while the DuckDB twin silently returned NULL."""
+    import duckdb
+
+    from shaha_spark.operators.profile import ks_2samp, ks_2samp_sql
+
+    rows = [("a", 1.0), ("a", 2.0), ("c", 9.9)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = ks_2samp(df, "g", "v", "a", "b").collect()
+    assert len(got) == 1
+    assert (got[0].n_a, got[0].n_b) == (2, 0)
+    assert got[0].d_stat is None
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(ks_2samp_sql("t", "g", "v", "a", "b")).fetchone()
+    assert (got[0].n_a, got[0].n_b, got[0].d_num, got[0].d_stat) == want
+
+
+def test_ks_2samp_sql_rejects_non_string_and_quoted_groups():
+    import pytest
+
+    from shaha_spark.operators.profile import ks_2samp_sql
+
+    with pytest.raises(ValueError, match="quote-free strings"):
+        ks_2samp_sql("t", "g", "v", 1, "b")
+    with pytest.raises(ValueError, match="quote-free strings"):
+        ks_2samp_sql("t", "g", "v", "a'--", "b")
+
+
+def test_bootstrap_tiny_n_zero_weight_replicates_cross_engine(spark):
+    """n=1 makes P(weight=0) = e^-1 per replicate, so some replicate
+    means are undefined. Both engines must coalesce them to the overall
+    mean (previously Spark's sort_array put the NULLs FIRST and
+    DuckDB's list_sort put them LAST, silently skewing one CI bound to
+    NULL on one engine only)."""
+    import duckdb
+
+    from shaha_spark.operators.profile import (
+        bootstrap_mean_ci,
+        bootstrap_mean_ci_sql,
+    )
+
+    rows = [(1, 5.0)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    got = bootstrap_mean_ci(df, "v", "id", n_reps=8).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(bootstrap_mean_ci_sql("t", "v", "id", n_reps=8)).fetchone()
+    assert got.ci_lo is not None and got.ci_hi is not None
+    assert tuple(
+        repr(x) if isinstance(x, float) else x for x in got
+    ) == tuple(repr(x) if isinstance(x, float) else x for x in want)
+    # with a single 5.0-valued row every defined replicate mean is 5.0
+    # and the zero-weight ones coalesce to the mean — the CI collapses
+    assert got.ci_lo == 5.0 and got.ci_hi == 5.0
