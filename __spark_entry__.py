@@ -3460,50 +3460,56 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_build_multi_algo(spark, "/root/testdata/sf0.001")
 
 
-#: Round-7 driver-window ordering, computed mechanically by
-#: scripts/plan_window.py from CORRECTNESS_r01–r06 (see WINDOW_r7.txt):
-#: no never-verified entries remain after r6, so the window is pure
-#: least-recently-verified backfill — the two entries whose newest
-#: driver row is r02 lead (events_rolling, events_hll_distinct), then
-#: the r03 cohort oldest-first. Exactly 50 names = the driver window
-#: size. New entries added mid-round go at the FRONT (never-verified
-#: block), displacing the tail of the backfill.
+#: Round-8 driver-window ordering. Two RE-VERIFICATION ANCHORS lead:
+#: ``events_ks`` and ``events_bootstrap_ci`` — their implementations
+#: changed in commit 2526fe0 (NULL d_stat guard; zero-weight replicate
+#: coalesce) AFTER their only driver-green rows (r06), so the driver
+#: must hash the shipped code (VERDICT r7 item #1). Standing rule: any
+#: operator edited after its latest green row gets anchored into the
+#: next window. The remaining 48 slots are the mechanical
+#: least-recently-verified backfill from scripts/plan_window.py
+#: (the r04 cohort, oldest-first; see WINDOW_r8.txt) — the last two
+#: recommendations (profile_lineitem, words_intersect) are displaced
+#: by the anchors and roll to r9.
 #: Entries allowed to precede the never-driver-verified block in the
 #: registry (tests/test_coverage_guard.py): re-verification anchors
 #: whose current oracle postdates their newest driver row.
-WINDOW_ANCHORS: list[str] = []
+WINDOW_ANCHORS: list[str] = ["events_ks", "events_bootstrap_ci"]
 
-R7_WINDOW_ORDER = [
-    "events_rolling", "events_hll_distinct", "sketch_cms_words",
-    "dedup_bloom_screen", "docs_chunked", "events_equidepth",
-    "events_dim_salted_join", "users_hll_by_type",
-    "docs_balanced_sample", "events_winsorized",
-    "tpch_q7", "tpch_q8", "tpch_q9",
-    "events_zorder", "events_percentiles", "orders_topk_per_cust",
-    "profile_table", "profile_correlation", "dq_lineitem",
-    "events_histogram", "events_funnel", "events_transitions",
-    "sample_documents", "sample_weighted", "split_documents",
-    "words_except_all", "text_normalize", "docs_quality_filter",
-    "dedup_minhash_cc", "dedup_incremental", "docs_pagerank",
-    "kmeans_centroids", "similarity_ivf_kmeans",
-    "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20", "tpch_q21",
-    "embedding_quantize", "embedding_bucket_dedup", "embedding_top_pc",
-    "docs_unigram_logprob", "docs_gopher_filter", "docs_mix_resample",
-    "docs_dup_grams", "docs_bigram_logprob", "docs_bpe_pairs",
-    "build_multi_algo", "query_point_lookup", "append_merge",
+R8_WINDOW_ORDER = [
+    # anchors (code changed post-r06-green; driver re-proof required)
+    "events_ks", "events_bootstrap_ci",
+    # least-recently-verified backfill (r04 cohort)
+    "docs_packed", "tpch_q12", "similarity_ivf", "emb_sq_topk",
+    "emb_prefix_topk", "events_cube", "events_nearest_join",
+    "events_cdc_snapshot", "emb_prefix_ndcg", "snapshot_time_travel",
+    "multimodal_dedup", "events_cumulative_users", "orders_basket_rules",
+    "docs_bm25", "dq_referential", "snapshot_row_diff",
+    "docs_clf_report", "docs_calibration", "docs_auc", "docs_overview",
+    "dq_functional", "events_value_percentile", "events_audience_overlap",
+    "docs_hapax_ratio", "emb_silhouette", "docs_freshness",
+    "events_streaks", "events_benford", "words_freq_of_freqs",
+    "words_collocations", "events_cohort_value", "users_survival",
+    "docs_rank_fusion", "events_active_time", "dedup_cluster_sizes",
+    "lineitem_weighted_median", "events_session_paths",
+    "events_mean_shift", "events_chi_square", "events_key_skew",
+    "events_mad_outliers", "orders_set_similarity", "words_trigram_fuzzy",
+    "emb_ivf_index_topk", "orders_pair_triangles", "events_ab_welch",
+    "docs_psi_drift", "emb_ann_recall",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness harness checks the FIRST 50
-    # entries only. Round-7 layout: R7_WINDOW_ORDER (pure
-    # least-recently-verified backfill — no never-verified entries
-    # remain) occupies the window; everything else keeps its registry
-    # order after it. tests/test_coverage_guard.py enforces the invariant.
+    # entries only. Round-8 layout: R8_WINDOW_ORDER = 2 re-verification
+    # anchors (WINDOW_ANCHORS — code changed after their latest green
+    # row) + 48 least-recently-verified backfill (r04 cohort);
+    # everything else keeps its registry order after it.
+    # tests/test_coverage_guard.py enforces the invariant.
     merged = dict(_queries_prior())
     merged.update(queries_r4())
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in R7_WINDOW_ORDER:
+    for name in R8_WINDOW_ORDER:
         out[name] = merged[name]
     for name, fn in merged.items():
         out.setdefault(name, fn)
