@@ -1180,6 +1180,12 @@ def ks_2samp(
     identical to the oracle's flat global window. NULL values are
     excluded (an ECDF is undefined on them; both engines drop them in
     the same filter).
+
+    Group-label contract: ``group_a``/``group_b`` may be any equatable
+    type here (``isin`` handles them), but the SQL twin
+    :func:`ks_2samp_sql` enforces STRING labels (it must embed them as
+    quoted literals) and raises ``ValueError`` otherwise — callers
+    pairing the twins should pass strings to both.
     """
     from pyspark.sql import Window
 
