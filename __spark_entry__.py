@@ -380,6 +380,42 @@ def q_events_bootstrap_ci(spark, sf_dir):
     )
 
 
+#: quantile levels for events_quantile_disc (shared Spark/oracle)
+_QDISC_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_events_quantile_disc(spark, sf_dir):
+    """Exact GLOBAL discrete quantiles of the event value — type-1
+    inverse ECDF at rank max(1, ceil(q·n)), the DuckDB quantile_disc
+    convention (operators/profile.py quantile_disc). The global rank
+    selection runs through the ks_2samp bucketed distributed prefix
+    sum — only ≤256 bucket totals cross a single-partition window at
+    any scale — and returns data ELEMENTS, so the comparison is
+    bit-exact with no float arithmetic anywhere."""
+    from shaha_spark.operators.profile import quantile_disc
+
+    return quantile_disc(_t(spark, sf_dir, "events"), "value", _QDISC_QS)
+
+
+def q_docs_weighted_reservoir(spark, sf_dir):
+    """Fixed-size weighted reservoir per source: exactly 5 documents
+    per stratum with inclusion odds ∝ n_chars (operators/sampling.py
+    weighted_reservoir — Efraimidis–Spirakis A-ES keyed on the
+    cross-engine md5 hash, rounded-ln recipe, two-phase skew-proof
+    top-k). Complements sample_weighted, whose Bernoulli draw has
+    variable size; a reservoir guarantees the sample SIZE."""
+    from shaha_spark.operators.sampling import weighted_reservoir
+
+    return weighted_reservoir(
+        _t(spark, sf_dir, "documents"),
+        k=5,
+        weight_col="n_chars",
+        key_col="doc_id",
+        strata_col="source",
+        salt="wres8",
+    ).select("source", "doc_id", "n_chars", "res_key")
+
+
 def q_tpch_q3(spark, sf_dir):
     _utc(spark)
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -2353,6 +2389,22 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
         "events", "value", "event_id"
     )
 
+    from shaha_spark.operators.profile import quantile_disc_sql
+    from shaha_spark.operators.sampling import weighted_reservoir_sql
+
+    sql["events_quantile_disc"] = quantile_disc_sql(
+        "events", "value", _QDISC_QS
+    )
+    sql["docs_weighted_reservoir"] = weighted_reservoir_sql(
+        "documents",
+        5,
+        "n_chars",
+        "doc_id",
+        strata_col="source",
+        salt="wres8",
+        select="source, doc_id, n_chars, res_key",
+    )
+
     sql["tpch_q3"] = """SELECT o_orderkey,
   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
   o_orderpriority,
@@ -3479,6 +3531,9 @@ WINDOW_ANCHORS: list[str] = ["events_ks", "events_bootstrap_ci"]
 R8_WINDOW_ORDER = [
     # anchors (code changed post-r06-green; driver re-proof required)
     "events_ks", "events_bootstrap_ci",
+    # round-8 NEW entries (never driver-verified — window front;
+    # each displaces one backfill slot from the tail)
+    "events_quantile_disc", "docs_weighted_reservoir",
     # least-recently-verified backfill (r04 cohort)
     "docs_packed", "tpch_q12", "similarity_ivf", "emb_sq_topk",
     "emb_prefix_topk", "events_cube", "events_nearest_join",
@@ -3495,7 +3550,6 @@ R8_WINDOW_ORDER = [
     "events_mean_shift", "events_chi_square", "events_key_skew",
     "events_mad_outliers", "orders_set_similarity", "words_trigram_fuzzy",
     "emb_ivf_index_topk", "orders_pair_triangles", "events_ab_welch",
-    "docs_psi_drift", "emb_ann_recall",
 ]
 
 
@@ -3522,6 +3576,9 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_rollup": q_tpch_q1_rollup,
         "events_ks": q_events_ks,
         "events_bootstrap_ci": q_events_bootstrap_ci,
+        # round-8 additions (concept-grep, VERDICT r7 #6)
+        "events_quantile_disc": q_events_quantile_disc,
+        "docs_weighted_reservoir": q_docs_weighted_reservoir,
         "sketch_cms_words": q_sketch_cms,
         "dedup_bloom_screen": q_dedup_bloom_screen,
         "docs_chunked": q_docs_chunked,

@@ -300,6 +300,121 @@ SELECT {group_col},
 FROM r GROUP BY {group_col}"""
 
 
+def quantile_disc(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exact GLOBAL discrete quantiles (type-1 / inverse ECDF): for
+    each q, the smallest value whose cumulative count reaches 1-based
+    rank ``max(1, ceil(q·n))`` — DuckDB's ``quantile_disc`` convention
+    (pinned against the built-in in tests/test_quantiles.py). Returns
+    ONE row with a ``p<q*100>`` column per q.
+
+    :func:`group_quantiles` interpolates per group, where the
+    per-group sort is inherent and parallel across groups; a GLOBAL
+    quantile has no such partitioning, and the naive global-sort
+    window is a single-partition scale-killer. This uses the
+    :func:`ks_2samp` bucketed-prefix-sum shape instead: per-distinct-
+    value counts (hash agg, map-side partials), order-preserving value
+    buckets computed in-plan from the broadcast min/max, per-bucket
+    running counts, and ONLY the ≤ ``n_buckets`` bucket totals through
+    a single-partition running-total window. Bucketing only GROUPS the
+    prefix sum — integer addition is associative, so the cumulative
+    counts equal the oracle's flat global window exactly.
+
+    Rank selection is a pure BIGINT comparison against the exact
+    cumulative count, and the result is a data ELEMENT, not
+    arithmetic — so the output is bit-identical across engines. The
+    single float op, ``ceil(q·n)``, is one IEEE multiply of the same
+    two operands on both sides. NULLs are excluded (rank statistics of
+    observed values; see group_quantiles for the cross-engine NULL
+    ordering hazard).
+    """
+    from pyspark.sql import Window
+
+    f = df.where(F.col(value_col).isNotNull())
+    per_v = f.groupBy(F.col(value_col).cast("double").alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    stats = per_v.agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.sum("__c").cast("long").alias("__n"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bucketed = per_v.crossJoin(F.broadcast(stats)).withColumn(
+        "__bkt",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.floor((F.col("__v") - F.col("__lo")) / width),
+                F.lit(n_buckets - 1),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bucketed.withColumn("__cum", F.sum("__c").over(w_in))
+    totals = cum.groupBy("__bkt").agg(F.max("__cum").alias("__t"))
+    w_bkt = Window.orderBy(F.col("__bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__bkt", F.coalesce(F.sum("__t").over(w_bkt), F.lit(0)).alias("__o")
+    )
+    joined = cum.join(F.broadcast(offsets), "__bkt").select(
+        "__v", "__n", (F.col("__o") + F.col("__cum")).alias("__cumt")
+    )
+    aggs = []
+    for q in qs:
+        rank = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.lit(float(q)) * F.col("__n").cast("double")).cast(
+                "bigint"
+            ),
+        )
+        aggs.append(
+            F.min(F.when(F.col("__cumt") >= rank, F.col("__v"))).alias(
+                f"p{round(q * 100)}"
+            )
+        )
+    return joined.agg(*aggs)
+
+
+def quantile_disc_sql(table: str, value_col: str, qs: list[float]) -> str:
+    """DuckDB oracle twin of :func:`quantile_disc` — the same rank
+    selection over a FLAT global cumulative window (the oracle need not
+    bucket; the bucketed plan's integer prefix sums are identical).
+    Spelled out rather than delegated to the engine's quantile_disc so
+    the rank convention is explicit; the built-in is pinned equal in
+    tests."""
+    cols = []
+    for q in qs:
+        rank = (
+            f"greatest(1, CAST(ceil({float(q)!r} * CAST(n AS DOUBLE)) "
+            f"AS BIGINT))"
+        )
+        cols.append(
+            f"min(CASE WHEN cum >= {rank} THEN v END) AS p{round(q * 100)}"
+        )
+    cols_sql = ",\n  ".join(cols)
+    return f"""WITH pv AS (
+  SELECT CAST({value_col} AS DOUBLE) AS v, count(*) AS c
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+), r AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+  FROM pv
+)
+SELECT
+  {cols_sql}
+FROM r"""
+
+
 def pearson_corr(
     df: DataFrame, col_x: str, col_y: str, precision: str = "decimal(18,2)"
 ) -> DataFrame:

@@ -135,6 +135,105 @@ def weighted_hash_sample(
     return df.where(keep)
 
 
+#: A-ES uniform granularity: u = (h28 + 1) / 2^28 ∈ (0, 1]
+_H28_RANGE = 268_435_456
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    strata_col: str | None = None,
+    salt: str = "",
+    prune_buckets: int = 32,
+    key_out: str = "res_key",
+) -> DataFrame:
+    """Deterministic weighted reservoir sampling (fixed-size k), per
+    stratum or global — the Efraimidis–Spirakis A-ES scheme with the
+    RNG replaced by the cross-engine md5 hash.
+
+    :func:`weighted_hash_sample` keeps each row INDEPENDENTLY with
+    probability ∝ weight, so the sample SIZE varies; a reservoir draws
+    EXACTLY ``min(k, n)`` rows where a row's inclusion odds are
+    proportional to its weight (A-ES: rank by ``u^(1/w)`` — here the
+    monotone-equivalent ``ln(u)/w`` — and keep the top k). Determinism:
+    ``u = (h28(key∥salt)+1)/2^28 ∈ (0,1]`` is exact integer→double,
+    the ln is rounded to 9 decimals (the repo's established
+    transcendental recipe, functions agree across engines at that
+    precision), and the one division by the double-cast weight is a
+    single IEEE op on identical operands. Ties (possible after
+    rounding) break on ``key_col`` ascending in both engines.
+
+    Scale: a single per-stratum top-k window is the textbook shape but
+    serializes a hot stratum through one partition. This runs the
+    standard two-phase top-k instead: phase 1 ranks within
+    (stratum, h28 % ``prune_buckets``) — the hash spreads any stratum
+    across ``prune_buckets`` partitions — keeping ≤ k each; phase 2
+    ranks the ≤ k·prune_buckets survivors per stratum. Top-k of a
+    union of per-bucket top-ks equals the global top-k, so the result
+    is identical to the flat-window oracle.
+
+    Rows with NULL or non-positive weight are excluded (A-ES is
+    undefined there: ``u^(1/w)`` has no sampling interpretation).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = h28(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_H28_RANGE))
+    keyed = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn(
+        key_out, F.round(F.log(u), 9) / F.col(weight_col).cast("double")
+    )
+    strata = [F.col(strata_col)] if strata_col is not None else []
+    order = [F.col(key_out).desc(), F.col(key_col).asc()]
+    w1 = Window.partitionBy(*strata, h % prune_buckets).orderBy(*order)
+    pruned = (
+        keyed.withColumn("__rn1", F.row_number().over(w1))
+        .where(F.col("__rn1") <= k)
+        .drop("__rn1")
+    )
+    w2 = Window.partitionBy(*strata).orderBy(*order)
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def weighted_reservoir_sql(
+    table: str,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    strata_col: str | None = None,
+    salt: str = "",
+    key_out: str = "res_key",
+    select: str = "*",
+) -> str:
+    """DuckDB oracle twin of :func:`weighted_reservoir` — the same
+    A-ES key over a FLAT per-stratum window (no pre-prune; top-k of
+    per-bucket top-ks equals the flat top-k)."""
+    keyed = f"concat(CAST({key_col} AS VARCHAR), '{salt}')"
+    key_expr = (
+        f"round(ln(({h28_sql(keyed)} + 1) / {float(_H28_RANGE)!r}), 9)"
+        f" / CAST({weight_col} AS DOUBLE)"
+    )
+    part = f"PARTITION BY {strata_col} " if strata_col is not None else ""
+    return f"""WITH keyed AS (
+  SELECT *, {key_expr} AS {key_out}
+  FROM {table}
+  WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+), ranked AS (
+  SELECT *, row_number() OVER ({part}ORDER BY {key_out} DESC, {key_col} ASC) AS __rn
+  FROM keyed
+)
+SELECT {select} FROM ranked WHERE __rn <= {k}"""
+
+
 def balanced_sample(
     df: DataFrame,
     label_col: str,

@@ -53,6 +53,10 @@ GLOBAL_WINDOW_OK = {
     "events_ks": "running offset over value buckets (n_buckets=256 "
                  "rows at any scale — the same distributed prefix-sum "
                  "shape, profile.ks_2samp)",
+    "events_quantile_disc": "running offset over value buckets "
+                            "(n_buckets=256 rows at any scale — the "
+                            "ks_2samp distributed prefix-sum shape, "
+                            "profile.quantile_disc)",
 }
 
 

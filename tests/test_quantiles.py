@@ -330,3 +330,148 @@ def test_bootstrap_tiny_n_zero_weight_replicates_cross_engine(spark):
     # with a single 5.0-valued row every defined replicate mean is 5.0
     # and the zero-weight ones coalesce to the mean — the CI collapses
     assert got.ci_lo == 5.0 and got.ci_hi == 5.0
+
+
+# --------------------------------------------- global discrete quantile
+
+
+def test_quantile_disc_pins_duckdb_builtin_convention(spark):
+    """The rank convention (1-based max(1, ceil(q*n)) — type-1 inverse
+    ECDF) must equal DuckDB's built-in quantile_disc, on seeded-random
+    data with ties, across awkward q values."""
+    import random
+
+    import duckdb
+
+    from shaha_spark.operators.profile import quantile_disc
+
+    rng = random.Random(88)
+    vals = [round(rng.gauss(0, 3), 1) for _ in range(2500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    qs = [0.01, 0.1, 0.25, 0.333, 0.5, 0.51, 0.75, 0.9, 0.99, 1.0]
+    row = quantile_disc(df, "v", qs, n_buckets=16).collect()[0].asDict()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    for q in qs:
+        want = con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        got = row[f"p{round(q * 100)}"]
+        assert repr(got) == repr(want), (q, got, want)
+
+
+def test_quantile_disc_returns_data_elements(spark):
+    """Every output is an actual input element (discrete, no
+    interpolation), and q=0/1 clamp to min/max."""
+    from shaha_spark.operators.profile import quantile_disc
+
+    vals = [10.0, 20.0, 30.0, 40.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    row = quantile_disc(df, "v", [0.0, 0.25, 0.26, 0.5, 0.75, 1.0]).collect()[0]
+    assert row["p0"] == 10.0       # rank clamps to 1
+    assert row["p25"] == 10.0      # ceil(0.25*4) = 1
+    assert row["p26"] == 20.0      # ceil(1.04) = 2
+    assert row["p50"] == 20.0
+    assert row["p75"] == 30.0
+    assert row["p100"] == 40.0
+
+
+def test_quantile_disc_degenerate_inputs(spark):
+    from shaha_spark.operators.profile import quantile_disc
+
+    # all-NULL input: one row of NULLs in both engines
+    df = spark.createDataFrame([(None,), (None,)], "v double")
+    row = quantile_disc(df, "v", [0.5]).collect()[0]
+    assert row["p50"] is None
+    # single distinct value: every quantile is that value
+    df1 = spark.createDataFrame([(7.0,)] * 5, "v double")
+    row1 = quantile_disc(df1, "v", [0.1, 0.5, 0.9]).collect()[0]
+    assert (row1["p10"], row1["p50"], row1["p90"]) == (7.0, 7.0, 7.0)
+
+
+# --------------------------------------------- weighted reservoir (A-ES)
+
+
+def test_weighted_reservoir_exact_k_per_stratum(spark):
+    from pyspark.sql import functions as F
+
+    from shaha_spark.operators.sampling import weighted_reservoir
+
+    rows = [(i, "s%d" % (i % 3), (i % 7) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, src string, w bigint")
+    out = weighted_reservoir(
+        df, k=4, weight_col="w", key_col="id", strata_col="src", salt="t"
+    )
+    sizes = {r["src"]: r["n"] for r in out.groupBy("src").agg(
+        F.count("id").alias("n")
+    ).collect()}
+    assert sizes == {"s0": 4, "s1": 4, "s2": 4}
+    # k > n: the whole (positive-weight) stratum comes back
+    tiny = spark.createDataFrame([(1, "a", 2), (2, "a", 3)], "id bigint, src string, w bigint")
+    assert weighted_reservoir(
+        tiny, k=10, weight_col="w", key_col="id", strata_col="src"
+    ).count() == 2
+
+
+def test_weighted_reservoir_excludes_nonpositive_weights(spark):
+    from shaha_spark.operators.sampling import weighted_reservoir
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, None), (5, 9)],
+        "id bigint, w bigint",
+    )
+    got = sorted(
+        r["id"]
+        for r in weighted_reservoir(df, k=10, weight_col="w", key_col="id").collect()
+    )
+    assert got == [1, 5]
+
+
+def test_weighted_reservoir_matches_flat_oracle_global_and_stratified(spark):
+    """Two-phase pre-pruned top-k must equal DuckDB's flat window, with
+    the full A-ES key compared at repr precision."""
+    import random
+
+    import duckdb
+
+    from shaha_spark.operators.sampling import (
+        weighted_reservoir,
+        weighted_reservoir_sql,
+    )
+
+    rng = random.Random(4242)
+    rows = [(i, "s%d" % rng.randrange(4), rng.randrange(1, 500)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id bigint, src string, w bigint")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, src VARCHAR, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    for strata in (None, "src"):
+        got = sorted(
+            (r["id"], repr(r["res_key"]))
+            for r in weighted_reservoir(
+                df, k=7, weight_col="w", key_col="id",
+                strata_col=strata, salt="x", prune_buckets=5,
+            ).collect()
+        )
+        want = sorted(
+            (int(r[0]), repr(float(r[1])))
+            for r in con.execute(
+                weighted_reservoir_sql(
+                    "t", 7, "w", "id", strata_col=strata, salt="x",
+                    select="id, res_key",
+                )
+            ).fetchall()
+        )
+        assert got == want, strata
+
+
+def test_weighted_reservoir_weight_bias(spark):
+    """Heavier rows must be sampled more often: split 1000 rows into
+    weight-1 and weight-20 halves; a k=100 reservoir should be
+    dominated by the heavy half (exact expectation ~95%)."""
+    from shaha_spark.operators.sampling import weighted_reservoir
+
+    rows = [(i, 20 if i < 500 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+    got = weighted_reservoir(df, k=100, weight_col="w", key_col="id", salt="b")
+    heavy = got.where("id < 500").count()
+    assert heavy > 80, heavy
