@@ -416,6 +416,44 @@ def q_docs_weighted_reservoir(spark, sf_dir):
     ).select("source", "doc_id", "n_chars", "res_key")
 
 
+#: hour-of-epoch of 2024-01-01 00:00 UTC — fixed literal that rescales
+#: event timestamps to a small x domain (DuckDB multiplies DECIMAL(18)
+#: per-row products in int64; raw epoch micros would overflow it)
+_TREND_EPOCH_H = 473352
+
+
+def q_events_trend(spark, sf_dir):
+    """Per-type least-squares trend of event value over time
+    (operators/regression.py ols_fit): slope/intercept/r2 from
+    decimal-exact moments in ONE hash aggregation — no window, no
+    join; x is hours since a fixed epoch literal so every per-row
+    product stays in the oracle's int64 decimal domain."""
+    from shaha_spark.operators.regression import ols_fit
+
+    ev = _events(spark, sf_dir).withColumn(
+        "xh", F.expr("tus DIV 3600000000") - F.lit(_TREND_EPOCH_H)
+    )
+    return ols_fit(ev, "event_type", "xh", "value")
+
+
+def q_events_autocorr(spark, sf_dir):
+    """Pooled within-user lag-1 autocorrelation of event values per
+    type (operators/regression.py autocorr): pairs form inside
+    (event_type, user_id) series windows — data-proportional
+    cardinality, never the 5-value label alone — and the Pearson
+    moments pool per type in one hash aggregation."""
+    from shaha_spark.operators.regression import autocorr
+
+    return autocorr(
+        _events(spark, sf_dir),
+        ["event_type", "user_id"],
+        ["tus", "event_id"],
+        "value",
+        ["event_type"],
+        lag=1,
+    )
+
+
 def q_tpch_q3(spark, sf_dir):
     _utc(spark)
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -2395,6 +2433,23 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
     sql["events_quantile_disc"] = quantile_disc_sql(
         "events", "value", _QDISC_QS
     )
+
+    from shaha_spark.operators.regression import autocorr_sql, ols_fit_sql
+
+    sql["events_trend"] = ols_fit_sql(
+        "events",
+        "event_type",
+        f"(epoch_us(ts) // 3600000000) - {_TREND_EPOCH_H}",
+        "value",
+    )
+    sql["events_autocorr"] = autocorr_sql(
+        "events",
+        ["event_type", "user_id"],
+        "epoch_us(ts), event_id",
+        "value",
+        ["event_type"],
+        lag=1,
+    )
     sql["docs_weighted_reservoir"] = weighted_reservoir_sql(
         "documents",
         5,
@@ -3534,6 +3589,7 @@ R8_WINDOW_ORDER = [
     # round-8 NEW entries (never driver-verified — window front;
     # each displaces one backfill slot from the tail)
     "events_quantile_disc", "docs_weighted_reservoir",
+    "events_trend", "events_autocorr",
     # least-recently-verified backfill (r04 cohort)
     "docs_packed", "tpch_q12", "similarity_ivf", "emb_sq_topk",
     "emb_prefix_topk", "events_cube", "events_nearest_join",
@@ -3549,7 +3605,7 @@ R8_WINDOW_ORDER = [
     "lineitem_weighted_median", "events_session_paths",
     "events_mean_shift", "events_chi_square", "events_key_skew",
     "events_mad_outliers", "orders_set_similarity", "words_trigram_fuzzy",
-    "emb_ivf_index_topk", "orders_pair_triangles", "events_ab_welch",
+    "emb_ivf_index_topk",
 ]
 
 
@@ -3579,6 +3635,8 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 additions (concept-grep, VERDICT r7 #6)
         "events_quantile_disc": q_events_quantile_disc,
         "docs_weighted_reservoir": q_docs_weighted_reservoir,
+        "events_trend": q_events_trend,
+        "events_autocorr": q_events_autocorr,
         "sketch_cms_words": q_sketch_cms,
         "dedup_bloom_screen": q_dedup_bloom_screen,
         "docs_chunked": q_docs_chunked,

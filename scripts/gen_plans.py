@@ -53,6 +53,31 @@ NOTES = {
         "scan: hash-derived weights are row-local projections (no "
         "resampling shuffle exists in the plan at any scale)."
     ),
+    "events_trend": (
+        "Per-group OLS trend: ONE hash aggregation with map-side partial "
+        "decimal moments — no window, no join; the closed-form fit runs "
+        "post-agg over one row per group."
+    ),
+    "events_autocorr": (
+        "Pooled lag-1 autocorrelation: lead() windows partition on the "
+        "data-proportional (event_type, user_id) series key — never the "
+        "5-value label alone — then one pooled hash agg of the pair "
+        "moments per type."
+    ),
+    "events_quantile_disc": (
+        "Global discrete quantiles without a global sort: per-value hash "
+        "agg with map-side partials, cumulative counts partitioned on "
+        "in-plan value buckets, only the <=256 bucket totals cross the "
+        "single-partition offset window (the ks_2samp shape); rank "
+        "selection is one BIGINT comparison per distinct value."
+    ),
+    "docs_weighted_reservoir": (
+        "Fixed-k weighted reservoir (A-ES): codegen'd md5 key + rounded-ln "
+        "weight transform per row, then TWO bounded windows — rank within "
+        "(stratum, h%32) spreads a hot stratum across 32 partitions, the "
+        "final per-stratum rank sees <=k*32 survivor rows. No global "
+        "window, no sort of the full input."
+    ),
     "tpch_q3": (
         "Selective dimension filters pushed to each scan; broadcast joins "
         "for customer/orders sides; TakeOrderedAndProject for the top-10."

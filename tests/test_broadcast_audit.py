@@ -121,6 +121,9 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
     ("shaha_spark/operators/profile.py", "ks_2samp", "stats"): _SCALAR,
     ("shaha_spark/operators/profile.py", "ks_2samp", "offsets"):
         "per-bucket running offsets: n_buckets rows (<=256) at any scale",
+    ("shaha_spark/operators/profile.py", "quantile_disc", "stats"): _SCALAR,
+    ("shaha_spark/operators/profile.py", "quantile_disc", "offsets"):
+        "per-bucket running offsets: n_buckets rows (<=256) at any scale",
     ("shaha_spark/operators/profile.py", "mad_outliers", "mad"): _SCALAR,
     ("shaha_spark/operators/profile.py", "chi_square", "ra"):
         _AGG + " (marginals: one row per category)",
