@@ -454,6 +454,26 @@ def q_events_autocorr(spark, sf_dir):
     )
 
 
+def q_events_ewma(spark, sf_dir):
+    """Per-user time-decayed feature backfill: finite-horizon EWMA of
+    event value (operators/timeseries.py ewma — pandas ewm(adjust=True)
+    truncated at 8 lags). All weights and partial denominators are
+    Python-precomputed double literals and the term chain is a fixed
+    left-associated sequence, so both engines replay identical IEEE
+    ops; the SQL twin materializes each product behind the window
+    boundary to defeat DuckDB's FMA contraction."""
+    from shaha_spark.operators.timeseries import ewma
+
+    return ewma(
+        _events(spark, sf_dir),
+        ["user_id"],
+        ["tus", "event_id"],
+        "value",
+        alpha=0.25,
+        horizon=8,
+    ).select("event_id", "user_id", "ewma")
+
+
 def q_tpch_q3(spark, sf_dir):
     _utc(spark)
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -2450,6 +2470,18 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
         ["event_type"],
         lag=1,
     )
+
+    from shaha_spark.operators.timeseries import ewma_sql
+
+    sql["events_ewma"] = ewma_sql(
+        "(SELECT *, epoch_us(ts) AS tus FROM events)",
+        ["user_id"],
+        "tus, event_id",
+        "value",
+        alpha=0.25,
+        horizon=8,
+        select="event_id, user_id",
+    )
     sql["docs_weighted_reservoir"] = weighted_reservoir_sql(
         "documents",
         5,
@@ -3589,7 +3621,7 @@ R8_WINDOW_ORDER = [
     # round-8 NEW entries (never driver-verified — window front;
     # each displaces one backfill slot from the tail)
     "events_quantile_disc", "docs_weighted_reservoir",
-    "events_trend", "events_autocorr",
+    "events_trend", "events_autocorr", "events_ewma",
     # least-recently-verified backfill (r04 cohort)
     "docs_packed", "tpch_q12", "similarity_ivf", "emb_sq_topk",
     "emb_prefix_topk", "events_cube", "events_nearest_join",
@@ -3605,7 +3637,6 @@ R8_WINDOW_ORDER = [
     "lineitem_weighted_median", "events_session_paths",
     "events_mean_shift", "events_chi_square", "events_key_skew",
     "events_mad_outliers", "orders_set_similarity", "words_trigram_fuzzy",
-    "emb_ivf_index_topk",
 ]
 
 
@@ -3637,6 +3668,7 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_weighted_reservoir": q_docs_weighted_reservoir,
         "events_trend": q_events_trend,
         "events_autocorr": q_events_autocorr,
+        "events_ewma": q_events_ewma,
         "sketch_cms_words": q_sketch_cms,
         "dedup_bloom_screen": q_dedup_bloom_screen,
         "docs_chunked": q_docs_chunked,

@@ -53,6 +53,12 @@ NOTES = {
         "scan: hash-derived weights are row-local projections (no "
         "resampling shuffle exists in the plan at any scale)."
     ),
+    "events_ewma": (
+        "Finite-horizon EWMA: all K lags evaluate in ONE window pass per "
+        "user partition (Spark groups same-window functions); weights "
+        "and denominators are compile-time literals, so the feature is "
+        "a pure projection over the single sorted pass."
+    ),
     "events_trend": (
         "Per-group OLS trend: ONE hash aggregation with map-side partial "
         "decimal moments — no window, no join; the closed-form fit runs "

@@ -516,3 +516,122 @@ def kaplan_meier(
         .otherwise(F.round(F.exp(F.col("__lns").cast("double")), 6))
         .alias("survival"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    horizon: int = 8,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Finite-horizon exponentially-weighted moving average per series —
+    the time-decayed feature backfill (pandas ``ewm(adjust=True)``
+    semantics truncated at ``horizon`` lags):
+
+        y_t = Σ_{k=0..min(t,K)} c_k·x_{t-k} / Σ_{k=0..min(t,K)} c_k,
+        c_k = α·(1−α)^k.
+
+    Reference parity: none (the reference has no time-series surface);
+    extension-layer operator, same family as gapfill/scd2 above.
+
+    Determinism: the recursive EWMA would accumulate floating error in
+    engine-specific order; here every weight c_k AND every partial
+    denominator Σc_0..c_i is a PYTHON-PRECOMPUTED double literal
+    (bit-identical constants in both engines), the numerator is a fixed
+    left-associated chain of K+1 fused lag terms, and the denominator is
+    one literal-array element_at — so both engines replay the identical
+    IEEE op sequence. Truncation at K lags is what makes per-row cost
+    bounded AND the arithmetic exactly reproducible; with
+    (1−α)^(K+1) ≤ 1e-3-ish the truncated tail is statistically
+    negligible (choose horizon accordingly).
+
+    Scale: ONE window pass per series partition computes all K lags
+    (Spark evaluates same-window functions together); series_cols must
+    be data-proportional (users, docs), same rule as autocorr. Rows
+    with NULL values are excluded BEFORE windowing so lag distances
+    count observed points only and the available-term count equals
+    row_number.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if horizon < 0:
+        raise ValueError(f"horizon must be >= 0, got {horizon}")
+    weights = [alpha * (1.0 - alpha) ** k for k in range(horizon + 1)]
+    denoms = []
+    acc = 0.0
+    for c in weights:
+        acc += c
+        denoms.append(acc)
+    w = Window.partitionBy(*series_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    filtered = df.where(F.col(value_col).isNotNull())
+    num = F.lit(weights[0]) * F.col(value_col).cast("double")
+    for k in range(1, horizon + 1):
+        num = num + F.lit(weights[k]) * F.coalesce(
+            F.lag(F.col(value_col).cast("double"), k).over(w), F.lit(0.0)
+        )
+    n_avail = F.least(F.row_number().over(w), F.lit(horizon + 1))
+    denom = F.element_at(F.array(*[F.lit(d) for d in denoms]), n_avail)
+    return filtered.withColumn(out_col, num / denom)
+
+
+def ewma_sql(
+    table: str,
+    series_cols: list[str],
+    order_by: str,
+    value_col: str,
+    alpha: float = 0.5,
+    horizon: int = 8,
+    out_col: str = "ewma",
+    select: str = "*",
+) -> str:
+    """DuckDB oracle twin of :func:`ewma` — identical precomputed
+    literals (full-precision repr), identical left-associated term
+    order, identical 1-based literal-list denominator lookup.
+
+    FMA barrier: DuckDB's expression executor CONTRACTS a ``w·x + acc``
+    chain into fused multiply-adds (one rounding instead of two), which
+    diverges from Spark's JVM-spec strict arithmetic in the last ULP —
+    observed on every row with all K+1 terms live. Each product is
+    therefore materialized as its own column in the windowed CTE and
+    only plain column ADDS remain in the outer projection; the window
+    operator between the two projections is a hard optimizer boundary,
+    so the products can never be re-inlined into the add chain."""
+    weights = [alpha * (1.0 - alpha) ** k for k in range(horizon + 1)]
+    denoms = []
+    acc = 0.0
+    for c in weights:
+        acc += c
+        denoms.append(acc)
+    part = ", ".join(series_cols)
+    over = f"OVER (PARTITION BY {part} ORDER BY {order_by})"
+
+    # String-parse every float literal: a bare decimal literal is typed
+    # DECIMAL, and both hazards bite — the division routes through
+    # DECIMAL, and literals whose unscaled digits exceed 2^53 (any
+    # 16-17-significant-digit repr, e.g. the accumulated denominators)
+    # take DuckDB's double-rounding DECIMAL->DOUBLE cast and land one
+    # ULP off the Python/Spark double. CAST('…' AS DOUBLE) is a direct
+    # correctly-rounded strtod, which round-trips repr exactly.
+    def _dlit(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    tcols = [f"{_dlit(weights[0])} * CAST({value_col} AS DOUBLE) AS __t0"]
+    for k in range(1, horizon + 1):
+        tcols.append(
+            f"{_dlit(weights[k])} * coalesce("
+            f"lag(CAST({value_col} AS DOUBLE), {k}) {over}, 0.0) AS __t{k}"
+        )
+    tcols_sql = ",\n    ".join(tcols)
+    addchain = " + ".join(f"__t{k}" for k in range(horizon + 1))
+    dlist = "[" + ", ".join(_dlit(d) for d in denoms) + "]"
+    return f"""WITH s AS (
+  SELECT *, {tcols_sql},
+    {dlist}[LEAST(row_number() {over}, {horizon + 1})] AS __den
+  FROM {table} WHERE {value_col} IS NOT NULL
+)
+SELECT {select}, ({addchain}) / __den AS {out_col} FROM s"""

@@ -198,3 +198,69 @@ def test_debounce_and_scd2_plans_single_shuffle_no_python(spark):
         # shares the sort (same keys), its LEAD pass rides the grouped
         # (segment-level) table
         assert plan.count("Exchange hashpartitioning") <= 2, name
+
+
+# ------------------------------------------------------------- EWMA
+
+
+def test_ewma_matches_pandas_adjust_true_within_tail(spark):
+    """With horizon K the truncation error vs pandas ewm(adjust=True)
+    is bounded by the dropped tail weight; K=24 at alpha=0.3 makes it
+    ~1e-4 relative."""
+    import pandas as pd
+
+    from shaha_spark.operators.timeseries import ewma
+
+    vals = [float((7 * i) % 23 + 1) for i in range(60)]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "uid int, t int, v double"
+    )
+    got = [
+        r["ewma"]
+        for r in sorted(
+            ewma(df, ["uid"], ["t"], "v", alpha=0.3, horizon=24).collect(),
+            key=lambda r: r["t"],
+        )
+    ]
+    ref = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean().tolist()
+    for g, r in zip(got, ref):
+        assert abs(g - r) < 1e-3 * max(1.0, abs(r)), (g, r)
+
+
+def test_ewma_first_row_is_value_and_constant_series_fixed_point(spark):
+    from shaha_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, i, 42.0) for i in range(10)], "uid int, t int, v double"
+    )
+    rows = ewma(df, ["uid"], ["t"], "v", alpha=0.4, horizon=8).collect()
+    for r in rows:
+        assert abs(r["ewma"] - 42.0) < 1e-12  # weighted mean of a constant
+
+
+def test_ewma_null_values_excluded_not_zero_filled(spark):
+    """NULL rows drop out of the series entirely: lags skip over them
+    rather than injecting zeros."""
+    from shaha_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 1, None), (1, 2, 30.0)],
+        "uid int, t int, v double",
+    )
+    rows = {r["t"]: r["ewma"] for r in
+            ewma(df, ["uid"], ["t"], "v", alpha=0.5, horizon=4).collect()}
+    assert 1 not in rows
+    # row t=2 sees t=0 as its lag-1: (0.5*30 + 0.25*10) / 0.75
+    assert abs(rows[2] - (0.5 * 30 + 0.25 * 10) / 0.75) < 1e-12
+
+
+def test_ewma_validates_params(spark):
+    import pytest
+
+    from shaha_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame([(1, 0, 1.0)], "uid int, t int, v double")
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, ["uid"], ["t"], "v", alpha=0.0)
+    with pytest.raises(ValueError, match="horizon"):
+        ewma(df, ["uid"], ["t"], "v", horizon=-1)
