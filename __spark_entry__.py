@@ -474,6 +474,17 @@ def q_events_ewma(spark, sf_dir):
     ).select("event_id", "user_id", "ewma")
 
 
+def q_docs_mutual_info(spark, sf_dir):
+    """Mutual information (nats) between document language and source
+    (operators/profile.py mutual_info) — the dependence measure next to
+    chi_square's significance test. Exact integer counts, broadcast
+    marginals, rounded-ln cells summed in DECIMAL, one split-cast
+    division; same single-fact-scan shape as chi_square."""
+    from shaha_spark.operators.profile import mutual_info
+
+    return mutual_info(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
 def q_tpch_q3(spark, sf_dir):
     _utc(spark)
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -2471,6 +2482,10 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
         lag=1,
     )
 
+    from shaha_spark.operators.profile import mutual_info_sql
+
+    sql["docs_mutual_info"] = mutual_info_sql("documents", "lang", "source")
+
     from shaha_spark.operators.timeseries import ewma_sql
 
     sql["events_ewma"] = ewma_sql(
@@ -3622,6 +3637,7 @@ R8_WINDOW_ORDER = [
     # each displaces one backfill slot from the tail)
     "events_quantile_disc", "docs_weighted_reservoir",
     "events_trend", "events_autocorr", "events_ewma",
+    "docs_mutual_info",
     # least-recently-verified backfill (r04 cohort)
     "docs_packed", "tpch_q12", "similarity_ivf", "emb_sq_topk",
     "emb_prefix_topk", "events_cube", "events_nearest_join",
@@ -3636,7 +3652,7 @@ R8_WINDOW_ORDER = [
     "docs_rank_fusion", "events_active_time", "dedup_cluster_sizes",
     "lineitem_weighted_median", "events_session_paths",
     "events_mean_shift", "events_chi_square", "events_key_skew",
-    "events_mad_outliers", "orders_set_similarity", "words_trigram_fuzzy",
+    "events_mad_outliers", "orders_set_similarity",
 ]
 
 
@@ -3669,6 +3685,7 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend": q_events_trend,
         "events_autocorr": q_events_autocorr,
         "events_ewma": q_events_ewma,
+        "docs_mutual_info": q_docs_mutual_info,
         "sketch_cms_words": q_sketch_cms,
         "dedup_bloom_screen": q_dedup_bloom_screen,
         "docs_chunked": q_docs_chunked,

@@ -53,6 +53,11 @@ NOTES = {
         "scan: hash-derived weights are row-local projections (no "
         "resampling shuffle exists in the plan at any scale)."
     ),
+    "docs_mutual_info": (
+        "Mutual information: one fact-scan hash agg for observed cells, "
+        "marginals broadcast back (category-cardinality-sized), "
+        "rounded-ln cells summed in DECIMAL — the chi_square shape."
+    ),
     "events_ewma": (
         "Finite-horizon EWMA: all K lags evaluate in ONE window pass per "
         "user partition (Spark groups same-window functions); weights "

@@ -1162,6 +1162,87 @@ def chi_square(
     )
 
 
+def mutual_info(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns — one
+    row [mi_nats, n]. The dependence MEASURE complementing
+    :func:`chi_square`'s significance TEST: MI is the KL divergence of
+    the joint from the product of marginals,
+    MI = Σ_cells (o/n)·ln(n·o / (ra·cb)), and only observed cells
+    contribute (0·ln0 = 0 by continuity).
+
+    Same plan shape as chi_square: observed counts in one hash agg,
+    category-cardinality marginals broadcast back. Determinism: counts
+    are exact integers; each cell's log-ratio argument is a fixed
+    3-op double sequence on exact casts, the ln is rounded to 9
+    decimals (the transcendental recipe), the per-cell term
+    o·ln-rounded is rounded to 6 and summed as exact DECIMAL, and the
+    final /n is one split-cast division — no double accumulates across
+    rows anywhere. The product o·rln is a STANDALONE multiply feeding
+    round() (never a multiply-add chain), so DuckDB's FMA contraction
+    (see timeseries.ewma_sql) has nothing to fuse.
+
+    NULLs in either column are excluded up front (not a category —
+    same marginal-identity hazard as chi_square).
+    """
+    df = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
+    ra = obs.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
+    cb = obs.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
+    tot = obs.agg(F.sum("__o").alias("__n"))
+    rln = F.round(
+        F.log(
+            (F.col("__n").cast("double") * F.col("__o").cast("double"))
+            / (F.col("__ra").cast("double") * F.col("__cb").cast("double"))
+        ),
+        9,
+    )
+    cells = (
+        obs.join(F.broadcast(ra), col_a)
+        .join(F.broadcast(cb), col_b)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.col("__o").cast("double") * rln, 6)
+            .cast("decimal(25,6)")
+            .alias("__t"),
+            "__n",
+        )
+    )
+    return cells.agg(
+        (split_cast_double(F.sum("__t"), 6) / F.first("__n").cast("double"))
+        .alias("mi_nats"),
+        F.first("__n").cast("bigint").alias("n"),
+    )
+
+
+def mutual_info_sql(table: str, col_a: str, col_b: str) -> str:
+    """DuckDB oracle twin of :func:`mutual_info` — identical exact
+    counts, rounded-ln cells, decimal sum, split-cast division."""
+    return f"""WITH f AS (
+  SELECT {col_a}, {col_b} FROM {table}
+  WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+), obs AS (
+  SELECT {col_a}, {col_b}, count(*) AS o FROM f GROUP BY {col_a}, {col_b}
+), ra AS (
+  SELECT {col_a}, sum(o) AS ra FROM obs GROUP BY {col_a}
+), cb AS (
+  SELECT {col_b}, sum(o) AS cb FROM obs GROUP BY {col_b}
+), tot AS (
+  SELECT sum(o) AS n FROM obs
+), cells AS (
+  SELECT CAST(round(CAST(o AS DOUBLE) * round(ln(
+           (CAST(n AS DOUBLE) * CAST(o AS DOUBLE))
+           / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))), 9), 6)
+         AS DECIMAL(25,6)) AS t, n
+  FROM obs
+  JOIN ra USING ({col_a})
+  JOIN cb USING ({col_b})
+  CROSS JOIN tot
+)
+SELECT {split_cast_double_sql("SUM(t)", 6)} / CAST(first(n) AS DOUBLE) AS mi_nats,
+  CAST(first(n) AS BIGINT) AS n
+FROM cells"""
+
+
 def key_skew_report(
     df: DataFrame,
     key_col: str,

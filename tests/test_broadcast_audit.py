@@ -129,6 +129,11 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
         _AGG + " (marginals: one row per category)",
     ("shaha_spark/operators/profile.py", "chi_square", "cb"):
         _AGG + " (marginals: one row per category)",
+    ("shaha_spark/operators/profile.py", "mutual_info", "ra"):
+        _AGG + " (marginals: one row per category)",
+    ("shaha_spark/operators/profile.py", "mutual_info", "cb"):
+        _AGG + " (marginals: one row per category)",
+    ("shaha_spark/operators/profile.py", "mutual_info", "tot"): _SCALAR,
     ("shaha_spark/operators/profile.py", "chi_square", "tot"): _SCALAR,
     ("shaha_spark/operators/profile.py", "key_skew_report", "topk"):
         "top-k hot keys: k rows by construction",

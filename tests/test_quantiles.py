@@ -475,3 +475,59 @@ def test_weighted_reservoir_weight_bias(spark):
     got = weighted_reservoir(df, k=100, weight_col="w", key_col="id", salt="b")
     heavy = got.where("id < 500").count()
     assert heavy > 80, heavy
+
+
+# --------------------------------------------------- mutual information
+
+
+def test_mutual_info_perfect_dependence_is_label_entropy(spark):
+    """If B is a function of A with uniform classes, MI = H(A) = ln(k)."""
+    import math
+
+    from shaha_spark.operators.profile import mutual_info
+
+    rows = [("c%d" % (i % 4), "d%d" % (i % 4)) for i in range(400)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = mutual_info(df, "a", "b").collect()[0]
+    assert abs(got["mi_nats"] - math.log(4)) < 1e-6
+    assert got["n"] == 400
+
+
+def test_mutual_info_independent_is_zero(spark):
+    from shaha_spark.operators.profile import mutual_info
+
+    rows = [("a%d" % (i % 2), "b%d" % ((i // 2) % 3)) for i in range(600)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = mutual_info(df, "a", "b").collect()[0]
+    assert abs(got["mi_nats"]) < 1e-9  # exactly balanced grid
+
+
+def test_mutual_info_nulls_excluded_and_matches_duckdb(spark):
+    import math
+    import random
+
+    import duckdb
+
+    from shaha_spark.operators.profile import mutual_info, mutual_info_sql
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(3000):
+        a = "x%d" % rng.randrange(3)
+        b = ("y%d" % rng.randrange(4)) if rng.random() > 0.05 else None
+        rows.append((a if rng.random() > 0.03 else None, b))
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = mutual_info(df, "a", "b").collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(mutual_info_sql("t", "a", "b")).fetchone()
+    assert repr(got["mi_nats"]) == repr(want[0]) and got["n"] == want[1]
+    # python replay for value sanity
+    clean = [(a, b) for a, b in rows if a is not None and b is not None]
+    n = len(clean)
+    from collections import Counter
+    o = Counter(clean); ra = Counter(a for a, _ in clean); cb = Counter(b for _, b in clean)
+    mi = sum((c / n) * math.log(n * c / (ra[a] * cb[b])) for (a, b), c in o.items())
+    assert abs(mi - got["mi_nats"]) < 1e-5
+    assert got["n"] == n
