@@ -386,3 +386,91 @@ def test_incremental_build_snapshots_each_batch(spark, tmp_path):
     assert sorted(r.preimage for r in v1.collect()) == ["alpha", "beta"]
     v2 = snap.read_snapshot(spark, db, 2)
     assert sorted(r.preimage for r in v2.collect()) == ["alpha", "beta", "gamma"]
+
+
+def test_stream_ewma_bit_matches_batch_across_batches(spark, tmp_path):
+    """The streamed EWMA must be BIT-identical to the batch operator on
+    the same inputs in the same order — including values that span the
+    micro-batch boundary (state carries the lag ring across drains)."""
+    import json
+
+    from shaha_spark.operators.timeseries import ewma
+    from shaha_spark.streaming import stream_ewma
+
+    rows = [
+        {"user_id": u, "event_id": i, "value": float((7 * i + u) % 23 + 1)}
+        for i in range(14)
+        for u in (1, 2)
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    # split mid-series so later rows depend on state from batch 1
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in rows if r["event_id"] < 8)
+    )
+    stream = spark.readStream.schema(
+        "user_id bigint, event_id bigint, value double"
+    ).json(str(src))
+    out = stream_ewma(stream, alpha=0.25, horizon=4)
+    ckpt = str(tmp_path / "ckpt")
+    collected: list = []
+
+    def drain():
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _bid: collected.extend(df.collect())
+            )
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    (src / "b2.json").write_text(
+        "\n".join(json.dumps(r) for r in rows if r["event_id"] >= 8)
+    )
+    drain()
+    streamed = {(r.key, r.order_id): r.ewma for r in collected}
+
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["event_id"], r["value"]) for r in rows],
+        "user_id bigint, event_id bigint, value double",
+    )
+    batch = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma(
+            batch_df, ["user_id"], ["event_id"], "value", alpha=0.25, horizon=4
+        ).collect()
+    }
+    assert set(streamed) == set(batch)
+    diffs = [k for k in batch if repr(streamed[k]) != repr(batch[k])]
+    assert not diffs, diffs[:5]
+
+
+def test_stream_ewma_null_values_dropped(spark, tmp_path):
+    from shaha_spark.streaming import stream_ewma
+
+    src = tmp_path / "evn"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        '{"user_id": 1, "event_id": 1, "value": 10.0}\n'
+        '{"user_id": 1, "event_id": 2, "value": null}\n'
+        '{"user_id": 1, "event_id": 3, "value": 30.0}\n'
+    )
+    stream = spark.readStream.schema(
+        "user_id bigint, event_id bigint, value double"
+    ).json(str(src))
+    collected: list = []
+    q = (
+        stream_ewma(stream, alpha=0.5, horizon=4)
+        .writeStream.foreachBatch(lambda df, _b: collected.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.order_id: r.ewma for r in collected}
+    assert set(got) == {1, 3}
+    # event 3 sees event 1 as its lag-1 (the NULL row never entered state)
+    assert abs(got[3] - (0.5 * 30 + 0.25 * 10) / 0.75) < 1e-12
