@@ -162,3 +162,110 @@ def test_prefix_predicate_column_matches_startswith_spark(spark):
     for i, p in enumerate(prefixes):
         expected = sum(1 for d in digests if d.startswith(p))
         assert counts[f"p{i}"] == expected, (i, p.hex())
+
+
+# ---- algebraic claims behind the round-8 operators (pure Python) ----
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(1, 500)),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 10),
+    st.integers(1, 8),
+)
+def test_two_phase_topk_equals_flat_topk(rows, k, buckets):
+    """weighted_reservoir's skew-proof claim: the top-k of the union of
+    per-bucket top-ks equals the flat top-k, for ANY key function and
+    bucketing. (sampling.weighted_reservoir phase-1/phase-2 design)"""
+    import hashlib
+
+    def key(rid, w):
+        h = int(hashlib.md5(str(rid).encode()).hexdigest()[:7], 16)
+        import math
+
+        return (round(math.log((h + 1) / 2**28), 9) / w, -rid)
+
+    flat = sorted(rows, key=lambda t: key(*t), reverse=True)[:k]
+    per_bucket: dict[int, list] = {}
+    for t in rows:
+        per_bucket.setdefault(t[0] % buckets, []).append(t)
+    survivors = [
+        t
+        for b in per_bucket.values()
+        for t in sorted(b, key=lambda t: key(*t), reverse=True)[:k]
+    ]
+    two_phase = sorted(survivors, key=lambda t: key(*t), reverse=True)[:k]
+    assert two_phase == flat
+
+
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=300),
+    st.integers(2, 16),
+    st.floats(0.001, 1.0),
+)
+def test_bucketed_prefix_sum_rank_selection_equals_flat(vals, n_buckets, q):
+    """quantile_disc's core claim: cumulative counts grouped through
+    order-preserving value buckets select the same rank-r element as a
+    flat sorted scan, for any data and bucket count."""
+    import math
+    from collections import Counter
+
+    per_v = sorted(Counter(vals).items())
+    n = len(vals)
+    rank = max(1, math.ceil(q * n))
+    # flat reference
+    cum = 0
+    flat_answer = None
+    for v, c in per_v:
+        cum += c
+        if flat_answer is None and cum >= rank:
+            flat_answer = v
+    # bucketed: same shape as the operator
+    lo, hi = per_v[0][0], per_v[-1][0]
+    width = (hi - lo) / n_buckets if hi > lo else 1
+    def bkt(v):
+        return min(int((v - lo) / width), n_buckets - 1) if hi > lo else 0
+    totals: dict[int, int] = {}
+    for v, c in per_v:
+        totals[bkt(v)] = totals.get(bkt(v), 0) + c
+    answer = None
+    for v, c in per_v:
+        b = bkt(v)
+        offset = sum(t for bb, t in totals.items() if bb < b)
+        within = sum(c2 for v2, c2 in per_v if bkt(v2) == b and v2 <= v)
+        if answer is None and offset + within >= rank:
+            answer = v
+    assert answer == flat_answer
+
+
+@given(
+    st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=60),
+    st.floats(0.05, 0.95),
+    st.integers(2, 20),
+)
+@settings(max_examples=60)
+def test_ewma_truncation_error_bounded_by_tail_weight(vals, alpha, horizon):
+    """timeseries.ewma's finite-horizon claim: the truncated
+    adjust=True EWMA differs from the untruncated one by at most the
+    dropped tail's weight share times the value range."""
+    def full(i):
+        ws = [alpha * (1 - alpha) ** k for k in range(i + 1)]
+        return sum(w * vals[i - k] for k, w in enumerate(ws)) / sum(ws)
+
+    def trunc(i):
+        kmax = min(i, horizon)
+        ws = [alpha * (1 - alpha) ** k for k in range(kmax + 1)]
+        return sum(w * vals[i - k] for k, w in enumerate(ws)) / sum(ws)
+
+    vmax = max(abs(v) for v in vals) or 1.0
+    for i in range(len(vals)):
+        if i <= horizon:
+            assert abs(full(i) - trunc(i)) < 1e-9 * vmax + 1e-12
+        else:
+            # tail share of total weight, conservatively doubled
+            tail = (1 - alpha) ** (horizon + 1)
+            assert abs(full(i) - trunc(i)) <= 2 * tail * vmax + 1e-9
