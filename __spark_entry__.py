@@ -3614,59 +3614,56 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_build_multi_algo(spark, "/root/testdata/sf0.001")
 
 
-#: Round-8 driver-window ordering. Two RE-VERIFICATION ANCHORS lead:
-#: ``events_ks`` and ``events_bootstrap_ci`` — their implementations
-#: changed in commit 2526fe0 (NULL d_stat guard; zero-weight replicate
-#: coalesce) AFTER their only driver-green rows (r06), so the driver
-#: must hash the shipped code (VERDICT r7 item #1). Standing rule: any
-#: operator edited after its latest green row gets anchored into the
-#: next window. The remaining 48 slots are the mechanical
-#: least-recently-verified backfill from scripts/plan_window.py
-#: (the r04 cohort, oldest-first; see WINDOW_r8.txt) — the last two
-#: recommendations (profile_lineitem, words_intersect) are displaced
-#: by the anchors and roll to r9.
+#: Round-9 driver-window ordering. Anchor-rule check at rotation time:
+#: NO operator's semantics changed after its latest driver-green row
+#: (the six round-8 additions went green first-window in
+#: CORRECTNESS_r08), so the window is the pure mechanical
+#: least-recently-verified backfill from scripts/plan_window.py — the
+#: r04/r05 tail displaced by round 8's anchors+new entries
+#: (see WINDOW_r9.txt). Standing rule: any operator edited after its
+#: latest green row this round gets anchored to the window front
+#: (WINDOW_ANCHORS) in the same commit as the edit; brand-new entries
+#: go to the never-verified front, each displacing one backfill slot
+#: from the tail.
 #: Entries allowed to precede the never-driver-verified block in the
 #: registry (tests/test_coverage_guard.py): re-verification anchors
 #: whose current oracle postdates their newest driver row.
-WINDOW_ANCHORS: list[str] = ["events_ks", "events_bootstrap_ci"]
+WINDOW_ANCHORS: list[str] = []
 
-R8_WINDOW_ORDER = [
-    # anchors (code changed post-r06-green; driver re-proof required)
-    "events_ks", "events_bootstrap_ci",
-    # round-8 NEW entries (never driver-verified — window front;
-    # each displaces one backfill slot from the tail)
-    "events_quantile_disc", "docs_weighted_reservoir",
-    "events_trend", "events_autocorr", "events_ewma",
-    "docs_mutual_info",
-    # least-recently-verified backfill (r04 cohort)
-    "docs_packed", "tpch_q12", "similarity_ivf", "emb_sq_topk",
-    "emb_prefix_topk", "events_cube", "events_nearest_join",
-    "events_cdc_snapshot", "emb_prefix_ndcg", "snapshot_time_travel",
-    "multimodal_dedup", "events_cumulative_users", "orders_basket_rules",
-    "docs_bm25", "dq_referential", "snapshot_row_diff",
-    "docs_clf_report", "docs_calibration", "docs_auc", "docs_overview",
-    "dq_functional", "events_value_percentile", "events_audience_overlap",
-    "docs_hapax_ratio", "emb_silhouette", "docs_freshness",
-    "events_streaks", "events_benford", "words_freq_of_freqs",
-    "words_collocations", "events_cohort_value", "users_survival",
-    "docs_rank_fusion", "events_active_time", "dedup_cluster_sizes",
-    "lineitem_weighted_median", "events_session_paths",
-    "events_mean_shift", "events_chi_square", "events_key_skew",
-    "events_mad_outliers", "orders_set_similarity",
+R9_WINDOW_ORDER = [
+    # least-recently-verified backfill (r04 tail, then the r05 cohort —
+    # 4 rounds stale, oldest greens in the registry)
+    "words_trigram_fuzzy", "emb_ivf_index_topk", "orders_pair_triangles",
+    "events_ab_welch", "docs_psi_drift", "emb_ann_recall",
+    "profile_lineitem", "words_intersect", "words_except",
+    "dedup_exact", "dedup_minhash_sigs", "dedup_minhash_pairs",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_minhash_survivors", "similarity_topk", "embedding_near_dup",
+    "text_token_count", "text_quality", "text_langid",
+    "text_fingerprint", "multimodal_meta", "events_interarrival",
+    "events_pit_join", "events_rollup_incremental", "docs_source_cap",
+    "docs_ppl_buckets", "events_gapfill", "events_debounce",
+    "users_scd2", "docs_line_dedup", "docs_dup_span_removed",
+    "docs_temperature_rates", "docs_temperature_resample",
+    "docs_dsir_weights", "docs_dsir_topk", "docs_top_keywords",
+    "docs_redact", "dedup_keep_best", "docs_hashed_features",
+    "docs_logreg_score", "emb_semantic_dedup", "emb_pq_topk",
+    "emb_ivf_pq_topk", "docs_bpe_encode", "docs_char_entropy",
+    "docs_trigram_backoff", "docs_curated", "docs_postings_stats",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness harness checks the FIRST 50
-    # entries only. Round-8 layout: R8_WINDOW_ORDER = 2 re-verification
-    # anchors (WINDOW_ANCHORS — code changed after their latest green
-    # row) + 48 least-recently-verified backfill (r04 cohort);
-    # everything else keeps its registry order after it.
-    # tests/test_coverage_guard.py enforces the invariant.
+    # entries only. Round-9 layout: R9_WINDOW_ORDER = 50 slots of pure
+    # least-recently-verified backfill (the r04 tail + r05 cohort; no
+    # anchors — no operator semantics changed after its latest green
+    # row at rotation time); everything else keeps its registry order
+    # after it. tests/test_coverage_guard.py enforces the invariant.
     merged = dict(_queries_prior())
     merged.update(queries_r4())
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in R8_WINDOW_ORDER:
+    for name in R9_WINDOW_ORDER:
         out[name] = merged[name]
     for name, fn in merged.items():
         out.setdefault(name, fn)
