@@ -165,6 +165,15 @@ def weighted_reservoir(
     single IEEE op on identical operands. Ties (possible after
     rounding) break on ``key_col`` ascending in both engines.
 
+    Precondition: ``key_col`` must be UNIQUE within the sampled frame.
+    Uniqueness is what makes the per-row ``u`` values independent
+    draws (duplicate keys share one hash, i.e. one draw), and it is
+    what makes the tiebreak total — rows tied on ``(res_key,
+    key_col)`` would otherwise get engine-dependent ``row_number``
+    assignment and diverge from the oracle. Pass a row-unique id
+    (``doc_id``, ``event_id``, a composed concat) — never a
+    repeating attribute.
+
     Scale: a single per-stratum top-k window is the textbook shape but
     serializes a hot stratum through one partition. This runs the
     standard two-phase top-k instead: phase 1 ranks within

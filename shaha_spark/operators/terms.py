@@ -812,7 +812,14 @@ def unigram_logprob(
     score pass is a broadcast join + one hash-agg on the doc id.
     """
     toks = tokens(docs, text_col, id_col)
-    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    # lazy checkpoint: the vocabulary-sized LM feeds BOTH the total
+    # count and the per-term log table — without the boundary each
+    # consumer re-derives the token explode from the fact scan
+    lm = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     total = lm.agg(F.sum("tf").alias("total"))
     lp = lm.crossJoin(F.broadcast(total)).select(
         "term",

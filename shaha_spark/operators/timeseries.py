@@ -600,7 +600,12 @@ def ewma_sql(
     therefore materialized as its own column in the windowed CTE and
     only plain column ADDS remain in the outer projection; the window
     operator between the two projections is a hard optimizer boundary,
-    so the products can never be re-inlined into the add chain."""
+    so the products can never be re-inlined into the add chain.
+
+    The default ``select='*'`` excludes the internal ``__t0..__tK`` /
+    ``__den`` helper columns (DuckDB ``* EXCLUDE``), so the twin's
+    column set matches the Spark operator's without callers having to
+    enumerate a select list (r8 ADVICE)."""
     weights = [alpha * (1.0 - alpha) ** k for k in range(horizon + 1)]
     denoms = []
     acc = 0.0
@@ -629,6 +634,11 @@ def ewma_sql(
     tcols_sql = ",\n    ".join(tcols)
     addchain = " + ".join(f"__t{k}" for k in range(horizon + 1))
     dlist = "[" + ", ".join(_dlit(d) for d in denoms) + "]"
+    if select == "*":
+        helpers = ", ".join(
+            [f"__t{k}" for k in range(horizon + 1)] + ["__den"]
+        )
+        select = f"* EXCLUDE ({helpers})"
     return f"""WITH s AS (
   SELECT *, {tcols_sql},
     {dlist}[LEAST(row_number() {over}, {horizon + 1})] AS __den

@@ -82,11 +82,20 @@ def stream_ewma(
 
     Rows with NULL values are dropped before the state update, exactly
     like the batch twin's pre-filter.
+
+    Output columns are ``key`` / ``order_id`` / ``ewma``; the key and
+    order field TYPES are taken from the input schema, so string user
+    keys or timestamp order columns work the same as bigints.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     if horizon < 0:
         raise ValueError(f"horizon must be >= 0, got {horizon}")
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StructField, StructType,
+    )
+
     weights = [alpha * (1.0 - alpha) ** k for k in range(horizon + 1)]
     denoms = []
     acc = 0.0
@@ -94,42 +103,61 @@ def stream_ewma(
         acc += c
         denoms.append(acc)
     keep = horizon + 1
+    den_by_count = np.asarray(denoms, dtype=np.float64)
+    w = [np.float64(c) for c in weights]
 
     def _update(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        hist: list[float] = list(state.get[0]) if state.exists else []
+        prev: list[float] = list(state.get[0]) if state.exists else []
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch[batch[value_col].notna()].sort_values(order_col)
-        orders, outs = [], []
-        for _, row in batch.iterrows():
-            hist.append(float(row[value_col]))
-            if len(hist) > keep:
-                hist = hist[-keep:]
-            # identical IEEE sequence to the batch operator: k=0..K
-            # left-associated, absent lags contribute w_k * 0.0
-            num = weights[0] * hist[-1]
+        vals = batch[value_col].to_numpy(dtype=np.float64)
+        m = len(vals)
+        if m:
+            # Shifted-column formulation, bit-identical to the scalar
+            # loop: row i's lag-k value is full[K + n_prev + i - k] in
+            # the zero-left-padded history (absent lags are the same
+            # w_k * 0.0 terms), and the k=0..K accumulation below is
+            # elementwise float64, preserving the left-associated IEEE
+            # sequence per row.
+            n_prev = len(prev)
+            full = np.concatenate(
+                [np.zeros(horizon, dtype=np.float64), prev, vals]
+            )
+            base = horizon + n_prev
+            num = w[0] * full[base : base + m]
             for k in range(1, horizon + 1):
-                v = hist[-1 - k] if k < len(hist) else 0.0
-                num = num + weights[k] * v
-            outs.append(num / denoms[min(len(hist), keep) - 1])
-            orders.append(row[order_col])
+                num = num + w[k] * full[base - k : base - k + m]
+            counts = np.minimum(n_prev + np.arange(1, m + 1), keep)
+            out = num / den_by_count[counts - 1]
+        hist = [float(v) for v in np.concatenate([prev, vals])[-keep:]]
         state.update((hist,))
-        if orders:
+        if m:
             yield pd.DataFrame(
                 {
-                    "key": [key[0]] * len(orders),
-                    "order_id": orders,
-                    "ewma": outs,
+                    "key": [key[0]] * m,
+                    "order_id": batch[order_col].to_numpy(),
+                    "ewma": out,
                 }
             )
 
+    out_type = StructType(
+        [
+            StructField("key", events.schema[key_col].dataType),
+            StructField("order_id", events.schema[order_col].dataType),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    state_type = StructType(
+        [StructField("vals", ArrayType(DoubleType()))]
+    )
     return events.groupBy(key_col).applyInPandasWithState(
         _update,
-        outputStructType="key bigint, order_id bigint, ewma double",
-        stateStructType="vals array<double>",
+        outputStructType=out_type,
+        stateStructType=state_type,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -67,19 +67,35 @@ GLOBAL_WINDOW_OK = {
 #: the lint exists to catch (the round-5 audit found a curation chain
 #: re-running its upstream 24 times because each stage's keep-set join
 #: consumed the same lineage twice; see pipeline/curate.py).
-SCAN_REPEAT_OK: dict[str, dict[str, int]] = {}
+SCAN_REPEAT_OK: dict[str, dict[str, int]] = {
+    "emb_ann_recall": {
+        # The recall GATE deliberately runs BOTH retrieval pipelines —
+        # exact brute-force (corpus + query side) and IVF (assignment
+        # + probed search) — over the same table and joins their
+        # top-k lists; the passes are independent by construction
+        # (comparing two pipelines IS the operator). Production runs
+        # the gate on a sample, not the corpus.
+        "embeddings": 4,
+    },
+}
 
 #: A table scanned more than this many times in one query is flagged
-#: unless enrolled above with its independent-passes argument. Four is
+#: unless enrolled above with its independent-passes argument. Three is
 #: the ceiling the legitimate multi-pass queries need (hash-split LM
 #: train+score halves, dim-stats + encode + re-rank ANN stages,
 #: self-join sides + marginals + totals — all independent single
-#: passes); Catalyst's join-strategy choice can also move a borderline
-#: plan by one scan depending on session history, so a threshold of 3
-#: was order-sensitive in the full suite. The compounding re-derivation
-#: this lint exists to catch starts far above 4 (measured 6-24 before
-#: the round-5 stage boundaries).
-SCAN_REPEAT_THRESHOLD = 4
+#: passes). Tightened from 4 in r9 (VERDICT r8 #4: a 4-scan
+#: single-statistic plan — events_quantile_disc — passed the old
+#: threshold; its fix was a lazy localCheckpoint on the
+#: twice-consumed per-value agg, and a full registry audit after it
+#: found NO query above 3). Catalyst's join-strategy choice can move a
+#: borderline plan by one scan depending on session history — if a
+#: legitimately-3-scan query flips to 4 under suite ordering, enroll
+#: it in SCAN_REPEAT_OK with ceiling 4 and the argument, don't raise
+#: this back. The compounding re-derivation this lint exists to catch
+#: starts far above this (measured 6-24 before the round-5 stage
+#: boundaries).
+SCAN_REPEAT_THRESHOLD = 3
 
 
 @pytest.fixture(scope="module")

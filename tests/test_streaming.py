@@ -474,3 +474,36 @@ def test_stream_ewma_null_values_dropped(spark, tmp_path):
     assert set(got) == {1, 3}
     # event 3 sees event 1 as its lag-1 (the NULL row never entered state)
     assert abs(got[3] - (0.5 * 30 + 0.25 * 10) / 0.75) < 1e-12
+
+
+def test_stream_ewma_string_key(spark, tmp_path):
+    """Output key/order field types come from the input schema — a
+    string user key must work (r8 ADVICE: the hardcoded bigint
+    outputStructType broke or nulled non-bigint keys)."""
+    from shaha_spark.streaming import stream_ewma
+
+    src = tmp_path / "evs"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        '{"user_id": "alice", "event_id": 1, "value": 10.0}\n'
+        '{"user_id": "alice", "event_id": 2, "value": 20.0}\n'
+        '{"user_id": "bob", "event_id": 1, "value": 5.0}\n'
+    )
+    stream = spark.readStream.schema(
+        "user_id string, event_id bigint, value double"
+    ).json(str(src))
+    collected: list = []
+    q = (
+        stream_ewma(stream, alpha=0.5, horizon=4)
+        .writeStream.foreachBatch(lambda df, _b: collected.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.key, r.order_id): r.ewma for r in collected}
+    assert set(got) == {("alice", 1), ("alice", 2), ("bob", 1)}
+    assert got[("alice", 1)] == 10.0
+    assert abs(got[("alice", 2)] - (0.5 * 20 + 0.25 * 10) / 0.75) < 1e-12
+    assert got[("bob", 1)] == 5.0
