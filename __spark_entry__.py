@@ -485,6 +485,52 @@ def q_docs_mutual_info(spark, sf_dir):
     return mutual_info(_t(spark, sf_dir, "documents"), "lang", "source")
 
 
+def q_events_rolling_median(spark, sf_dir):
+    """Per-user rolling median of event value over the trailing 7
+    observed events (operators/timeseries.py rolling_quantile) — the
+    robust, outlier-insensitive sibling of events_ewma. Type-1
+    quantile (1-based rank max(1, ceil(q·n))), bounded rows frame, one
+    window pass per user partition; the result is a data element, so
+    cross-engine exactness needs only the single ceil(q·n) multiply."""
+    from shaha_spark.operators.timeseries import rolling_quantile
+
+    return rolling_quantile(
+        _events(spark, sf_dir),
+        ["user_id"],
+        ["tus", "event_id"],
+        "value",
+        q=0.5,
+        window_rows=7,
+    ).select("event_id", "user_id", F.col("rq").alias("roll_median"))
+
+
+def q_events_seasonality(spark, sf_dir):
+    """Day-of-week × hour-of-day seasonal profile of event values
+    (operators/timeseries.py seasonal_profile): count, decimal-exact
+    mean, and the seasonal index (cell mean / grand mean) per calendar
+    cell. Pure integer calendar arithmetic on epoch micros (timezone-
+    free, engine-library-free); ONE fact-table aggregation to ≤168
+    cells, grand totals from a window over those cells."""
+    from shaha_spark.operators.timeseries import seasonal_profile
+
+    return seasonal_profile(_events(spark, sf_dir), "tus", "value")
+
+
+def q_docs_isotonic(spark, sf_dir):
+    """Isotonic (PAV) calibration of the demo classifier against the
+    lang=='en' label (operators/classifier.py isotonic_fit): per
+    equal-width score bin, the monotone-non-decreasing weighted-least-
+    squares fit of the positive rate, via the minimax closed form —
+    max_{j≤i} min_{k≥i} avg(j..k) — over exact integer prefix sums.
+    One data-proportional hash agg; the O(bins³) candidate triples are
+    broadcast-sized (bins=16 here), constant in the data size."""
+    from shaha_spark.operators.classifier import isotonic_fit
+
+    return isotonic_fit(
+        _scored_with_label(spark, sf_dir), "label", bins=16
+    )
+
+
 def q_tpch_q3(spark, sf_dir):
     _utc(spark)
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -2497,6 +2543,25 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
         horizon=8,
         select="event_id, user_id",
     )
+
+    from shaha_spark.operators.timeseries import (
+        rolling_quantile_sql,
+        seasonal_profile_sql,
+    )
+
+    sql["events_rolling_median"] = rolling_quantile_sql(
+        "(SELECT *, epoch_us(ts) AS tus FROM events)",
+        ["user_id"],
+        "tus, event_id",
+        "value",
+        q=0.5,
+        window_rows=7,
+        out_col="roll_median",
+        select="event_id, user_id",
+    )
+    sql["events_seasonality"] = seasonal_profile_sql(
+        "events", "epoch_us(ts)", "value"
+    )
     sql["docs_weighted_reservoir"] = weighted_reservoir_sql(
         "documents",
         5,
@@ -3626,12 +3691,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: counts), ``words_collocations`` (token total as sum over the
 #: checkpointed unigram counts). The other rescan fixes are pure
 #: lazy-localCheckpoint insertions — bit-identical by construction,
-#: re-proved by the full local oracle suite. Remaining slots are the
-#: mechanical least-recently-verified backfill from
-#: scripts/plan_window.py — the r04/r05 tail displaced by round 8's
-#: anchors+new entries (see WINDOW_r9.txt); docs_postings_stats,
-#: docs_curated and docs_trigram_backoff are displaced by the anchors
-#: and roll to r10.
+#: re-proved by the full local oracle suite. Next come round 9's THREE
+#: NEW never-driver-verified entries (events_rolling_median,
+#: events_seasonality, docs_isotonic — concept-grep, VERDICT r8 #8).
+#: Remaining slots are the mechanical least-recently-verified backfill
+#: from scripts/plan_window.py — the r04/r05 tail displaced by round
+#: 8's anchors+new entries (see WINDOW_r9.txt); docs_postings_stats,
+#: docs_curated, docs_trigram_backoff (displaced by the anchors) and
+#: emb_ivf_pq_topk, docs_bpe_encode, docs_char_entropy (displaced by
+#: the new entries) roll to r10.
 #: Entries allowed to precede the never-driver-verified block in the
 #: registry (tests/test_coverage_guard.py): re-verification anchors
 #: whose current oracle postdates their newest driver row.
@@ -3642,6 +3710,8 @@ WINDOW_ANCHORS: list[str] = [
 R9_WINDOW_ORDER = [
     # anchors (derivations restructured post-r08-green; driver re-proof)
     "events_quantile_disc", "events_ks", "words_collocations",
+    # round-9 additions — never driver-verified, must sit in-window
+    "events_rolling_median", "events_seasonality", "docs_isotonic",
     # least-recently-verified backfill (r04 tail, then the r05 cohort —
     # 4 rounds stale, oldest greens in the registry)
     "words_trigram_fuzzy", "emb_ivf_index_topk", "orders_pair_triangles",
@@ -3659,7 +3729,6 @@ R9_WINDOW_ORDER = [
     "docs_dsir_weights", "docs_dsir_topk", "docs_top_keywords",
     "docs_redact", "dedup_keep_best", "docs_hashed_features",
     "docs_logreg_score", "emb_semantic_dedup", "emb_pq_topk",
-    "emb_ivf_pq_topk", "docs_bpe_encode", "docs_char_entropy",
 ]
 
 
@@ -3693,6 +3762,10 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_autocorr": q_events_autocorr,
         "events_ewma": q_events_ewma,
         "docs_mutual_info": q_docs_mutual_info,
+        # round-9 additions (concept-grep, VERDICT r8 #8)
+        "events_rolling_median": q_events_rolling_median,
+        "events_seasonality": q_events_seasonality,
+        "docs_isotonic": q_docs_isotonic,
         "sketch_cms_words": q_sketch_cms,
         "dedup_bloom_screen": q_dedup_bloom_screen,
         "docs_chunked": q_docs_chunked,
@@ -5766,6 +5839,12 @@ SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
   CASE WHEN tp + fp + fn + tn = 0 THEN 0.0
        ELSE round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 9) END AS accuracy
 FROM agg"""
+
+    from shaha_spark.operators.classifier import isotonic_fit_sql
+
+    sql["docs_isotonic"] = isotonic_fit_sql(
+        "scored", "lab", "p", bins=16, prelude_ctes=scored_cte
+    )
 
     sql["docs_calibration"] = f"""WITH {scored_cte},
 binned AS (

@@ -553,3 +553,171 @@ def roc_auc(
         F.col("__P").cast("bigint").alias("n_pos"),
         F.col("__N").cast("bigint").alias("n_neg"),
     )
+
+
+def isotonic_fit(
+    scored: DataFrame,
+    label_col: str,
+    prob_col: str = "quality_prob",
+    bins: int = 64,
+) -> DataFrame:
+    """Isotonic calibration (PAV) of a classifier score against a
+    binary label, over equal-width score bins: per bin, the count,
+    decimal-exact mean predicted probability, raw positive rate, and
+    the ISOTONIC fit — the best monotone-non-decreasing approximation
+    of the positive rate in weighted least squares. The standard
+    calibration map when Platt's sigmoid is too rigid; `iso_fit`
+    replaces the raw (possibly non-monotone) reliability curve of
+    :func:`calibration_bins` as the score→probability lookup.
+
+    Pool-adjacent-violators is an inherently sequential sweep — a
+    driver loop at best, a scale wall at worst. This implementation
+    uses the CLOSED FORM instead (Barlow-Bartholomew-Bremner-Brunk
+    minimax characterization):
+
+        fit_i = max_{j<=i} min_{k>=i} avg(pos rate over bins j..k)
+
+    which is pure relational algebra over the BIN table. Binning
+    first is what makes that affordable AND distributed: the fact
+    table contributes ONE data-proportional hash aggregation (map-side
+    partials, same shape as calibration_bins), and the minimax runs
+    over at most ``bins`` rows — the O(bins³) candidate triples
+    (≤ 64³ ≈ 2.6e5) are a broadcast-sized self-join, constant in the
+    data size. No driver loop, no iteration, no global sort.
+
+    Determinism: interval averages are single IEEE divisions of EXACT
+    integer prefix sums (counts and 0/1-label sums, both < 2^53 by
+    the bigint domain), so every candidate value is bit-identical
+    across engines and min/max pick identical elements; the output
+    rounds through the fixed 9-decimal recipe. NULL probabilities are
+    excluded; empty bins simply don't appear (the fit is over observed
+    bins — the same convention as calibration_bins).
+    """
+    lab = F.col(label_col).cast("boolean")
+    binned = scored.where(F.col(prob_col).isNotNull()).select(
+        F.col(prob_col),
+        lab.alias("__lab"),
+        F.least(
+            F.lit(bins - 1),
+            F.floor(F.col(prob_col) * F.lit(float(bins))).cast("int"),
+        ).alias("bin"),
+    )
+    b = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("__lab"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__pos"),
+        F.sum(F.round(F.col(prob_col), 6).cast("decimal(16,6)")).alias(
+            "__psum"
+        ),
+    )
+    w_pre = Window.orderBy(F.col("bin").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # ≤ bins rows from here on: the single-partition window and the
+    # nested-loop self-joins below are bounded by the bin count, never
+    # by the data (the documented small-n escape hatch, cf. dedup.py)
+    pre = b.select(
+        "bin",
+        "n",
+        "__pos",
+        "__psum",
+        F.sum("n").over(w_pre).cast("bigint").alias("__cumn"),
+        F.sum("__pos").over(w_pre).cast("bigint").alias("__cump"),
+    ).localCheckpoint(eager=False)
+    j = pre.select(
+        F.col("bin").alias("__bj"),
+        (F.col("__cumn") - F.col("n")).alias("__lon"),
+        (F.col("__cump") - F.col("__pos")).alias("__lop"),
+    )
+    k = pre.select(
+        F.col("bin").alias("__bk"),
+        F.col("__cumn").alias("__hin"),
+        F.col("__cump").alias("__hip"),
+    )
+    pairs = j.join(F.broadcast(k), F.col("__bj") <= F.col("__bk")).select(
+        "__bj",
+        "__bk",
+        (
+            (F.col("__hip") - F.col("__lop")).cast("double")
+            / (F.col("__hin") - F.col("__lon")).cast("double")
+        ).alias("__a"),
+    )
+    mins = (
+        pre.select(F.col("bin"))
+        .join(
+            F.broadcast(pairs),
+            (F.col("__bj") <= F.col("bin")) & (F.col("__bk") >= F.col("bin")),
+        )
+        .groupBy("bin", "__bj")
+        .agg(F.min("__a").alias("__m"))
+    )
+    iso = mins.groupBy("bin").agg(F.max("__m").alias("__fit"))
+    return (
+        pre.join(iso, "bin")
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            "n",
+            F.round(
+                split_cast_double(F.col("__psum"), 6) / F.col("n"), 9
+            ).alias("mean_prob"),
+            F.round(
+                F.col("__pos").cast("double") / F.col("n").cast("double"), 9
+            ).alias("pos_rate"),
+            F.round(F.col("__fit"), 9).alias("iso_fit"),
+        )
+    )
+
+
+def isotonic_fit_sql(
+    scored_table: str,
+    label_col: str = "lab",
+    prob_col: str = "p",
+    bins: int = 64,
+    prelude_ctes: str = "",
+) -> str:
+    """DuckDB oracle twin of :func:`isotonic_fit` — the same binning,
+    the same exact integer prefix sums, the same minimax join shape,
+    and the same single-division + round-9 IEEE sequence per
+    candidate, so min/max select identical bit patterns.
+    ``scored_table`` must expose ``{prob_col}`` (double in [0,1]) and
+    boolean-castable ``{label_col}``; ``prelude_ctes`` splices caller
+    CTEs (e.g. the shared scorer) ahead of the twin's own (pass
+    WITHOUT the ``WITH`` keyword, WITH the trailing comma omitted)."""
+    from shaha_spark.operators.profile import split_cast_double_sql
+
+    prelude = f"{prelude_ctes},\n" if prelude_ctes else ""
+    return f"""WITH {prelude}binned AS (
+  SELECT {prob_col} AS p, CAST({label_col} AS BOOLEAN) AS lab,
+         LEAST({bins - 1}, CAST(FLOOR({prob_col} * {float(bins)!r}) AS INTEGER)) AS bin
+  FROM {scored_table} WHERE {prob_col} IS NOT NULL
+),
+b AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         SUM(CAST(round(p, 6) AS DECIMAL(16,6))) AS psum
+  FROM binned GROUP BY bin
+),
+pre AS (
+  SELECT bin, n, pos, psum,
+         CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cumn,
+         CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cump
+  FROM b
+),
+pairs AS (
+  SELECT j.bin AS bj, k.bin AS bk,
+         CAST(k.cump - (j.cump - j.pos) AS DOUBLE)
+           / CAST(k.cumn - (j.cumn - j.n) AS DOUBLE) AS a
+  FROM pre j JOIN pre k ON j.bin <= k.bin
+),
+mins AS (
+  SELECT i.bin, p.bj, MIN(p.a) AS m
+  FROM pre i JOIN pairs p ON p.bj <= i.bin AND p.bk >= i.bin
+  GROUP BY i.bin, p.bj
+),
+iso AS (SELECT bin, MAX(m) AS fit FROM mins GROUP BY bin)
+SELECT pre.bin, pre.n,
+  round({split_cast_double_sql('pre.psum', 6)} / pre.n, 9) AS mean_prob,
+  round(CAST(pre.pos AS DOUBLE) / CAST(pre.n AS DOUBLE), 9) AS pos_rate,
+  round(iso.fit, 9) AS iso_fit
+FROM pre JOIN iso USING (bin)"""

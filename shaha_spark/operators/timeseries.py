@@ -645,3 +645,190 @@ def ewma_sql(
   FROM {table} WHERE {value_col} IS NOT NULL
 )
 SELECT {select}, ({addchain}) / __den AS {out_col} FROM s"""
+
+
+def rolling_quantile(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    q: float = 0.5,
+    window_rows: int = 7,
+    out_col: str = "rq",
+) -> DataFrame:
+    """Exact rolling discrete quantile per series: for each row, the
+    type-1 quantile (inverse ECDF — DuckDB's ``quantile_disc``
+    convention, 1-based rank ``max(1, ceil(q·n))``) of the value over
+    the trailing ``window_rows`` observed rows, itself included.
+
+    The rolling-median/percentile feature is the robust sibling of
+    :func:`ewma` — outlier-insensitive smoothing and the basis of
+    rolling-MAD anomaly bands. Reference parity: none (no time-series
+    surface in the reference); extension-layer, same family as ewma.
+
+    Scale shape: identical to ewma — ONE window pass per series
+    partition (series_cols must be data-proportional), bounded
+    per-row cost: the frame holds at most ``window_rows`` values, so
+    the collect+sort is O(W log W) per row with W a SMALL CONSTANT
+    (this is NOT the unbounded-frame collect_list anti-pattern; the
+    rows-frame bound is what licenses it, exactly like ewma's K lags).
+    No join, no second shuffle.
+
+    Determinism: the result is a data ELEMENT, not arithmetic — the
+    frame's values are sorted (doubles: total order, no NaN by the
+    NULL-filter + IEEE) and the element at the exact integer rank is
+    returned; the only float op is the single multiply inside
+    ``ceil(q·n)``, the same two operands in both engines. Rows with
+    NULL values are excluded BEFORE windowing (rank statistics of
+    observed values), mirroring ewma.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    filtered = df.where(F.col(value_col).isNotNull())
+    vals = F.sort_array(
+        F.collect_list(F.col(value_col).cast("double")).over(w)
+    )
+    n = F.size(vals)
+    rank = F.greatest(
+        F.lit(1),
+        F.ceil(F.lit(float(q)) * n.cast("double")).cast("int"),
+    )
+    return filtered.withColumn(out_col, F.element_at(vals, rank))
+
+
+def rolling_quantile_sql(
+    table: str,
+    series_cols: list[str],
+    order_by: str,
+    value_col: str,
+    q: float = 0.5,
+    window_rows: int = 7,
+    out_col: str = "rq",
+    select: str = "*",
+) -> str:
+    """DuckDB oracle twin of :func:`rolling_quantile` — the same
+    trailing rows frame, the same explicit list-sort + 1-based
+    ``max(1, ceil(q·n))`` element selection (NOT the engine's windowed
+    ``quantile_disc``, whose internal rank arithmetic is unspecified),
+    and the same ``CAST('repr' AS DOUBLE)`` q literal so the single
+    float multiply sees identical operands."""
+    part = ", ".join(series_cols)
+    over = (
+        f"OVER (PARTITION BY {part} ORDER BY {order_by} "
+        f"ROWS BETWEEN {window_rows - 1} PRECEDING AND CURRENT ROW)"
+    )
+    lst = f"list_sort(list(CAST({value_col} AS DOUBLE)) {over})"
+    rank = (
+        f"CAST(greatest(1, ceil(CAST('{float(q)!r}' AS DOUBLE) * "
+        f"CAST(len({lst}) AS DOUBLE))) AS BIGINT)"
+    )
+    return f"""SELECT {select}, ({lst})[{rank}] AS {out_col}
+FROM {table} WHERE {value_col} IS NOT NULL"""
+
+
+def seasonal_profile(
+    df: DataFrame,
+    tus_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Day-of-week × hour-of-day seasonal profile: per calendar cell,
+    the observation count, the decimal-exact mean value, and the
+    seasonal index (cell mean / grand mean — >1 means the cell runs
+    hot). The one-pass seasonal-decomposition readout behind load
+    forecasting, anomaly baselines ("is Tuesday 3am supposed to be
+    this quiet?"), and crawl scheduling.
+
+    Calendar arithmetic is PURE INTEGER on the epoch-microsecond
+    column — ``dow = (tus div 86400e6 + 4) % 7`` (epoch day 0 was a
+    Thursday; 0 = Sunday to match both engines' dayofweek-free
+    convention here) and ``hod = (tus div 3600e6) % 24`` — identical
+    in both engines and independent of any session timezone or date
+    library (UTC by construction).
+
+    Scale: ONE data-proportional hash aggregation (map-side partials)
+    to at most 168 cells; the grand totals come from a window over
+    those ≤168 rows — the fact table is scanned exactly once and
+    nothing bigger than the calendar grid is ever re-shuffled.
+    Determinism: exact decimal sums; mean and index go through
+    split_cast_double and a fixed 9-decimal-rounded IEEE op sequence.
+    """
+    from shaha_spark.operators.profile import split_cast_double
+
+    f = df.where(F.col(value_col).isNotNull())
+    cells = (
+        f.select(
+            F.expr(f"(({tus_col} div 86400000000) + 4) % 7").alias("dow"),
+            F.expr(f"({tus_col} div 3600000000) % 24").alias("hod"),
+            F.col(value_col),
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.round(F.col(value_col), 6).cast("decimal(28,6)")
+            ).alias("__s"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = cells.select(
+        "dow",
+        "hod",
+        "n",
+        "__s",
+        F.sum("n").over(w_all).alias("__gn"),
+        F.sum("__s").over(w_all).alias("__gs"),
+    )
+    cell_mean = split_cast_double(F.col("__s"), 6) / F.col("n").cast("double")
+    grand_mean = split_cast_double(F.col("__gs"), 6) / F.col("__gn").cast(
+        "double"
+    )
+    return with_tot.select(
+        "dow",
+        "hod",
+        "n",
+        F.round(cell_mean, 9).alias("mean_value"),
+        F.round(cell_mean / grand_mean, 9).alias("seasonal_index"),
+    )
+
+
+def seasonal_profile_sql(
+    table: str,
+    tus_expr: str,
+    value_col: str,
+) -> str:
+    """DuckDB oracle twin of :func:`seasonal_profile` — the same
+    integer calendar arithmetic (`//` matches Spark's ``div`` on the
+    non-negative epoch domain), the same decimal sums, the same
+    split-cast + single-division + round-9 IEEE sequence for mean and
+    index."""
+    from shaha_spark.operators.profile import split_cast_double_sql
+
+    cm = f"({split_cast_double_sql('s', 6)} / CAST(n AS DOUBLE))"
+    gm = f"({split_cast_double_sql('gs', 6)} / CAST(gn AS DOUBLE))"
+    return f"""WITH cells AS (
+  SELECT (({tus_expr}) // 86400000000 + 4) % 7 AS dow,
+         (({tus_expr}) // 3600000000) % 24 AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(round({value_col}, 6) AS DECIMAL(28,6))) AS s
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT dow, hod, n, s,
+         CAST(SUM(n) OVER () AS BIGINT) AS gn,
+         CAST(SUM(s) OVER () AS DECIMAL(38,6)) AS gs
+  FROM cells
+)
+SELECT dow, hod, n,
+  round({cm}, 9) AS mean_value,
+  round({cm} / {gm}, 9) AS seasonal_index
+FROM tot"""

@@ -99,6 +99,12 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
         "per-item frequency table: |items| rows, prefix-filter side",
     ("shaha_spark/operators/chunking.py", "pack_sequences", "offsets"):
         "per-bucket offsets: n/BLOCK rows (distributed prefix sum)",
+    ("shaha_spark/operators/classifier.py", "isotonic_fit", "k"):
+        "per-bin prefix sums: ≤ bins rows (64 default) — the minimax "
+        "self-join side, constant in the data size",
+    ("shaha_spark/operators/classifier.py", "isotonic_fit", "pairs"):
+        "interval-average candidates: ≤ bins(bins+1)/2 rows "
+        "(≈2k at bins=64), constant in the data size",
     ("shaha_spark/operators/embeddings.py", "sq_topk", "qcodes"): _QUERY,
     ("shaha_spark/operators/embeddings.py", "sq_topk", "cands"):
         _QUERY + " (k*|queries| candidate ids after stage A)",

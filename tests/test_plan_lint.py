@@ -57,6 +57,9 @@ GLOBAL_WINDOW_OK = {
                             "(n_buckets=256 rows at any scale — the "
                             "ks_2samp distributed prefix-sum shape, "
                             "profile.quantile_disc)",
+    "events_seasonality": "grand totals over calendar cells (≤168 "
+                          "rows — 7 dow × 24 hod — at any scale, "
+                          "timeseries.seasonal_profile)",
 }
 
 
