@@ -89,6 +89,26 @@ NOTES = {
         "final per-stratum rank sees <=k*32 survivor rows. No global "
         "window, no sort of the full input."
     ),
+    "events_rolling_median": (
+        "Exact trailing-7-row type-1 quantile per user: ONE scan, ONE "
+        "shuffle (the per-user window), collect+sort bounded by the "
+        "rows frame (W=7 — constant per-row cost, the ewma shape); the "
+        "quantile is element selection, not arithmetic."
+    ),
+    "events_seasonality": (
+        "Day-of-week x hour-of-day profile: integer calendar arithmetic "
+        "in the scan projection, ONE hash agg with map-side partials to "
+        "<=168 cells; only those cells cross the single-partition "
+        "grand-total window. The fact table is scanned exactly once."
+    ),
+    "docs_isotonic": (
+        "PAV calibration via the minimax closed form: the scorer's hash "
+        "agg to <=bins rows is the only data-proportional stage; prefix "
+        "sums, interval averages and the max-of-min fold are "
+        "broadcast-sized self-joins over the bin table (O(bins^3) "
+        "candidate triples, constant in the data size). No sequential "
+        "sweep, no driver loop, no global sort."
+    ),
     "tpch_q3": (
         "Selective dimension filters pushed to each scan; broadcast joins "
         "for customer/orders sides; TakeOrderedAndProject for the top-10."
