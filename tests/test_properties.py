@@ -269,3 +269,61 @@ def test_ewma_truncation_error_bounded_by_tail_weight(vals, alpha, horizon):
             # tail share of total weight, conservatively doubled
             tail = (1 - alpha) ** (horizon + 1)
             assert abs(full(i) - trunc(i)) <= 2 * tail * vmax + 1e-9
+
+
+# ---- round-9: the minimax closed form IS pool-adjacent-violators ----
+# classifier.isotonic_fit computes fit_i = max_{j<=i} min_{k>=i}
+# avg(j..k) instead of the sequential PAV sweep; the two are provably
+# equivalent (Barlow et al.), and this pins the equivalence over
+# random weighted inputs so the relational formulation can never
+# silently drift from the textbook algorithm.
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),      # weight
+            st.integers(min_value=0, max_value=1000),    # numerator <= w*1000
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_isotonic_minimax_equals_pav(bins):
+    ws = [w for w, _ in bins]
+    ys = [min(num, w * 1000) / (w * 1000.0) for w, num in bins]
+
+    # sequential weighted PAV (stack form)
+    blocks: list[list[float]] = []
+    for w, y in zip(ws, ys):
+        blocks.append([float(w), y])
+        while len(blocks) > 1 and blocks[-2][1] >= blocks[-1][1]:
+            w2, y2 = blocks.pop()
+            w1, y1 = blocks.pop()
+            blocks.append([w1 + w2, (w1 * y1 + w2 * y2) / (w1 + w2)])
+    pav, bi = [], 0
+    for bw, by in blocks:
+        acc = 0.0
+        while acc < bw - 1e-9:
+            acc += ws[bi]
+            pav.append(by)
+            bi += 1
+
+    # minimax closed form over prefix sums (the operator's shape)
+    n = len(ws)
+    pref_w = [0.0]
+    pref_s = [0.0]
+    for w, y in zip(ws, ys):
+        pref_w.append(pref_w[-1] + w)
+        pref_s.append(pref_s[-1] + w * y)
+
+    def avg(j, k):  # bins j..k inclusive, 0-based
+        return (pref_s[k + 1] - pref_s[j]) / (pref_w[k + 1] - pref_w[j])
+
+    minimax = [
+        max(min(avg(j, k) for k in range(i, n)) for j in range(i + 1))
+        for i in range(n)
+    ]
+    for a, b in zip(minimax, pav):
+        assert abs(a - b) < 1e-9
+    assert all(a <= b + 1e-12 for a, b in zip(minimax, minimax[1:]))
