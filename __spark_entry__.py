@@ -3691,15 +3691,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: counts), ``words_collocations`` (token total as sum over the
 #: checkpointed unigram counts). The other rescan fixes are pure
 #: lazy-localCheckpoint insertions — bit-identical by construction,
-#: re-proved by the full local oracle suite. Next come round 9's THREE
+#: re-proved by the full local oracle suite. Next come round 9's FOUR
 #: NEW never-driver-verified entries (events_rolling_median,
-#: events_seasonality, docs_isotonic — concept-grep, VERDICT r8 #8).
+#: events_seasonality, docs_isotonic — concept-grep, VERDICT r8 #8 —
+#: and emb_ivf_pq_index_topk, the persisted IVF-PQ index round trip).
 #: Remaining slots are the mechanical least-recently-verified backfill
 #: from scripts/plan_window.py — the r04/r05 tail displaced by round
 #: 8's anchors+new entries (see WINDOW_r9.txt); docs_postings_stats,
 #: docs_curated, docs_trigram_backoff (displaced by the anchors) and
-#: emb_ivf_pq_topk, docs_bpe_encode, docs_char_entropy (displaced by
-#: the new entries) roll to r10.
+#: emb_pq_topk, emb_ivf_pq_topk, docs_bpe_encode, docs_char_entropy
+#: (displaced by the four new entries) roll to r10.
 #: Entries allowed to precede the never-driver-verified block in the
 #: registry (tests/test_coverage_guard.py): re-verification anchors
 #: whose current oracle postdates their newest driver row.
@@ -3712,6 +3713,7 @@ R9_WINDOW_ORDER = [
     "events_quantile_disc", "events_ks", "words_collocations",
     # round-9 additions — never driver-verified, must sit in-window
     "events_rolling_median", "events_seasonality", "docs_isotonic",
+    "emb_ivf_pq_index_topk",
     # least-recently-verified backfill (r04 tail, then the r05 cohort —
     # 4 rounds stale, oldest greens in the registry)
     "words_trigram_fuzzy", "emb_ivf_index_topk", "orders_pair_triangles",
@@ -3728,7 +3730,7 @@ R9_WINDOW_ORDER = [
     "docs_temperature_rates", "docs_temperature_resample",
     "docs_dsir_weights", "docs_dsir_topk", "docs_top_keywords",
     "docs_redact", "dedup_keep_best", "docs_hashed_features",
-    "docs_logreg_score", "emb_semantic_dedup", "emb_pq_topk",
+    "docs_logreg_score", "emb_semantic_dedup",
 ]
 
 
@@ -3762,10 +3764,10 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_autocorr": q_events_autocorr,
         "events_ewma": q_events_ewma,
         "docs_mutual_info": q_docs_mutual_info,
-        # round-9 additions (concept-grep, VERDICT r8 #8)
+        # round-9 additions (concept-grep, VERDICT r8 #8; docs_isotonic
+        # registers in queries_r4 — its oracle reuses the r4 scorer CTE)
         "events_rolling_median": q_events_rolling_median,
         "events_seasonality": q_events_seasonality,
-        "docs_isotonic": q_docs_isotonic,
         "sketch_cms_words": q_sketch_cms,
         "dedup_bloom_screen": q_dedup_bloom_screen,
         "docs_chunked": q_docs_chunked,
@@ -4084,6 +4086,36 @@ def q_emb_ivf_pq_topk(spark, sf_dir):
     corpus, cb, _codes, queries = _pq_pieces(spark, sf_dir)
     coarse = kmeans_fit(corpus, k=PQ_K, iters=PQ_ITERS)
     return ivf_pq_topk(corpus, queries, coarse, cb, k=PQ_TOPK, nprobe=2)
+
+
+def q_emb_ivf_pq_index_topk(spark, sf_dir):
+    """Persistent IVF-PQ index round trip (round 9,
+    operators.ann_index.build_ivf_pq_index / ivf_pq_index_topk): fit
+    coarse centroids + PQ codebooks, WRITE the codes-only corpus
+    partitionBy(centroid_id) with both model sidecars, then probe
+    through the partition-pruned scan that reads (id, codes, vnorm)
+    and never a full vector. Same parameters as emb_ivf_pq_topk, so
+    it must hash-match that entry's chained kmeans→encode→ADC oracle
+    VERBATIM — proving the disk round trip (including two JSON float
+    sidecar round trips) changes nothing but the scan shape."""
+    import tempfile
+
+    from shaha_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        ivf_pq_index_topk,
+    )
+
+    corpus = _t(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="shaha_ivfpqidx_") + "/ivfpq"
+    build_ivf_pq_index(
+        corpus, path, k_coarse=PQ_K, m=PQ_M, k_sub=PQ_K, iters=PQ_ITERS
+    )
+    return ivf_pq_index_topk(
+        spark, path, queries, nprobe=2, k_neighbors=PQ_TOPK
+    )
 
 
 def q_docs_trigram_backoff(spark, sf_dir):
@@ -5390,6 +5422,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_row_diff": q_snapshot_row_diff,
         "docs_clf_report": q_docs_clf_report,
         "docs_calibration": q_docs_calibration,
+        "docs_isotonic": q_docs_isotonic,
         "docs_auc": q_docs_auc,
         "events_interarrival": q_events_interarrival,
         "docs_overview": q_docs_overview,
@@ -5443,6 +5476,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ivf_pq_topk": q_emb_ivf_pq_topk,
+        "emb_ivf_pq_index_topk": q_emb_ivf_pq_index_topk,
         "docs_bpe_encode": q_docs_bpe_encode,
         "docs_char_entropy": q_docs_char_entropy,
         "docs_trigram_backoff": q_docs_trigram_backoff,
@@ -6631,6 +6665,10 @@ FROM (
   ) AS rank FROM fin
 ) WHERE rank <= {PQ_TOPK}"""
     )
+    # the persisted-index round trip must reproduce the in-plan chain
+    # bit-for-bit (same artifacts, same probe, same ADC) — the oracle
+    # is therefore the SAME chained recipe, verbatim
+    sql["emb_ivf_pq_index_topk"] = sql["emb_ivf_pq_topk"]
 
     sql["docs_trigram_backoff"] = f"""WITH toks AS (
   SELECT doc_id, w, pos FROM (

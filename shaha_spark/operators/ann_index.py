@@ -165,3 +165,147 @@ def ivf_index_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+PQ_CODEBOOK_SIDECAR = "_pq_codebooks.json"
+
+
+def build_ivf_pq_index(
+    df: DataFrame,
+    path: str,
+    k_coarse: int = 8,
+    m: int = 4,
+    k_sub: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict[str, Any]:
+    """Fit coarse centroids + PQ codebooks, encode, and write the
+    CODES-ONLY index partitioned by coarse bucket — the full write-time
+    product of the IVF-PQ composition (operators/pq.py ivf_pq_topk
+    derives all of this inside every query; at 100 TB you pay it once
+    at ingest).
+
+    What lands on disk per vector is ``(id, codes array<int>, vnorm)``
+    — m small ints and one double instead of ``dim`` floats, a 10-50×
+    scan-width cut on top of the nprobe/k partition pruning. The two
+    model-sized artifacts (k_coarse coarse centroids, m×k_sub
+    sub-centroids) go in JSON sidecars; both round-trip exactly
+    (float32 → Python float → float32 is lossless through JSON repr),
+    so the probe path is bit-identical to the in-plan operator —
+    asserted in tests and by the driver oracle (the index entry reuses
+    the in-plan chain's oracle verbatim).
+    """
+    from .pq import pq_encode, pq_train
+
+    spark = df.sparkSession
+    cents = kmeans_fit(df, k=k_coarse, iters=iters, vec_col=vec_col, id_col=id_col)
+    books = pq_train(df, m=m, k=k_sub, iters=iters, vec_col=vec_col, id_col=id_col)
+    cent_rows = [
+        {"centroid_id": int(r.centroid_id), "centroid": [float(x) for x in r.centroid]}
+        for r in cents.collect()
+    ]
+    book_rows = [
+        {
+            "sub_id": int(r.sub_id),
+            "centroid_id": int(r.centroid_id),
+            "centroid": [float(x) for x in r.centroid],
+        }
+        for r in books.collect()
+    ]
+    assigned = ivf_assign(df, cents, vec_col=vec_col, id_col=id_col)
+    coded = pq_encode(df, books, vec_col=vec_col, id_col=id_col).join(
+        assigned.select(id_col, "centroid_id"), id_col
+    )
+    (
+        coded.write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    io_util.write_text(
+        spark,
+        path.rstrip("/") + "/" + CENTROID_SIDECAR,
+        json.dumps(cent_rows, sort_keys=True),
+    )
+    io_util.write_text(
+        spark,
+        path.rstrip("/") + "/" + PQ_CODEBOOK_SIDECAR,
+        json.dumps(book_rows, sort_keys=True),
+    )
+    return {
+        "path": path,
+        "k_coarse": len(cent_rows),
+        "m": m,
+        "k_sub": k_sub,
+        "n_vectors": spark.read.parquet(path).count(),
+    }
+
+
+def load_pq_codebooks(spark: SparkSession, path: str) -> DataFrame:
+    """The m×k_sub codebook table from the sidecar."""
+    txt = io_util.read_text(
+        spark, path.rstrip("/") + "/" + PQ_CODEBOOK_SIDECAR
+    )
+    if txt is None:
+        raise FileNotFoundError(f"no {PQ_CODEBOOK_SIDECAR} under {path}")
+    rows = json.loads(txt)
+    return spark.createDataFrame(
+        [(r["sub_id"], r["centroid_id"], r["centroid"]) for r in rows],
+        "sub_id int, centroid_id int, centroid array<float>",
+    )
+
+
+def ivf_pq_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k_neighbors: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe the persisted IVF-PQ index: per-query nprobe coarse
+    buckets (broadcast k_coarse-row sidecar table), a partition-pruned
+    scan that reads ONLY ``(id, codes, vnorm)`` from the probed
+    directories (the scan never touches a full vector — PQ's whole
+    point made visible in ReadSchema), then the shared broadcast-ADC
+    scorer. Bit-identical to the in-plan
+    :func:`~shaha_spark.operators.pq.ivf_pq_topk` under the same
+    artifacts — the disk round trip changes the scan shape, never a
+    value."""
+    from .pq import _adc_score
+
+    cents = F.broadcast(load_ivf_centroids(spark, path))
+    books = load_pq_codebooks(spark, path)
+    q = queries.select(F.col(query_id_col), F.col(vec_col))
+    probe_scored = q.crossJoin(cents).select(
+        query_id_col,
+        "centroid_id",
+        cosine_sim(F.col(vec_col), F.col("centroid")).alias("__csim"),
+    )
+    wp = Window.partitionBy(query_id_col).orderBy(
+        F.col("__csim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("__r", F.row_number().over(wp))
+        .where(F.col("__r") <= nprobe)
+        .select(query_id_col, "centroid_id")
+        # consumed twice (IN-list collect + candidate join); queries
+        # may itself be derived — same boundary as ivf_index_topk
+        .localCheckpoint(eager=True)
+    )
+    probed_ids = sorted(
+        r.centroid_id for r in probes.select("centroid_id").distinct().collect()
+    )
+    index = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probed_ids)
+    )
+    coded = index.join(F.broadcast(probes), "centroid_id").select(
+        query_id_col, id_col, "codes", "vnorm"
+    )
+    return _adc_score(
+        coded, books, queries, k_neighbors, vec_col, id_col, query_id_col,
+        per_query_codes=True,
+    )

@@ -87,6 +87,9 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
     ("shaha_spark/operators/ann_index.py", "ivf_index_topk",
      "load_ivf_centroids(spark, path)"): _MODEL,
     ("shaha_spark/operators/ann_index.py", "ivf_index_topk", "probes"): _QUERY,
+    ("shaha_spark/operators/ann_index.py", "ivf_pq_index_topk",
+     "load_ivf_centroids(spark, path)"): _MODEL,
+    ("shaha_spark/operators/ann_index.py", "ivf_pq_index_topk", "probes"): _QUERY,
     ("shaha_spark/operators/basket.py", "basket_rules",
      "item_counts.select(F.col(item_col).alias('item_a'), F.col('_"):
         "per-item basket counts: |items| rows (documented at "
