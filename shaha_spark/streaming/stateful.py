@@ -161,3 +161,108 @@ def stream_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_rolling_quantile(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    q: float = 0.5,
+    window_rows: int = 7,
+) -> DataFrame:
+    """Streaming twin of
+    :func:`shaha_spark.operators.timeseries.rolling_quantile` — the
+    per-key trailing-window type-1 quantile computed online.
+
+    State per key is the ring of the last ``window_rows - 1`` observed
+    values (bounded regardless of stream length — the rows-frame bound
+    that makes the batch operator cheap makes the streaming state
+    O(W)). Each micro-batch sorts its rows by ``order_col``, prepends
+    the ring, and emits one (key, order, rq) row per input row using
+    the IDENTICAL rank convention — 1-based ``max(1, ceil(q·n))`` over
+    the sorted frame, a data ELEMENT, so batch/stream equality is
+    exact by construction; the only float op is the same single
+    multiply. Pinned bit-identical across micro-batch and checkpoint
+    boundaries in tests/test_streaming.py.
+
+    Same ordering contract and NULL pre-filter as :func:`stream_ewma`;
+    key/order output field types are taken from the input schema.
+
+    Execution shape: the steady-state rows vectorize as a
+    numpy sliding-window sort (m × W per key-batch); only a key's
+    first ``window_rows - 1`` LIFETIME rows take the short-frame path.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    import math
+
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StructField, StructType,
+    )
+
+    keep = window_rows - 1
+    # rank index per possible frame length (1..W), precomputed once:
+    # the same ceil(q*n) double multiply the batch operator runs
+    rank_ix = np.asarray(
+        [max(1, math.ceil(q * float(n))) - 1 for n in range(1, window_rows + 1)],
+        dtype=np.int64,
+    )
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        prev: list[float] = list(state.get[0]) if state.exists else []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch[batch[value_col].notna()].sort_values(order_col)
+        vals = batch[value_col].to_numpy(dtype=np.float64)
+        m = len(vals)
+        if m:
+            n_prev = len(prev)
+            full = np.concatenate([np.asarray(prev, dtype=np.float64), vals])
+            counts = np.minimum(n_prev + np.arange(1, m + 1), window_rows)
+            out = np.empty(m, dtype=np.float64)
+            warm = max(0, min(m, window_rows - 1 - n_prev))
+            for i in range(warm):  # a key's first W-1 lifetime rows only
+                frame = np.sort(full[: n_prev + i + 1])
+                out[i] = frame[rank_ix[counts[i] - 1]]
+            if warm < m:
+                frames = sliding_window_view(full, window_rows)[
+                    n_prev + warm - (window_rows - 1) :
+                ]
+                out[warm:] = np.sort(frames, axis=1)[
+                    :, rank_ix[window_rows - 1]
+                ]
+        combined = np.concatenate([np.asarray(prev, dtype=np.float64), vals])
+        hist = [float(v) for v in combined[-keep:]] if keep else []
+        state.update((hist,))
+        if m:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * m,
+                    "order_id": batch[order_col].to_numpy(),
+                    "rq": out,
+                }
+            )
+
+    out_type = StructType(
+        [
+            StructField("key", events.schema[key_col].dataType),
+            StructField("order_id", events.schema[order_col].dataType),
+            StructField("rq", DoubleType()),
+        ]
+    )
+    state_type = StructType([StructField("vals", ArrayType(DoubleType()))])
+    return events.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

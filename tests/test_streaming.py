@@ -507,3 +507,107 @@ def test_stream_ewma_string_key(spark, tmp_path):
     assert got[("alice", 1)] == 10.0
     assert abs(got[("alice", 2)] - (0.5 * 20 + 0.25 * 10) / 0.75) < 1e-12
     assert got[("bob", 1)] == 5.0
+
+
+def test_stream_rolling_quantile_bit_matches_batch_across_batches(
+    spark, tmp_path
+):
+    """The streamed rolling quantile must be BIT-identical to the batch
+    operator on the same inputs in the same order — including frames
+    spanning the micro-batch boundary (state carries the W-1 ring)."""
+    import json
+
+    from shaha_spark.operators.timeseries import rolling_quantile
+    from shaha_spark.streaming import stream_rolling_quantile
+
+    rows = [
+        {"user_id": u, "event_id": i, "value": float((11 * i + 3 * u) % 29 + 1)}
+        for i in range(15)
+        for u in (1, 2)
+    ]
+    rows[4]["value"] = None  # NULL dropped identically in both paths
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in rows if r["event_id"] < 9)
+    )
+    stream = spark.readStream.schema(
+        "user_id bigint, event_id bigint, value double"
+    ).json(str(src))
+    out = stream_rolling_quantile(stream, q=0.5, window_rows=5)
+    ckpt = str(tmp_path / "ckpt")
+    collected: list = []
+
+    def drain():
+        qy = (
+            out.writeStream.foreachBatch(
+                lambda df, _bid: collected.extend(df.collect())
+            )
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        qy.awaitTermination(120)
+
+    drain()
+    (src / "b2.json").write_text(
+        "\n".join(json.dumps(r) for r in rows if r["event_id"] >= 9)
+    )
+    drain()
+    streamed = {(r.key, r.order_id): r.rq for r in collected}
+
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["event_id"], r["value"]) for r in rows],
+        "user_id bigint, event_id bigint, value double",
+    )
+    batch = {
+        (r["user_id"], r["event_id"]): r["rq"]
+        for r in rolling_quantile(
+            batch_df, ["user_id"], ["event_id"], "value", q=0.5, window_rows=5
+        ).collect()
+    }
+    assert set(streamed) == set(batch)
+    diffs = [k for k in batch if repr(streamed[k]) != repr(batch[k])]
+    assert not diffs, diffs[:5]
+
+
+def test_stream_rolling_quantile_high_q_and_warmup(spark, tmp_path):
+    """q=0.9 exercises the non-median rank path; a single short batch
+    exercises the warmup (frame shorter than W) rows only."""
+    import json
+
+    from shaha_spark.operators.timeseries import rolling_quantile
+    from shaha_spark.streaming import stream_rolling_quantile
+
+    rows = [
+        {"user_id": "a", "event_id": i, "value": float(50 - 3 * i)}
+        for i in range(4)
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "user_id string, event_id bigint, value double"
+    ).json(str(src))
+    out = stream_rolling_quantile(stream, q=0.9, window_rows=10)
+    collected: list = []
+    qy = (
+        out.writeStream.foreachBatch(
+            lambda df, _bid: collected.extend(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    qy.awaitTermination(120)
+    streamed = {(r.key, r.order_id): r.rq for r in collected}
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["event_id"], r["value"]) for r in rows],
+        "user_id string, event_id bigint, value double",
+    )
+    batch = {
+        (r["user_id"], r["event_id"]): r["rq"]
+        for r in rolling_quantile(
+            batch_df, ["user_id"], ["event_id"], "value", q=0.9, window_rows=10
+        ).collect()
+    }
+    assert streamed == batch  # string key + exact element equality
