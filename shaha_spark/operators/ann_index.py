@@ -218,7 +218,14 @@ def build_ivf_pq_index(
         assigned.select(id_col, "centroid_id"), id_col
     )
     (
-        coded.write.mode("overwrite")
+        # co-locate each bucket before the partitioned write: without
+        # the repartition every task writes a file into every bucket
+        # directory (tasks × k_coarse files — millions at cluster
+        # scale). The extra shuffle moves only the NARROW coded rows
+        # (m ints + a double), which is exactly the width PQ saved;
+        # values are partitioning-invariant so this is layout-only.
+        coded.repartition("centroid_id")
+        .write.mode("overwrite")
         .option("compression", "zstd")
         .partitionBy("centroid_id")
         .parquet(path)
