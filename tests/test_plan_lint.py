@@ -71,6 +71,15 @@ GLOBAL_WINDOW_OK = {
 #: re-running its upstream 24 times because each stage's keep-set join
 #: consumed the same lineage twice; see pipeline/curate.py).
 SCAN_REPEAT_OK: dict[str, dict[str, int]] = {
+    "orders_basket_rules": {
+        # basket_rules caches (persist) the basket aggregation; the
+        # executed plan reads it through 4 InMemoryTableScans whose
+        # RENDERED cached-plan text each repeats the lineitem scan —
+        # the table is computed ONCE at runtime (asserted by the
+        # single-scan round3d test; persist rather than localCheckpoint
+        # because AQE runs checkpointed exchanges at plan-build time).
+        "lineitem": 4,
+    },
     "emb_ann_recall": {
         # The recall GATE deliberately runs BOTH retrieval pipelines —
         # exact brute-force (corpus + query side) and IVF (assignment
