@@ -71,14 +71,13 @@ GLOBAL_WINDOW_OK = {
 #: re-running its upstream 24 times because each stage's keep-set join
 #: consumed the same lineage twice; see pipeline/curate.py).
 SCAN_REPEAT_OK: dict[str, dict[str, int]] = {
-    "orders_basket_rules": {
-        # basket_rules caches (persist) the basket aggregation; the
-        # executed plan reads it through 4 InMemoryTableScans whose
-        # RENDERED cached-plan text each repeats the lineitem scan —
-        # the table is computed ONCE at runtime (asserted by the
-        # single-scan round3d test; persist rather than localCheckpoint
-        # because AQE runs checkpointed exchanges at plan-build time).
-        "lineitem": 4,
+    "emb_ivf_pq_topk": {
+        # ivf_assign + pq_encode + the query batch are independent
+        # single passes (the first two are write-time products in
+        # production — see ann_index.build_ivf_pq_index, which pays
+        # them once at ingest); session cache state renders 3 or 4
+        # scans for the same plan (r9 in-suite observation).
+        "embeddings": 4,
     },
     "emb_ann_recall": {
         # The recall GATE deliberately runs BOTH retrieval pipelines —
@@ -199,10 +198,43 @@ _BASE_TABLES = (
 )
 
 
+def _strip_cached_subtrees(plan: str) -> str:
+    """Remove cache-backed render content before scan counting.
+
+    Cached reads are ONE compute by definition: each consumer's
+    InMemoryTableScan/InMemoryRelation node re-renders the cached
+    child plan — inline on the node's own line once materialized,
+    or as an indented child block when fresh (r9 observed BOTH,
+    drifting with session cache state). Counting those mentions would
+    flag the very mechanism that fixes rescans, and unstably so.
+    Excise the node line AND any deeper-indented block under it.
+    """
+
+    def depth(line: str) -> int:
+        # tree prefix is spaces and ':' continuation bars up to '+- '
+        return len(line) - len(line.lstrip(" :"))
+
+    out: list[str] = []
+    skip_deeper_than: int | None = None
+    for line in plan.splitlines():
+        d = depth(line)
+        if skip_deeper_than is not None:
+            if d > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        if "InMemoryTableScan" in line or "InMemoryRelation" in line:
+            skip_deeper_than = d
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def _repeated_scans(plan: str) -> dict[str, int]:
     from collections import Counter
 
-    tables = re.findall(rf"\b({_BASE_TABLES})\.parquet", plan)
+    tables = re.findall(
+        rf"\b({_BASE_TABLES})\.parquet", _strip_cached_subtrees(plan)
+    )
     return {
         t: c for t, c in Counter(tables).items() if c > SCAN_REPEAT_THRESHOLD
     }
@@ -231,13 +263,29 @@ def test_no_compounding_table_rescans(plans):
 
 
 def test_scan_repeat_allowlist_not_stale(plans):
-    stale = {
-        n for n in SCAN_REPEAT_OK
-        if n in plans and not _repeated_scans(plans[n])
-    }
+    """An enrolled query whose plan now sits COMFORTABLY below the
+    threshold is stale documentation — delete it. 'Comfortably' means
+    strictly below the threshold itself: a query that renders AT the
+    threshold in one session state and one scan above it in another
+    (cache-substitution drift, r9: emb_ivf_pq_topk renders 3 or 4)
+    legitimately keeps its enrollment."""
+    from collections import Counter
+
+    stale = set()
+    for n, ceilings in SCAN_REPEAT_OK.items():
+        if n not in plans:
+            continue
+        counts = Counter(
+            re.findall(
+                rf"\b({_BASE_TABLES})\.parquet",
+                _strip_cached_subtrees(plans[n]),
+            )
+        )
+        if all(counts.get(t, 0) < SCAN_REPEAT_THRESHOLD for t in ceilings):
+            stale.add(n)
     assert not stale, (
-        f"SCAN_REPEAT_OK entries whose queries no longer exceed the scan "
-        f"threshold (delete them): {stale}"
+        f"SCAN_REPEAT_OK entries whose queries are now comfortably below "
+        f"the scan threshold (delete them): {stale}"
     )
 
 
