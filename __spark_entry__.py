@@ -2382,6 +2382,71 @@ SELECT query_id, vec_id, cosine, rank FROM (
 ) WHERE rank <= {topk}"""
 
 
+def _ivf_kmeans_append_sql(
+    k: int = 4,
+    iters: int = 2,
+    nprobe: int = 2,
+    topk: int = 5,
+    base_where: str = "vec_id % 10 != 7",
+) -> str:
+    """Oracle for the incremental-append IVF index
+    (ann_index.append_to_ivf_index): the kmeans chain trains on the
+    BASE split only — exactly the rows build_ivf_index saw — while
+    assignment and scoring cover the FULL corpus (base ∪ appended
+    batch, both routed through the same frozen centroids). Everything
+    else is the verbatim `_ivf_kmeans_sql` recipe, so a value-hash
+    match proves append(batch) ≡ from-scratch indexing of base ∪ batch
+    under base-trained artifacts."""
+    cent = f"c{iters}"
+    parts = _kmeans_parts(
+        k,
+        iters,
+        src=(
+            "SELECT vec_id, embedding AS e FROM embeddings "
+            f"WHERE {base_where}"
+        ),
+    ) + [
+        "av AS (SELECT vec_id, embedding AS e FROM embeddings)",
+        """q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+)""",
+        f"""fassign AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT v.vec_id, v.e, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(CAST(v.e AS DOUBLE[]), c.cv) DESC,
+                      c.centroid_id ASC
+           ) AS r
+    FROM av v CROSS JOIN {cent} c
+  ) WHERE r = 1
+)""",
+        f"""probe AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id ASC
+           ) AS r
+    FROM q CROSS JOIN {cent} c
+  ) WHERE r <= {nprobe}
+)""",
+        """scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(CAST(a.e AS DOUBLE[]), p.qv), 6) AS cosine
+  FROM fassign a JOIN probe p USING (centroid_id)
+)""",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {topk}"""
+
+
 def _langid_scores() -> tuple[str, str]:
     score_cols = []
     for lang in sorted(LANG_STOPWORDS):
@@ -4049,6 +4114,44 @@ PQ_ITERS = 2
 PQ_TOPK = 5
 
 
+def _index_path(kind: str, sf_dir: str, **params) -> tuple[str, bool]:
+    """Deterministic per-(sf_dir, params) on-disk location for a
+    persisted ANN index built by a driver entry, plus whether a build
+    is still needed (r9 ADVICE: the old ``tempfile.mkdtemp()`` pattern
+    leaked one index directory — and re-ran kmeans/PQ training and a
+    parquet write — on EVERY invocation, including plan-lint
+    renderings). The key hashes the resolved sf_dir, the parameter
+    dict, and the mtime+size of the embeddings parquet files, so a
+    regenerated testdata directory invalidates the cache; "built"
+    requires the LAST-written sidecar to exist (the PQ codebooks for
+    ivfpq, the centroids otherwise — build writes them sequentially,
+    so a partial write from a crashed run rebuilds)."""
+    import glob as _glob
+    import hashlib
+    import tempfile
+
+    from shaha_spark.operators.ann_index import (
+        CENTROID_SIDECAR,
+        PQ_CODEBOOK_SIDECAR,
+    )
+
+    sentinel = PQ_CODEBOOK_SIDECAR if kind.startswith("ivfpq") else CENTROID_SIDECAR
+
+    emb_dir = os.path.join(sf_dir, "embeddings.parquet")
+    sig_parts = [os.path.abspath(sf_dir), kind, repr(sorted(params.items()))]
+    for p in sorted(_glob.glob(os.path.join(emb_dir, "*.parquet"))) or [emb_dir]:
+        try:
+            st = os.stat(p)
+            sig_parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            sig_parts.append(f"{p}:absent")
+    key = hashlib.sha256("|".join(sig_parts).encode()).hexdigest()[:16]
+    path = os.path.join(
+        tempfile.gettempdir(), f"shaha_idx_{kind}_{key}", kind
+    )
+    return path, not os.path.exists(os.path.join(path, sentinel))
+
+
 def _pq_pieces(spark, sf_dir):
     from shaha_spark.operators.pq import pq_encode, pq_train
 
@@ -4097,9 +4200,12 @@ def q_emb_ivf_pq_index_topk(spark, sf_dir):
     and never a full vector. Same parameters as emb_ivf_pq_topk, so
     it must hash-match that entry's chained kmeans→encode→ADC oracle
     VERBATIM — proving the disk round trip (including two JSON float
-    sidecar round trips) changes nothing but the scan shape."""
-    import tempfile
+    sidecar round trips) changes nothing but the scan shape.
 
+    The index lives at a deterministic per-(sf_dir, params) path and
+    is built only when absent (r9 ADVICE: mkdtemp leaked a directory
+    and re-ran training per invocation); staleness is keyed on the
+    source parquet mtimes inside :func:`_index_path`."""
     from shaha_spark.operators.ann_index import (
         build_ivf_pq_index,
         ivf_pq_index_topk,
@@ -4109,10 +4215,57 @@ def q_emb_ivf_pq_index_topk(spark, sf_dir):
     queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    path = tempfile.mkdtemp(prefix="shaha_ivfpqidx_") + "/ivfpq"
-    build_ivf_pq_index(
-        corpus, path, k_coarse=PQ_K, m=PQ_M, k_sub=PQ_K, iters=PQ_ITERS
+    path, needs_build = _index_path(
+        "ivfpq", sf_dir, k_coarse=PQ_K, m=PQ_M, k_sub=PQ_K, iters=PQ_ITERS
     )
+    if needs_build:
+        build_ivf_pq_index(
+            corpus, path, k_coarse=PQ_K, m=PQ_M, k_sub=PQ_K, iters=PQ_ITERS
+        )
+    return ivf_pq_index_topk(
+        spark, path, queries, nprobe=2, k_neighbors=PQ_TOPK
+    )
+
+
+def q_emb_ivf_pq_index_append_topk(spark, sf_dir):
+    """Incremental-append round trip for the persisted IVF-PQ index
+    (round 10, operators.ann_index.append_to_ivf_pq_index; r9 VERDICT
+    #1): coarse centroids AND PQ codebooks train on the 90% base
+    split (vec_id % 10 != 7); the held-out batch is encoded+assigned
+    with the frozen sidecar artifacts and appended into the matching
+    centroid_id partitions — no retrain, batch-sized work only. The
+    oracle filters every training CTE to the base split while
+    encoding/assigning the full corpus, proving append ≡ from-scratch
+    rebuild of base ∪ batch under base-trained artifacts through the
+    full ADC scoring chain."""
+    from shaha_spark.operators.ann_index import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        ivf_pq_index_topk,
+        load_append_state,
+    )
+
+    corpus = _t(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path, needs_build = _index_path(
+        "ivfpq_app", sf_dir, k_coarse=PQ_K, m=PQ_M, k_sub=PQ_K, iters=PQ_ITERS
+    )
+    if not needs_build:
+        needs_build = load_append_state(spark, path).get("appends", 0) < 1
+    if needs_build:
+        build_ivf_pq_index(
+            corpus.filter(F.col("vec_id") % 10 != 7),
+            path,
+            k_coarse=PQ_K,
+            m=PQ_M,
+            k_sub=PQ_K,
+            iters=PQ_ITERS,
+        )
+        append_to_ivf_pq_index(
+            corpus.filter(F.col("vec_id") % 10 == 7), path
+        )
     return ivf_pq_index_topk(
         spark, path, queries, nprobe=2, k_neighbors=PQ_TOPK
     )
@@ -5078,17 +5231,60 @@ def q_emb_ivf_index_topk(spark, sf_dir):
     corpus partitionBy(centroid_id), then probe through the
     partition-pruned scan (operators.ann_index). Must hash-match the
     same chained kmeans→IVF oracle as the in-plan operator — proving
-    the disk round trip changes nothing but the scan shape."""
-    import tempfile
+    the disk round trip changes nothing but the scan shape.
 
+    Deterministic per-(sf_dir, params) index path, built only when
+    absent — see :func:`_index_path` (r9 ADVICE)."""
     from shaha_spark.operators.ann_index import build_ivf_index, ivf_index_topk
 
     embs = _t(spark, sf_dir, "embeddings")
     queries = embs.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    path = tempfile.mkdtemp(prefix="shaha_ivfidx_") + "/ivf"
-    build_ivf_index(embs, path, k=4, iters=2)
+    path, needs_build = _index_path("ivf", sf_dir, k=4, iters=2)
+    if needs_build:
+        build_ivf_index(embs, path, k=4, iters=2)
+    return ivf_index_topk(
+        spark, path, queries, nprobe=2, k_neighbors=5
+    ).select(
+        "query_id",
+        "vec_id",
+        F.col("approx_cosine").alias("cosine"),
+        "rank",
+    )
+
+
+def q_emb_ivf_index_append_topk(spark, sf_dir):
+    """Incremental-append round trip for the persisted IVF index
+    (round 10, operators.ann_index.append_to_ivf_index; r9 VERDICT
+    #1): build the index on the 90% base split (vec_id % 10 != 7),
+    APPEND the held-out 10% batch with the frozen sidecar centroids —
+    no retrain, batch-sized work only — then probe over everything.
+    The oracle (`_ivf_kmeans_append_sql`) trains kmeans on the base
+    split and assigns/scores the FULL corpus, so the value-hash match
+    proves append ≡ from-scratch rebuild of base ∪ batch under
+    base-trained artifacts: append changes WHERE rows land, never a
+    value. A half-built cache (crash between build and append) is
+    detected via the append-state sidecar and rebuilt."""
+    from shaha_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+        load_append_state,
+    )
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path, needs_build = _index_path("ivf_app", sf_dir, k=4, iters=2)
+    if not needs_build:
+        needs_build = load_append_state(spark, path).get("appends", 0) < 1
+    if needs_build:
+        build_ivf_index(
+            embs.filter(F.col("vec_id") % 10 != 7), path, k=4, iters=2
+        )
+        append_to_ivf_index(embs.filter(F.col("vec_id") % 10 == 7), path)
     return ivf_index_topk(
         spark, path, queries, nprobe=2, k_neighbors=5
     ).select(
@@ -5451,6 +5647,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_set_similarity": q_orders_set_similarity,
         "words_trigram_fuzzy": q_words_trigram_fuzzy,
         "emb_ivf_index_topk": q_emb_ivf_index_topk,
+        "emb_ivf_index_append_topk": q_emb_ivf_index_append_topk,
         "orders_pair_triangles": q_orders_pair_triangles,
         "events_ab_welch": q_events_ab_welch,
         "docs_psi_drift": q_docs_psi_drift,
@@ -5477,6 +5674,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ivf_pq_topk": q_emb_ivf_pq_topk,
         "emb_ivf_pq_index_topk": q_emb_ivf_pq_index_topk,
+        "emb_ivf_pq_index_append_topk": q_emb_ivf_pq_index_append_topk,
         "docs_bpe_encode": q_docs_bpe_encode,
         "docs_char_entropy": q_docs_char_entropy,
         "docs_trigram_backoff": q_docs_trigram_backoff,
@@ -6669,6 +6867,133 @@ FROM (
     # bit-for-bit (same artifacts, same probe, same ADC) — the oracle
     # is therefore the SAME chained recipe, verbatim
     sql["emb_ivf_pq_index_topk"] = sql["emb_ivf_pq_topk"]
+
+    # incremental-append IVF-PQ oracle (r10): every TRAINING CTE — the
+    # m sub-kmeans chains and the coarse kmeans — filters to the base
+    # split (vec_id % 10 != 7, the rows build_ivf_pq_index saw), while
+    # encode (enc) and coarse assignment (gassign) run over the FULL
+    # corpus through those frozen artifacts, exactly what
+    # append_to_ivf_pq_index does on disk. A value-hash match proves
+    # the append path ≡ a from-scratch rebuild of base ∪ batch under
+    # base-trained centroids+codebooks.
+    app_where = "vec_id % 10 != 7"
+    app_parts: list[str] = []
+    for s in range(PQ_M):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        app_parts.extend(
+            _kmeans_parts(
+                k=PQ_K,
+                iters=PQ_ITERS,
+                prefix=f"s{s}_",
+                src=(
+                    f"SELECT vec_id, list_slice(embedding, {lo}, {hi}) AS e "
+                    f"FROM embeddings WHERE {app_where}"
+                ),
+            )
+        )
+    app_parts.append(
+        "cb AS ("
+        + "\nUNION ALL\n".join(
+            f"SELECT {s} AS sub_id, centroid_id, cv FROM s{s}_c{PQ_ITERS}"
+            for s in range(PQ_M)
+        )
+        + ")"
+    )
+    app_parts.extend(
+        _kmeans_parts(
+            k=PQ_K,
+            iters=PQ_ITERS,
+            prefix="g",
+            src=(
+                "SELECT vec_id, embedding AS e FROM embeddings "
+                f"WHERE {app_where}"
+            ),
+        )
+    )
+    app_parts.append(
+        """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+gav AS (SELECT vec_id, embedding AS e FROM embeddings),
+vn AS (SELECT vec_id, sqrt(list_dot_product(ev, ev)) AS vnorm FROM base),
+enc AS (
+  SELECT vec_id, sub_id, centroid_id AS code FROM (
+    SELECT b.vec_id, cb.sub_id, cb.centroid_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id, cb.sub_id
+             ORDER BY list_dot_product(
+               list_slice(b.ev, cb.sub_id * {sd} + 1, (cb.sub_id + 1) * {sd}),
+               cb.cv) DESC,
+             cb.centroid_id ASC
+           ) AS r
+    FROM base b CROSS JOIN cb
+  ) WHERE r = 1
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+qn AS (SELECT query_id, sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
+gassign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(CAST(v.e AS DOUBLE[]), c.cv) DESC,
+                      c.centroid_id ASC
+           ) AS r
+    FROM gav v CROSS JOIN gc{it} c
+  ) WHERE r = 1
+),
+gprobe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                      c.centroid_id ASC
+           ) AS r
+    FROM q CROSS JOIN gc{it} c
+  ) WHERE r <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM gprobe p JOIN gassign a USING (centroid_id)
+),
+adc AS (
+  SELECT q.query_id, cb.sub_id, cb.centroid_id AS code,
+         CAST(round(list_dot_product(
+           list_slice(q.qv, cb.sub_id * {sd} + 1, (cb.sub_id + 1) * {sd}),
+           cb.cv), 9) AS DECIMAL(25,9)) AS pdot
+  FROM q CROSS JOIN cb
+),
+sc AS (
+  SELECT a.query_id, e.vec_id, CAST(sum(a.pdot) AS DOUBLE) AS sdot
+  FROM enc e
+  JOIN adc a ON e.sub_id = a.sub_id AND e.code = a.code
+  JOIN cand cd ON cd.query_id = a.query_id AND cd.vec_id = e.vec_id
+  GROUP BY 1, 2
+),
+fin AS (
+  SELECT sc.query_id, sc.vec_id,
+         round(sc.sdot / (qn.qnorm * vn.vnorm), 6) AS ac
+  FROM sc JOIN qn USING (query_id) JOIN vn USING (vec_id)
+)""".format(sd=sub_dim, it=PQ_ITERS, nprobe=2)
+    )
+    sql["emb_ivf_pq_index_append_topk"] = (
+        "WITH "
+        + ",\n".join(app_parts)
+        + f"""
+SELECT query_id, vec_id, ac AS approx_cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY ac DESC, vec_id ASC
+  ) AS rank FROM fin
+) WHERE rank <= {PQ_TOPK}"""
+    )
+
+    sql["emb_ivf_index_append_topk"] = _ivf_kmeans_append_sql(
+        k=4, iters=2, nprobe=2, topk=5
+    )
 
     sql["docs_trigram_backoff"] = f"""WITH toks AS (
   SELECT doc_id, w, pos FROM (

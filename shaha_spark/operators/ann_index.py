@@ -42,6 +42,12 @@ from .kmeans import kmeans_fit
 from .similarity import cosine_sim, cosine_sim_hoisted, dot, ivf_assign, norm2
 
 CENTROID_SIDECAR = "_ivf_centroids.json"
+APPEND_STATE_SIDECAR = "_append_state.json"
+#: appended/trained ratio at which a retrain is recommended: past this
+#: the coarse partition no longer reflects the corpus distribution and
+#: probe recall degrades (the sidecar records the drift; the caller
+#: owns the rebuild schedule, exactly like compaction)
+RETRAIN_RATIO = 0.5
 
 
 def build_ivf_index(
@@ -71,11 +77,41 @@ def build_ivf_index(
         path.rstrip("/") + "/" + CENTROID_SIDECAR,
         json.dumps(cent_rows, sort_keys=True),
     )
+    n = spark.read.parquet(path).count()
+    _write_append_state(
+        spark, path, {"trained_rows": n, "appended_rows": 0, "appends": 0}
+    )
     return {
         "path": path,
         "k": len(cent_rows),
-        "n_vectors": spark.read.parquet(path).count(),
+        "n_vectors": n,
     }
+
+
+def _write_append_state(
+    spark: SparkSession, path: str, state: dict[str, int]
+) -> None:
+    # write-then-rename so the state is never torn; Hadoop rename does
+    # not overwrite, so the previous state is deleted first — a crash
+    # in the gap leaves NO sidecar, which load_append_state reads as
+    # never-appended (appends=0), the conservative rebuild-triggering
+    # default
+    target = path.rstrip("/") + "/" + APPEND_STATE_SIDECAR
+    if io_util.exists(spark, target):
+        io_util.delete(spark, target)
+    io_util.write_text_atomic(spark, target, json.dumps(state, sort_keys=True))
+
+
+def load_append_state(spark: SparkSession, path: str) -> dict[str, int]:
+    """The staleness counter sidecar: rows the model artifacts were
+    trained on vs rows appended since (pre-r10 indexes without the
+    sidecar read as never-appended)."""
+    txt = io_util.read_text(
+        spark, path.rstrip("/") + "/" + APPEND_STATE_SIDECAR
+    )
+    if txt is None:
+        return {"trained_rows": 0, "appended_rows": 0, "appends": 0}
+    return json.loads(txt)
 
 
 def load_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
@@ -167,6 +203,71 @@ def ivf_index_topk(
     )
 
 
+def append_to_ivf_index(
+    batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict[str, Any]:
+    """Append a new vector batch into an existing IVF index WITHOUT
+    retraining — the production ingest shape (cf. the reference's
+    append path, ref src/cli/build.rs:180-204, and this repo's
+    incremental_minhash_dedup, dedup.py:197: new data is
+    encoded/assigned with the PERSISTED model artifacts and lands
+    next to the existing corpus; the expensive training scan is never
+    re-run).
+
+    Mechanics: load the k-row centroid sidecar (model-sized), assign
+    the batch with the same broadcast argmax as the build
+    (shuffle-free over the batch), co-locate per bucket
+    (``repartition(centroid_id)`` — the shuffle moves only the BATCH,
+    and bounds the file growth to ≤ k files per append instead of
+    tasks × k), and ``mode("append")`` into the matching
+    ``centroid_id=`` partition directories. Readers are unaffected
+    mid-append at the semantic level probes rely on: a vector either
+    appears in its one correct bucket or not yet.
+
+    Staleness: the append-state sidecar accumulates appended_rows /
+    trained_rows; past :data:`RETRAIN_RATIO` the summary flags
+    ``retrain_recommended`` (the centroids no longer reflect the
+    corpus — recall drifts; the caller owns the rebuild schedule).
+    File-count growth across many appends is the normal small-file
+    problem — compact per partition on the same schedule
+    (pipeline/compact.py), independently of retraining.
+
+    Correctness contract (driver-oracled, emb_ivf_index_append_topk):
+    probing after build(base) + append(batch) is bit-identical to
+    indexing base ∪ batch with centroids trained on base — append
+    changes WHERE rows land and nothing about scoring.
+    """
+    spark = batch.sparkSession
+    cents = load_ivf_centroids(spark, path)
+    assigned = ivf_assign(batch, cents, vec_col=vec_col, id_col=id_col)
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("append")
+        .option("compression", "zstd")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    n_batch = batch.count()  # batch-sized scan, not an index rescan
+    state = load_append_state(spark, path)
+    state = {
+        "trained_rows": int(state.get("trained_rows", 0)),
+        "appended_rows": int(state.get("appended_rows", 0)) + int(n_batch),
+        "appends": int(state.get("appends", 0)) + 1,
+    }
+    _write_append_state(spark, path, state)
+    staleness = state["appended_rows"] / max(1, state["trained_rows"])
+    return {
+        "path": path,
+        "n_appended": int(n_batch),
+        **state,
+        "staleness": staleness,
+        "retrain_recommended": staleness >= RETRAIN_RATIO,
+    }
+
+
 PQ_CODEBOOK_SIDECAR = "_pq_codebooks.json"
 
 
@@ -240,12 +341,16 @@ def build_ivf_pq_index(
         path.rstrip("/") + "/" + PQ_CODEBOOK_SIDECAR,
         json.dumps(book_rows, sort_keys=True),
     )
+    n = spark.read.parquet(path).count()
+    _write_append_state(
+        spark, path, {"trained_rows": n, "appended_rows": 0, "appends": 0}
+    )
     return {
         "path": path,
         "k_coarse": len(cent_rows),
         "m": m,
         "k_sub": k_sub,
-        "n_vectors": spark.read.parquet(path).count(),
+        "n_vectors": n,
     }
 
 
@@ -316,3 +421,66 @@ def ivf_pq_index_topk(
         coded, books, queries, k_neighbors, vec_col, id_col, query_id_col,
         per_query_codes=True,
     )
+
+
+def append_to_ivf_pq_index(
+    batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict[str, Any]:
+    """Append a new vector batch into an existing IVF-PQ index
+    WITHOUT retraining: encode with the PERSISTED codebooks, assign
+    with the PERSISTED coarse centroids (both sidecar round trips are
+    exact — the same float32→JSON→float32 losslessness the probe path
+    relies on), co-locate per bucket and ``mode("append")`` into the
+    matching ``centroid_id=`` partitions. Neither kmeans nor PQ
+    training re-runs; the only data-proportional work is two
+    batch-sized scans (encode+assign, then the staleness count) and a
+    batch-sized narrow shuffle — at 100 TB corpus / 1 GB batch that is
+    the difference between an ingest tick and a full rebuild (measured
+    in bench.py: append ≪ rebuild at sf0.1).
+
+    Same staleness contract as :func:`append_to_ivf_index` — the
+    sidecar accumulates drift, the summary flags
+    ``retrain_recommended`` past :data:`RETRAIN_RATIO`, and per-
+    partition compaction (pipeline/compact.py) owns the small-file
+    growth.
+
+    Correctness contract (driver-oracled,
+    emb_ivf_pq_index_append_topk): probing after build(base) +
+    append(batch) is bit-identical to indexing base ∪ batch with
+    centroids AND codebooks trained on base only.
+    """
+    from .pq import pq_encode
+
+    spark = batch.sparkSession
+    cents = load_ivf_centroids(spark, path)
+    books = load_pq_codebooks(spark, path)
+    assigned = ivf_assign(batch, cents, vec_col=vec_col, id_col=id_col)
+    coded = pq_encode(batch, books, vec_col=vec_col, id_col=id_col).join(
+        assigned.select(id_col, "centroid_id"), id_col
+    )
+    (
+        coded.repartition("centroid_id")
+        .write.mode("append")
+        .option("compression", "zstd")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    n_batch = batch.count()  # batch-sized scan, not an index rescan
+    state = load_append_state(spark, path)
+    state = {
+        "trained_rows": int(state.get("trained_rows", 0)),
+        "appended_rows": int(state.get("appended_rows", 0)) + int(n_batch),
+        "appends": int(state.get("appends", 0)) + 1,
+    }
+    _write_append_state(spark, path, state)
+    staleness = state["appended_rows"] / max(1, state["trained_rows"])
+    return {
+        "path": path,
+        "n_appended": int(n_batch),
+        **state,
+        "staleness": staleness,
+        "retrain_recommended": staleness >= RETRAIN_RATIO,
+    }

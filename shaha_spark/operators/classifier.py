@@ -617,6 +617,14 @@ def isotonic_fit(
     # ≤ bins rows from here on: the single-partition window and the
     # nested-loop self-joins below are bounded by the bin count, never
     # by the data (the documented small-n escape hatch, cf. dedup.py)
+    # persist, NOT localCheckpoint: under AQE even a lazy
+    # localCheckpoint materializes the subtree's shuffle stages at
+    # DataFrame-construction time (getFinalPhysicalPlan runs the
+    # exchanges), so building the fit would eagerly run the full
+    # data-proportional scorer aggregation even if never consumed —
+    # and the checkpoint boundary blinds the rescan lint (ROUND9.md
+    # §7b; r9 ADVICE). The ≤`bins`-row table is trivially cache-sized;
+    # the registration is released via shaha_spark.caching.release.
     pre = b.select(
         "bin",
         "n",
@@ -624,7 +632,7 @@ def isotonic_fit(
         "__psum",
         F.sum("n").over(w_pre).cast("bigint").alias("__cumn"),
         F.sum("__pos").over(w_pre).cast("bigint").alias("__cump"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     j = pre.select(
         F.col("bin").alias("__bj"),
         (F.col("__cumn") - F.col("n")).alias("__lon"),
@@ -653,7 +661,9 @@ def isotonic_fit(
         .agg(F.min("__a").alias("__m"))
     )
     iso = mins.groupBy("bin").agg(F.max("__m").alias("__fit"))
-    return (
+    from shaha_spark.caching import registers
+
+    return registers(
         pre.join(iso, "bin")
         .select(
             F.col("bin").cast("bigint").alias("bin"),
@@ -665,7 +675,8 @@ def isotonic_fit(
                 F.col("__pos").cast("double") / F.col("n").cast("double"), 9
             ).alias("pos_rate"),
             F.round(F.col("__fit"), 9).alias("iso_fit"),
-        )
+        ),
+        pre,
     )
 
 

@@ -675,12 +675,16 @@ def rolling_quantile(
     No join, no second shuffle.
 
     Determinism: the result is a data ELEMENT, not arithmetic — the
-    frame's values are sorted (doubles: total order, no NaN by the
-    NULL-filter + IEEE) and the element at the exact integer rank is
-    returned; the only float op is the single multiply inside
-    ``ceil(q·n)``, the same two operands in both engines. Rows with
-    NULL values are excluded BEFORE windowing (rank statistics of
-    observed values), mirroring ewma.
+    frame's values are sorted (doubles: total order over the frame
+    because both NULL and NaN are filtered out — NaN is NOT NULL and
+    would otherwise pass ``isNotNull`` into the frame, leaving the
+    cross-engine claim resting on unstated NaN-sort conventions; r9
+    ADVICE) and the element at the exact integer rank is returned;
+    the only float op is the single multiply inside ``ceil(q·n)``,
+    the same two operands in both engines. Rows with NULL or NaN
+    values are excluded BEFORE windowing (rank statistics of observed
+    values) — which also matches the streaming twin, whose pandas
+    ``notna()`` pre-filter always dropped NaN.
     """
     if not 0.0 < q < 1.0:
         raise ValueError(f"q must be in (0, 1), got {q}")
@@ -691,7 +695,10 @@ def rolling_quantile(
         .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(-(window_rows - 1), Window.currentRow)
     )
-    filtered = df.where(F.col(value_col).isNotNull())
+    filtered = df.where(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
     vals = F.sort_array(
         F.collect_list(F.col(value_col).cast("double")).over(w)
     )
@@ -717,8 +724,9 @@ def rolling_quantile_sql(
     trailing rows frame, the same explicit list-sort + 1-based
     ``max(1, ceil(q·n))`` element selection (NOT the engine's windowed
     ``quantile_disc``, whose internal rank arithmetic is unspecified),
-    and the same ``CAST('repr' AS DOUBLE)`` q literal so the single
-    float multiply sees identical operands."""
+    the same NULL+NaN pre-filter, and the same ``CAST('repr' AS
+    DOUBLE)`` q literal so the single float multiply sees identical
+    operands."""
     part = ", ".join(series_cols)
     over = (
         f"OVER (PARTITION BY {part} ORDER BY {order_by} "
@@ -730,7 +738,8 @@ def rolling_quantile_sql(
         f"CAST(len({lst}) AS DOUBLE))) AS BIGINT)"
     )
     return f"""SELECT {select}, ({lst})[{rank}] AS {out_col}
-FROM {table} WHERE {value_col} IS NOT NULL"""
+FROM {table}
+WHERE {value_col} IS NOT NULL AND NOT isnan(CAST({value_col} AS DOUBLE))"""
 
 
 def seasonal_profile(

@@ -135,3 +135,190 @@ def test_pq_index_scan_reads_codes_not_vectors(spark, sf_dir, tmp_path):
     assert "embedding" not in plan
     files = probed.select(F.input_file_name().alias("f")).distinct().collect()
     assert files and all("centroid_id=1" in r.f for r in files)
+
+
+# ---- incremental append (round 10, r9 VERDICT #1) -------------------
+
+
+def _split(emb):
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    return base, batch
+
+
+def test_ivf_append_matches_full_rebuild_with_base_artifacts(
+    spark, sf_dir, tmp_path
+):
+    """build(base) + append(batch) probes bit-identical to writing
+    base ∪ batch in one shot under the SAME base-trained centroids —
+    append changes where rows land, never a value."""
+    from shaha_spark.operators.ann_index import append_to_ivf_index
+    from shaha_spark.operators.similarity import ivf_assign
+
+    emb = _emb(spark, sf_dir)
+    base, batch = _split(emb)
+    inc = str(tmp_path / "inc")
+    build_ivf_index(base, inc, k=4, iters=2)
+    summary = append_to_ivf_index(batch, inc)
+    assert summary["n_appended"] == batch.count()
+
+    # from-scratch rebuild with the same (base-trained) centroids
+    full = str(tmp_path / "full")
+    cents = kmeans_fit(base, k=4, iters=2)
+    (
+        ivf_assign(emb, cents)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(full)
+    )
+    import json as _json
+
+    from shaha_spark import io_util
+    from shaha_spark.operators.ann_index import CENTROID_SIDECAR
+
+    io_util.write_text(
+        spark,
+        full + "/" + CENTROID_SIDECAR,
+        _json.dumps(
+            [
+                {
+                    "centroid_id": int(r.centroid_id),
+                    "centroid": [float(x) for x in r.centroid],
+                }
+                for r in cents.collect()
+            ],
+            sort_keys=True,
+        ),
+    )
+    q = _queries(emb)
+    got = {
+        (r.query_id, r.vec_id): (r.approx_cosine, r.rank)
+        for r in ivf_index_topk(spark, inc, q, nprobe=2, k_neighbors=5).collect()
+    }
+    expect = {
+        (r.query_id, r.vec_id): (r.approx_cosine, r.rank)
+        for r in ivf_index_topk(spark, full, q, nprobe=2, k_neighbors=5).collect()
+    }
+    assert got == expect
+
+
+def test_ivf_pq_append_matches_full_rebuild_with_base_artifacts(
+    spark, sf_dir, tmp_path
+):
+    from shaha_spark.operators.ann_index import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        ivf_pq_index_topk,
+        load_append_state,
+    )
+
+    import shutil
+
+    from shaha_spark.operators.ann_index import (
+        CENTROID_SIDECAR,
+        PQ_CODEBOOK_SIDECAR,
+        load_ivf_centroids,
+        load_pq_codebooks,
+    )
+    from shaha_spark.operators.pq import pq_encode
+    from shaha_spark.operators.similarity import ivf_assign
+
+    emb = _emb(spark, sf_dir)
+    base, batch = _split(emb)
+    inc = str(tmp_path / "inc")
+    build_ivf_pq_index(base, inc, k_coarse=4, m=4, k_sub=4, iters=2)
+    append_to_ivf_pq_index(batch, inc)
+
+    # independent one-shot rebuild: encode+assign the WHOLE corpus in
+    # one write using the sidecar artifacts the incremental path froze
+    full = str(tmp_path / "full")
+    cents = load_ivf_centroids(spark, inc)
+    books = load_pq_codebooks(spark, inc)
+    coded = pq_encode(emb, books).join(
+        ivf_assign(emb, cents).select("vec_id", "centroid_id"), "vec_id"
+    )
+    (
+        coded.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(full)
+    )
+    shutil.copy(os.path.join(inc, CENTROID_SIDECAR),
+                os.path.join(full, CENTROID_SIDECAR))
+    shutil.copy(os.path.join(inc, PQ_CODEBOOK_SIDECAR),
+                os.path.join(full, PQ_CODEBOOK_SIDECAR))
+    q = _queries(emb)
+    got = sorted(
+        map(
+            tuple,
+            ivf_pq_index_topk(spark, inc, q, nprobe=2, k_neighbors=5).collect(),
+        )
+    )
+    again = sorted(
+        map(
+            tuple,
+            ivf_pq_index_topk(spark, full, q, nprobe=2, k_neighbors=5).collect(),
+        )
+    )
+    assert got == again
+    st = load_append_state(spark, inc)
+    assert st["appends"] == 1 and st["appended_rows"] == batch.count()
+    assert st["trained_rows"] == base.count()
+
+
+def test_append_updates_staleness_and_recommends_retrain(
+    spark, sf_dir, tmp_path
+):
+    from shaha_spark.operators.ann_index import (
+        RETRAIN_RATIO,
+        append_to_ivf_index,
+        load_append_state,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base, batch = _split(emb)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, k=4, iters=2)
+    assert load_append_state(spark, path) == {
+        "trained_rows": base.count(),
+        "appended_rows": 0,
+        "appends": 0,
+    }
+    s1 = append_to_ivf_index(batch, path)
+    assert s1["appends"] == 1 and not s1["retrain_recommended"]
+    # keep appending the same batch until drift crosses the threshold
+    s = s1
+    for _ in range(20):
+        if s["retrain_recommended"]:
+            break
+        s = append_to_ivf_index(batch, path)
+    assert s["retrain_recommended"]
+    assert s["staleness"] >= RETRAIN_RATIO
+    assert load_append_state(spark, path)["appends"] == s["appends"]
+
+
+def test_append_bounds_file_growth_per_bucket(spark, sf_dir, tmp_path):
+    """repartition(centroid_id) before the partitioned append: each
+    append adds at most ONE file per bucket directory, not tasks × k."""
+    from shaha_spark.operators.ann_index import append_to_ivf_index
+
+    emb = _emb(spark, sf_dir)
+    base, batch = _split(emb)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, k=4, iters=2)
+
+    def files_per_bucket():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("centroid_id="):
+                out[d] = len(
+                    [f for f in os.listdir(os.path.join(path, d))
+                     if f.endswith(".parquet")]
+                )
+        return out
+
+    before = files_per_bucket()
+    append_to_ivf_index(batch.repartition(16), path)
+    after = files_per_bucket()
+    for d, n in after.items():
+        assert n <= before.get(d, 0) + 1, (d, before, after)

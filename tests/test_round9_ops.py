@@ -58,6 +58,38 @@ def test_rolling_quantile_skips_nulls_before_windowing(spark):
     assert got[2] == 1.0 and got[3] == 2.0
 
 
+def test_rolling_quantile_skips_nan_like_null(spark):
+    """NaN is NOT NULL — it passes isNotNull, so without the explicit
+    ~isnan filter it would enter the frame and could be emitted as the
+    quantile, with cross-engine agreement resting on unstated
+    NaN-sort conventions (r9 ADVICE). NaN rows are excluded exactly
+    like NULL rows — which also matches the streaming twin, whose
+    pandas notna() always dropped them."""
+    nan = float("nan")
+    rows = [("u", 0, 1.0), ("u", 1, nan), ("u", 2, 3.0), ("u", 3, 2.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        r["t"]: r["rq"]
+        for r in rolling_quantile(df, ["k"], ["t"], "v", q=0.5, window_rows=2)
+        .collect()
+    }
+    assert 1 not in got
+    assert got[2] == 1.0 and got[3] == 2.0
+    # and the SQL twin applies the same filter
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt (k VARCHAR, t BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO tt VALUES (?, ?, ?)", rows)
+    want = {
+        t: rq
+        for t, rq in con.execute(
+            "SELECT t, rq FROM ("
+            + rolling_quantile_sql("tt", ["k"], "t", "v", q=0.5, window_rows=2)
+            + ")"
+        ).fetchall()
+    }
+    assert want == got
+
+
 def test_rolling_quantile_validates_params(spark):
     df = spark.createDataFrame([("u", 0, 1.0)], "k string, t long, v double")
     with pytest.raises(ValueError):
