@@ -75,6 +75,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
 
 from shaha_spark.operators.constants import (
     FINGERPRINT_K,
@@ -1263,6 +1264,96 @@ def q_decontaminate(spark, sf_dir):
     return out.select(
         "doc_id", "n_shared_grams", F.col("contaminated").cast("int").alias("contaminated")
     )
+
+
+SUBSTR_DECONTAM_LEN = 32
+
+
+def q_docs_substr_decontaminate(spark, sf_dir):
+    """Exact-substring decontamination (round 10, VERDICT r9 #6;
+    operators.terms.exact_substring_decontaminate): train docs sharing
+    any exact 32-char substring with the eval split — the
+    suffix-array-class check (Lee et al. 2021) that catches verbatim
+    passages word n-grams split differently. Same r2-salted split as
+    docs_decontaminate, so the two entries are directly comparable
+    (word-level vs char-level contamination sets)."""
+    from shaha_spark.operators.sampling import hash_split
+    from shaha_spark.operators.terms import exact_substring_decontaminate
+
+    split = hash_split(
+        _t(spark, sf_dir, "documents"), SPLIT_WEIGHTS, "doc_id", salt="r2"
+    )
+    out = exact_substring_decontaminate(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "eval"),
+        min_len=SUBSTR_DECONTAM_LEN,
+    )
+    return out.select(
+        "doc_id",
+        "n_shared_spans",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def _synth_url_col():
+    """Deterministic synthetic URL per document — the testdata has no
+    URL column, so the fixture derives one from (doc_id, source) with
+    every cosmetic-variant axis the canonicalizer must collapse:
+    scheme/host casing, www., default port :80 vs explicit :8080,
+    trailing slash, tracking params, query-param order. Twin:
+    _synth_url_sql (same arithmetic in DuckDB)."""
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("http")).otherwise(F.lit("HTTP"))
+    www = F.when(d % 5 < 2, F.lit("www.")).otherwise(F.lit(""))
+    host = (
+        F.when(d % 3 == 0, F.concat(F.col("source"), F.lit(".Example.COM")))
+        .when(d % 3 == 1, F.concat(F.col("source"), F.lit(".example.com")))
+        .otherwise(F.concat(F.col("source"), F.lit(".shop.co.uk")))
+    )
+    port = (
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(F.lit("/p/"), (d % 40).cast("string"))
+    slash = F.when(d % 6 == 0, F.lit("/")).otherwise(F.lit(""))
+    query = F.when(d % 2 == 0, F.lit("?b=2&a=1")).otherwise(
+        F.lit("?a=1&b=2&utm_source=feed")
+    )
+    return F.concat(
+        scheme, F.lit("://"), www, host, port, path, slash, query
+    )
+
+
+_SYNTH_URL_SQL = """(
+  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTP' END) || '://'
+  || (CASE WHEN doc_id % 5 < 2 THEN 'www.' ELSE '' END)
+  || (CASE WHEN doc_id % 3 = 0 THEN source || '.Example.COM'
+           WHEN doc_id % 3 = 1 THEN source || '.example.com'
+           ELSE source || '.shop.co.uk' END)
+  || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+           WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+  || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+  || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1'
+           ELSE '?a=1&b=2&utm_source=feed' END)
+)"""
+
+
+def q_docs_url_dedup(spark, sf_dir):
+    """URL-level dedup on the canonical URL with registered-domain
+    (eTLD+1) attribution (round 10, VERDICT r9 #6;
+    operators.dedup.url_dedup + functions/url.py): crawl variants of
+    the same page — casing, www., default port, trailing slash,
+    tracking params, param order — collapse to one survivor per
+    canonical URL; `.shop.co.uk` hosts exercise the multi-label
+    public-suffix path of registered_domain."""
+    from shaha_spark.operators.dedup import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_col().alias("url")
+    )
+    return url_dedup(docs, "url", "doc_id")
 
 
 def q_tpch_q5(spark, sf_dir):
@@ -2998,6 +3089,50 @@ SELECT s.doc_id,
   CAST(coalesce(sh.n_shared_grams, 0) > 0 AS INTEGER) AS contaminated
 FROM split s LEFT JOIN shared sh USING (doc_id)
 WHERE s.bucket >= 1000"""
+
+    # exact-substring decontamination (r10): the same r2-salted split,
+    # char-level stride-1 windows instead of word n-grams — twin built
+    # by the operator module so both engines share one recipe
+    from shaha_spark.operators.terms import exact_substring_decontaminate_sql
+
+    _sub_base = exact_substring_decontaminate_sql(
+        train_select=(
+            "SELECT doc_id, text FROM documents WHERE "
+            + bucket_sql("doc_id", "r2")
+            + " >= 1000"
+        ),
+        eval_select=(
+            "SELECT doc_id, text FROM documents WHERE "
+            + bucket_sql("doc_id", "r2")
+            + " < 500"
+        ),
+        min_len=SUBSTR_DECONTAM_LEN,
+    )
+    sql["docs_substr_decontaminate"] = f"""SELECT doc_id, n_shared_spans,
+  CAST(contaminated AS INTEGER) AS contaminated
+FROM ({_sub_base})"""
+
+    # URL canonical dedup (r10): same synthetic-URL arithmetic as the
+    # Spark fixture; canonicalizer + registered-domain twins from
+    # functions/url.py
+    from shaha_spark.functions.url import (
+        normalize_url_sql,
+        registered_domain_sql,
+    )
+
+    sql["docs_url_dedup"] = f"""WITH urls AS (
+  SELECT doc_id, {normalize_url_sql(_SYNTH_URL_SQL)} AS canonical_url
+  FROM documents
+),
+g AS (
+  SELECT canonical_url, min(doc_id) AS survivor_doc_id,
+         CAST(count(*) AS BIGINT) AS n_variants
+  FROM urls GROUP BY 1
+)
+SELECT canonical_url,
+  {registered_domain_sql('canonical_url')} AS registered_domain,
+  survivor_doc_id, n_variants
+FROM g"""
     # volume-growing revenue sums (scale 4): split-cast both engines,
     # same rationale as tpch_q1 (sf1 sweep divergence past 2^53)
     _REV_SUM = (
@@ -3768,48 +3903,56 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (displaced by the four new entries) roll to r10.
 #: Entries allowed to precede the never-driver-verified block in the
 #: registry (tests/test_coverage_guard.py): re-verification anchors
-#: whose current oracle postdates their newest driver row.
+#: whose current derivation postdates their newest driver row.
+#: Round 10: events_rolling_median gained the ~isnan filter in both
+#: engines (r9 ADVICE), docs_isotonic migrated its bin-table boundary
+#: localCheckpoint→persist, and the two persisted-index entries moved
+#: from per-invocation mkdtemp builds to the deterministic cached
+#: _index_path — all post-r09-green derivation changes.
 WINDOW_ANCHORS: list[str] = [
-    "events_quantile_disc", "events_ks", "words_collocations",
+    "events_rolling_median", "docs_isotonic",
+    "emb_ivf_index_topk", "emb_ivf_pq_index_topk",
 ]
 
-R9_WINDOW_ORDER = [
-    # anchors (derivations restructured post-r08-green; driver re-proof)
-    "events_quantile_disc", "events_ks", "words_collocations",
-    # round-9 additions — never driver-verified, must sit in-window
-    "events_rolling_median", "events_seasonality", "docs_isotonic",
-    "emb_ivf_pq_index_topk",
-    # least-recently-verified backfill (r04 tail, then the r05 cohort —
-    # 4 rounds stale, oldest greens in the registry)
-    "words_trigram_fuzzy", "emb_ivf_index_topk", "orders_pair_triangles",
-    "events_ab_welch", "docs_psi_drift", "emb_ann_recall",
-    "profile_lineitem", "words_intersect", "words_except",
-    "dedup_exact", "dedup_minhash_sigs", "dedup_minhash_pairs",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_minhash_survivors", "similarity_topk", "embedding_near_dup",
-    "text_token_count", "text_quality", "text_langid",
-    "text_fingerprint", "multimodal_meta", "events_interarrival",
-    "events_pit_join", "events_rollup_incremental", "docs_source_cap",
-    "docs_ppl_buckets", "events_gapfill", "events_debounce",
-    "users_scd2", "docs_line_dedup", "docs_dup_span_removed",
-    "docs_temperature_rates", "docs_temperature_resample",
-    "docs_dsir_weights", "docs_dsir_topk", "docs_top_keywords",
-    "docs_redact", "dedup_keep_best", "docs_hashed_features",
-    "docs_logreg_score", "emb_semantic_dedup",
+R10_WINDOW_ORDER = [
+    # anchors (derivations changed post-r09-green; driver re-proof)
+    "events_rolling_median", "docs_isotonic",
+    "emb_ivf_index_topk", "emb_ivf_pq_index_topk",
+    # round-10 additions — never driver-verified, must sit in-window
+    "emb_ivf_index_append_topk", "emb_ivf_pq_index_append_topk",
+    "docs_substr_decontaminate", "docs_url_dedup",
+    # least-recently-verified backfill (scripts/plan_window.py): first
+    # the r05 cohort displaced by round 9's anchors+new entries —
+    # oldest greens in the registry — then the r06 cohort
+    "emb_pq_topk", "emb_ivf_pq_topk", "docs_bpe_encode",
+    "docs_char_entropy", "docs_trigram_backoff", "docs_curated",
+    "docs_postings_stats", "docs_phrase_search", "docs_winnowing",
+    "docs_token_budget", "emb_diverse_sample", "emb_hard_negatives",
+    "emb_knn_accuracy",
+    "tpch_q1_rollup", "multimodal_frame_count", "wordlist_scan",
+    "word_dedup", "build_sha256", "build_hash256", "build_all_algos",
+    "query_prefix", "query_algo_filter", "query_topk_by_hash",
+    "db_stats", "build_summary", "tpch_q1", "tpch_q3", "tpch_q5",
+    "tpch_q6", "tpch_q18", "tpch_q10", "tpch_q14", "tpch_q15",
+    "tpch_q17", "tpch_q19", "tpch_q22", "text_vocab", "text_oov",
+    "docs_repetition", "docs_cosine_pairs", "events_redact",
+    "words_lev_pairs",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness harness checks the FIRST 50
-    # entries only. Round-9 layout: R9_WINDOW_ORDER = 50 slots of pure
-    # least-recently-verified backfill (the r04 tail + r05 cohort; no
-    # anchors — no operator semantics changed after its latest green
-    # row at rotation time); everything else keeps its registry order
-    # after it. tests/test_coverage_guard.py enforces the invariant.
+    # entries only. Round-10 layout: 4 re-verification anchors (see
+    # WINDOW_ANCHORS), 4 never-verified round-10 entries (the two
+    # persisted-index append round trips + the two concept-grep ops),
+    # then the mechanical least-recently-verified backfill from
+    # scripts/plan_window.py (the displaced r05 cohort, then r06);
+    # everything else keeps its registry order after it.
+    # tests/test_coverage_guard.py enforces the invariant.
     merged = dict(_queries_prior())
     merged.update(queries_r4())
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in R9_WINDOW_ORDER:
+    for name in R10_WINDOW_ORDER:
         out[name] = merged[name]
     for name, fn in merged.items():
         out.setdefault(name, fn)
@@ -3942,6 +4085,9 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "text_term_stats": q_term_stats,
         "docs_decontaminate": q_decontaminate,
+        # round-10 additions (concept-grep, VERDICT r9 #6)
+        "docs_substr_decontaminate": q_docs_substr_decontaminate,
+        "docs_url_dedup": q_docs_url_dedup,
         "tpch_q4": q_tpch_q4,
         "tpch_q13": q_tpch_q13,
         "part_never_shipped": q_part_never_shipped,
@@ -4658,13 +4804,13 @@ def q_events_audience_overlap(spark, sf_dir):
     active-user sets — the churn-adjacent stability metric. One
     distinct (day, user) projection, an adjacent-day equi-join
     (day = day+1, never a range join), integer-exact overlap counts."""
-    # lazy checkpoint: the distinct (day, user) projection feeds the
+    # lazy persist (DISK_ONLY): the distinct (day, user) projection feeds the
     # per-day counts AND both self-join sides — 4 fact scans without
     # the boundary (r9 rescan-lint tightening)
     ev = _events(spark, sf_dir).select(
         (F.col("tus") / F.lit(86_400_000_000)).cast("long").alias("day"),
         "user_id",
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().persist(StorageLevel.DISK_ONLY)
     per_day = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n_users"))
     inter = (
         ev.alias("a")
@@ -4915,14 +5061,14 @@ def q_words_collocations(spark, sf_dir):
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
     )
-    # lazy checkpoint: the vocabulary-sized unigram counts feed BOTH
+    # lazy persist: the vocabulary-sized unigram counts feed BOTH
     # pmi join sides and the token total (derived as sum(c) — exact
     # same integer as count over words) — 4 fact scans without the
     # boundary (r9 rescan-lint tightening)
     uni = (
         words.groupBy(F.col("word"))
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     n_tok = uni.agg(F.sum("c").alias("__n"))
     ua = uni.select(F.col("word").alias("w1"), F.col("c").alias("c_a"))

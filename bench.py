@@ -588,6 +588,75 @@ def main() -> None:
         extras["sf1_pq_clus_topk_ratio"] = round(
             extras["sf1_pq_clus_topk_sec"] / clus_base, 2
         )
+        # ---- sf4 (40x) clustered gate (VERDICT r9 #5) ----
+        # Same base-trained artifacts and fixed query batch at 40x the
+        # corpus: the growth-stable generator adds new sub-center-combo
+        # groups only, so the gate proves the WRITE-TIME model keeps
+        # recall as the corpus grows past its training snapshot — the
+        # staleness regime ann_index.append's retrain counter guards.
+        # Gate: recall@5 >= 0.9 at nprobe=2/16, slope sub-linear vs 4x.
+        clus4 = spark.read.parquet(
+            make_clustered_emb(os.path.join(tmp, "clus4.parquet"), n=80000)
+        )
+        t0 = time.perf_counter()
+        ivf_pq_topk(
+            clus4, clus_queries, clus_cents, clus_books, k=5, nprobe=2
+        ).count()
+        extras["sf4_pq_clus_topk_sec"] = round(time.perf_counter() - t0, 4)
+        extras["sf4_pq_clus_topk_ratio"] = round(
+            extras["sf4_pq_clus_topk_sec"] / clus_base, 2
+        )
+        clus4_exact = brute_force_topk(clus4, clus_queries, k=5)
+        pq_clus4_recall = (
+            topk_recall(
+                clus4_exact,
+                ivf_pq_topk(
+                    clus4, clus_queries, clus_cents, clus_books, k=5, nprobe=2
+                ),
+                k=5,
+            )
+            .agg(F.avg("recall"))
+            .first()[0]
+        )
+        extras["sf4_pq_clus_recall_at5"] = round(pq_clus4_recall, 4)
+        extras["sf4_pq_clus_gate"] = (
+            "pass nprobe=2/16 at 40x"
+            if pq_clus4_recall >= 0.9
+            else f"FAIL {pq_clus4_recall:.3f} < 0.9"
+        )
+
+        # ---- persisted-index incremental append vs rebuild (r10) ----
+        # The production ingest tick: a new batch lands in an existing
+        # IVF-PQ index via encode+assign with the FROZEN sidecar
+        # artifacts (append_to_ivf_pq_index) — measure it against the
+        # full from-scratch rebuild the append replaces. The batch is
+        # 10% of the corpus; at a real 100 TB / 1 GB-batch asymmetry
+        # the gap widens by another three orders of magnitude.
+        from shaha_spark.operators.ann_index import (
+            append_to_ivf_pq_index,
+            build_ivf_pq_index,
+        )
+
+        app_base = embs01.filter(F.col("vec_id") % 10 != 7)
+        app_batch = embs01.filter(F.col("vec_id") % 10 == 7)
+        idx_path = os.path.join(tmp, "ivfpq_idx")
+        t0 = time.perf_counter()
+        build_ivf_pq_index(app_base, idx_path, k_coarse=4, m=4, k_sub=4, iters=2)
+        extras["ivfpq_index_build_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        append_to_ivf_pq_index(app_batch, idx_path)
+        extras["ivfpq_index_append_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        build_ivf_pq_index(
+            embs01, os.path.join(tmp, "ivfpq_idx_full"),
+            k_coarse=4, m=4, k_sub=4, iters=2,
+        )
+        extras["ivfpq_index_rebuild_sec"] = round(time.perf_counter() - t0, 4)
+        extras["ivfpq_append_vs_rebuild"] = round(
+            extras["ivfpq_index_rebuild_sec"]
+            / max(extras["ivfpq_index_append_sec"], 1e-9),
+            2,
+        )
 
     extras["loadavg_end"] = _loadavg()
     shutil.rmtree(tmp, ignore_errors=True)
@@ -621,6 +690,12 @@ def main() -> None:
         "ivf_pq_recall_at5", "sf1_ivf_pq_topk_ratio",
         # clustered fixture: PQ recall gate + slope (VERDICT r8 #1)
         "pq_clus_recall_at5", "pq_clus_gate", "sf1_pq_clus_topk_ratio",
+        # sf4 (40x) clustered gate + slope (VERDICT r9 #5)
+        "sf4_pq_clus_recall_at5", "sf4_pq_clus_gate",
+        "sf4_pq_clus_topk_ratio",
+        # incremental index append vs rebuild (VERDICT r9 #1)
+        "ivfpq_index_append_sec", "ivfpq_index_rebuild_sec",
+        "ivfpq_append_vs_rebuild",
         # core sf1 slopes, promoted from the clipped extras line
         # (VERDICT r8 #2: r8's were lost to the 2000-char tail capture)
         "sf1_build_hashdb_ratio", "sf1_tpch_q1_ratio",

@@ -1,0 +1,171 @@
+"""URL canonicalization and registered-domain extraction — the key
+derivation for URL-level dedup of web-crawled corpora (training-data
+canon: crawl snapshots carry the same page under utm-tagged, cased,
+default-ported, trailing-slashed variants; CCNet/RefinedWeb-style
+pipelines dedup on a canonical URL before any content hashing, and cap
+or weight per REGISTERED domain, not per hostname, so `a.blogspot.com`
+and `b.blogspot.com` don't read as one site while `news.example.co.uk`
+and `example.co.uk` do).
+
+Everything here is pure Column algebra (regexp/split/sort inside
+whole-stage codegen — no UDF), with a DuckDB twin per function built
+from the same regexes so oracle comparisons are step-identical.
+
+Canonical form (normalize_url):
+  1. trim; strip the ``#fragment``;
+  2. scheme and host lowercased; a leading ``www.`` dropped;
+  3. default ports dropped (``:80`` for http, ``:443`` for https);
+  4. trailing ``/`` runs stripped from the path;
+  5. tracking params dropped (``utm_*``, ``fbclid``, ``gclid``),
+     remaining query params sorted bytewise and rejoined — param
+     ORDER is transport noise, param SET is identity.
+
+registered_domain uses a snapshot of multi-label public suffixes
+(co.uk-style); the full Public Suffix List is data, not code — ship it
+as config and swap :data:`MULTI_LABEL_SUFFIXES` for production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: snapshot of common 2-label public suffixes; the production knob is
+#: the full PSL loaded as config (see module docstring)
+MULTI_LABEL_SUFFIXES = (
+    "ac.uk", "co.in", "co.jp", "co.kr", "co.nz", "co.uk", "co.za",
+    "com.au", "com.br", "com.cn", "com.mx", "com.sg", "com.tr",
+    "gov.uk", "ne.jp", "net.au", "or.jp", "org.au", "org.uk",
+)
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid)="
+
+
+def _host_of(u: Column) -> Column:
+    after = F.regexp_replace(u, _SCHEME_RE, "")
+    hostport = F.regexp_extract(after, "^([^/?#]*)", 1)
+    return F.lower(F.regexp_extract(hostport, "^([^:]*)", 1))
+
+
+def normalize_url(url: Column) -> Column:
+    """The canonical URL (see module docstring) as a single codegen'd
+    expression; NULL propagates, a string with no ``scheme://`` is
+    returned trimmed-and-fragment-stripped only (not a URL — caller
+    filters if needed)."""
+    u = F.regexp_replace(F.trim(url), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    after = F.regexp_replace(u, _SCHEME_RE, "")
+    hostport = F.regexp_extract(after, "^([^/?#]*)", 1)
+    rest = F.regexp_replace(after, "^[^/?#]*", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, "^([^:]*)", 1)), "^www\\.", ""
+    )
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_replace(F.regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    query = F.regexp_extract(rest, "\\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    canon_query = F.array_join(params, "&")
+    return F.when(scheme == "", u).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            path,
+            F.when(
+                canon_query != "", F.concat(F.lit("?"), canon_query)
+            ).otherwise(F.lit("")),
+        )
+    )
+
+
+def registered_domain(url: Column) -> Column:
+    """eTLD+1 of the URL's host under the suffix snapshot: the last 2
+    labels, or the last 3 when the last 2 are a multi-label public
+    suffix (``a.b.shop.co.uk`` → ``shop.co.uk``); a host with fewer
+    labels passes through."""
+    host = F.regexp_replace(_host_of(F.regexp_replace(F.trim(url), "#.*$", "")), "^www\\.", "")
+    parts = F.split(host, "\\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    is_multi = last2.isin(*MULTI_LABEL_SUFFIXES)
+    return (
+        F.when(n <= 2, host)
+        .when(is_multi & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+# ---- DuckDB twins ----------------------------------------------------
+
+
+def normalize_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_url` over SQL expression
+    ``expr`` — the same regexes in the same order, list_sort for the
+    bytewise param sort (both engines compare strings bytewise on the
+    ASCII test domain)."""
+    u = f"regexp_replace(trim({expr}), '#.*$', '')"
+    scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
+    after = f"regexp_replace({u}, '{_SCHEME_RE}', '')"
+    hostport = f"regexp_extract({after}, '^([^/?#]*)', 1)"
+    rest = f"regexp_replace({after}, '^[^/?#]*', '')"
+    host = (
+        f"regexp_replace(lower(regexp_extract({hostport}, '^([^:]*)', 1)),"
+        " '^www\\.', '')"
+    )
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    keep_port = (
+        f"({port} <> '' AND NOT (({scheme} = 'http' AND {port} = '80')"
+        f" OR ({scheme} = 'https' AND {port} = '443')))"
+    )
+    path = (
+        f"regexp_replace(regexp_extract({rest}, '^([^?]*)', 1), '/+$', '')"
+    )
+    query = f"regexp_extract({rest}, '\\?(.*)$', 1)"
+    params = (
+        f"list_sort(list_filter(string_split({query}, '&'),"
+        f" p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}')))"
+    )
+    canon_query = f"array_to_string({params}, '&')"
+    return (
+        f"CASE WHEN {scheme} = '' THEN {u} ELSE "
+        f"{scheme} || '://' || {host}"
+        f" || (CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END)"
+        f" || {path}"
+        f" || (CASE WHEN {canon_query} <> '' THEN '?' || {canon_query}"
+        f" ELSE '' END) END"
+    )
+
+
+def registered_domain_sql(expr: str) -> str:
+    """DuckDB twin of :func:`registered_domain`."""
+    u = f"regexp_replace(trim({expr}), '#.*$', '')"
+    after = f"regexp_replace({u}, '{_SCHEME_RE}', '')"
+    hostport = f"regexp_extract({after}, '^([^/?#]*)', 1)"
+    host = (
+        f"regexp_replace(lower(regexp_extract({hostport}, '^([^:]*)', 1)),"
+        " '^www\\.', '')"
+    )
+    parts = f"string_split({host}, '.')"
+    n = f"len({parts})"
+    last2 = f"({parts}[-2] || '.' || {parts}[-1])"
+    last3 = f"({parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1])"
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    return (
+        f"CASE WHEN {n} <= 2 THEN {host}"
+        f" WHEN {last2} IN ({suffixes}) AND {n} >= 3 THEN {last3}"
+        f" ELSE {last2} END"
+    )

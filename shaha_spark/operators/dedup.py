@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
 
 from shaha_spark.functions.text import h28, h32, perm_hash, shingles, tokens
 from shaha_spark.util import ensure_parallelism
@@ -368,7 +369,7 @@ def ngram_jaccard(
     candidate-sized — materializing it lazily is cheap at any corpus
     scale.
     """
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = pairs.persist(StorageLevel.DISK_ONLY)
     stack = pairs.select(
         "id_a", "id_b", F.col("id_a").alias(id_col), F.lit(1).alias("is_a")
     ).unionAll(
@@ -810,3 +811,46 @@ def trigram_fuzzy_pairs(
         "v_b",
         F.levenshtein("v_a", "v_b").cast("bigint").alias("dist"),
     ).where(F.col("dist") <= max_dist)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level dedup keyed on the CANONICAL URL (training-data
+    canon: a crawl carries the same page under utm-tagged, cased,
+    default-ported, trailing-slashed, param-reordered variants — see
+    shaha_spark.functions.url for the canonical form). One row per
+    canonical URL: the surviving ``{id_col}`` (min — deterministic),
+    the variant count, and the REGISTERED domain (eTLD+1 under the
+    public-suffix snapshot) for downstream per-site capping/weighting
+    (the registered domain, not the hostname, is the unit
+    RefinedWeb-style pipelines cap on).
+
+    Scale shape: ONE hash aggregation on the canonical key with
+    map-side partial combine — the canonicalization itself is pure
+    codegen'd string algebra on the scan, no UDF, no second shuffle;
+    the domain column derives from the already-grouped canonical URL
+    (group-count-sized, not data-sized). Rows with NULL URLs are
+    excluded (no identity to dedup on).
+    """
+    from shaha_spark.functions.url import normalize_url, registered_domain
+
+    return (
+        df.where(F.col(url_col).isNotNull())
+        .select(normalize_url(F.col(url_col)).alias("canonical_url"), id_col)
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("survivor_" + id_col),
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        )
+        .select(
+            "canonical_url",
+            registered_domain(F.col("canonical_url")).alias(
+                "registered_domain"
+            ),
+            "survivor_" + id_col,
+            "n_variants",
+        )
+    )

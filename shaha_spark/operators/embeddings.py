@@ -323,7 +323,7 @@ def sq_topk(
     from pyspark.sql import Window
 
     ccodes = sq_code_arrays(corpus, stats, vec_col, id_col)
-    # lazy checkpoint: the batch-sized query codes feed BOTH the
+    # lazy persist: the batch-sized query codes feed BOTH the
     # stage-A broadcast and the stage-B re-rank join — without the
     # boundary each consumer re-derives the query-side scan
     qcodes = sq_code_arrays(
@@ -332,7 +332,7 @@ def sq_topk(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         F.col("__qcodes"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     # centered codes: raw uint8 dots are dominated by the +128 offset
     # term (every code is positive), which ranks by vector SUM, not
     # similarity. (c-128)·(q-128) strips the offset so the integer dot

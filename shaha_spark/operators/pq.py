@@ -300,7 +300,7 @@ def ivf_pq_topk(
     # extra consumers make the plan's scan count depend on surrounding
     # join strategy (observed 5 vs 6 corpus scans across sessions).
     # Query batches are small by contract.
-    queries = queries.localCheckpoint(eager=False)
+    queries = queries.persist()
     assigned = ivf_assign(corpus, coarse, vec_col, id_col)
     codes = pq_encode(corpus, codebooks, vec_col, id_col)
     bucketed_codes = codes.join(

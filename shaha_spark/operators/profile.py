@@ -15,6 +15,7 @@ from decimal import Decimal as _Dec
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
 
 _SPLIT_TEN = 10_000_000_000  # 10^10
 #: Exclusive bound on the unscaled |value|·10^scale for which the hi/lo
@@ -350,7 +351,7 @@ def quantile_disc(
     ordering hazard).
 
     Scan discipline: the per-distinct-value aggregation is the ONLY
-    pass over the fact table, pinned by a lazy ``localCheckpoint`` —
+    pass over the fact table, pinned by a lazy ``persist`` —
     its plan is consumed by both the min/max stats side and the
     bucketing side, and without the boundary each consumer would
     re-derive the scan (the r8 plan read 4×). Every downstream stage
@@ -367,7 +368,7 @@ def quantile_disc(
     per_v = (
         f.groupBy(F.col(value_col).cast("double").alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.DISK_ONLY)
     )
     stats = per_v.agg(
         F.min("__v").alias("__lo"),
@@ -998,14 +999,14 @@ def psi(
         .alias("__bin"),
     )
     # |bins|-row table consumed twice (totals + the PSI terms) — the
-    # lazy checkpoint stops the whole union+bin+agg subtree running
+    # lazy persist stops the whole union+bin+agg subtree running
     # once per consumer (was 8 parquet scans for one PSI). The raw
     # bounds pass still rescans the union — one extra pruned scan is
     # cheaper than materializing the corpus-sized binned stream.
     counts = binned.groupBy("__bin").agg(
         F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("__ca"),
         F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("__cb"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     totals = counts.agg(
         F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
     )
@@ -1099,7 +1100,7 @@ def mad_outliers(
     the derived |x − median| column) + one broadcast join of the
     group-level statistics back to the rows. The narrow ``dev``
     projection (group, id, x, med, adev) is materialized once via a
-    lazy localCheckpoint: it feeds BOTH the second median and the
+    lazy disk-backed persist: it feeds BOTH the second median and the
     final filter, and re-deriving it repeats the first median's scan
     per consumer (4 fact scans measured). Materializing the 5-column
     projection once is the cheaper input to derive the MAD from at
@@ -1114,7 +1115,7 @@ def mad_outliers(
         F.col(value_col).cast("double").alias("__x"),
         F.col("__med"),
         F.abs(F.col(value_col).cast("double") - F.col("__med")).alias("__adev"),
-    ).localCheckpoint(eager=False)
+    ).persist(StorageLevel.DISK_ONLY)
     mad = group_quantiles(dev, group_col, "__adev", [0.5]).select(
         F.col(group_col), F.col("p50").alias("__mad")
     )
@@ -1157,14 +1158,14 @@ def chi_square(
     zero.
     """
     df = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
-    # lazy checkpoint: obs (category-cardinality² rows) feeds FOUR
+    # lazy persist: obs (category-cardinality² rows) feeds FOUR
     # consumers (ra, cb, tot, cells) — each would re-derive the fact
     # scan without the boundary (5 runtime scans measured for one
     # statistic; VERDICT r8 #4's cure applied beyond quantile_disc)
     obs = (
         df.groupBy(col_a, col_b)
         .agg(F.count(F.lit(1)).alias("__o"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     ra = obs.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
     cb = obs.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
@@ -1236,7 +1237,7 @@ def mutual_info(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     obs = (
         df.groupBy(col_a, col_b)
         .agg(F.count(F.lit(1)).alias("__o"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     ra = obs.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
     cb = obs.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
@@ -1441,14 +1442,14 @@ def ks_2samp(
         F.col(group_col).isin([group_a, group_b])
         & F.col(value_col).isNotNull()
     )
-    # lazy checkpoint: per_v is consumed by BOTH the stats side and the
+    # lazy persist: per_v is consumed by BOTH the stats side and the
     # bucketing side (and cum by the totals and final-join sides) —
     # without the boundary each consumer re-derives the fact scan
     # (4-5 scans measured; same cure as quantile_disc, VERDICT r8 #4)
     per_v = f.groupBy(F.col(value_col).alias("__v")).agg(
         F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("__ca"),
         F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0)).alias("__cb"),
-    ).localCheckpoint(eager=False)
+    ).persist(StorageLevel.DISK_ONLY)
     stats = per_v.agg(
         F.min("__v").alias("__lo"),
         F.max("__v").alias("__hi"),

@@ -451,14 +451,14 @@ def importance_weights(
     raw_grams = _hashed_grams(docs, text_col, id_col, num_buckets, salt)
     tgt_grams = _hashed_grams(target, text_col, id_col, num_buckets, salt)
     # each bucket-count table is consumed twice (its total + the
-    # log-ratio join); the lazy checkpoints stop Spark re-running the
+    # log-ratio join); the lazy persists stop Spark re-running the
     # gram explode + hash-agg per consumer. ≤num_buckets rows each.
     cr = raw_grams.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cr")
-    ).localCheckpoint(eager=False)
+    ).persist()
     ct = tgt_grams.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("ct")
-    ).localCheckpoint(eager=False)
+    ).persist()
     tot_r = cr.agg(F.sum("cr").alias("tr"))
     tot_t = ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
     # every bucket a scored doc can hit appears in cr (docs ⊇ each doc);

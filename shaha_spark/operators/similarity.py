@@ -494,8 +494,8 @@ def prefix_topk(
     the parquet layer; here the slice is in-plan for oracle replay.
     """
     # the query batch feeds both stages (prefix scoring + full re-rank);
-    # the lazy checkpoint stops Spark re-deriving it per broadcast build
-    queries = queries.localCheckpoint(eager=False)
+    # the lazy persist stops Spark re-deriving it per broadcast build
+    queries = queries.persist()
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
@@ -617,8 +617,8 @@ def ndcg_at_k(
     # all-queries spine union); without a boundary Spark re-runs the
     # SEARCHES that produced them once per consumer. k·|queries|-sized —
     # materializing lazily is free next to the searches it deduplicates.
-    exact = exact.localCheckpoint(eager=False)
-    approx = approx.localCheckpoint(eager=False)
+    exact = exact.persist()
+    approx = approx.persist()
     e = exact.select(
         F.col(query_col), F.col(id_col), F.col(rank_col).alias("__erank")
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
 
 from shaha_spark.operators.constants import TOKEN_SPLIT_RE
 from shaha_spark.operators.profile import split_cast_double
@@ -361,6 +362,125 @@ def decontaminate(
     )
 
 
+def exact_substring_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    min_len: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing any EXACT character substring of
+    length ≥ ``min_len`` with an eval set — the stronger sibling of the
+    word-n-gram check (:func:`decontaminate`): it catches verbatim
+    benchmark passages that word tokenization splits differently
+    (punctuation, casing inside tokens, number formatting), the
+    contamination class the suffix-array method of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 §4) targets. A shared substring of length
+    ≥ min_len exists iff a shared ALIGNED window of EXACTLY min_len
+    exists, so stride-1 fixed-length shingles give the suffix-array
+    answer with no suffix array: pure relational algebra.
+
+    Returns every train row's id with ``n_shared_spans`` (distinct
+    min_len-char windows of the train doc also appearing anywhere in
+    the eval set — 0 for docs shorter than min_len) and a
+    ``contaminated`` flag.
+
+    Scale shape (100 TB train, benchmark-sized eval — the production
+    asymmetry): the EVAL side collapses to its distinct shingle set
+    and is broadcast (``broadcast_eval``), so the train side — the
+    data-proportional one — is a single scan + codegen'd substring
+    explode with NO shuffle for the join; only the per-doc count
+    aggregation shuffles, and that carries one row per MATCHED
+    (doc, window), a contamination-sized table, plus the train-id
+    spine. Train-side shingles are deduped per doc before the join
+    (distinct on (id, window)), bounding the count at windows-per-doc.
+    Set ``broadcast_eval=False`` when the eval set is itself huge —
+    the join degrades to a hash-shuffle on the window string. For
+    1000× longer documents, the Lee et al. stride trick (stride
+    min_len//2 on one side, candidate verification after) cuts the
+    shingle volume ~2×; at stride 1 this is already linear in corpus
+    characters, the same budget as tokenization.
+
+    Reference parity: none (no decontamination surface in the
+    reference) — extension layer, training-data canon.
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    L = min_len
+
+    def shingles(df: DataFrame) -> DataFrame:
+        long_enough = df.where(F.length(text_col) >= L)
+        return long_enough.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - F.lit(L - 1))
+            ).alias("__g"),
+            F.col(text_col),
+        ).select(
+            F.col(id_col),
+            F.col(text_col).substr(F.col("__g"), F.lit(L)).alias("__win"),
+        )
+
+    train_wins = shingles(train).distinct()
+    eval_wins = shingles(eval_df).select("__win").distinct()
+    if broadcast_eval:
+        eval_wins = F.broadcast(eval_wins)
+    shared = (
+        train_wins.join(eval_wins, "__win")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
+    return (
+        train.select(id_col)
+        .join(shared, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shared_spans", F.lit(0)).alias("n_shared_spans"),
+            (F.coalesce("n_shared_spans", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def exact_substring_decontaminate_sql(
+    train_select: str,
+    eval_select: str,
+    min_len: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of :func:`exact_substring_decontaminate` —
+    the same stride-1 fixed-length windows (docs shorter than min_len
+    contribute none; every emitted window is EXACTLY min_len chars, so
+    no short-tail false matches), the same per-side distinct, the same
+    left-join count. ``train_select``/``eval_select`` are full SELECT
+    statements exposing ``{id_col}`` and ``{text_col}``."""
+    L = min_len
+    return f"""WITH sd_train AS ({train_select}),
+sd_eval AS ({eval_select}),
+sd_tw AS (
+  SELECT DISTINCT {id_col}, substr({text_col}, g, {L}) AS win
+  FROM (SELECT {id_col}, {text_col},
+               unnest(range(1, len({text_col}) - {L} + 2)) AS g
+        FROM sd_train WHERE len({text_col}) >= {L})
+),
+sd_ew AS (
+  SELECT DISTINCT substr({text_col}, g, {L}) AS win
+  FROM (SELECT {text_col},
+               unnest(range(1, len({text_col}) - {L} + 2)) AS g
+        FROM sd_eval WHERE len({text_col}) >= {L})
+),
+sd_shared AS (
+  SELECT sd_tw.{id_col}, count(*) AS n_shared_spans
+  FROM sd_tw JOIN sd_ew USING (win) GROUP BY 1
+)
+SELECT t.{id_col},
+  coalesce(s.n_shared_spans, 0) AS n_shared_spans,
+  coalesce(s.n_shared_spans, 0) > 0 AS contaminated
+FROM sd_train t LEFT JOIN sd_shared s USING ({id_col})"""
+
+
 def top_keywords(
     docs: DataFrame,
     k: int = 3,
@@ -453,7 +573,9 @@ def remove_dup_gram_spans(
     global sort, no cross join. At 100 TB hash grams to 64-bit before
     the duplicate-gram join to shrink the shuffle.
 
-    ``toks`` is lazily localCheckpoint-ed (the bpe_train precedent):
+    ``toks`` is lazily persisted on disk (r10: persist(DISK_ONLY)
+    replaced the lazy localCheckpoint, which AQE materialized at
+    construction time):
     four branches consume it (gram assembly → doc-frequency AND
     coverage, the anti-join probe, the per-doc totals), and column
     pruning differentiates their subtrees enough that exchange reuse
@@ -479,7 +601,7 @@ def remove_dup_gram_spans(
             ),
             "w",
         )
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.DISK_ONLY)
     )
     wnd = W.partitionBy(id_col).orderBy("idx")
     parts = [F.col("w")] + [F.lead("w", i).over(wnd) for i in range(1, n)]
@@ -661,7 +783,7 @@ def trigram_backoff_logprob(
     lm_toks = _toks(lm_docs)
     c1 = lm_toks.groupBy(F.col("w").alias("u1")).agg(
         F.count(F.lit(1)).alias("c1")
-    ).localCheckpoint(eager=False)
+    ).persist()
     lm_wnd = W.partitionBy(id_col).orderBy("pos")
     lm_bi = (
         lm_toks.select(
@@ -672,17 +794,17 @@ def trigram_backoff_logprob(
         .filter(F.col("b2").isNotNull())
         .groupBy("b1", "b2")
         .agg(F.count(F.lit(1)).alias("c2"))
-    ).localCheckpoint(eager=False)
+    ).persist()
     lm_tri = (
         _tris(lm_docs)
         .groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("c3"))
-    ).localCheckpoint(eager=False)
+    ).persist()
     totals = c1.agg(
         F.sum("c1").alias("__N"), F.count(F.lit(1)).alias("__V")
     )
 
-    occ = _tris(docs).localCheckpoint(eager=False)
+    occ = _tris(docs).persist(StorageLevel.DISK_ONLY)
     keys = occ.select("w1", "w2", "w3").distinct()
     scored_keys = (
         keys.join(lm_tri, ["w1", "w2", "w3"], "left")
@@ -812,13 +934,13 @@ def unigram_logprob(
     score pass is a broadcast join + one hash-agg on the doc id.
     """
     toks = tokens(docs, text_col, id_col)
-    # lazy checkpoint: the vocabulary-sized LM feeds BOTH the total
+    # lazy persist: the vocabulary-sized LM feeds BOTH the total
     # count and the per-term log table — without the boundary each
     # consumer re-derives the token explode from the fact scan
     lm = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     total = lm.agg(F.sum("tf").alias("total"))
     lp = lm.crossJoin(F.broadcast(total)).select(
@@ -1146,14 +1268,14 @@ def bm25_scores(
     n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
     # dl and tf are each consumed twice below (avgdl + contrib;
     # dfreq + contrib) and Spark re-derives the token explode per
-    # consumer — the lazy checkpoints make each aggregate compute once.
+    # consumer — the lazy persists make each aggregate compute once.
     # dl is narrow (id, count) and tf is bounded by |docs|·|Q|; the raw
     # token stream itself stays UNmaterialized, so tokenization runs
     # exactly twice (once per barriered aggregate) — cheaper than
     # holding corpus-scale token rows in block storage.
     dl = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__dl")
-    ).localCheckpoint(eager=False)
+    ).persist(StorageLevel.DISK_ONLY)
     avgdl = dl.agg(
         F.sum("__dl").cast("double").alias("__tot"),
         F.count(F.lit(1)).cast("double").alias("__nd"),
@@ -1161,7 +1283,7 @@ def bm25_scores(
     qtoks = toks.filter(F.array_contains(qlit, F.col("term")))
     tf = qtoks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("__tf")
-    ).localCheckpoint(eager=False)
+    ).persist(StorageLevel.DISK_ONLY)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
         "term",

@@ -24,21 +24,27 @@ re-derives everything below each stage on BOTH sides, compounding per
 stage (measured: 24 parquet scans / 59 exchanges for the 5-stage chain
 at sf0.01 — at 100 TB that is 24 corpus reads for one curation pass).
 Each twice-consumed stage input is therefore cut with a LAZY
-``localCheckpoint``: nothing runs until the caller's first action, but
-both consumers then share ONE computation of the stage below — the
-whole chain executes each stage exactly once (4 scans total, one per
-materialized boundary). This is the in-engine analog of what a
-production 100 TB curation run does anyway: persist each stage's
-output to the lake before deriving corpus-wide statistics from it.
-The checkpointed blocks free when the returned DataFrame's RDDs are
-garbage collected (Spark's ContextCleaner), so repeated calls in a
-long-lived session do not accumulate storage.
+disk-backed ``persist``: nothing runs until the caller's first action
+— genuinely nothing, unlike a lazy ``localCheckpoint``, which AQE
+materializes at DataFrame-construction time (ROUND9 §7b discovery;
+migrated r10) — and both consumers then share ONE computation of the
+stage below, so the whole chain executes each stage exactly once
+(4 scans total, one per materialized boundary). DISK_ONLY keeps the
+corpus-scale stage outputs out of the executor memory tier — the same
+local-storage residency the old checkpoint had, now visible to the
+plan lint. This is the in-engine analog of what a production 100 TB
+curation run does anyway: persist each stage's output to the lake
+before deriving corpus-wide statistics from it. The cache entries
+drop via ``spark.catalog.clearCache()`` or unpersist; in a long-lived
+ingest session release them between pipeline runs (see
+shaha_spark/caching.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
 
 from shaha_spark.operators.dedup import dedup_duplicate_lines, exact_dedup
 from shaha_spark.operators.sampling import temperature_resample
@@ -76,7 +82,7 @@ def curate_corpus(
     # derivation + the filtered side) share one computation — see the
     # module docstring for the measured cost of omitting this
     def barrier(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=False)
+        return df.persist(StorageLevel.DISK_ONLY)
 
     if patterns is not None:
         redacted, _counts = redact_exprs(text_col, patterns)

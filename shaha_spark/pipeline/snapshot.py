@@ -63,6 +63,7 @@ import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark import StorageLevel
 
 from .. import io_util
 
@@ -560,10 +561,10 @@ def snapshot_row_diff(
     old = read_snapshot(spark, path, v_old)
     new = read_snapshot(spark, path, v_new)
     # each key projection feeds BOTH anti-joins (probe side of one,
-    # build side of the other); the lazy checkpoints make each
+    # build side of the other); the lazy disk-backed persists make each
     # snapshot read + key projection run once instead of per consumer
-    ok = old.select(*key_cols).localCheckpoint(eager=False)
-    nk = new.select(*key_cols).localCheckpoint(eager=False)
+    ok = old.select(*key_cols).persist(StorageLevel.DISK_ONLY)
+    nk = new.select(*key_cols).persist(StorageLevel.DISK_ONLY)
     added = nk.join(ok, key_cols, "left_anti").select(
         *key_cols, F.lit("insert").alias("change")
     )

@@ -154,6 +154,12 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
         _AGG + " (one row per hash bucket, fixed bucket count)",
     ("shaha_spark/operators/sampling.py", "token_budget_select", "offsets"):
         "per-bucket offsets: score_range/bucket_width rows",
+    ("shaha_spark/operators/terms.py", "exact_substring_decontaminate",
+     "eval_wins"):
+        "distinct min_len-char windows of the EVAL set — benchmark-"
+        "sized by the production asymmetry (100 TB train vs small "
+        "eval), and gated by the broadcast_eval flag whose docstring "
+        "routes huge eval sets to the shuffle join",
     ("shaha_spark/operators/similarity.py", "brute_force_topk",
      "queries.select(F.col(query_id_col), F.col(vec_col).alias('__"): _QUERY,
     ("shaha_spark/operators/similarity.py", "ivf_assign",

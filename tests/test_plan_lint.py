@@ -60,6 +60,11 @@ GLOBAL_WINDOW_OK = {
     "events_seasonality": "grand totals over calendar cells (≤168 "
                           "rows — 7 dow × 24 hod — at any scale, "
                           "timeseries.seasonal_profile)",
+    "docs_isotonic": "prefix sums over score bins (≤64 rows at any "
+                     "scale, classifier.isotonic_fit — newly VISIBLE "
+                     "to this lint in r10: the bin-table boundary "
+                     "migrated localCheckpoint→persist, so the plan "
+                     "no longer truncates above it)",
 }
 
 
