@@ -4826,7 +4826,9 @@ def q_events_audience_overlap(spark, sf_dir):
     db = per_day.select(
         (F.col("day") - 1).alias("day"), F.col("n_users").alias("n_next")
     )
-    return (
+    from shaha_spark.caching import registers
+
+    return registers(
         da.join(db, "day")
         .join(inter, "day", "left")
         .select(
@@ -4842,7 +4844,8 @@ def q_events_audience_overlap(spark, sf_dir):
                 ).cast("double"),
                 9,
             ).alias("jaccard"),
-        )
+        ),
+        ev,
     )
 
 
@@ -5091,9 +5094,14 @@ def q_words_collocations(spark, sf_dir):
             ).alias("pmi"),
         )
     )
-    return scored.orderBy(
-        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
-    ).limit(25)
+    from shaha_spark.caching import registers
+
+    return registers(
+        scored.orderBy(
+            F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+        ).limit(25),
+        uni,
+    )
 
 
 def q_events_cohort_value(spark, sf_dir):

@@ -408,8 +408,13 @@ def ngram_jaccard(
     )
     # pairs whose documents have no shingles produce no counted rows;
     # restore them as jaccard 0.0 (the pre-restructure semantics)
-    return pairs.join(scored, ["id_a", "id_b"], "left").select(
-        "id_a", "id_b", F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")
+    from shaha_spark.caching import registers
+
+    return registers(
+        pairs.join(scored, ["id_a", "id_b"], "left").select(
+            "id_a", "id_b", F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")
+        ),
+        pairs,
     )
 
 

@@ -393,7 +393,9 @@ def sq_topk(
     wb = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
-    return (
+    from shaha_spark.caching import registers
+
+    return registers(
         rescored.withColumn("rank", F.row_number().over(wb))
         .where(F.col("rank") <= k)
         .select(
@@ -402,5 +404,6 @@ def sq_topk(
             F.col("adc").cast("bigint").alias("adc"),
             "cosine",
             F.col("rank").cast("bigint").alias("rank"),
-        )
+        ),
+        qcodes,
     )

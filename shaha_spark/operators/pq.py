@@ -331,7 +331,12 @@ def ivf_pq_topk(
     probed = bucketed_codes.join(
         F.broadcast(q_probe), "centroid_id"
     ).select(id_col, "codes", "vnorm", query_id_col)
-    return _adc_score(
-        probed, codebooks, queries, k, vec_col, id_col, query_id_col,
-        per_query_codes=True,
+    from shaha_spark.caching import registers
+
+    return registers(
+        _adc_score(
+            probed, codebooks, queries, k, vec_col, id_col, query_id_col,
+            per_query_codes=True,
+        ),
+        queries,
     )

@@ -419,7 +419,9 @@ def quantile_disc(
         aggs.append(
             F.min(F.when(F.col("__cumt") >= rank, F.col("__v"))).alias(label)
         )
-    return joined.agg(*aggs)
+    from shaha_spark.caching import registers
+
+    return registers(joined.agg(*aggs), per_v)
 
 
 def quantile_disc_sql(table: str, value_col: str, qs: list[float]) -> str:
@@ -1027,11 +1029,16 @@ def psi(
         F.col("__na"),
         F.col("__nb"),
     )
-    return terms.agg(
-        F.sum("__t").cast("double").alias("psi"),
-        F.first("__na").cast("bigint").alias("n_a"),
-        F.first("__nb").cast("bigint").alias("n_b"),
-        F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+    from shaha_spark.caching import registers
+
+    return registers(
+        terms.agg(
+            F.sum("__t").cast("double").alias("psi"),
+            F.first("__na").cast("bigint").alias("n_a"),
+            F.first("__nb").cast("bigint").alias("n_b"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+        ),
+        counts,
     )
 
 
@@ -1119,7 +1126,9 @@ def mad_outliers(
     mad = group_quantiles(dev, group_col, "__adev", [0.5]).select(
         F.col(group_col), F.col("p50").alias("__mad")
     )
-    return (
+    from shaha_spark.caching import registers
+
+    return registers(
         dev.join(F.broadcast(mad), group_col)
         .where(F.col("__adev") > F.lit(float(k)) * F.col("__mad"))
         .select(
@@ -1128,7 +1137,8 @@ def mad_outliers(
             F.col("__x").alias("value"),
             F.col("__med").alias("median"),
             F.col("__mad").alias("mad"),
-        )
+        ),
+        dev,
     )
 
 
@@ -1195,18 +1205,23 @@ def chi_square(
             "__kb",
         )
     )
-    return cells.agg(
-        F.round(
-            # split-cast: SUM(t) ~ n + chi2 crosses 2^53 in unscaled
-            # units (scale 9) near n ~ 9e6 rows — see split_cast_double
-            split_cast_double(F.sum("__t"), 9)
-            - F.first("__n").cast("double"),
-            9,
-        ).alias("chi2"),
-        ((F.first("__ka") - 1) * (F.first("__kb") - 1))
-        .cast("bigint")
-        .alias("dof"),
-        F.first("__n").cast("bigint").alias("n"),
+    from shaha_spark.caching import registers
+
+    return registers(
+        cells.agg(
+            F.round(
+                # split-cast: SUM(t) ~ n + chi2 crosses 2^53 in unscaled
+                # units (scale 9) near n ~ 9e6 rows — see split_cast_double
+                split_cast_double(F.sum("__t"), 9)
+                - F.first("__n").cast("double"),
+                9,
+            ).alias("chi2"),
+            ((F.first("__ka") - 1) * (F.first("__kb") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            F.first("__n").cast("bigint").alias("n"),
+        ),
+        obs,
     )
 
 
@@ -1260,10 +1275,15 @@ def mutual_info(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             "__n",
         )
     )
-    return cells.agg(
-        (split_cast_double(F.sum("__t"), 6) / F.first("__n").cast("double"))
-        .alias("mi_nats"),
-        F.first("__n").cast("bigint").alias("n"),
+    from shaha_spark.caching import registers
+
+    return registers(
+        cells.agg(
+            (split_cast_double(F.sum("__t"), 6) / F.first("__n").cast("double"))
+            .alias("mi_nats"),
+            F.first("__n").cast("bigint").alias("n"),
+        ),
+        obs,
     )
 
 
@@ -1493,7 +1513,9 @@ def ks_2samp(
         (F.col("__oa") + F.col("__cum_a")).cast("long") * F.col("__n2")
         - (F.col("__ob") + F.col("__cum_b")).cast("long") * F.col("__n1")
     )
-    return (
+    from shaha_spark.caching import registers
+
+    return registers(
         cum.join(F.broadcast(offsets), "__bkt")
         .groupBy("__n1", "__n2")
         .agg(F.max(diff).alias("__dnum"))
@@ -1510,7 +1532,8 @@ def ks_2samp(
                 F.col("__dnum").cast("double")
                 / (F.col("__n1") * F.col("__n2")).cast("double"),
             ).alias("d_stat"),
-        )
+        ),
+        per_v,
     )
 
 

@@ -487,13 +487,17 @@ def importance_weights(
             ).alias("lam"),
         )
     )
-    return (
+    from shaha_spark.caching import registers
+
+    return registers(
         raw_grams.join(F.broadcast(lam), "bucket")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum("lam").cast("double").alias("logweight"),
-        )
+        ),
+        cr,
+        ct,
     )
 
 

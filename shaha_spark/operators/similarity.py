@@ -553,7 +553,9 @@ def prefix_topk(
     wb = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
-    return (
+    from shaha_spark.caching import registers
+
+    return registers(
         rescored.withColumn("rank", F.row_number().over(wb))
         .where(F.col("rank") <= k)
         .select(
@@ -562,7 +564,8 @@ def prefix_topk(
             "prefix_cosine",
             "cosine",
             F.col("rank").cast("bigint").alias("rank"),
-        )
+        ),
+        queries,
     )
 
 
@@ -638,12 +641,18 @@ def ndcg_at_k(
     all_queries = (
         e.select(query_col).unionAll(a.select(query_col)).distinct()
     )
-    return all_queries.join(per_q, query_col, "left").select(
-        F.col(query_col),
-        F.coalesce(
-            F.round(F.col("__dcg").cast("double") / F.lit(ideal), 6),
-            F.lit(0.0),
-        ).alias("ndcg"),
+    from shaha_spark.caching import registers
+
+    return registers(
+        all_queries.join(per_q, query_col, "left").select(
+            F.col(query_col),
+            F.coalesce(
+                F.round(F.col("__dcg").cast("double") / F.lit(ideal), 6),
+                F.lit(0.0),
+            ).alias("ndcg"),
+        ),
+        exact,
+        approx,
     )
 
 

@@ -646,7 +646,9 @@ def remove_dup_gram_spans(
         F.count(F.lit(1)).alias("__n_kept"),
     )
     totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
-    return (
+    from shaha_spark.caching import registers
+
+    return registers(
         docs.select(id_col)
         .join(totals, id_col, "left")
         .join(rebuilt, id_col, "left")
@@ -658,7 +660,8 @@ def remove_dup_gram_spans(
                 F.coalesce(F.col("n_tokens"), F.lit(0))
                 - F.coalesce(F.col("__n_kept"), F.lit(0))
             ).cast("bigint").alias("n_removed"),
-        )
+        ),
+        toks,
     )
 
 
@@ -863,7 +866,9 @@ def trigram_backoff_logprob(
             ),
         )
     )
-    return (
+    from shaha_spark.caching import registers
+
+    return registers(
         docs.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
@@ -872,7 +877,11 @@ def trigram_backoff_logprob(
             .cast("bigint")
             .alias("n_trigrams"),
             F.col("avg_logprob"),
-        )
+        ),
+        c1,
+        lm_bi,
+        lm_tri,
+        occ,
     )
 
 
@@ -951,13 +960,16 @@ def unigram_logprob(
         .cast("decimal(20,8)")
         .alias("lp"),
     )
-    return (
+    from shaha_spark.caching import registers
+
+    return registers(
         toks.join(F.broadcast(lp), "term")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             (split_cast_double(F.sum("lp"), 8) / F.count(F.lit(1))).alias("avg_logprob"),
-        )
+        ),
+        lm,
     )
 
 
@@ -1326,7 +1338,9 @@ def bm25_scores(
         F.count(F.lit(1)).cast("bigint").alias("n_matched"),
         F.sum("__c").cast("double").alias("bm25"),
     )
-    return (
+    from shaha_spark.caching import registers
+
+    return registers(
         docs.select(F.col(id_col))
         .join(scored, id_col, "left")
         .select(
@@ -1335,5 +1349,7 @@ def bm25_scores(
                 "n_matched"
             ),
             F.coalesce(F.col("bm25"), F.lit(0.0)).alias("bm25"),
-        )
+        ),
+        dl,
+        tf,
     )

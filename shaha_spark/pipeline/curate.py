@@ -80,9 +80,16 @@ def curate_corpus(
 
     # lazy stage boundary: both consumers of the stage input (keep-set
     # derivation + the filtered side) share one computation — see the
-    # module docstring for the measured cost of omitting this
+    # module docstring for the measured cost of omitting this. Every
+    # barrier is registered on the returned DataFrame so one
+    # caching.release(result) drops the whole chain's cache entries
+    # after the caller materializes.
+    pinned: list[DataFrame] = []
+
     def barrier(df: DataFrame) -> DataFrame:
-        return df.persist(StorageLevel.DISK_ONLY)
+        p = df.persist(StorageLevel.DISK_ONLY)
+        pinned.append(p)
+        return p
 
     if patterns is not None:
         redacted, _counts = redact_exprs(text_col, patterns)
@@ -121,4 +128,6 @@ def curate_corpus(
             out, mix_col, id_col, alpha=mix_alpha, budget=mix_budget, salt=salt
         )
 
-    return out.select(*docs.columns)
+    from shaha_spark.caching import registers
+
+    return registers(out.select(*docs.columns), *pinned)

@@ -571,7 +571,9 @@ def snapshot_row_diff(
     removed = ok.join(nk, key_cols, "left_anti").select(
         *key_cols, F.lit("delete").alias("change")
     )
-    return added.unionByName(removed)
+    from shaha_spark.caching import registers
+
+    return registers(added.unionByName(removed), ok, nk)
 
 
 def retained_rel_of(db_path: str, abs_path: str) -> str:

@@ -322,3 +322,67 @@ def test_append_bounds_file_growth_per_bucket(spark, sf_dir, tmp_path):
     after = files_per_bucket()
     for d, n in after.items():
         assert n <= before.get(d, 0) + 1, (d, before, after)
+
+
+def test_stream_append_matches_batch_append(spark, sf_dir, tmp_path):
+    """Streaming ingest twin (streaming/ann_ingest.py): draining two
+    landing files through foreachBatch produces the SAME probed top-k
+    as batch-appending the same rows, the staleness counter counts
+    every ingested row, and a re-run against the same checkpoint
+    re-ingests nothing (exactly-once per file)."""
+    from shaha_spark.operators.ann_index import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        ivf_pq_index_topk,
+        load_append_state,
+    )
+    from shaha_spark.streaming.ann_ingest import stream_append_ivf_pq_index
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base, batch = _split(emb)
+    b1 = batch.filter(F.col("vec_id") % 20 == 7)
+    b2 = batch.filter(F.col("vec_id") % 20 == 17)
+
+    streamed = str(tmp_path / "streamed")
+    batched = str(tmp_path / "batched")
+    for p in (streamed, batched):
+        build_ivf_pq_index(base, p, k_coarse=4, m=4, k_sub=4, iters=2)
+
+    landing = str(tmp_path / "landing")
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    summaries = []
+    q = stream_append_ivf_pq_index(
+        spark,
+        landing,
+        streamed,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        on_batch=summaries.append,
+    )
+    q.awaitTermination(120)
+
+    append_to_ivf_pq_index(b1, batched)
+    append_to_ivf_pq_index(b2, batched)
+
+    st = load_append_state(spark, streamed)
+    assert st["appended_rows"] == batch.count()
+    assert sum(s["n_appended"] for s in summaries) == batch.count()
+
+    qs = _queries(emb)
+    got = sorted(map(tuple, ivf_pq_index_topk(
+        spark, streamed, qs, nprobe=2, k_neighbors=5).collect()))
+    want = sorted(map(tuple, ivf_pq_index_topk(
+        spark, batched, qs, nprobe=2, k_neighbors=5).collect()))
+    assert got == want
+
+    # exactly-once: draining the same checkpoint again ingests nothing
+    q2 = stream_append_ivf_pq_index(
+        spark,
+        landing,
+        streamed,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert load_append_state(spark, streamed)["appended_rows"] == batch.count()

@@ -63,3 +63,57 @@ def test_isotonic_fit_is_lazy_and_releasable(spark, sf_dir):
     assert len(after) == len(before), "isotonic_fit ran work at plan-build"
     assert fit.count() <= 8
     assert release(fit) == 1
+
+
+def test_migrated_operators_register_their_pins(spark, sf_dir):
+    """r10 persist migration: every operator that pins a
+    multi-consumer intermediate registers it on its result, so one
+    release(result) drops ALL of its cache entries (CacheManager
+    empty afterwards)."""
+    from shaha_spark.operators.profile import chi_square, ks_2samp
+    from shaha_spark.operators.terms import unigram_logprob
+    from shaha_spark.pipeline.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+
+    cases = [
+        (
+            "unigram_logprob",
+            lambda: unigram_logprob(docs),
+            1,
+        ),
+        (
+            "chi_square",
+            lambda: chi_square(
+                ev.select((F.col("user_id") % 3).alias("a"), "event_type"),
+                "a",
+                "event_type",
+            ),
+            1,
+        ),
+        (
+            "ks_2samp",
+            lambda: ks_2samp(
+                ev.select((F.col("user_id") % 2).alias("g"), "value"),
+                "g",
+                "value",
+                0,
+                1,
+            ),
+            1,
+        ),
+        (
+            "curate",
+            lambda: curate_corpus(docs),
+            3,  # line_dedup + gopher + exact barriers (defaults)
+        ),
+    ]
+    for name, build, n_pins in cases:
+        spark.catalog.clearCache()
+        result = build()
+        result.count()
+        dropped = release(result)
+        assert dropped == n_pins, (name, dropped, n_pins)
+        assert jcm.isEmpty(), f"{name}: cache entries left after release"
