@@ -1295,6 +1295,37 @@ def q_docs_substr_decontaminate(spark, sf_dir):
     )
 
 
+def q_docs_substr_decontaminate_screened(spark, sf_dir):
+    """Scale-path exact-substring decontamination (round 10,
+    operators.terms.exact_substring_decontaminate_screened): the
+    W-aligned stride screen cuts the TRAIN side's window volume W-fold
+    before an exact stride-1 pass over screened docs only — provably
+    identical output (pigeonhole: any ≥min_len share contains a
+    W-aligned W-window). Same split and parameters as
+    docs_substr_decontaminate, and the ORACLE IS THE SAME SQL — a
+    value-hash match is a cross-engine proof of the screen's
+    exactness, the same pattern as the persisted-index entries reusing
+    their in-plan oracles."""
+    from shaha_spark.operators.sampling import hash_split
+    from shaha_spark.operators.terms import (
+        exact_substring_decontaminate_screened,
+    )
+
+    split = hash_split(
+        _t(spark, sf_dir, "documents"), SPLIT_WEIGHTS, "doc_id", salt="r2"
+    )
+    out = exact_substring_decontaminate_screened(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "eval"),
+        min_len=SUBSTR_DECONTAM_LEN,
+    )
+    return out.select(
+        "doc_id",
+        "n_shared_spans",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
 def _synth_url_col():
     """Deterministic synthetic URL per document — the testdata has no
     URL column, so the fixture derives one from (doc_id, source) with
@@ -3111,6 +3142,11 @@ WHERE s.bucket >= 1000"""
     sql["docs_substr_decontaminate"] = f"""SELECT doc_id, n_shared_spans,
   CAST(contaminated AS INTEGER) AS contaminated
 FROM ({_sub_base})"""
+    # the screened scale path must be value-identical to the stride-1
+    # operator — same oracle, verbatim (the equivalence proof)
+    sql["docs_substr_decontaminate_screened"] = sql[
+        "docs_substr_decontaminate"
+    ]
 
     # URL canonical dedup (r10): same synthetic-URL arithmetic as the
     # Spark fixture; canonicalizer + registered-domain twins from
@@ -3920,7 +3956,8 @@ R10_WINDOW_ORDER = [
     "emb_ivf_index_topk", "emb_ivf_pq_index_topk",
     # round-10 additions — never driver-verified, must sit in-window
     "emb_ivf_index_append_topk", "emb_ivf_pq_index_append_topk",
-    "docs_substr_decontaminate", "docs_url_dedup",
+    "docs_substr_decontaminate", "docs_substr_decontaminate_screened",
+    "docs_url_dedup",
     # least-recently-verified backfill (scripts/plan_window.py): first
     # the r05 cohort displaced by round 9's anchors+new entries —
     # oldest greens in the registry — then the r06 cohort
@@ -3936,7 +3973,6 @@ R10_WINDOW_ORDER = [
     "tpch_q6", "tpch_q18", "tpch_q10", "tpch_q14", "tpch_q15",
     "tpch_q17", "tpch_q19", "tpch_q22", "text_vocab", "text_oov",
     "docs_repetition", "docs_cosine_pairs", "events_redact",
-    "words_lev_pairs",
 ]
 
 
@@ -4087,6 +4123,9 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": q_decontaminate,
         # round-10 additions (concept-grep, VERDICT r9 #6)
         "docs_substr_decontaminate": q_docs_substr_decontaminate,
+        "docs_substr_decontaminate_screened": (
+            q_docs_substr_decontaminate_screened
+        ),
         "docs_url_dedup": q_docs_url_dedup,
         "tpch_q4": q_tpch_q4,
         "tpch_q13": q_tpch_q13,

@@ -443,6 +443,108 @@ def exact_substring_decontaminate(
     )
 
 
+def exact_substring_decontaminate_screened(
+    train: DataFrame,
+    eval_df: DataFrame,
+    min_len: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Scale-path form of :func:`exact_substring_decontaminate` —
+    IDENTICAL output (test- and oracle-pinned), with the train side's
+    window volume cut ``W``-fold by an aligned-stride screen before an
+    exact verification pass.
+
+    The pigeonhole that licenses it (W = (min_len+1)//2, so
+    min_len ≥ 2W-1): any shared substring of length ≥ min_len spans
+    ≥ W consecutive start positions of W-length windows in the TRAIN
+    occurrence, and any W consecutive integers contain one ≡ 0
+    (mod W) — so the train occurrence always contains a W-ALIGNED
+    W-window, which the eval side's stride-1 W-window set also
+    contains. Hence screening train docs by "shares an aligned
+    W-window with eval" has NO false negatives; docs that fail the
+    screen are exactly-0-span by construction and rejoin via the left
+    join. Docs that pass (a contamination-sized set) are re-checked
+    with the stride-1 min_len windows of the base operator, which
+    removes the screen's false positives (shared length in
+    [W, min_len)).
+
+    Why this is the 100 TB shape: the base operator explodes ~|chars|
+    train windows; the screen explodes ~|chars|/W (aligned starts
+    only), and the expensive stride-1 pass runs ONLY over screened
+    docs — at real contamination rates (<<1%) the full-width explode
+    touches a sliver of the corpus. Both phases broadcast the
+    benchmark-sized eval window sets, so the train side still never
+    shuffles for a join.
+    """
+    if min_len < 3:
+        raise ValueError(f"min_len must be >= 3, got {min_len}")
+    w = (min_len + 1) // 2
+
+    def aligned_train_windows(df: DataFrame) -> DataFrame:
+        # starts 1, W+1, 2W+1, ... (1-based): global alignment within
+        # the document — the pigeonhole argument is per train DOC
+        long_enough = df.where(F.length(text_col) >= w)
+        return long_enough.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length(text_col) - F.lit(w - 1), F.lit(w)
+                )
+            ).alias("__g"),
+            F.col(text_col),
+        ).select(
+            F.col(id_col),
+            F.col(text_col).substr(F.col("__g"), F.lit(w)).alias("__win"),
+        )
+
+    def stride1_windows(df: DataFrame, length: int) -> DataFrame:
+        long_enough = df.where(F.length(text_col) >= length)
+        return long_enough.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - F.lit(length - 1))
+            ).alias("__g"),
+            F.col(text_col),
+        ).select(
+            F.col(id_col),
+            F.col(text_col).substr(F.col("__g"), F.lit(length)).alias("__win"),
+        )
+
+    eval_w = stride1_windows(eval_df, w).select("__win").distinct()
+    if broadcast_eval:
+        eval_w = F.broadcast(eval_w)
+    candidates = (
+        aligned_train_windows(train)
+        .join(eval_w, "__win")
+        .select(id_col)
+        .distinct()
+    )
+    # exact pass over candidate docs only — the base operator's
+    # stride-1 min_len windows, so screen false-positives drop out
+    cand_train = train.join(candidates, id_col, "left_semi")
+    eval_full = stride1_windows(eval_df, min_len).select("__win").distinct()
+    if broadcast_eval:
+        eval_full = F.broadcast(eval_full)
+    shared = (
+        stride1_windows(cand_train, min_len)
+        .distinct()
+        .join(eval_full, "__win")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
+    return (
+        train.select(id_col)
+        .join(shared, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shared_spans", F.lit(0)).alias("n_shared_spans"),
+            (F.coalesce("n_shared_spans", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def exact_substring_decontaminate_sql(
     train_select: str,
     eval_select: str,

@@ -160,6 +160,14 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
         "sized by the production asymmetry (100 TB train vs small "
         "eval), and gated by the broadcast_eval flag whose docstring "
         "routes huge eval sets to the shuffle join",
+    ("shaha_spark/operators/terms.py",
+     "exact_substring_decontaminate_screened", "eval_w"):
+        "distinct W-char eval windows — same benchmark-sized eval "
+        "asymmetry and broadcast_eval gate as the base operator",
+    ("shaha_spark/operators/terms.py",
+     "exact_substring_decontaminate_screened", "eval_full"):
+        "distinct min_len-char eval windows for the exact pass — "
+        "same bound",
     ("shaha_spark/operators/similarity.py", "brute_force_topk",
      "queries.select(F.col(query_id_col), F.col(vec_col).alias('__"): _QUERY,
     ("shaha_spark/operators/similarity.py", "ivf_assign",

@@ -167,3 +167,63 @@ def test_url_dedup_collapses_variants(spark):
     assert got["http://example.com/p?a=1&b=2"] == (1, 3, "example.com")
     assert got["https://example.com/p?a=1&b=2"] == (4, 1, "example.com")
     assert len(got) == 2
+
+
+def test_screened_decontaminate_equals_base_on_random_text(spark):
+    """The stride-screened scale path must be value-identical to the
+    stride-1 operator — the pigeonhole screen has no false negatives
+    and the exact pass removes its false positives."""
+    from shaha_spark.operators.terms import (
+        exact_substring_decontaminate_screened,
+    )
+
+    rng = random.Random(77)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+
+    tr = [(i, doc()) for i in range(150)]
+    ev = [(i, doc()) for i in range(50)]
+    tdf = spark.createDataFrame(tr, "doc_id long, text string")
+    edf = spark.createDataFrame(ev, "doc_id long, text string")
+    for L in (17, 24, 32):
+        base = sorted(
+            map(tuple, exact_substring_decontaminate(tdf, edf, min_len=L).collect())
+        )
+        screened = sorted(
+            map(
+                tuple,
+                exact_substring_decontaminate_screened(
+                    tdf, edf, min_len=L
+                ).collect(),
+            )
+        )
+        assert screened == base, f"min_len={L}"
+        assert any(r[2] for r in base), f"fixture has no contamination at L={L}"
+
+
+def test_screened_decontaminate_edge_lengths(spark):
+    from shaha_spark.operators.terms import (
+        exact_substring_decontaminate_screened,
+    )
+
+    # share of length EXACTLY min_len at an unaligned offset: the
+    # aligned screen must still catch it (the pigeonhole's worst case)
+    L = 9  # W = 5
+    tr = spark.createDataFrame(
+        [(1, "zz123456789zzzz"), (2, "no match here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(9, "__123456789__")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_shared_spans, r.contaminated)
+        for r in exact_substring_decontaminate_screened(
+            tr, ev, min_len=L
+        ).collect()
+    }
+    assert got[1] == (1, True) and got[2] == (0, False)
+    with pytest.raises(ValueError):
+        exact_substring_decontaminate_screened(tr, ev, min_len=2)
