@@ -93,6 +93,20 @@ SCAN_REPEAT_OK: dict[str, dict[str, int]] = {
         # the gate on a sample, not the corpus.
         "embeddings": 4,
     },
+    "docs_substr_decontaminate_screened": {
+        # Five independent SINGLE passes, three train-side + two
+        # eval-side (the fixture derives both splits from one table;
+        # production eval is a separate benchmark-sized table):
+        # (1) the W-aligned screen explode — 1/W of the base
+        #     operator's window volume, the point of the variant;
+        # (2) the exact stride-1 explode over SCREENED docs only —
+        #     contamination-sized, not corpus-sized;
+        # (3) the id-spine projection for the 0-span left join;
+        # (4)+(5) the eval W- and min_len-window sets — benchmark-
+        #     sized, broadcast. No pass consumes another's output
+        #     twice, so nothing compounds.
+        "documents": 5,
+    },
 }
 
 #: A table scanned more than this many times in one query is flagged
