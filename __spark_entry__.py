@@ -3985,14 +3985,45 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Entries allowed to precede the never-driver-verified block in the
 #: registry (tests/test_coverage_guard.py): re-verification anchors
 #: whose current derivation postdates their newest driver row.
-#: Round 10: events_rolling_median gained the ~isnan filter in both
-#: engines (r9 ADVICE), docs_isotonic migrated its bin-table boundary
-#: localCheckpoint→persist, and the two persisted-index entries moved
-#: from per-invocation mkdtemp builds to the deterministic cached
-#: _index_path — all post-r09-green derivation changes.
+#: Round 11 (all post-r10-green changes): docs_url_dedup's
+#: canonicalizer gained bare-tracking-param dropping + bracketed-IPv6
+#: host/port parsing in BOTH engines (r10 ADVICE; the synthetic URL
+#: fixture exercises neither, so values should hold — the driver row
+#: re-proves it); the two append entries run the new replay-ledger /
+#: versioned-state append code; the two plain index entries rebuild
+#: their cache under the hardened user-owned _index_path + _complete
+#: marker (and the PQ build now emits the quantization-quality
+#: sidecar).
 WINDOW_ANCHORS: list[str] = [
-    "events_rolling_median", "docs_isotonic",
+    "docs_url_dedup",
+    "emb_ivf_index_append_topk", "emb_ivf_pq_index_append_topk",
     "emb_ivf_index_topk", "emb_ivf_pq_index_topk",
+]
+
+R11_WINDOW_ORDER = [
+    # anchors (derivations changed post-r10-green; driver re-proof)
+    "docs_url_dedup",
+    "emb_ivf_index_append_topk", "emb_ivf_pq_index_append_topk",
+    "emb_ivf_index_topk", "emb_ivf_pq_index_topk",
+    # round-11 additions — never driver-verified, must sit in-window
+    "docs_contamination_report", "docs_domain_importance",
+    "docs_license_scan",
+    # least-recently-verified backfill (scripts/plan_window.py): the
+    # r06 cohort (oldest greens in the registry), then the r07 cohort
+    "events_redact", "words_lev_pairs", "events_retention",
+    "events_outliers", "dedup_minhash_eval", "part_filter",
+    "events_salted_agg", "events_hourly", "events_sessionize",
+    "events_json_extract", "events_asof_join", "events_interval_join",
+    "events_rollup", "text_term_stats", "docs_decontaminate",
+    "tpch_q4", "tpch_q13", "part_never_shipped", "events_pivot",
+    "events_unpivot", "orders_kcore",
+    "sketch_cms_words", "dedup_bloom_screen", "docs_chunked",
+    "events_equidepth", "events_dim_salted_join", "users_hll_by_type",
+    "docs_balanced_sample", "events_winsorized", "tpch_q7", "tpch_q8",
+    "tpch_q9", "events_zorder", "events_percentiles",
+    "orders_topk_per_cust", "profile_table", "profile_correlation",
+    "dq_lineitem", "events_histogram", "events_funnel",
+    "events_transitions", "sample_documents",
 ]
 
 R10_WINDOW_ORDER = [
@@ -4023,17 +4054,16 @@ R10_WINDOW_ORDER = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness harness checks the FIRST 50
-    # entries only. Round-10 layout: 4 re-verification anchors (see
-    # WINDOW_ANCHORS), 4 never-verified round-10 entries (the two
-    # persisted-index append round trips + the two concept-grep ops),
-    # then the mechanical least-recently-verified backfill from
-    # scripts/plan_window.py (the displaced r05 cohort, then r06);
-    # everything else keeps its registry order after it.
-    # tests/test_coverage_guard.py enforces the invariant.
+    # entries only. Round-11 layout: 5 re-verification anchors (see
+    # WINDOW_ANCHORS), 3 never-verified round-11 entries (contamination
+    # provenance, domain-level DSIR, licence scan), then the mechanical
+    # least-recently-verified backfill from scripts/plan_window.py (the
+    # r06 cohort, then r07); everything else keeps its registry order
+    # after it. tests/test_coverage_guard.py enforces the invariant.
     merged = dict(_queries_prior())
     merged.update(queries_r4())
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in R10_WINDOW_ORDER:
+    for name in R11_WINDOW_ORDER:
         out[name] = merged[name]
     for name, fn in merged.items():
         out.setdefault(name, fn)
@@ -4345,6 +4375,29 @@ PQ_ITERS = 2
 PQ_TOPK = 5
 
 
+def _index_cache_root() -> str:
+    """USER-OWNED cache root for driver-entry index builds (r10
+    ADVICE: the old predictable shared-tmp ``shaha_idx_*`` dirs could
+    be pre-created/poisoned by another user on a multi-tenant host).
+    ``$SHAHA_INDEX_CACHE_DIR`` overrides; the default bakes the UID
+    into the name AND the directory is created 0700 + ownership-
+    checked, so a squatter's dir is rejected, not silently reused."""
+    import tempfile
+
+    root = os.environ.get("SHAHA_INDEX_CACHE_DIR") or os.path.join(
+        tempfile.gettempdir(), f"shaha_idx_cache_uid{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"index cache root {root} is owned by uid {st.st_uid}, not "
+            f"{os.getuid()} — refusing to build into a directory another "
+            "user controls (set SHAHA_INDEX_CACHE_DIR)"
+        )
+    return root
+
+
 def _index_path(kind: str, sf_dir: str, **params) -> tuple[str, bool]:
     """Deterministic per-(sf_dir, params) on-disk location for a
     persisted ANN index built by a driver entry, plus whether a build
@@ -4353,20 +4406,15 @@ def _index_path(kind: str, sf_dir: str, **params) -> tuple[str, bool]:
     parquet write — on EVERY invocation, including plan-lint
     renderings). The key hashes the resolved sf_dir, the parameter
     dict, and the mtime+size of the embeddings parquet files, so a
-    regenerated testdata directory invalidates the cache; "built"
-    requires the LAST-written sidecar to exist (the PQ codebooks for
-    ivfpq, the centroids otherwise — build writes them sequentially,
-    so a partial write from a crashed run rebuilds)."""
+    regenerated testdata directory invalidates the cache.
+
+    "Built" means the ``_complete`` marker exists — an atomic stamp
+    the caller writes via :func:`_index_built` only after EVERY build
+    step (including appends) finished, so a crash mid-build always
+    rebuilds and two racing drivers can't read each other's partial
+    writes as done (r10 ADVICE)."""
     import glob as _glob
     import hashlib
-    import tempfile
-
-    from shaha_spark.operators.ann_index import (
-        CENTROID_SIDECAR,
-        PQ_CODEBOOK_SIDECAR,
-    )
-
-    sentinel = PQ_CODEBOOK_SIDECAR if kind.startswith("ivfpq") else CENTROID_SIDECAR
 
     emb_dir = os.path.join(sf_dir, "embeddings.parquet")
     sig_parts = [os.path.abspath(sf_dir), kind, repr(sorted(params.items()))]
@@ -4377,10 +4425,18 @@ def _index_path(kind: str, sf_dir: str, **params) -> tuple[str, bool]:
         except OSError:
             sig_parts.append(f"{p}:absent")
     key = hashlib.sha256("|".join(sig_parts).encode()).hexdigest()[:16]
-    path = os.path.join(
-        tempfile.gettempdir(), f"shaha_idx_{kind}_{key}", kind
+    path = os.path.join(_index_cache_root(), f"{kind}_{key}", kind)
+    return path, not os.path.exists(
+        os.path.join(os.path.dirname(path), "_complete")
     )
-    return path, not os.path.exists(os.path.join(path, sentinel))
+
+
+def _index_built(path: str) -> None:
+    """Stamp the index cache entry complete (atomic create; see
+    :func:`_index_path`)."""
+    marker = os.path.join(os.path.dirname(path), "_complete")
+    fd = os.open(marker, os.O_CREAT | os.O_WRONLY, 0o600)
+    os.close(fd)
 
 
 def _pq_pieces(spark, sf_dir):
@@ -4453,6 +4509,7 @@ def q_emb_ivf_pq_index_topk(spark, sf_dir):
         build_ivf_pq_index(
             corpus, path, k_coarse=PQ_K, m=PQ_M, k_sub=PQ_K, iters=PQ_ITERS
         )
+        _index_built(path)
     return ivf_pq_index_topk(
         spark, path, queries, nprobe=2, k_neighbors=PQ_TOPK
     )
@@ -4473,7 +4530,6 @@ def q_emb_ivf_pq_index_append_topk(spark, sf_dir):
         append_to_ivf_pq_index,
         build_ivf_pq_index,
         ivf_pq_index_topk,
-        load_append_state,
     )
 
     corpus = _t(spark, sf_dir, "embeddings")
@@ -4483,8 +4539,6 @@ def q_emb_ivf_pq_index_append_topk(spark, sf_dir):
     path, needs_build = _index_path(
         "ivfpq_app", sf_dir, k_coarse=PQ_K, m=PQ_M, k_sub=PQ_K, iters=PQ_ITERS
     )
-    if not needs_build:
-        needs_build = load_append_state(spark, path).get("appends", 0) < 1
     if needs_build:
         build_ivf_pq_index(
             corpus.filter(F.col("vec_id") % 10 != 7),
@@ -4497,6 +4551,7 @@ def q_emb_ivf_pq_index_append_topk(spark, sf_dir):
         append_to_ivf_pq_index(
             corpus.filter(F.col("vec_id") % 10 == 7), path
         )
+        _index_built(path)
     return ivf_pq_index_topk(
         spark, path, queries, nprobe=2, k_neighbors=PQ_TOPK
     )
@@ -5483,6 +5538,7 @@ def q_emb_ivf_index_topk(spark, sf_dir):
     path, needs_build = _index_path("ivf", sf_dir, k=4, iters=2)
     if needs_build:
         build_ivf_index(embs, path, k=4, iters=2)
+        _index_built(path)
     return ivf_index_topk(
         spark, path, queries, nprobe=2, k_neighbors=5
     ).select(
@@ -5503,13 +5559,12 @@ def q_emb_ivf_index_append_topk(spark, sf_dir):
     split and assigns/scores the FULL corpus, so the value-hash match
     proves append ≡ from-scratch rebuild of base ∪ batch under
     base-trained artifacts: append changes WHERE rows land, never a
-    value. A half-built cache (crash between build and append) is
-    detected via the append-state sidecar and rebuilt."""
+    value. A half-built cache (crash anywhere before the _complete
+    stamp, including between build and append) rebuilds."""
     from shaha_spark.operators.ann_index import (
         append_to_ivf_index,
         build_ivf_index,
         ivf_index_topk,
-        load_append_state,
     )
 
     embs = _t(spark, sf_dir, "embeddings")
@@ -5517,13 +5572,12 @@ def q_emb_ivf_index_append_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     path, needs_build = _index_path("ivf_app", sf_dir, k=4, iters=2)
-    if not needs_build:
-        needs_build = load_append_state(spark, path).get("appends", 0) < 1
     if needs_build:
         build_ivf_index(
             embs.filter(F.col("vec_id") % 10 != 7), path, k=4, iters=2
         )
         append_to_ivf_index(embs.filter(F.col("vec_id") % 10 == 7), path)
+        _index_built(path)
     return ivf_index_topk(
         spark, path, queries, nprobe=2, k_neighbors=5
     ).select(
@@ -5840,6 +5894,97 @@ def q_emb_knn_accuracy(spark, sf_dir):
     return knn_label_accuracy(embs, probes, k=5)
 
 
+# --------------------------------------------------------------------
+# Round-11 additions (concept-grep, VERDICT r10 #8)
+# --------------------------------------------------------------------
+
+#: deterministic in-text licence markers keyed on doc_id % 6 — the
+#: testdata has no licence statements, so the fixture injects one per
+#: residue class (same pattern as _synth_url_col / the PAN fixture);
+#: class 0 stays unmarked to exercise the 'none' default
+_LICENSE_MARKERS = (
+    "",
+    " All Rights Reserved.",
+    " Licensed under CC BY 4.0.",
+    " CC BY-NC 2.0",
+    " CC BY-SA 3.0",
+    " This work is dedicated to the public domain (CC0).",
+)
+
+
+def _license_fixture_col():
+    d = F.col("doc_id") % 6
+    marker = F.lit(_LICENSE_MARKERS[0])
+    for i in range(len(_LICENSE_MARKERS) - 1, 0, -1):
+        marker = F.when(d == i, F.lit(_LICENSE_MARKERS[i])).otherwise(marker)
+    return F.concat(F.col("text"), marker)
+
+
+_LICENSE_FIXTURE_SQL = (
+    "SELECT doc_id, text || CASE doc_id % 6 "
+    + " ".join(
+        f"WHEN {i} THEN '{m}'" for i, m in enumerate(_LICENSE_MARKERS) if i
+    )
+    + " ELSE '' END AS text FROM documents"
+)
+
+
+def q_docs_contamination_report(spark, sf_dir):
+    """Per-eval-doc contamination provenance (round 11, VERDICT r10
+    #8; operators.terms.contamination_report): which train docs share
+    an exact >=32-char substring with WHICH eval doc, and how many
+    distinct windows — the audit artifact behind the flag-only
+    docs_substr_decontaminate (same r2-salted split, so its
+    contaminated set is exactly this report's distinct train ids)."""
+    from shaha_spark.operators.sampling import hash_split
+    from shaha_spark.operators.terms import contamination_report
+
+    split = hash_split(
+        _t(spark, sf_dir, "documents"), SPLIT_WEIGHTS, "doc_id", salt="r2"
+    )
+    return contamination_report(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "eval"),
+        min_len=SUBSTR_DECONTAM_LEN,
+    )
+
+
+def q_docs_domain_importance(spark, sf_dir):
+    """Domain-level DSIR mixture weights (round 11, VERDICT r10 #8;
+    operators.sampling.domain_importance): the per-doc importance
+    log-weights of docs_dsir_weights aggregated decimal-exactly to the
+    registered domain of each doc's (synthetic) URL — the per-SOURCE
+    sampling knob production mixtures actually turn. The oracle
+    composes the verified DSIR lambda-table recipe with the verified
+    registered-domain twin."""
+    from shaha_spark.functions.url import registered_domain
+    from shaha_spark.operators.sampling import domain_importance
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "domain", registered_domain(_synth_url_col())
+    )
+    return domain_importance(
+        docs, docs.filter(F.col("lang") == "en"), domain_col="domain"
+    )
+
+
+def q_docs_license_scan(spark, sf_dir):
+    """In-text licence-signal detection (round 11, VERDICT r10 #8;
+    operators.textops.license_scan): first-match-wins over the
+    most-restrictive-first pattern table, deterministic licence
+    markers injected per doc_id % 6 (the testdata carries none)."""
+    from shaha_spark.operators.textops import license_scan
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _license_fixture_col().alias("text")
+    )
+    return license_scan(docs).select(
+        "doc_id",
+        "license",
+        F.col("open_license").cast("int").alias("open_license"),
+    )
+
+
 def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "emb_sq_topk": q_emb_sq_topk,
@@ -5925,6 +6070,10 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_diverse_sample": q_emb_diverse_sample,
         "emb_hard_negatives": q_emb_hard_negatives,
         "emb_knn_accuracy": q_emb_knn_accuracy,
+        # round-11 additions (concept-grep, VERDICT r10 #8)
+        "docs_contamination_report": q_docs_contamination_report,
+        "docs_domain_importance": q_docs_domain_importance,
+        "docs_license_scan": q_docs_license_scan,
     }
 
 
@@ -7821,4 +7970,51 @@ SELECT CAST(plabel AS BIGINT) AS label,
        CAST(SUM(CASE WHEN pred_label = plabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        CAST(SUM(CASE WHEN pred_label = plabel THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accuracy
 FROM pred GROUP BY 1"""
+    # ---- round-11 additions (concept-grep, VERDICT r10 #8) ----
+    from shaha_spark.functions.url import registered_domain_sql
+    from shaha_spark.operators.terms import contamination_report_sql
+    from shaha_spark.operators.textops import license_scan_sql
+
+    sql["docs_contamination_report"] = contamination_report_sql(
+        train_select=(
+            "SELECT doc_id, text FROM documents WHERE "
+            + bucket_sql("doc_id", "r2")
+            + " >= 1000"
+        ),
+        eval_select=(
+            "SELECT doc_id, text FROM documents WHERE "
+            + bucket_sql("doc_id", "r2")
+            + " < 500"
+        ),
+        min_len=SUBSTR_DECONTAM_LEN,
+    )
+
+    # domain-level DSIR: the verified lambda-table CTEs + decimal-exact
+    # two-level aggregation, domains from the verified synthetic-URL
+    # registered-domain twin
+    sql["docs_domain_importance"] = (
+        _dsir_weights_sql()
+        + f""",
+di_dom AS (
+  SELECT doc_id, {registered_domain_sql(_SYNTH_URL_SQL)} AS domain
+  FROM documents
+),
+di_doc AS (
+  SELECT b.doc_id, count(*) AS n_grams, sum(lam.lam) AS lw
+  FROM bucketed b JOIN lam ON b.bucket = lam.bucket
+  GROUP BY 1
+)
+SELECT d.domain,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(w.n_grams) AS BIGINT) AS n_grams,
+  CAST(sum(w.lw) AS DOUBLE) AS total_logweight,
+  round(CAST(sum(w.lw) AS DOUBLE) / count(*), 6) AS mean_doc_logweight
+FROM di_doc w JOIN di_dom d USING (doc_id)
+GROUP BY 1"""
+    )
+
+    sql["docs_license_scan"] = f"""SELECT doc_id, license,
+  CAST(open_license AS INTEGER) AS open_license
+FROM ({license_scan_sql(_LICENSE_FIXTURE_SQL)})"""
+
     return sql

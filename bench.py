@@ -115,10 +115,24 @@ def main() -> None:
     extras["loadavg_start"] = _loadavg()
     extras["idle_gate"] = idle_tag
 
+    keep_cache = os.environ.get("SPARK_GRAFT_KEEPCACHE") == "1"
+
     def timed(name: str, fn) -> None:
         t0 = time.perf_counter()
         fn()
         samples.setdefault(name, []).append(time.perf_counter() - t0)
+        if not keep_cache:
+            # Isolate measurements: operators persist() multi-consumer
+            # intermediates (r10 migration) and nothing in a bench-style
+            # harness consumes the result again, so entries accumulate
+            # in the session CacheManager for all 3 reps x 14 queries.
+            # Every later DataFrame construction then walks the cache
+            # catalog (plan-time lookupCachedData) and the blocks tax
+            # GC — measured r11: +2.5 s uniform across code-untouched
+            # queries. Clearing OUTSIDE the timer keeps each sample a
+            # clean single-query measurement; SPARK_GRAFT_KEEPCACHE=1
+            # restores the accumulating behavior for forensics.
+            spark.catalog.clearCache()
 
     from shaha_spark.pipeline.build import build, read_hashdb, read_sidecar
 
@@ -625,31 +639,47 @@ def main() -> None:
             else f"FAIL {pq_clus4_recall:.3f} < 0.9"
         )
 
-        # ---- persisted-index incremental append vs rebuild (r10) ----
+        # ---- persisted-index incremental append vs rebuild (r10;
+        # corpus/batch asymmetry per VERDICT r10 #3) ----
         # The production ingest tick: a new batch lands in an existing
         # IVF-PQ index via encode+assign with the FROZEN sidecar
         # artifacts (append_to_ivf_pq_index) — measure it against the
-        # full from-scratch rebuild the append replaces. The batch is
-        # 10% of the corpus; at a real 100 TB / 1 GB-batch asymmetry
-        # the gap widens by another three orders of magnitude.
+        # full from-scratch rebuild the append replaces. r10 measured a
+        # 10% batch on the 6k-row sf0.1 corpus and fixed JVM overhead
+        # drowned the design (driver ratio 1.14×); now the corpus is
+        # the 80k clustered fixture ALREADY materialized above (clus4)
+        # and the batch is the next 1% of the same growth-stable
+        # generator (new vec_ids ≥ 80k) — the recorded ratio reflects
+        # the batch-proportional-vs-corpus-proportional claim, with the
+        # sizes printed beside it. At a real 100 TB / 1 GB-batch
+        # asymmetry the gap widens by further orders of magnitude.
         from shaha_spark.operators.ann_index import (
             append_to_ivf_pq_index,
             build_ivf_pq_index,
         )
 
-        app_base = embs01.filter(F.col("vec_id") % 10 != 7)
-        app_batch = embs01.filter(F.col("vec_id") % 10 == 7)
+        app_corpus = clus4  # 80k rows, built above
+        app_batch = spark.read.parquet(
+            make_clustered_emb(os.path.join(tmp, "clus4b.parquet"), n=80800)
+        ).filter(F.col("vec_id") >= 80000)
+        n_corpus = app_corpus.count()
+        n_batch = app_batch.count()
+        extras["ivfpq_append_corpus_rows"] = n_corpus
+        extras["ivfpq_append_batch_rows"] = n_batch
         idx_path = os.path.join(tmp, "ivfpq_idx")
         t0 = time.perf_counter()
-        build_ivf_pq_index(app_base, idx_path, k_coarse=4, m=4, k_sub=4, iters=2)
+        build_ivf_pq_index(
+            app_corpus, idx_path, k_coarse=16, m=4, k_sub=16, iters=2
+        )
         extras["ivfpq_index_build_sec"] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
-        append_to_ivf_pq_index(app_batch, idx_path)
+        append_to_ivf_pq_index(app_batch, idx_path, batch_id=0)
         extras["ivfpq_index_append_sec"] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
         build_ivf_pq_index(
-            embs01, os.path.join(tmp, "ivfpq_idx_full"),
-            k_coarse=4, m=4, k_sub=4, iters=2,
+            app_corpus.unionByName(app_batch.select(app_corpus.columns)),
+            os.path.join(tmp, "ivfpq_idx_full"),
+            k_coarse=16, m=4, k_sub=16, iters=2,
         )
         extras["ivfpq_index_rebuild_sec"] = round(time.perf_counter() - t0, 4)
         extras["ivfpq_append_vs_rebuild"] = round(
@@ -693,7 +723,9 @@ def main() -> None:
         # sf4 (40x) clustered gate + slope (VERDICT r9 #5)
         "sf4_pq_clus_recall_at5", "sf4_pq_clus_gate",
         "sf4_pq_clus_topk_ratio",
-        # incremental index append vs rebuild (VERDICT r9 #1)
+        # incremental index append vs rebuild (VERDICT r9 #1; sizes
+        # printed beside the ratio per VERDICT r10 #3)
+        "ivfpq_append_corpus_rows", "ivfpq_append_batch_rows",
         "ivfpq_index_append_sec", "ivfpq_index_rebuild_sec",
         "ivfpq_append_vs_rebuild",
         # core sf1 slopes, promoted from the clipped extras line

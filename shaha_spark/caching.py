@@ -30,7 +30,21 @@ _ATTR = "_shaha_persisted"
 
 def registers(result: DataFrame, *persisted: DataFrame) -> DataFrame:
     """Attach the operator's persisted intermediates to its result so
-    :func:`release` can unpersist them later. Returns ``result``."""
+    :func:`release` can unpersist them later. Returns ``result``.
+
+    The registration lives as a Python attribute on THIS DataFrame
+    object — any further transformation (``.select``/``.filter``/…)
+    returns a NEW DataFrame without it, silently orphaning the cache
+    entries (r10 ADVICE). Consume the returned DataFrame as-is and
+    release it, or re-register after wrapping::
+
+        wrapped = registers(result.select(...), *result._shaha_persisted)
+
+    Harnesses that run MANY operators in one session (the bench, the
+    correctness sweep) should also ``spark.catalog.clearCache()``
+    between entries — orphaned or unreleased entries otherwise
+    accumulate in the session CacheManager for the session's lifetime
+    (tests/test_plan_lint.py does exactly this)."""
     existing = list(getattr(result, _ATTR, []))
     setattr(result, _ATTR, existing + list(persisted))
     return result

@@ -20,9 +20,13 @@ Canonical form (normalize_url):
      remaining query params sorted bytewise and rejoined — param
      ORDER is transport noise, param SET is identity.
 
-registered_domain uses a snapshot of multi-label public suffixes
-(co.uk-style); the full Public Suffix List is data, not code — ship it
-as config and swap :data:`MULTI_LABEL_SUFFIXES` for production.
+registered_domain takes the multi-label public-suffix set as a
+parameter (co.uk-style; default = the shipped snapshot
+:data:`MULTI_LABEL_SUFFIXES`) — the full Public Suffix List is data,
+not code: load it as config and pass it through ``suffixes=``
+(url_dedup threads it). Bracketed IPv6 hosts keep their brackets and
+split the port after ``]``; a bare IPv6 host never has port digits
+stripped from its last group.
 """
 
 from __future__ import annotations
@@ -39,13 +43,20 @@ MULTI_LABEL_SUFFIXES = (
 )
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
-_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid)="
+#: tracking params match in key=value form AND bare (`?fbclid`,
+#: `&utm_source` with no `=` — real crawls carry both; r10 ADVICE)
+_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid)(=|$)"
+#: host is everything before the port colon — except a bracketed IPv6
+#: literal (`[::1]:8080`), whose colons are part of the host; the
+#: brackets stay in the canonical form (the standard URL rendering)
+_HOST_RE = "^(\\[[^\\]]*\\]|[^:]*)"
+_PORT_RE = "^(?:\\[[^\\]]*\\]|[^:]*):([0-9]+)$"
 
 
 def _host_of(u: Column) -> Column:
     after = F.regexp_replace(u, _SCHEME_RE, "")
     hostport = F.regexp_extract(after, "^([^/?#]*)", 1)
-    return F.lower(F.regexp_extract(hostport, "^([^:]*)", 1))
+    return F.lower(F.regexp_extract(hostport, _HOST_RE, 1))
 
 
 def normalize_url(url: Column) -> Column:
@@ -59,9 +70,9 @@ def normalize_url(url: Column) -> Column:
     hostport = F.regexp_extract(after, "^([^/?#]*)", 1)
     rest = F.regexp_replace(after, "^[^/?#]*", "")
     host = F.regexp_replace(
-        F.lower(F.regexp_extract(hostport, "^([^:]*)", 1)), "^www\\.", ""
+        F.lower(F.regexp_extract(hostport, _HOST_RE, 1)), "^www\\.", ""
     )
-    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    port = F.regexp_extract(hostport, _PORT_RE, 1)
     keep_port = (port != "") & ~(
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
@@ -89,11 +100,15 @@ def normalize_url(url: Column) -> Column:
     )
 
 
-def registered_domain(url: Column) -> Column:
-    """eTLD+1 of the URL's host under the suffix snapshot: the last 2
+def registered_domain(
+    url: Column, suffixes: tuple[str, ...] = MULTI_LABEL_SUFFIXES
+) -> Column:
+    """eTLD+1 of the URL's host under the suffix set: the last 2
     labels, or the last 3 when the last 2 are a multi-label public
     suffix (``a.b.shop.co.uk`` → ``shop.co.uk``); a host with fewer
-    labels passes through."""
+    labels passes through. ``suffixes`` defaults to the shipped
+    snapshot — pass the full Public Suffix List (it is config, not
+    code) for production crawls."""
     host = F.regexp_replace(_host_of(F.regexp_replace(F.trim(url), "#.*$", "")), "^www\\.", "")
     parts = F.split(host, "\\.")
     n = F.size(parts)
@@ -101,7 +116,7 @@ def registered_domain(url: Column) -> Column:
     last3 = F.concat_ws(
         ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
     )
-    is_multi = last2.isin(*MULTI_LABEL_SUFFIXES)
+    is_multi = last2.isin(*suffixes)
     return (
         F.when(n <= 2, host)
         .when(is_multi & (n >= 3), last3)
@@ -123,10 +138,10 @@ def normalize_url_sql(expr: str) -> str:
     hostport = f"regexp_extract({after}, '^([^/?#]*)', 1)"
     rest = f"regexp_replace({after}, '^[^/?#]*', '')"
     host = (
-        f"regexp_replace(lower(regexp_extract({hostport}, '^([^:]*)', 1)),"
+        f"regexp_replace(lower(regexp_extract({hostport}, '{_HOST_RE}', 1)),"
         " '^www\\.', '')"
     )
-    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    port = f"regexp_extract({hostport}, '{_PORT_RE}', 1)"
     keep_port = (
         f"({port} <> '' AND NOT (({scheme} = 'http' AND {port} = '80')"
         f" OR ({scheme} = 'https' AND {port} = '443')))"
@@ -150,22 +165,25 @@ def normalize_url_sql(expr: str) -> str:
     )
 
 
-def registered_domain_sql(expr: str) -> str:
-    """DuckDB twin of :func:`registered_domain`."""
+def registered_domain_sql(
+    expr: str, suffixes: tuple[str, ...] = MULTI_LABEL_SUFFIXES
+) -> str:
+    """DuckDB twin of :func:`registered_domain` (same ``suffixes``
+    contract)."""
     u = f"regexp_replace(trim({expr}), '#.*$', '')"
     after = f"regexp_replace({u}, '{_SCHEME_RE}', '')"
     hostport = f"regexp_extract({after}, '^([^/?#]*)', 1)"
     host = (
-        f"regexp_replace(lower(regexp_extract({hostport}, '^([^:]*)', 1)),"
+        f"regexp_replace(lower(regexp_extract({hostport}, '{_HOST_RE}', 1)),"
         " '^www\\.', '')"
     )
     parts = f"string_split({host}, '.')"
     n = f"len({parts})"
     last2 = f"({parts}[-2] || '.' || {parts}[-1])"
     last3 = f"({parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1])"
-    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    suffix_list = ", ".join(f"'{s}'" for s in suffixes)
     return (
         f"CASE WHEN {n} <= 2 THEN {host}"
-        f" WHEN {last2} IN ({suffixes}) AND {n} >= 3 THEN {last3}"
+        f" WHEN {last2} IN ({suffix_list}) AND {n} >= 3 THEN {last3}"
         f" ELSE {last2} END"
     )

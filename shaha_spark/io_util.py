@@ -136,6 +136,15 @@ def list_files(
     return out
 
 
+def list_children(spark: SparkSession, path: str) -> list[str]:
+    """Immediate children of ``path`` (one listStatus call, NOT
+    recursive — sidecar discovery must not walk the data tree)."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return [s.getPath().toString() for s in fs.listStatus(jpath)]
+
+
 def mkdirs(spark: SparkSession, path: str) -> None:
     fs, jpath = _fs_and_path(spark, path)
     fs.mkdirs(jpath)

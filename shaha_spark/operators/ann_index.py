@@ -91,27 +91,108 @@ def build_ivf_index(
 def _write_append_state(
     spark: SparkSession, path: str, state: dict[str, int]
 ) -> None:
-    # write-then-rename so the state is never torn; Hadoop rename does
-    # not overwrite, so the previous state is deleted first — a crash
-    # in the gap leaves NO sidecar, which load_append_state reads as
-    # never-appended (appends=0), the conservative rebuild-triggering
-    # default
-    target = path.rstrip("/") + "/" + APPEND_STATE_SIDECAR
-    if io_util.exists(spark, target):
-        io_util.delete(spark, target)
+    # versioned state files, monotone on the `appends` counter: write
+    # the NEW version (write-then-rename, never torn), then best-effort
+    # delete older versions. A crash between the two leaves several
+    # versions and readers take the max — there is no instant with NO
+    # committed state on disk, unlike the r10 delete-then-rename swap
+    # whose crash window zeroed trained_rows (r10 ADVICE). Concurrent
+    # appends are NOT serialized here — the caller owns serialization
+    # (the streaming ingest serializes by construction: one query,
+    # sequential micro-batches; batch callers must not overlap appends
+    # to one index).
+    base = path.rstrip("/") + "/" + APPEND_STATE_SIDECAR
+    version = int(state.get("appends", 0))
+    target = f"{base}.v{version}"
     io_util.write_text_atomic(spark, target, json.dumps(state, sort_keys=True))
+    # listStatus returns scheme-qualified URIs — compare by VERSION,
+    # not by path string, so the just-written file is never deleted
+    for old, v in _state_versions(spark, path):
+        if v != version:
+            io_util.delete(spark, old)
+    # legacy single-file name from r10 indexes: superseded once a
+    # versioned file exists
+    if io_util.exists(spark, base):
+        io_util.delete(spark, base)
+
+
+def _state_versions(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(file, version) of every committed ``_append_state.json.v{N}``
+    directly under the index root, unsorted."""
+    out: list[tuple[str, int]] = []
+    for p in io_util.list_children(spark, path.rstrip("/")):
+        # listStatus returns scheme-qualified URIs; match on basename
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith(APPEND_STATE_SIDECAR + ".v"):
+            try:
+                out.append((p, int(name.rsplit(".v", 1)[1])))
+            except ValueError:
+                continue
+    return out
 
 
 def load_append_state(spark: SparkSession, path: str) -> dict[str, int]:
     """The staleness counter sidecar: rows the model artifacts were
-    trained on vs rows appended since (pre-r10 indexes without the
-    sidecar read as never-appended)."""
+    trained on vs rows appended since. Reads the highest committed
+    version (crash during a state swap leaves the previous version
+    readable); falls back to the legacy unversioned r10 name, then to
+    never-appended for pre-r10 indexes."""
+    versions = _state_versions(spark, path)
+    if versions:
+        newest = max(versions, key=lambda pv: pv[1])[0]
+        txt = io_util.read_text(spark, newest)
+        if txt is not None:
+            return json.loads(txt)
     txt = io_util.read_text(
         spark, path.rstrip("/") + "/" + APPEND_STATE_SIDECAR
     )
     if txt is None:
         return {"trained_rows": 0, "appended_rows": 0, "appends": 0}
     return json.loads(txt)
+
+
+def _state_summary(path: str, state: dict, n_appended: int, skipped: bool) -> dict:
+    staleness = int(state.get("appended_rows", 0)) / max(
+        1, int(state.get("trained_rows", 0))
+    )
+    return {
+        "path": path,
+        "n_appended": int(n_appended),
+        "skipped": skipped,
+        **{k: state[k] for k in ("trained_rows", "appended_rows", "appends")},
+        "staleness": staleness,
+        "retrain_recommended": staleness >= RETRAIN_RATIO,
+    }
+
+
+def _already_applied(state: dict, batch_id: int | None) -> bool:
+    """The replay ledger check: ``batch_id``s at or below the last one
+    whose state commit landed have already been folded in. ``None``
+    (no ledger — ad-hoc batch appends) never skips."""
+    if batch_id is None:
+        return False
+    return int(state.get("last_batch_id", -1)) >= int(batch_id)
+
+
+def _bump_append_state(
+    spark: SparkSession,
+    path: str,
+    state: dict,
+    n_batch: int,
+    batch_id: int | None,
+) -> dict[str, int]:
+    new_state = {
+        "trained_rows": int(state.get("trained_rows", 0)),
+        "appended_rows": int(state.get("appended_rows", 0)) + int(n_batch),
+        "appends": int(state.get("appends", 0)) + 1,
+        "last_batch_id": (
+            int(batch_id)
+            if batch_id is not None
+            else int(state.get("last_batch_id", -1))
+        ),
+    }
+    _write_append_state(spark, path, new_state)
+    return new_state
 
 
 def load_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
@@ -208,6 +289,7 @@ def append_to_ivf_index(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    batch_id: int | None = None,
 ) -> dict[str, Any]:
     """Append a new vector batch into an existing IVF index WITHOUT
     retraining — the production ingest shape (cf. the reference's
@@ -239,8 +321,22 @@ def append_to_ivf_index(
     probing after build(base) + append(batch) is bit-identical to
     indexing base ∪ batch with centroids trained on base — append
     changes WHERE rows land and nothing about scoring.
+
+    Replay ledger (``batch_id``, r10 ADVICE): callers with a monotone
+    batch sequence — the streaming ingest's foreachBatch — pass the
+    batch id; a batch at or below the last committed ``last_batch_id``
+    is skipped whole (``skipped=True``, nothing written), so replaying
+    an already-committed batch is a no-op instead of a double append.
+    The commit point is the state-sidecar write AFTER the parquet
+    append: a crash in that gap (parquet committed, sidecar not) still
+    duplicates on replay — the honest residual of an append-only store
+    with no transactional sink; everything outside that gap is
+    idempotent.
     """
     spark = batch.sparkSession
+    state = load_append_state(spark, path)
+    if _already_applied(state, batch_id):
+        return _state_summary(path, state, 0, True)
     cents = load_ivf_centroids(spark, path)
     assigned = ivf_assign(batch, cents, vec_col=vec_col, id_col=id_col)
     (
@@ -251,24 +347,13 @@ def append_to_ivf_index(
         .parquet(path)
     )
     n_batch = batch.count()  # batch-sized scan, not an index rescan
-    state = load_append_state(spark, path)
-    state = {
-        "trained_rows": int(state.get("trained_rows", 0)),
-        "appended_rows": int(state.get("appended_rows", 0)) + int(n_batch),
-        "appends": int(state.get("appends", 0)) + 1,
-    }
-    _write_append_state(spark, path, state)
-    staleness = state["appended_rows"] / max(1, state["trained_rows"])
-    return {
-        "path": path,
-        "n_appended": int(n_batch),
-        **state,
-        "staleness": staleness,
-        "retrain_recommended": staleness >= RETRAIN_RATIO,
-    }
+    state = _bump_append_state(spark, path, state, n_batch, batch_id)
+    return _state_summary(path, state, n_batch, False)
 
 
 PQ_CODEBOOK_SIDECAR = "_pq_codebooks.json"
+#: quantization-distortion signal written at build time (pq_distortion)
+PQ_QUALITY_SIDECAR = "_pq_quality.json"
 
 
 def build_ivf_pq_index(
@@ -345,12 +430,23 @@ def build_ivf_pq_index(
     _write_append_state(
         spark, path, {"trained_rows": n, "appended_rows": 0, "appends": 0}
     )
+    # write-time quantization-quality signal (VERDICT r10 #6): flag
+    # unclusterable corpora AT INGEST instead of at first bad query
+    from .pq import pq_distortion
+
+    quality = pq_distortion(df, books, vec_col=vec_col, id_col=id_col)
+    io_util.write_text(
+        spark,
+        path.rstrip("/") + "/" + PQ_QUALITY_SIDECAR,
+        json.dumps(quality, sort_keys=True),
+    )
     return {
         "path": path,
         "k_coarse": len(cent_rows),
         "m": m,
         "k_sub": k_sub,
         "n_vectors": n,
+        "quantization": quality,
     }
 
 
@@ -428,6 +524,7 @@ def append_to_ivf_pq_index(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    batch_id: int | None = None,
 ) -> dict[str, Any]:
     """Append a new vector batch into an existing IVF-PQ index
     WITHOUT retraining: encode with the PERSISTED codebooks, assign
@@ -451,10 +548,17 @@ def append_to_ivf_pq_index(
     emb_ivf_pq_index_append_topk): probing after build(base) +
     append(batch) is bit-identical to indexing base ∪ batch with
     centroids AND codebooks trained on base only.
+
+    Same replay ledger as :func:`append_to_ivf_index`: pass
+    ``batch_id`` to make committed-batch replays a no-op (the residual
+    duplication window is the parquet-commit → state-commit gap).
     """
     from .pq import pq_encode
 
     spark = batch.sparkSession
+    state = load_append_state(spark, path)
+    if _already_applied(state, batch_id):
+        return _state_summary(path, state, 0, True)
     cents = load_ivf_centroids(spark, path)
     books = load_pq_codebooks(spark, path)
     assigned = ivf_assign(batch, cents, vec_col=vec_col, id_col=id_col)
@@ -469,18 +573,67 @@ def append_to_ivf_pq_index(
         .parquet(path)
     )
     n_batch = batch.count()  # batch-sized scan, not an index rescan
-    state = load_append_state(spark, path)
-    state = {
-        "trained_rows": int(state.get("trained_rows", 0)),
-        "appended_rows": int(state.get("appended_rows", 0)) + int(n_batch),
-        "appends": int(state.get("appends", 0)) + 1,
-    }
-    _write_append_state(spark, path, state)
-    staleness = state["appended_rows"] / max(1, state["trained_rows"])
+    state = _bump_append_state(spark, path, state, n_batch, batch_id)
+    return _state_summary(path, state, n_batch, False)
+
+
+def compact_index(spark: SparkSession, path: str) -> dict[str, Any]:
+    """Per-partition file compaction for an appended index (VERDICT
+    r10 #7): every append adds ≤1 file per touched ``centroid_id=``
+    bucket, so a long append stream accumulates small files — the
+    normal small-file debt, owned by a compaction schedule independent
+    of retraining. Rewrites the corpus bucket-co-located (one file per
+    bucket), then swaps each bucket directory under the live index;
+    all sidecars (centroids, codebooks, quality, append state) are
+    untouched — compaction is layout-only, and the probe result is
+    bit-identical before/after (test-pinned).
+
+    Swap protocol per bucket: rename live → ``.__old__`` backup,
+    rename compacted in, drop the backup — a crash leaves either the
+    old or the new bucket plus at worst a backup to sweep, never a
+    half-written live bucket (writer-side; concurrent probes of the
+    single bucket being swapped can observe it missing for the rename
+    instant — schedule compaction off-peak or snapshot first, same
+    operational contract as the hashdb compactor).
+    """
+    live_rows = spark.read.parquet(path).count()
+    files_before = len(io_util.list_files(spark, path, ".parquet"))
+    tmp = path.rstrip("/") + ".__compact__"
+    io_util.delete(spark, tmp)
+    (
+        spark.read.parquet(path)
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    new_rows = spark.read.parquet(tmp).count()
+    if new_rows != live_rows:
+        io_util.delete(spark, tmp)
+        raise RuntimeError(
+            f"compaction row mismatch: {live_rows} live vs {new_rows} "
+            "compacted — aborting before the swap"
+        )
+    for child in io_util.list_children(spark, tmp):
+        name = child.rsplit("/", 1)[-1]
+        if not name.startswith("centroid_id="):
+            continue
+        live = path.rstrip("/") + "/" + name
+        bak = live + ".__old__"
+        io_util.delete(spark, bak)
+        if io_util.exists(spark, live):
+            if not io_util.rename(spark, live, bak):
+                raise IOError(f"compaction: could not back up {live}")
+        if not io_util.rename(spark, child, live):
+            raise IOError(f"compaction: could not swap in {live}")
+        io_util.delete(spark, bak)
+    io_util.delete(spark, tmp)
+    files_after = len(io_util.list_files(spark, path, ".parquet"))
     return {
         "path": path,
-        "n_appended": int(n_batch),
-        **state,
-        "staleness": staleness,
-        "retrain_recommended": staleness >= RETRAIN_RATIO,
+        "n_rows": int(live_rows),
+        "files_before": files_before,
+        "files_after": files_after,
+        "compacted": files_after < files_before,
     }

@@ -822,6 +822,7 @@ def url_dedup(
     df: DataFrame,
     url_col: str,
     id_col: str = "doc_id",
+    suffixes: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """URL-level dedup keyed on the CANONICAL URL (training-data
     canon: a crawl carries the same page under utm-tagged, cased,
@@ -839,8 +840,18 @@ def url_dedup(
     the domain column derives from the already-grouped canonical URL
     (group-count-sized, not data-sized). Rows with NULL URLs are
     excluded (no identity to dedup on).
+
+    ``suffixes`` overrides the multi-label public-suffix snapshot for
+    the eTLD+1 attribution (pass the full PSL in production); None
+    keeps the shipped default.
     """
-    from shaha_spark.functions.url import normalize_url, registered_domain
+    from shaha_spark.functions.url import (
+        MULTI_LABEL_SUFFIXES,
+        normalize_url,
+        registered_domain,
+    )
+
+    sfx = MULTI_LABEL_SUFFIXES if suffixes is None else tuple(suffixes)
 
     return (
         df.where(F.col(url_col).isNotNull())
@@ -852,7 +863,7 @@ def url_dedup(
         )
         .select(
             "canonical_url",
-            registered_domain(F.col("canonical_url")).alias(
+            registered_domain(F.col("canonical_url"), sfx).alias(
                 "registered_domain"
             ),
             "survivor_" + id_col,

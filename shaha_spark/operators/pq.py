@@ -142,6 +142,88 @@ def pq_encode(
     )
 
 
+def pq_distortion(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int = 20,
+) -> dict:
+    """Write-time quantization-quality signal (VERDICT r10 #6): mean
+    RELATIVE squared reconstruction error of the trained codebooks
+    over a deterministic ~1/``sample_mod`` hash-sample of the corpus —
+    ``mean(||v − reconstruct(encode(v))||² / ||v||²)``, scale-free in
+    [0, ~1]. Near 0 = the codebooks explain the corpus (clusterable
+    data); near 1 = the codes carry almost no signal and PQ recall
+    will be poor — the failure mode a user otherwise discovers only at
+    query time (the random-fixture recall@5 = 0.23 of BENCH r9/r10).
+    Emitted into the index-build summary + quality sidecar so
+    unsuitable corpora are flagged AT INGEST.
+
+    Same execution shape as :func:`pq_encode` (broadcast codebook
+    literals, one shuffle-free scan over the SAMPLE, then one scalar
+    agg); zero-norm vectors are excluded (no relative error exists).
+    """
+    rows = codebooks.select("sub_id", "centroid_id", "centroid").collect()
+    m = 1 + max(r["sub_id"] for r in rows)
+    sub_dim = len(rows[0]["centroid"])
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(r["sub_id"], []).append(r)
+    for sub in by_sub:
+        by_sub[sub].sort(key=lambda r: r["centroid_id"])
+
+    from shaha_spark.functions.text import h28
+
+    sample = corpus
+    if sample_mod > 1:
+        sample = corpus.filter(
+            h28(F.col(id_col).cast("string")) % sample_mod == 0
+        )
+
+    def residual_sq(sub: int):
+        subv = _subvec(F.col(vec_col), sub, sub_dim)
+        cands = F.array(
+            *[
+                F.struct(
+                    (-dot(subv, F.array(*[F.lit(float(x)) for x in r["centroid"]])))
+                    .alias("nd"),
+                    F.lit(r["centroid_id"]).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("cent"),
+                )
+                for r in by_sub[sub]
+            ]
+        )
+        chosen = F.array_min(cands).getField("cent")
+        return F.aggregate(
+            F.zip_with(subv, chosen, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    per_vec = sample.select(
+        sum(
+            (residual_sq(s) for s in range(1, m)),
+            residual_sq(0),
+        ).alias("__res"),
+        (norm(F.col(vec_col)) * norm(F.col(vec_col))).alias("__n2"),
+    ).where(F.col("__n2") > 0)
+    agg = per_vec.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("__res") / F.col("__n2")).alias("rel"),
+    ).first()
+    n_sampled = int(agg["n"] or 0)
+    rel = float(agg["rel"]) if agg["rel"] is not None else None
+    return {
+        "n_sampled": n_sampled,
+        "mean_rel_sq_err": round(rel, 6) if rel is not None else None,
+        # past this, most of the sampled energy is unexplained by the
+        # codebooks — recall will disappoint; rebuild with more
+        # centroids or accept exact/IVF scoring instead
+        "high_distortion": bool(rel is not None and rel > 0.25),
+    }
+
+
 def _adc_score(
     coded: DataFrame,
     codebooks: DataFrame,

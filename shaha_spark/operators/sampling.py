@@ -450,6 +450,26 @@ def importance_weights(
     """
     raw_grams = _hashed_grams(docs, text_col, id_col, num_buckets, salt)
     tgt_grams = _hashed_grams(target, text_col, id_col, num_buckets, salt)
+    lam, pins = _dsir_lam(raw_grams, tgt_grams, num_buckets)
+    from shaha_spark.caching import registers
+
+    return registers(
+        raw_grams.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lam").cast("double").alias("logweight"),
+        ),
+        *pins,
+    )
+
+
+def _dsir_lam(
+    raw_grams: DataFrame, tgt_grams: DataFrame, num_buckets: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The per-bucket DSIR log-ratio table λ(bucket) shared by the
+    doc-level and domain-level operators; returns (lam, persisted
+    pins for caching.registers)."""
     # each bucket-count table is consumed twice (its total + the
     # log-ratio join); the lazy persists stop Spark re-running the
     # gram explode + hash-agg per consumer. ≤num_buckets rows each.
@@ -487,18 +507,100 @@ def importance_weights(
             ).alias("lam"),
         )
     )
+    return lam, [cr, ct]
+
+
+def domain_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    salt: str = "",
+) -> DataFrame:
+    """DSIR importance aggregated to the DOMAIN level — the mixture
+    knob production pipelines actually turn (DoReMi/DSIR practice:
+    sampling rates are set per SOURCE/domain, not per document,
+    because per-doc resampling destroys domain balance and per-domain
+    rates are auditable). ``docs`` must carry ``domain_col`` — derive
+    it with functions.url.registered_domain for web crawls, or pass
+    any source/provenance column.
+
+    One row per domain with at least one scored gram:
+    ``n_docs`` (scored docs), ``n_grams``, ``total_logweight``
+    (decimal-exact sum of the per-bucket log-ratios over every gram in
+    the domain — the same λ table as :func:`importance_weights`, so
+    per-domain totals are exactly the sums of that operator's per-doc
+    weights), and ``mean_doc_logweight`` (ONE IEEE division of the
+    exact total by n_docs, rounded to 6). :func:`domain_resample`
+    takes the top-k domains by mean weight.
+
+    Scale shape: the λ join is the same broadcast as the doc-level
+    operator; the extra work is one doc-count-sized shuffle to attach
+    the domain and one domain-count-sized hash-agg. Decimal-exact
+    two-level aggregation ((domain, doc) then domain) keeps every
+    partial sum associative, so partitioning cannot reorder anything
+    inexact.
+    """
     from shaha_spark.caching import registers
 
-    return registers(
+    raw_grams = _hashed_grams(docs, text_col, id_col, num_buckets, salt)
+    tgt_grams = _hashed_grams(target, text_col, id_col, num_buckets, salt)
+    lam, pins = _dsir_lam(raw_grams, tgt_grams, num_buckets)
+    per_doc = (
         raw_grams.join(F.broadcast(lam), "bucket")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum("lam").cast("double").alias("logweight"),
-        ),
-        cr,
-        ct,
+            F.sum("lam").alias("__lw"),  # decimal-exact
+        )
     )
+    per_domain = (
+        per_doc.join(docs.select(id_col, domain_col), id_col)
+        .groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("__lw").alias("__tot"),  # still decimal-exact
+        )
+    )
+    return registers(
+        per_domain.select(
+            domain_col,
+            "n_docs",
+            "n_grams",
+            F.col("__tot").cast("double").alias("total_logweight"),
+            F.round(
+                F.col("__tot").cast("double") / F.col("n_docs"), 6
+            ).alias("mean_doc_logweight"),
+        ),
+        *pins,
+    )
+
+
+def domain_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    domain_col: str = "domain",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic top-``k`` domain selection under
+    :func:`domain_importance` (mean doc log-weight desc, domain asc —
+    the same rank-not-Gumbel determinism choice as
+    :func:`importance_resample`). The top-k is a distributed
+    TakeOrderedAndProject over the domain-count-sized aggregate —
+    never a global sort, never a single-partition window."""
+    di = domain_importance(
+        docs, target, domain_col, text_col, id_col, num_buckets, salt
+    )
+    return di.orderBy(
+        F.col("mean_doc_logweight").desc(), F.col(domain_col).asc()
+    ).limit(k)
 
 
 def importance_resample(

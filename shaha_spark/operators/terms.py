@@ -583,6 +583,97 @@ SELECT t.{id_col},
 FROM sd_train t LEFT JOIN sd_shared s USING ({id_col})"""
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    min_len: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-eval-document contamination PROVENANCE — the audit artifact
+    reviewers ask for when a decontamination pass is reported: not just
+    "these train docs are contaminated" (that is
+    :func:`exact_substring_decontaminate`) but WHICH eval document each
+    one hits and how hard. One row per contaminated
+    (eval doc, train doc) pair:
+
+      ``eval_{id_col}``, ``train_{id_col}``,
+      ``n_shared_windows`` — distinct ``min_len``-char windows the two
+      documents share (window identity is the exact character string,
+      the same stride-1 shingling as the flag operator, so the flag's
+      ``contaminated`` set is exactly the distinct train ids here).
+
+    Scale shape (100 TB train / benchmark-sized eval): the eval side
+    now carries its ids (per-doc-distinct windows, still
+    benchmark-sized) and broadcasts, so the data-proportional train
+    scan joins shuffle-free exactly as in the flag operator; the only
+    shuffled rows are MATCHED (eval, train, window) triples — a
+    contamination-sized table. Pair rows are deduped per window on
+    each side first, so a window repeated inside one document counts
+    once. ``broadcast_eval=False`` degrades to a hash-shuffle join on
+    the window string for huge eval sets.
+
+    Reference parity: none (extension layer, training-data canon —
+    the reporting half of Lee et al. 2021's decontamination).
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    L = min_len
+
+    def shingles(df: DataFrame, out_id: str) -> DataFrame:
+        long_enough = df.where(F.length(text_col) >= L)
+        return long_enough.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - F.lit(L - 1))
+            ).alias("__g"),
+            F.col(text_col),
+        ).select(
+            out_id,
+            F.col(text_col).substr(F.col("__g"), F.lit(L)).alias("__win"),
+        ).distinct()
+
+    train_wins = shingles(train, "train_" + id_col)
+    eval_wins = shingles(eval_df, "eval_" + id_col)
+    if broadcast_eval:
+        eval_wins = F.broadcast(eval_wins)
+    return (
+        train_wins.join(eval_wins, "__win")
+        .groupBy("eval_" + id_col, "train_" + id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+
+
+def contamination_report_sql(
+    train_select: str,
+    eval_select: str,
+    min_len: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of :func:`contamination_report` — the same
+    per-side (id, window) distinct and pair-count."""
+    L = min_len
+    return f"""WITH cr_train AS ({train_select}),
+cr_eval AS ({eval_select}),
+cr_tw AS (
+  SELECT DISTINCT {id_col} AS train_{id_col}, substr({text_col}, g, {L}) AS win
+  FROM (SELECT {id_col}, {text_col},
+               unnest(range(1, len({text_col}) - {L} + 2)) AS g
+        FROM cr_train WHERE len({text_col}) >= {L})
+),
+cr_ew AS (
+  SELECT DISTINCT {id_col} AS eval_{id_col}, substr({text_col}, g, {L}) AS win
+  FROM (SELECT {id_col}, {text_col},
+               unnest(range(1, len({text_col}) - {L} + 2)) AS g
+        FROM cr_eval WHERE len({text_col}) >= {L})
+)
+SELECT e.eval_{id_col}, t.train_{id_col}, count(*) AS n_shared_windows
+FROM cr_tw t JOIN cr_ew e USING (win)
+GROUP BY 1, 2"""
+
+
 def top_keywords(
     docs: DataFrame,
     k: int = 3,

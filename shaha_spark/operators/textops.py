@@ -607,3 +607,77 @@ SELECT s.{id_col},
   coalesce(p.n_luhn_valid, 0) AS n_luhn_valid,
   coalesce(p.n_luhn_valid, 0) > 0 AS has_pan
 FROM pan_src s LEFT JOIN pan_per_doc p USING ({id_col})"""
+
+
+#: license-signal patterns, MOST RESTRICTIVE FIRST — the first match
+#: wins, so "CC BY-NC" never misreads as "CC BY". Shared verbatim by
+#: both engines (inline (?i); Java regex and DuckDB's RE2 agree on
+#: every construct used). (name, pattern, is_open) — is_open marks
+#: licenses a permissive-only training corpus keeps.
+LICENSE_PATTERNS = (
+    ("cc-by-nc", r"(?i)\bcc[- ]by[- ]nc\b|attribution[- ]noncommercial", False),
+    ("cc-by-sa", r"(?i)\bcc[- ]by[- ]sa\b|attribution[- ]sharealike", True),
+    ("cc-by", r"(?i)\bcc[- ]by\b|creative commons attribution", True),
+    ("public-domain", r"(?i)public domain|\bcc0\b", True),
+    ("all-rights-reserved", r"(?i)all rights reserved", False),
+)
+
+
+def license_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document license-signal detection — the licence-filtering
+    pass permissive-only corpora run before training (the code-corpus
+    canon: keep CC-BY/CC-BY-SA/public-domain, drop NC and
+    all-rights-reserved; same statement-mining idea as the BigCode
+    licence filters, reduced to the in-text declaration signals).
+
+    One row per input doc: ``license`` (first matching entry of
+    :data:`LICENSE_PATTERNS`, most restrictive first, or ``none``) and
+    ``open_license`` (keep-for-training flag; ``none`` counts as NOT
+    open — unknown provenance is the conservative default).
+
+    This is a SIGNAL, not counsel: in-text statements miss
+    side-channel licence metadata and misfire on documents QUOTING a
+    licence; production pipelines join it with crawl-header/metadata
+    signals before dropping anything.
+
+    Scale shape: one codegen'd CASE-over-rlike projection on the scan
+    — no UDF, no shuffle, no second pass; filters compose downstream
+    (``.where(F.col("open_license"))``).
+    """
+    lic = F.lit("none")
+    for name, pat, _open in reversed(LICENSE_PATTERNS):
+        lic = F.when(F.col(text_col).rlike(pat), F.lit(name)).otherwise(lic)
+    open_names = [n for n, _p, is_open in LICENSE_PATTERNS if is_open]
+    return df.select(
+        F.col(id_col),
+        lic.alias("license"),
+        lic.isin(*open_names).alias("open_license"),
+    )
+
+
+def license_scan_sql(
+    select_stmt: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle twin of :func:`license_scan` — the same pattern
+    list in the same first-match-wins order."""
+    whens = "\n".join(
+        f"    WHEN regexp_matches({text_col}, '{pat}') THEN '{name}'"
+        for name, pat, _open in LICENSE_PATTERNS
+    )
+    open_list = ", ".join(
+        f"'{n}'" for n, _p, is_open in LICENSE_PATTERNS if is_open
+    )
+    return f"""WITH ls_docs AS ({select_stmt}),
+ls AS (
+  SELECT {id_col},
+    CASE
+{whens}
+    ELSE 'none' END AS license
+  FROM ls_docs
+)
+SELECT {id_col}, license, license IN ({open_list}) AS open_license
+FROM ls"""

@@ -4,8 +4,19 @@ The batch append (operators/ann_index.append_to_ivf_index /
 append_to_ivf_pq_index, r10) is the per-tick kernel; this module is
 the continuous form: watch a landing directory for new embedding
 parquet files and fold each micro-batch into the index with the FROZEN
-sidecar artifacts — exactly-once per file via the streaming
-checkpoint, no retrain ever on the ingest path.
+sidecar artifacts — no retrain ever on the ingest path.
+
+Delivery contract (r10 ADVICE — the r10 docstring overclaimed
+"exactly-once"): foreachBatch is at-least-once, so the fold passes the
+micro-batch's ``batch_id`` into the append, which records the last
+committed id in the append-state sidecar and skips any replayed batch
+at or below it (``skipped=True`` in the summary). That makes restarts
+and checkpoint replays idempotent END-TO-END except for one window: a
+crash AFTER the parquet append commits but BEFORE the state sidecar
+write lands will re-append that one batch on restart — the residual of
+an append-only store with no transactional sink, stated rather than
+hidden (see append_to_ivf_index's docstring; dedup on ``vec_id`` or a
+rebuild clears it).
 
 foreachBatch is the right tool (same rationale as
 streaming/build_stream.py): the append is an arbitrary batch
@@ -46,7 +57,9 @@ def _stream_append(
     def fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return  # no rows: do not bump the staleness counter
-        summary = append_fn(batch, index_path)
+        # batch_id rides into the append's replay ledger: a replayed
+        # (already-committed) micro-batch is skipped, not re-appended
+        summary = append_fn(batch, index_path, batch_id=batch_id)
         if on_batch is not None:
             on_batch({"batch_id": batch_id, **summary})
 

@@ -5,7 +5,14 @@ The reference's closest analogue is its unbounded stdin iterator +
 src/cli/build.rs:16,149-174). The Spark-native generalization: watch a
 landing directory for new wordlist files and fold each micro-batch into
 the database with the same append-merge semantics as a batch append
-(J1) — exactly-once per file via the streaming checkpoint.
+(J1) — effectively-once per file: the checkpoint prevents re-delivery
+on clean restarts, and a replayed micro-batch (foreachBatch is
+at-least-once under mid-batch failure) merges idempotently — the
+append-merge is existing-wins keyed on (hash, algorithm) with
+array_union'd sources and the replayed batch re-derives the SAME
+source name from its batch_id, so re-folding it changes nothing.
+(Contrast streaming/ann_ingest.py, whose parquet append is NOT
+naturally idempotent and needs its batch_id ledger.)
 
 foreachBatch is the right tool (not a plain streaming sink) because the
 merge is a full-outer join against existing state on disk — an

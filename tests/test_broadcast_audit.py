@@ -148,9 +148,11 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
         "top-k hot keys: k rows by construction",
     ("shaha_spark/operators/sampling.py", "temperature_resample", "rates"):
         _AGG + " (one row per stratum)",
-    ("shaha_spark/operators/sampling.py", "importance_weights", "tot_r"): _SCALAR,
-    ("shaha_spark/operators/sampling.py", "importance_weights", "tot_t"): _SCALAR,
+    ("shaha_spark/operators/sampling.py", "_dsir_lam", "tot_r"): _SCALAR,
+    ("shaha_spark/operators/sampling.py", "_dsir_lam", "tot_t"): _SCALAR,
     ("shaha_spark/operators/sampling.py", "importance_weights", "lam"):
+        _AGG + " (one row per hash bucket, fixed bucket count)",
+    ("shaha_spark/operators/sampling.py", "domain_importance", "lam"):
         _AGG + " (one row per hash bucket, fixed bucket count)",
     ("shaha_spark/operators/sampling.py", "token_budget_select", "offsets"):
         "per-bucket offsets: score_range/bucket_width rows",
@@ -160,6 +162,13 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
         "sized by the production asymmetry (100 TB train vs small "
         "eval), and gated by the broadcast_eval flag whose docstring "
         "routes huge eval sets to the shuffle join",
+    ("shaha_spark/operators/terms.py", "contamination_report",
+     "eval_wins"):
+        "per-doc-distinct min_len-char windows of the EVAL set with "
+        "their ids — still benchmark-sized by the production "
+        "asymmetry (100 TB train vs small eval), and gated by the "
+        "same broadcast_eval flag routing huge eval sets to the "
+        "shuffle join",
     ("shaha_spark/operators/terms.py",
      "exact_substring_decontaminate_screened", "eval_w"):
         "distinct W-char eval windows — same benchmark-sized eval "
