@@ -4007,7 +4007,7 @@ R11_WINDOW_ORDER = [
     "emb_ivf_index_topk", "emb_ivf_pq_index_topk",
     # round-11 additions — never driver-verified, must sit in-window
     "docs_contamination_report", "docs_domain_importance",
-    "docs_license_scan",
+    "docs_license_scan", "docs_url_policy",
     # least-recently-verified backfill (scripts/plan_window.py): the
     # r06 cohort (oldest greens in the registry), then the r07 cohort
     "events_redact", "words_lev_pairs", "events_retention",
@@ -4023,7 +4023,7 @@ R11_WINDOW_ORDER = [
     "tpch_q9", "events_zorder", "events_percentiles",
     "orders_topk_per_cust", "profile_table", "profile_correlation",
     "dq_lineitem", "events_histogram", "events_funnel",
-    "events_transitions", "sample_documents",
+    "events_transitions",
 ]
 
 R10_WINDOW_ORDER = [
@@ -4055,8 +4055,9 @@ R10_WINDOW_ORDER = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness harness checks the FIRST 50
     # entries only. Round-11 layout: 5 re-verification anchors (see
-    # WINDOW_ANCHORS), 3 never-verified round-11 entries (contamination
-    # provenance, domain-level DSIR, licence scan), then the mechanical
+    # WINDOW_ANCHORS), 4 never-verified round-11 entries (contamination
+    # provenance, domain-level DSIR, licence scan, URL policy
+    # screening), then the mechanical
     # least-recently-verified backfill from scripts/plan_window.py (the
     # r06 cohort, then r07); everything else keeps its registry order
     # after it. tests/test_coverage_guard.py enforces the invariant.
@@ -5985,6 +5986,32 @@ def q_docs_license_scan(spark, sf_dir):
     )
 
 
+def q_docs_url_policy(spark, sf_dir):
+    """URL policy screening with auditable reason codes (round 11,
+    VERDICT r10 #8; operators.dedup.url_policy_scan): registered-
+    domain blocklist (shop.co.uk — the multi-label-suffix hosts of the
+    synthetic crawl) plus a URL-shape pattern (/p/3[0-9] — the
+    template-noise page class), domain rule first. One verdict row
+    per doc; keep/drop composes downstream."""
+    from shaha_spark.operators.dedup import url_policy_scan
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_col().alias("url")
+    )
+    out = url_policy_scan(
+        docs,
+        "url",
+        blocked_domains=("shop.co.uk",),
+        blocked_patterns=("/p/3[0-9]",),
+    )
+    return out.select(
+        "doc_id",
+        "registered_domain",
+        "block_reason",
+        F.col("blocked").cast("int").alias("blocked"),
+    )
+
+
 def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "emb_sq_topk": q_emb_sq_topk,
@@ -6074,6 +6101,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination_report": q_docs_contamination_report,
         "docs_domain_importance": q_docs_domain_importance,
         "docs_license_scan": q_docs_license_scan,
+        "docs_url_policy": q_docs_url_policy,
     }
 
 
@@ -8016,5 +8044,17 @@ GROUP BY 1"""
     sql["docs_license_scan"] = f"""SELECT doc_id, license,
   CAST(open_license AS INTEGER) AS open_license
 FROM ({license_scan_sql(_LICENSE_FIXTURE_SQL)})"""
+
+    from shaha_spark.operators.dedup import url_policy_scan_sql
+
+    _policy_base = url_policy_scan_sql(
+        f"SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents",
+        "url",
+        blocked_domains=("shop.co.uk",),
+        blocked_patterns=("/p/3[0-9]",),
+    )
+    sql["docs_url_policy"] = f"""SELECT doc_id, registered_domain,
+  block_reason, CAST(blocked AS INTEGER) AS blocked
+FROM ({_policy_base})"""
 
     return sql

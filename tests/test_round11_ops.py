@@ -309,3 +309,92 @@ def test_license_scan_cross_engine(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_url_policy_scan_semantics(spark):
+    from shaha_spark.operators.dedup import url_policy_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.shop.co.uk/p/5"),          # domain-blocked
+            (2, "http://sub.shop.co.uk/p/35"),       # domain beats pattern
+            (3, "http://ok.example.com/p/35?x=1"),   # pattern-blocked
+            (4, "http://ok.example.com/p/5"),        # clean
+            (5, None),                                # no URL to screen
+        ],
+        "doc_id bigint, url string",
+    )
+    got = {
+        r.doc_id: (r.registered_domain, r.block_reason, r.blocked)
+        for r in url_policy_scan(
+            df,
+            "url",
+            blocked_domains=("shop.co.uk",),
+            blocked_patterns=("/p/3[0-9]",),
+        ).collect()
+    }
+    assert got[1] == ("shop.co.uk", "domain", True)
+    assert got[2] == ("shop.co.uk", "domain", True)
+    assert got[3] == ("example.com", "pattern", True)
+    assert got[4] == ("example.com", "none", False)
+    assert got[5] == (None, "none", False)
+
+
+def test_url_policy_scan_cross_engine(spark):
+    from shaha_spark.operators.dedup import (
+        url_policy_scan,
+        url_policy_scan_sql,
+    )
+
+    rows = [
+        (1, "http://a.shop.co.uk/p/5"),
+        (2, "http://sub.shop.co.uk/p/35"),
+        (3, "http://ok.example.com/p/35?x=1"),
+        (4, "http://ok.example.com/p/5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = sorted(
+        (r.doc_id, r.registered_domain, r.block_reason, bool(r.blocked))
+        for r in url_policy_scan(
+            df,
+            "url",
+            blocked_domains=("shop.co.uk",),
+            blocked_patterns=("/p/3[0-9]",),
+        ).collect()
+    )
+    values = ", ".join(f"({i}, '{u}')" for i, u in rows)
+    con = duckdb.connect()
+    want = sorted(
+        (int(a), b, c, bool(d))
+        for a, b, c, d in con.execute(
+            url_policy_scan_sql(
+                f"SELECT * FROM (VALUES {values}) AS v(doc_id, url)",
+                "url",
+                blocked_domains=("shop.co.uk",),
+                blocked_patterns=("/p/3[0-9]",),
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_url_policy_scan_empty_policy(spark):
+    """No rules → everything reports none/false in both engines (the
+    SQL twin must not emit an empty CASE)."""
+    from shaha_spark.operators.dedup import (
+        url_policy_scan,
+        url_policy_scan_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "http://x.example.com/p")], "doc_id bigint, url string"
+    )
+    r = url_policy_scan(df, "url").collect()[0]
+    assert (r.block_reason, r.blocked) == ("none", False)
+    con = duckdb.connect()
+    o = con.execute(
+        url_policy_scan_sql(
+            "SELECT 1 AS doc_id, 'http://x.example.com/p' AS url", "url"
+        )
+    ).fetchone()
+    assert (o[2], bool(o[3])) == ("none", False)
