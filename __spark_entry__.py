@@ -4007,7 +4007,7 @@ R11_WINDOW_ORDER = [
     "emb_ivf_index_topk", "emb_ivf_pq_index_topk",
     # round-11 additions — never driver-verified, must sit in-window
     "docs_contamination_report", "docs_domain_importance",
-    "docs_license_scan", "docs_url_policy",
+    "docs_license_scan", "docs_url_policy", "emb_ivf_pq_refine_topk",
     # least-recently-verified backfill (scripts/plan_window.py): the
     # r06 cohort (oldest greens in the registry), then the r07 cohort
     "events_redact", "words_lev_pairs", "events_retention",
@@ -4023,7 +4023,6 @@ R11_WINDOW_ORDER = [
     "tpch_q9", "events_zorder", "events_percentiles",
     "orders_topk_per_cust", "profile_table", "profile_correlation",
     "dq_lineitem", "events_histogram", "events_funnel",
-    "events_transitions",
 ]
 
 R10_WINDOW_ORDER = [
@@ -4055,9 +4054,9 @@ R10_WINDOW_ORDER = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness harness checks the FIRST 50
     # entries only. Round-11 layout: 5 re-verification anchors (see
-    # WINDOW_ANCHORS), 4 never-verified round-11 entries (contamination
+    # WINDOW_ANCHORS), 5 never-verified round-11 entries (contamination
     # provenance, domain-level DSIR, licence scan, URL policy
-    # screening), then the mechanical
+    # screening, IVF-PQ refine), then the mechanical
     # least-recently-verified backfill from scripts/plan_window.py (the
     # r06 cohort, then r07); everything else keeps its registry order
     # after it. tests/test_coverage_guard.py enforces the invariant.
@@ -4555,6 +4554,39 @@ def q_emb_ivf_pq_index_append_topk(spark, sf_dir):
         _index_built(path)
     return ivf_pq_index_topk(
         spark, path, queries, nprobe=2, k_neighbors=PQ_TOPK
+    )
+
+
+def q_emb_ivf_pq_refine_topk(spark, sf_dir):
+    """ADC-then-refine over the persisted IVF-PQ index (round 11;
+    operators.ann_index.ivf_pq_refine_topk — the FAISS IndexRefine
+    stage): the codes-only partition-pruned probe ranks a 4×k
+    candidate pool, whose exact vectors are fetched with a broadcast
+    candidate-list semi-join (|queries|·4·k rows — never the corpus)
+    and re-ranked by exact cosine. Shares the cached "ivfpq" index
+    with emb_ivf_pq_index_topk. The oracle composes the verified
+    IVF-PQ ADC chain (top-4k cut) with the verified exact-cosine
+    re-rank recipe — a full value-hash proof of both stages chained."""
+    from shaha_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        ivf_pq_refine_topk,
+    )
+
+    corpus = _t(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path, needs_build = _index_path(
+        "ivfpq", sf_dir, k_coarse=PQ_K, m=PQ_M, k_sub=PQ_K, iters=PQ_ITERS
+    )
+    if needs_build:
+        build_ivf_pq_index(
+            corpus, path, k_coarse=PQ_K, m=PQ_M, k_sub=PQ_K, iters=PQ_ITERS
+        )
+        _index_built(path)
+    return ivf_pq_refine_topk(
+        spark, path, corpus, queries,
+        nprobe=2, k_neighbors=PQ_TOPK, refine_factor=4,
     )
 
 
@@ -6102,6 +6134,7 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_domain_importance": q_docs_domain_importance,
         "docs_license_scan": q_docs_license_scan,
         "docs_url_policy": q_docs_url_policy,
+        "emb_ivf_pq_refine_topk": q_emb_ivf_pq_refine_topk,
     }
 
 
@@ -7283,6 +7316,34 @@ FROM (
     # bit-for-bit (same artifacts, same probe, same ADC) — the oracle
     # is therefore the SAME chained recipe, verbatim
     sql["emb_ivf_pq_index_topk"] = sql["emb_ivf_pq_topk"]
+
+    # ADC-then-refine (r11): the SAME chained IVF-PQ recipe cut at
+    # 4×k candidates, re-scored with exact vectors (the verified
+    # brute-force cosine form) and re-ranked — both stages' tiebreaks
+    # mirror the Spark operator exactly
+    sql["emb_ivf_pq_refine_topk"] = (
+        "WITH "
+        + ",\n".join(ivfpq_parts)
+        + f""",
+rtop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY ac DESC, vec_id ASC
+    ) AS r FROM fin
+  ) WHERE r <= {PQ_TOPK * 4}
+),
+rex AS (
+  SELECT t.query_id, t.vec_id,
+         round(list_cosine_similarity(b.ev, q.qv), 6) AS cosine
+  FROM rtop t JOIN base b USING (vec_id) JOIN q USING (query_id)
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+  ) AS rank FROM rex
+) WHERE rank <= {PQ_TOPK}"""
+    )
 
     # incremental-append IVF-PQ oracle (r10): every TRAINING CTE — the
     # m sub-kmeans chains and the coarse kmeans — filters to the base

@@ -519,6 +519,96 @@ def ivf_pq_index_topk(
     )
 
 
+def ivf_pq_refine_topk(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k_neighbors: int = 5,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC-then-refine over the persisted IVF-PQ index — the standard
+    quantized-search accuracy recovery (the refine/rerank stage of
+    Jégou et al. 2011 §V and FAISS's IndexRefine, re-expressed on
+    DataFrames): PQ's asymmetric-distance scores rank a candidate pool
+    cheaply from codes alone, then the top ``refine_factor × k``
+    candidates per query are re-scored with their EXACT vectors and
+    re-ranked to the final top-k. Buys back the recall the codes lose
+    on hard corpora while still reading full vectors for only
+    |queries| · refine_factor · k rows — never the corpus.
+
+    Execution shape: stage 1 is :func:`ivf_pq_index_topk` verbatim
+    (partition-pruned, codes-only scan); stage 2 broadcasts the
+    candidate id list (query-batch-bounded) against ONE pass over
+    ``corpus`` reading just (id, vector) — a broadcast hash semi-join,
+    no shuffle — then scores each surviving (query, vector) pair with
+    the same hoisted exact-cosine recipe as brute_force_topk and
+    windows the final top-k. At 100 TB pair this with a vector-bearing
+    bucketed layout (build_ivf_index's output) so the fetch pass is
+    also partition-pruned by the probed buckets; the operator takes
+    any (id, vector) DataFrame so that composition is a plain argument.
+
+    Determinism: both stages use the module's (score DESC, id ASC)
+    tiebreaks and round-6 cosines — output is engine- and
+    partitioning-invariant, oracle-checked by composing the verified
+    IVF-PQ chain with the verified exact-cosine re-rank.
+    """
+    cands = ivf_pq_index_topk(
+        spark,
+        path,
+        queries,
+        nprobe=nprobe,
+        k_neighbors=k_neighbors * refine_factor,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            norm2(F.col(vec_col)).alias("__qn2"),
+        )
+    )
+    exact = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col), norm2(F.col(vec_col)).alias("__cn2")
+        )
+        # candidate list is |queries| · refine_factor · k rows — bounded
+        .join(F.broadcast(cands), id_col)
+        .join(q, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_sim_hoisted(
+                    dot(F.col(vec_col), F.col("__qvec")),
+                    F.col("__cn2"),
+                    F.col("__qn2"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neighbors)
+        .select(
+            query_id_col,
+            id_col,
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def append_to_ivf_pq_index(
     batch: DataFrame,
     path: str,

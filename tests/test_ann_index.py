@@ -564,3 +564,61 @@ def test_compact_appended_index_roundtrip(spark, sf_dir, tmp_path):
     ) == cents_before
     assert load_pq_codebooks(spark, path).count() > 0
     assert load_append_state(spark, path) == state_before
+
+
+def test_refine_recovers_recall_over_adc(spark, sf_dir, tmp_path):
+    """ADC-then-refine (r11): on the near-uniform sf embeddings —
+    PQ's worst case, recall@5 ≈ 0.2 from codes alone — re-scoring the
+    4×k ADC candidates with exact vectors must strictly improve
+    recall vs the pure ADC probe, and every refined hit must carry
+    the EXACT brute-force cosine (refine changes scores from
+    approximate to exact, never invents candidates)."""
+    from shaha_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        ivf_pq_index_topk,
+        ivf_pq_refine_topk,
+    )
+    from shaha_spark.operators.similarity import (
+        brute_force_topk,
+        topk_recall,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(emb, path, k_coarse=4, m=4, k_sub=4, iters=2)
+    qs = _queries(emb)
+
+    exact = brute_force_topk(emb, qs, k=5).localCheckpoint(eager=True)
+    adc = ivf_pq_index_topk(spark, path, qs, nprobe=2, k_neighbors=5)
+    ref = ivf_pq_refine_topk(
+        spark, path, emb, qs, nprobe=2, k_neighbors=5, refine_factor=4
+    ).localCheckpoint(eager=True)
+
+    r_adc = topk_recall(exact, adc, k=5).agg(F.avg("recall")).first()[0]
+    r_ref = topk_recall(exact, ref, k=5).agg(F.avg("recall")).first()[0]
+    assert r_ref > r_adc, (r_ref, r_adc)
+
+    # refined scores are the exact cosines: every (query, vec) pair
+    # present in BOTH refine and brute force agrees bit-for-bit
+    ex = {(r.query_id, r.vec_id): r.cosine for r in exact.collect()}
+    for r in ref.collect():
+        if (r.query_id, r.vec_id) in ex:
+            assert r.cosine == ex[(r.query_id, r.vec_id)]
+
+
+def test_refine_reads_candidates_not_corpus(spark, sf_dir, tmp_path):
+    """The refine fetch joins the corpus against a BROADCAST candidate
+    list — the executed plan must carry a broadcast hash join, not a
+    shuffle of the corpus side."""
+    from shaha_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        ivf_pq_refine_topk,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(emb, path, k_coarse=4, m=4, k_sub=4, iters=2)
+    plan = ivf_pq_refine_topk(
+        spark, path, emb, _queries(emb), nprobe=2, k_neighbors=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

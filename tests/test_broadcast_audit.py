@@ -179,6 +179,11 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
         "same bound",
     ("shaha_spark/operators/similarity.py", "brute_force_topk",
      "queries.select(F.col(query_id_col), F.col(vec_col).alias('__"): _QUERY,
+    ("shaha_spark/operators/ann_index.py", "ivf_pq_refine_topk",
+     "queries.select(F.col(query_id_col), F.col(vec_col).alias('__"): _QUERY,
+    ("shaha_spark/operators/ann_index.py", "ivf_pq_refine_topk", "cands"):
+        "refine candidate list: |queries| · refine_factor · k rows by "
+        "construction (the stage-1 top-k output)",
     ("shaha_spark/operators/similarity.py", "ivf_assign",
      "centroids.select(centroid_id_col, centroid_vec_col, norm2(F."): _MODEL,
     ("shaha_spark/operators/similarity.py", "ivf_topk", "centroids"): _MODEL,

@@ -84,6 +84,18 @@ SCAN_REPEAT_OK: dict[str, dict[str, int]] = {
         # scans for the same plan (r9 in-suite observation).
         "embeddings": 4,
     },
+    "emb_ivf_pq_refine_topk": {
+        # Four independent SINGLE passes (r11): three query-batch
+        # derivations — the coarse probe, the broadcast ADC table,
+        # and the refine stage's broadcast query frame — each reading
+        # the 1% vec_id%100 slice, plus ONE full corpus pass fetching
+        # exact vectors for the broadcast candidate list (the refine
+        # point: candidates are |queries|·4·k rows, so the fetch is a
+        # broadcast semi-join on a single scan, and in production it
+        # prunes through a vector-bearing bucketed layout). No pass
+        # consumes another's re-executed subtree; nothing compounds.
+        "embeddings": 4,
+    },
     "emb_ann_recall": {
         # The recall GATE deliberately runs BOTH retrieval pipelines —
         # exact brute-force (corpus + query side) and IVF (assignment
