@@ -705,19 +705,27 @@ def compact_index(spark: SparkSession, path: str) -> dict[str, Any]:
             f"compaction row mismatch: {live_rows} live vs {new_rows} "
             "compacted — aborting before the swap"
         )
+    # backups live OUTSIDE the index root: a crash-leftover backup
+    # inside it would join partition discovery (even underscore-
+    # prefixed directories with "=" in the name do, as
+    # CONFLICTING_PARTITION_COLUMN_NAMES) and break every probe; the
+    # sibling dir is invisible to readers and easy to sweep
+    bak_root = path.rstrip("/") + ".__compact_bak__"
+    io_util.delete(spark, bak_root)
+    io_util.mkdirs(spark, bak_root)
     for child in io_util.list_children(spark, tmp):
         name = child.rsplit("/", 1)[-1]
         if not name.startswith("centroid_id="):
             continue
         live = path.rstrip("/") + "/" + name
-        bak = live + ".__old__"
-        io_util.delete(spark, bak)
+        bak = bak_root + "/" + name
         if io_util.exists(spark, live):
             if not io_util.rename(spark, live, bak):
                 raise IOError(f"compaction: could not back up {live}")
         if not io_util.rename(spark, child, live):
             raise IOError(f"compaction: could not swap in {live}")
         io_util.delete(spark, bak)
+    io_util.delete(spark, bak_root)
     io_util.delete(spark, tmp)
     files_after = len(io_util.list_files(spark, path, ".parquet"))
     return {

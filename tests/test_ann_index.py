@@ -622,3 +622,43 @@ def test_refine_reads_candidates_not_corpus(spark, sf_dir, tmp_path):
         spark, path, emb, _queries(emb), nprobe=2, k_neighbors=5
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_compaction_backup_leftover_is_reader_invisible(
+    spark, sf_dir, tmp_path
+):
+    """A crash between the per-bucket backup rename and its cleanup
+    leaves the bucket copy under the SIBLING `.__compact_bak__` dir —
+    outside the index root, so probes neither break on partition
+    discovery nor read the stale rows twice. (Planting it INSIDE the
+    root is not an option: even underscore-prefixed directories with
+    '=' in the name join partition discovery and raise
+    CONFLICTING_PARTITION_COLUMN_NAMES — measured, which is why the
+    backup lives outside.)"""
+    import shutil
+
+    from shaha_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        ivf_pq_index_topk,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(emb, path, k_coarse=4, m=4, k_sub=4, iters=2)
+    qs = _queries(emb)
+    before = sorted(map(tuple, ivf_pq_index_topk(
+        spark, path, qs, nprobe=2, k_neighbors=5).collect()))
+
+    # plant the crash artifact: a full bucket copy under the sibling
+    # backup root
+    bucket = next(
+        d for d in os.listdir(path) if d.startswith("centroid_id=")
+    )
+    bak_root = path + ".__compact_bak__"
+    os.makedirs(bak_root, exist_ok=True)
+    shutil.copytree(
+        os.path.join(path, bucket), os.path.join(bak_root, bucket)
+    )
+    after = sorted(map(tuple, ivf_pq_index_topk(
+        spark, path, qs, nprobe=2, k_neighbors=5).collect()))
+    assert after == before
