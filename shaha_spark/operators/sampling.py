@@ -89,6 +89,47 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def cluster_split(
+    df: DataFrame,
+    edges: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/eval/test split: assign near-dup CLUSTERS to
+    splits, not documents (training-data canon: a per-doc hash split
+    puts one member of a duplicate pair in train and its twin in eval,
+    so the benchmark leaks — the fix is to split by the connected
+    component of the near-dup graph, cf. the decontamination family).
+
+    ``edges`` is any (id_a, id_b) near-dup pair list — MinHash/SimHash/
+    embedding near-dup all compose. Each doc's cluster representative
+    is the MIN id of its component (its own id when isolated), and
+    :func:`hash_split` runs on the REPRESENTATIVE — so every member of
+    a cluster lands in the same split, assignments stay deterministic
+    across appends/re-runs, and docs untouched by the dedup graph
+    split exactly as a plain hash_split would. Returns the input
+    columns + ``cluster_rep`` + ``split_col`` (the representative stays
+    visible: the audit column that proves no pair straddles).
+
+    Scale shape: label propagation over the sparse edge list
+    (operators/components.py — O(diameter) rounds, no driver
+    adjacency), one doc-count-sized left join to attach components,
+    then the same codegen'd bucket CASE as hash_split. Nothing beyond
+    the CC pass touches more than one scan.
+    """
+    from shaha_spark.operators.components import connected_components
+
+    comps = connected_components(edges).select(
+        F.col("id").alias(id_col), F.col("comp")
+    )
+    rep = df.join(comps, id_col, "left").withColumn(
+        "cluster_rep", F.coalesce("comp", F.col(id_col))
+    ).drop("comp")
+    return hash_split(rep, weights, "cluster_rep", salt, split_col)
+
+
 def h28_sql(expr: str) -> str:
     """DuckDB twin of the membership hash (see functions/text.h28)."""
     return f"CAST(concat('0x', substr(md5({expr}), 1, 7)) AS BIGINT)"

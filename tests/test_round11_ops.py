@@ -398,3 +398,114 @@ def test_url_policy_scan_empty_policy(spark):
         )
     ).fetchone()
     assert (o[2], bool(o[3])) == ("none", False)
+
+
+def test_license_scan_null_text_is_none(spark):
+    from shaha_spark.operators.textops import license_scan
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "cc by 4.0")], "doc_id bigint, text string"
+    )
+    got = sorted(map(tuple, license_scan(df).collect()))
+    # a NULL text carries no licence signal: 'none', not-open, and the
+    # row is KEPT (one verdict per input doc, never a silent drop)
+    assert got == [(1, "none", False), (2, "cc-by", True)]
+
+
+def test_contamination_report_null_texts_drop(spark):
+    """NULL texts shingle to nothing on either side: a NULL train doc
+    can't be reported, a NULL eval doc can't contaminate — and the
+    non-NULL pair still reports."""
+    from shaha_spark.operators.terms import contamination_report
+
+    train = spark.createDataFrame(
+        [(1, None), (2, "xxxxxxxxxxSECRETOKEN")],
+        "doc_id bigint, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(9, "SECRETOKEN"), (10, None)], "doc_id bigint, text string"
+    )
+    got = sorted(map(tuple, contamination_report(
+        train, eval_df, min_len=10).collect()))
+    assert got == [(9, 2, 1)]
+
+
+def test_domain_importance_null_handling(spark):
+    """NULL-text docs score no grams and drop from the aggregate;
+    a NULL domain stays VISIBLE as its own group (silently dropping
+    scored volume would misstate the mixture — callers filter)."""
+    from shaha_spark.operators.sampling import domain_importance
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "d1"), (2, None, "d1"), (3, "alpha", None)],
+        "doc_id bigint, text string, domain string",
+    )
+    rows = {r.domain: r for r in domain_importance(
+        docs, docs.filter(F.col("doc_id") == 1)).collect()}
+    assert set(rows) == {"d1", None}
+    assert rows["d1"].n_docs == 1  # doc 2's NULL text never scored
+    assert rows[None].n_docs == 1
+
+
+def test_cluster_split_no_pair_straddles(spark, sf_dir):
+    """The leakage property itself: every near-dup edge's two docs
+    land in the SAME split; the split is exhaustive and disjoint; and
+    isolated docs split exactly as a plain hash_split of their own id
+    (cluster_split degrades to hash_split when the graph is empty on
+    them)."""
+    from shaha_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_similarity,
+    )
+    from shaha_spark.operators.sampling import cluster_split, hash_split
+
+    weights = {"eval": 0.05, "test": 0.05, "train": 0.9}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(docs)
+    edges = minhash_similarity(
+        sigs, lsh_candidate_pairs(sigs)
+    ).where(F.col("est_jaccard") >= 0.7).select("id_a", "id_b")
+    edge_rows = edges.collect()
+    assert edge_rows, "fixture has no near-dup pairs — test is vacuous"
+
+    out = cluster_split(
+        docs.select("doc_id"), edges, weights, salt="cs"
+    )
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    assert len(split_of) == docs.count()  # exhaustive, one row per doc
+    for e in edge_rows:
+        assert split_of[e.id_a] == split_of[e.id_b], (e, "straddles")
+
+    linked = {e.id_a for e in edge_rows} | {e.id_b for e in edge_rows}
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(
+            docs.select("doc_id"), weights, "doc_id", salt="cs"
+        ).collect()
+    }
+    for doc, s in split_of.items():
+        if doc not in linked:
+            assert s == plain[doc]
+
+
+def test_cluster_split_known_graph(spark):
+    """Hand-checkable: a 3-chain {1-2, 2-3} moves with doc 1's
+    assignment; isolated 9 keeps its own."""
+    from shaha_spark.operators.sampling import cluster_split
+
+    docs = spark.createDataFrame(
+        [(1,), (2,), (3,), (9,)], "doc_id bigint"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    rows = {
+        r.doc_id: (r.cluster_rep, r.split)
+        for r in cluster_split(
+            docs, edges, {"a": 0.5, "b": 0.5}, salt="x"
+        ).collect()
+    }
+    assert rows[1][0] == rows[2][0] == rows[3][0] == 1
+    assert rows[1][1] == rows[2][1] == rows[3][1]
+    assert rows[9][0] == 9
