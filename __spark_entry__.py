@@ -4235,6 +4235,10 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "text_term_stats": q_term_stats,
         "docs_decontaminate": q_decontaminate,
+        # round-11 addition whose oracle composes the main section's
+        # minhash-CC recursive CTE (hence registered here, not in
+        # queries_r4 — test_oracle_r4 pins r4 queries to r4 oracles)
+        "docs_cluster_split": q_docs_cluster_split,
         # round-10 additions (concept-grep, VERDICT r9 #6)
         "docs_substr_decontaminate": q_docs_substr_decontaminate,
         "docs_substr_decontaminate_screened": (
@@ -6201,7 +6205,6 @@ def queries_r4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_license_scan": q_docs_license_scan,
         "docs_url_policy": q_docs_url_policy,
         "emb_ivf_pq_refine_topk": q_emb_ivf_pq_refine_topk,
-        "docs_cluster_split": q_docs_cluster_split,
     }
 
 
