@@ -4451,13 +4451,22 @@ def _index_path(kind: str, sf_dir: str, **params) -> tuple[str, bool]:
     dict, and the mtime+size of the embeddings parquet files, so a
     regenerated testdata directory invalidates the cache.
 
-    "Built" means the ``_complete`` marker exists — an atomic stamp
-    the caller writes via :func:`_index_built` only after EVERY build
-    step (including appends) finished, so a crash mid-build always
-    rebuilds and two racing drivers can't read each other's partial
-    writes as done (r10 ADVICE)."""
+    "Built" means the ``_complete`` marker exists in the FINAL
+    ``{kind}_{key}`` directory. When a build is needed, the returned
+    path points into a fresh per-process STAGING sibling
+    (``{kind}_{key}.__stage_pid{pid}_{nonce}``): the caller builds
+    there, then :func:`_index_built` stamps ``_complete`` inside the
+    staging dir and atomically renames the WHOLE directory into the
+    final name — first rename wins, the loser discards its staging
+    tree and adopts the winner's index (r11 ADVICE: two drivers
+    racing the same key used to build into the SAME directory, the
+    second overwrite deleting files the first was already probing).
+    Stale staging dirs from dead processes are swept opportunistically.
+    """
     import glob as _glob
     import hashlib
+    import shutil as _shutil
+    import uuid as _uuid
 
     emb_dir = os.path.join(sf_dir, "embeddings.parquet")
     sig_parts = [os.path.abspath(sf_dir), kind, repr(sorted(params.items()))]
@@ -4468,18 +4477,69 @@ def _index_path(kind: str, sf_dir: str, **params) -> tuple[str, bool]:
         except OSError:
             sig_parts.append(f"{p}:absent")
     key = hashlib.sha256("|".join(sig_parts).encode()).hexdigest()[:16]
-    path = os.path.join(_index_cache_root(), f"{kind}_{key}", kind)
-    return path, not os.path.exists(
-        os.path.join(os.path.dirname(path), "_complete")
+    root = _index_cache_root()
+    final_parent = os.path.join(root, f"{kind}_{key}")
+    # sweep staging leftovers whose owning process is gone (crash
+    # debris; a LIVE process's staging dir is mid-build — keep it)
+    for stale in _glob.glob(final_parent + ".__stage_pid*"):
+        try:
+            pid = int(stale.rsplit("__stage_pid", 1)[1].split("_", 1)[0])
+            os.kill(pid, 0)
+        except (ValueError, ProcessLookupError):
+            _shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — not ours to sweep
+    if os.path.exists(os.path.join(final_parent, "_complete")):
+        return os.path.join(final_parent, kind), False
+    staging_parent = (
+        f"{final_parent}.__stage_pid{os.getpid()}_{_uuid.uuid4().hex[:8]}"
     )
+    os.makedirs(staging_parent, mode=0o700)
+    return os.path.join(staging_parent, kind), True
 
 
-def _index_built(path: str) -> None:
-    """Stamp the index cache entry complete (atomic create; see
-    :func:`_index_path`)."""
-    marker = os.path.join(os.path.dirname(path), "_complete")
-    fd = os.open(marker, os.O_CREAT | os.O_WRONLY, 0o600)
+def _index_built(path: str) -> str:
+    """Commit a staged index build: stamp ``_complete`` inside the
+    staging directory, then atomically rename the whole directory to
+    its final ``{kind}_{key}`` name (see :func:`_index_path`).
+    Returns the FINAL index path — callers must probe through the
+    returned value, not the staging path. If another process won the
+    rename race, this process's staging tree is discarded and the
+    winner's completed index is adopted."""
+    import shutil as _shutil
+
+    staging_parent = os.path.dirname(path)
+    kind = os.path.basename(path)
+    if ".__stage_pid" not in staging_parent:
+        # already-final path (legacy caller): just stamp and return
+        fd = os.open(
+            os.path.join(staging_parent, "_complete"),
+            os.O_CREAT | os.O_WRONLY,
+            0o600,
+        )
+        os.close(fd)
+        return path
+    final_parent = staging_parent.split(".__stage_pid", 1)[0]
+    fd = os.open(
+        os.path.join(staging_parent, "_complete"), os.O_CREAT | os.O_WRONLY, 0o600
+    )
     os.close(fd)
+    for attempt in (0, 1):
+        try:
+            os.rename(staging_parent, final_parent)
+            return os.path.join(final_parent, kind)
+        except OSError:
+            if os.path.exists(os.path.join(final_parent, "_complete")):
+                # lost the race to a completed winner — adopt it
+                _shutil.rmtree(staging_parent, ignore_errors=True)
+                return os.path.join(final_parent, kind)
+            if attempt == 0:
+                # dead final dir without _complete (pre-staging-protocol
+                # crash leftover): clear it and retry the rename once
+                _shutil.rmtree(final_parent, ignore_errors=True)
+    raise RuntimeError(
+        f"could not commit index build {staging_parent} -> {final_parent}"
+    )
 
 
 def _pq_pieces(spark, sf_dir):
@@ -4552,7 +4612,7 @@ def q_emb_ivf_pq_index_topk(spark, sf_dir):
         build_ivf_pq_index(
             corpus, path, k_coarse=PQ_K, m=PQ_M, k_sub=PQ_K, iters=PQ_ITERS
         )
-        _index_built(path)
+        path = _index_built(path)
     return ivf_pq_index_topk(
         spark, path, queries, nprobe=2, k_neighbors=PQ_TOPK
     )
@@ -4594,7 +4654,7 @@ def q_emb_ivf_pq_index_append_topk(spark, sf_dir):
         append_to_ivf_pq_index(
             corpus.filter(F.col("vec_id") % 10 == 7), path
         )
-        _index_built(path)
+        path = _index_built(path)
     return ivf_pq_index_topk(
         spark, path, queries, nprobe=2, k_neighbors=PQ_TOPK
     )
@@ -4626,7 +4686,7 @@ def q_emb_ivf_pq_refine_topk(spark, sf_dir):
         build_ivf_pq_index(
             corpus, path, k_coarse=PQ_K, m=PQ_M, k_sub=PQ_K, iters=PQ_ITERS
         )
-        _index_built(path)
+        path = _index_built(path)
     return ivf_pq_refine_topk(
         spark, path, corpus, queries,
         nprobe=2, k_neighbors=PQ_TOPK, refine_factor=4,
@@ -5614,7 +5674,7 @@ def q_emb_ivf_index_topk(spark, sf_dir):
     path, needs_build = _index_path("ivf", sf_dir, k=4, iters=2)
     if needs_build:
         build_ivf_index(embs, path, k=4, iters=2)
-        _index_built(path)
+        path = _index_built(path)
     return ivf_index_topk(
         spark, path, queries, nprobe=2, k_neighbors=5
     ).select(
@@ -5653,7 +5713,7 @@ def q_emb_ivf_index_append_topk(spark, sf_dir):
             embs.filter(F.col("vec_id") % 10 != 7), path, k=4, iters=2
         )
         append_to_ivf_index(embs.filter(F.col("vec_id") % 10 == 7), path)
-        _index_built(path)
+        path = _index_built(path)
     return ivf_index_topk(
         spark, path, queries, nprobe=2, k_neighbors=5
     ).select(

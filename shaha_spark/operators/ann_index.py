@@ -530,6 +530,7 @@ def ivf_pq_refine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    check_coverage: bool = False,
 ) -> DataFrame:
     """ADC-then-refine over the persisted IVF-PQ index — the standard
     quantized-search accuracy recovery (the refine/rerank stage of
@@ -556,6 +557,16 @@ def ivf_pq_refine_topk(
     tiebreaks and round-6 cosines — output is engine- and
     partitioning-invariant, oracle-checked by composing the verified
     IVF-PQ chain with the verified exact-cosine re-rank.
+
+    CONTRACT on ``corpus`` (r11 ADVICE): it must contain every
+    ``id_col`` the index at ``path`` holds — the refine fetch
+    inner-joins the stage-1 candidate ids against it, so a corpus
+    that drifted from the index silently drops candidates and queries
+    can return fewer than ``k_neighbors`` rows. Pass
+    ``check_coverage=True`` to pay two bounded counts (candidate list
+    + joined candidates — the corpus pass runs once extra) and raise
+    on any shortfall instead; it is off by default because the
+    verified one-corpus-pass shape is the production path.
     """
     cands = ivf_pq_index_topk(
         spark,
@@ -567,6 +578,9 @@ def ivf_pq_refine_topk(
         id_col=id_col,
         query_id_col=query_id_col,
     ).select(query_id_col, id_col)
+    if check_coverage:
+        # bounded: |queries| · refine_factor · k rows, materialized once
+        cands = cands.localCheckpoint(eager=True)
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
@@ -594,6 +608,17 @@ def ivf_pq_refine_topk(
             ).alias("cosine"),
         )
     )
+    if check_coverage:
+        exact = exact.localCheckpoint(eager=True)
+        n_cands, n_exact = cands.count(), exact.count()
+        if n_exact < n_cands:
+            raise ValueError(
+                f"ivf_pq_refine_topk coverage shortfall: {n_cands} stage-1 "
+                f"candidates but only {n_exact} found in the supplied "
+                "corpus — the corpus has drifted from the index at "
+                f"{path!r} (every indexed id must be present; see the "
+                "docstring contract)"
+            )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
@@ -667,29 +692,101 @@ def append_to_ivf_pq_index(
     return _state_summary(path, state, n_batch, False)
 
 
-def compact_index(spark: SparkSession, path: str) -> dict[str, Any]:
+def _recover_compaction(spark: SparkSession, path: str) -> dict[str, int]:
+    """Entry-time crash recovery for :func:`compact_index` (r11
+    ADVICE, medium): a crash between the live→backup rename and the
+    compacted swap-in used to leave the live index silently missing a
+    bucket — and the old entry-time ``delete(bak_root)`` then
+    destroyed the only remaining copies before the row-count guard
+    could notice. Recovery now runs BEFORE any deletion:
+
+    * bucket mode: any ``.__compact_bak__/centroid_id=*`` whose live
+      counterpart is missing is renamed back into the index (the
+      backup IS the pre-compaction bucket — restoring it restores the
+      exact pre-crash data). Backups whose live bucket exists are
+      stale (crash after swap-in, before cleanup) and are dropped.
+    * snapshot mode: a whole-tree backup at ``.__compact_old__`` with
+      NO live index means the crash hit between the two top-level
+      renames — rename the backup back; with a live index present the
+      backup is post-swap leftover and is dropped.
+
+    Only after restoration are the backup root and the compacted temp
+    tree deleted. Returns counters for observability/tests.
+    """
+    base = path.rstrip("/")
+    restored = {"buckets_restored": 0, "tree_restored": 0}
+    old = base + ".__compact_old__"
+    if io_util.exists(spark, old):
+        if not io_util.exists(spark, base):
+            if not io_util.rename(spark, old, base):
+                raise IOError(
+                    f"compaction recovery: could not restore {base} from "
+                    f"{old} — manual restore needed, NOT proceeding"
+                )
+            restored["tree_restored"] = 1
+        else:
+            io_util.delete(spark, old)
+    bak_root = base + ".__compact_bak__"
+    if io_util.exists(spark, bak_root):
+        for child in io_util.list_children(spark, bak_root):
+            name = child.rsplit("/", 1)[-1]
+            if not name.startswith("centroid_id="):
+                continue
+            live = base + "/" + name
+            if not io_util.exists(spark, live):
+                if not io_util.rename(spark, child, live):
+                    raise IOError(
+                        f"compaction recovery: could not restore {live} "
+                        f"from {child} — manual restore needed"
+                    )
+                restored["buckets_restored"] += 1
+        io_util.delete(spark, bak_root)
+    io_util.delete(spark, base + ".__compact__")
+    return restored
+
+
+def compact_index(
+    spark: SparkSession, path: str, mode: str = "bucket"
+) -> dict[str, Any]:
     """Per-partition file compaction for an appended index (VERDICT
     r10 #7): every append adds ≤1 file per touched ``centroid_id=``
     bucket, so a long append stream accumulates small files — the
     normal small-file debt, owned by a compaction schedule independent
     of retraining. Rewrites the corpus bucket-co-located (one file per
-    bucket), then swaps each bucket directory under the live index;
-    all sidecars (centroids, codebooks, quality, append state) are
-    untouched — compaction is layout-only, and the probe result is
-    bit-identical before/after (test-pinned).
+    bucket), then swaps it under the live index; all sidecars
+    (centroids, codebooks, quality, append state) are untouched —
+    compaction is layout-only, and the probe result is bit-identical
+    before/after (test-pinned).
 
-    Swap protocol per bucket: rename live → ``.__old__`` backup,
-    rename compacted in, drop the backup — a crash leaves either the
-    old or the new bucket plus at worst a backup to sweep, never a
-    half-written live bucket (writer-side; concurrent probes of the
-    single bucket being swapped can observe it missing for the rename
-    instant — schedule compaction off-peak or snapshot first, same
-    operational contract as the hashdb compactor).
+    Entry always runs :func:`_recover_compaction` FIRST (r11 ADVICE):
+    a previous crash's backups are restored before anything is
+    deleted, so no crash window can lose a bucket across a re-run.
+
+    ``mode="bucket"`` (default) swaps each bucket directory: rename
+    live bucket → sibling ``.__compact_bak__`` backup, rename
+    compacted in. The backup root is kept until EVERY bucket has
+    swapped, then dropped once — a crash at any point leaves each
+    bucket recoverable (live, backup, or compacted copy all exist).
+    Concurrent probes of the one bucket mid-swap can observe it
+    missing for the rename instant.
+
+    ``mode="snapshot"`` (VERDICT r11 #7) copies the sidecars into the
+    compacted tree and swaps the WHOLE index in two top-level renames
+    (live → ``.__compact_old__``, compacted → live) — the hashdb
+    compactor's protocol (pipeline/snapshot.py swap_live_tree). The
+    exposure shrinks from k per-bucket rename instants to one
+    double-rename instant for the root; a probe that already listed
+    its files keeps reading the renamed-aside tree on POSIX
+    filesystems. The crash window between the two renames leaves no
+    live root, which recovery restores from the whole-tree backup.
     """
+    if mode not in ("bucket", "snapshot"):
+        raise ValueError(f"mode must be 'bucket' or 'snapshot', got {mode!r}")
+    base = path.rstrip("/")
+    recovered = _recover_compaction(spark, path)
     live_rows = spark.read.parquet(path).count()
     files_before = len(io_util.list_files(spark, path, ".parquet"))
-    tmp = path.rstrip("/") + ".__compact__"
-    io_util.delete(spark, tmp)
+    tmp = base + ".__compact__"
     (
         spark.read.parquet(path)
         .repartition("centroid_id")
@@ -710,23 +807,46 @@ def compact_index(spark: SparkSession, path: str) -> dict[str, Any]:
     # prefixed directories with "=" in the name do, as
     # CONFLICTING_PARTITION_COLUMN_NAMES) and break every probe; the
     # sibling dir is invisible to readers and easy to sweep
-    bak_root = path.rstrip("/") + ".__compact_bak__"
-    io_util.delete(spark, bak_root)
-    io_util.mkdirs(spark, bak_root)
-    for child in io_util.list_children(spark, tmp):
-        name = child.rsplit("/", 1)[-1]
-        if not name.startswith("centroid_id="):
-            continue
-        live = path.rstrip("/") + "/" + name
-        bak = bak_root + "/" + name
-        if io_util.exists(spark, live):
-            if not io_util.rename(spark, live, bak):
-                raise IOError(f"compaction: could not back up {live}")
-        if not io_util.rename(spark, child, live):
-            raise IOError(f"compaction: could not swap in {live}")
-        io_util.delete(spark, bak)
-    io_util.delete(spark, bak_root)
-    io_util.delete(spark, tmp)
+    if mode == "snapshot":
+        # carry every non-bucket sidecar into the compacted tree so the
+        # swapped-in root is self-complete (centroids, codebooks,
+        # quality, versioned append state, ingest manifests)
+        for child in io_util.list_children(spark, base):
+            name = child.rsplit("/", 1)[-1]
+            if name.startswith("centroid_id=") or name == "_SUCCESS":
+                continue
+            txt = io_util.read_text(spark, child)
+            if txt is not None:
+                io_util.write_text(spark, tmp + "/" + name, txt)
+        old = base + ".__compact_old__"
+        if not io_util.rename(spark, base, old):
+            io_util.delete(spark, tmp)
+            raise IOError(f"compaction: could not move {base} aside")
+        if not io_util.rename(spark, tmp, base):
+            restored = io_util.rename(spark, old, base)
+            raise IOError(
+                "compaction: could not swap compacted tree into place"
+                + ("" if restored else f"; MANUAL RESTORE NEEDED from {old}")
+            )
+        io_util.delete(spark, old)
+    else:
+        bak_root = base + ".__compact_bak__"
+        io_util.mkdirs(spark, bak_root)
+        for child in io_util.list_children(spark, tmp):
+            name = child.rsplit("/", 1)[-1]
+            if not name.startswith("centroid_id="):
+                continue
+            live = base + "/" + name
+            bak = bak_root + "/" + name
+            if io_util.exists(spark, live):
+                if not io_util.rename(spark, live, bak):
+                    raise IOError(f"compaction: could not back up {live}")
+            if not io_util.rename(spark, child, live):
+                raise IOError(f"compaction: could not swap in {live}")
+        # drop ALL backups only after EVERY bucket swapped in — until
+        # then each bucket exists in at least one of live/backup/tmp
+        io_util.delete(spark, bak_root)
+        io_util.delete(spark, tmp)
     files_after = len(io_util.list_files(spark, path, ".parquet"))
     return {
         "path": path,
@@ -734,4 +854,5 @@ def compact_index(spark: SparkSession, path: str) -> dict[str, Any]:
         "files_before": files_before,
         "files_after": files_after,
         "compacted": files_after < files_before,
+        **recovered,
     }

@@ -943,11 +943,17 @@ def url_policy_scan_sql(
     suffixes: tuple[str, ...] | None = None,
 ) -> str:
     """DuckDB oracle twin of :func:`url_policy_scan` — the same
-    registered-domain twin, the same blocklist/pattern order."""
+    registered-domain twin, the same blocklist/pattern order.
+    Caller-supplied domains/patterns are rendered as SQL literals with
+    embedded quotes escaped (r11 ADVICE: a domain or regex containing
+    a single quote used to produce broken/injectable oracle SQL)."""
     from shaha_spark.functions.url import (
         MULTI_LABEL_SUFFIXES,
         registered_domain_sql,
     )
+
+    def _lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
 
     sfx = MULTI_LABEL_SUFFIXES if suffixes is None else tuple(suffixes)
     dom = (
@@ -956,12 +962,12 @@ def url_policy_scan_sql(
     )
     whens = []
     if blocked_domains:
-        bl = ", ".join(f"'{d}'" for d in blocked_domains)
+        bl = ", ".join(_lit(d) for d in blocked_domains)
         whens.append(f"WHEN {dom} IN ({bl}) THEN 'domain'")
     for pat in blocked_patterns:
         whens.append(
             f"WHEN {url_expr} IS NOT NULL AND "
-            f"regexp_matches({url_expr}, '{pat}') THEN 'pattern'"
+            f"regexp_matches({url_expr}, {_lit(pat)}) THEN 'pattern'"
         )
     if whens:
         chain = "\n    ".join(whens)

@@ -662,3 +662,111 @@ def test_compaction_backup_leftover_is_reader_invisible(
     after = sorted(map(tuple, ivf_pq_index_topk(
         spark, path, qs, nprobe=2, k_neighbors=5).collect()))
     assert after == before
+
+
+def test_compact_crash_between_backup_and_swapin_recovers(
+    spark, sf_dir, tmp_path
+):
+    """The r11 ADVICE data-loss window: a crash AFTER the live→backup
+    rename and BEFORE the compacted swap-in leaves the live index
+    missing that bucket, with the only copies in `.__compact_bak__`
+    and the compacted temp tree. Re-running compact_index must
+    RESTORE the bucket from the backup before deleting anything —
+    the old implementation deleted both siblings on entry and the
+    row-count guard then compared the degraded index to its own
+    rewrite, passing silently."""
+    import shutil
+
+    from shaha_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        compact_index,
+        ivf_pq_index_topk,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(emb, path, k_coarse=4, m=4, k_sub=4, iters=2)
+    qs = _queries(emb)
+    before = sorted(map(tuple, ivf_pq_index_topk(
+        spark, path, qs, nprobe=2, k_neighbors=5).collect()))
+    rows_before = spark.read.parquet(path).count()
+
+    # simulate the crash state: one live bucket moved aside into the
+    # backup root (live missing it), a stale compacted temp tree left
+    bucket = next(
+        d for d in os.listdir(path) if d.startswith("centroid_id=")
+    )
+    bak_root = path + ".__compact_bak__"
+    os.makedirs(bak_root, exist_ok=True)
+    shutil.move(os.path.join(path, bucket), os.path.join(bak_root, bucket))
+    os.makedirs(path + ".__compact__", exist_ok=True)
+    assert spark.read.parquet(path).count() < rows_before  # degraded
+
+    summary = compact_index(spark, path)
+    assert summary["buckets_restored"] == 1
+    assert summary["n_rows"] == rows_before  # counted AFTER recovery
+    after = sorted(map(tuple, ivf_pq_index_topk(
+        spark, path, qs, nprobe=2, k_neighbors=5).collect()))
+    assert after == before
+    assert not os.path.exists(bak_root)
+    assert not os.path.exists(path + ".__compact__")
+
+
+def test_compact_snapshot_mode_roundtrip_and_crash_recovery(
+    spark, sf_dir, tmp_path
+):
+    """Snapshot-mode compaction (VERDICT r11 #7): whole-tree swap —
+    fewer files, bit-identical probes, sidecars and append state
+    carried into the swapped-in root; and the crash window between
+    the two top-level renames (no live root, whole-tree backup at
+    `.__compact_old__`) is restored on the next entry."""
+    import shutil
+
+    from shaha_spark.operators.ann_index import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        compact_index,
+        ivf_pq_index_topk,
+        load_append_state,
+        load_ivf_centroids,
+        load_pq_codebooks,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base, batch = _split(emb)
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(base, path, k_coarse=4, m=4, k_sub=4, iters=2)
+    for i, mod in enumerate((3, 5, 7)):
+        append_to_ivf_pq_index(
+            batch.filter(F.col("vec_id") % 11 == mod), path, batch_id=i
+        )
+    qs = _queries(emb)
+    before = sorted(map(tuple, ivf_pq_index_topk(
+        spark, path, qs, nprobe=2, k_neighbors=5).collect()))
+    cents_before = sorted(map(tuple, load_ivf_centroids(spark, path).collect()))
+    state_before = load_append_state(spark, path)
+
+    summary = compact_index(spark, path, mode="snapshot")
+    assert summary["compacted"]
+    assert summary["files_after"] < summary["files_before"]
+    assert not os.path.exists(path + ".__compact_old__")
+    assert not os.path.exists(path + ".__compact__")
+
+    after = sorted(map(tuple, ivf_pq_index_topk(
+        spark, path, qs, nprobe=2, k_neighbors=5).collect()))
+    assert after == before
+    assert sorted(
+        map(tuple, load_ivf_centroids(spark, path).collect())
+    ) == cents_before
+    assert load_pq_codebooks(spark, path).count() > 0
+    assert load_append_state(spark, path) == state_before
+
+    # crash between the two top-level renames: live root gone, backup
+    # holds the whole tree — the next compaction entry restores it
+    shutil.move(path, path + ".__compact_old__")
+    assert not os.path.exists(path)
+    summary2 = compact_index(spark, path)
+    assert summary2["tree_restored"] == 1
+    restored = sorted(map(tuple, ivf_pq_index_topk(
+        spark, path, qs, nprobe=2, k_neighbors=5).collect()))
+    assert restored == before

@@ -1,0 +1,126 @@
+"""Round-12 operators and hardening (VERDICT r11 + ADVICE r11):
+oracle-SQL literal escaping, refine corpus-coverage contract, the
+driver-entry index cache's staged atomic commit, and the new
+operators added this round.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------ ADVICE items
+
+
+def test_url_policy_sql_escapes_quotes(spark):
+    """r11 ADVICE: a blocked domain or pattern containing a single
+    quote must render as a valid (escaped) DuckDB literal, and both
+    engines must agree on the verdicts."""
+    from shaha_spark.operators.dedup import (
+        url_policy_scan,
+        url_policy_scan_sql,
+    )
+
+    rows = [
+        (1, "http://sub.blocked-site.com/x"),
+        (2, "http://clean.example.com/it's-fine"),
+        (3, "http://clean.example.com/boring"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    # the quoted domain exists to prove the rendered IN-list is still
+    # valid SQL; the quoted PATTERN is the realistic injectable case
+    domains = ("blocked-site.com", "o'brien.com")
+    patterns = ("it's",)
+    got = sorted(
+        (r.doc_id, r.registered_domain, r.block_reason, bool(r.blocked))
+        for r in url_policy_scan(
+            df, "url", blocked_domains=domains, blocked_patterns=patterns
+        ).collect()
+    )
+    values = ", ".join(
+        "({}, '{}')".format(i, u.replace("'", "''")) for i, u in rows
+    )
+    sql = url_policy_scan_sql(
+        f"SELECT * FROM (VALUES {values}) AS v(doc_id, url)",
+        "url",
+        blocked_domains=domains,
+        blocked_patterns=patterns,
+    )
+    want = sorted(
+        (int(a), b, c, bool(d))
+        for a, b, c, d in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want
+    assert got[0][2] == "domain" and got[1][2] == "pattern"
+
+
+def test_refine_coverage_contract(spark, sf_dir, tmp_path):
+    """r11 ADVICE: a corpus that drifted from the persisted index
+    silently truncates refine results; with check_coverage=True the
+    shortfall raises instead."""
+    from shaha_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        ivf_pq_refine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(emb, path, k_coarse=4, m=4, k_sub=4, iters=2)
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = ivf_pq_refine_topk(
+        spark, path, emb, qs, nprobe=2, k_neighbors=5, check_coverage=True
+    )
+    hit_ids = [r.vec_id for r in full.collect()]
+    assert hit_ids
+    drifted = emb.filter(~F.col("vec_id").isin(hit_ids[:1]))
+    with pytest.raises(ValueError, match="coverage shortfall"):
+        ivf_pq_refine_topk(
+            spark, path, drifted, qs,
+            nprobe=2, k_neighbors=5, check_coverage=True,
+        ).collect()
+
+
+def test_index_cache_staged_commit_race(sf_dir, tmp_path, monkeypatch):
+    """r11 ADVICE: two drivers racing the same (sf_dir, params) key
+    must never build into the same directory. The staged protocol
+    gives each process its own staging dir; the first atomic rename
+    wins and the loser adopts the winner's completed index."""
+    import importlib.util
+
+    monkeypatch.setenv("SHAHA_INDEX_CACHE_DIR", str(tmp_path / "cache"))
+    spec = importlib.util.spec_from_file_location(
+        "se_r12", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    )
+    se = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(se)
+
+    p1, nb1 = se._index_path("ivf", sf_dir, k=4, iters=2)
+    p2, nb2 = se._index_path("ivf", sf_dir, k=4, iters=2)
+    assert nb1 and nb2 and p1 != p2  # two racers, two staging dirs
+    for p, tag in ((p1, "winner"), (p2, "loser")):
+        os.makedirs(p)
+        with open(os.path.join(p, "data.txt"), "w") as f:
+            f.write(tag)
+    f1 = se._index_built(p1)
+    f2 = se._index_built(p2)
+    assert f1 == f2
+    with open(os.path.join(f1, "data.txt")) as f:
+        assert f.read() == "winner"  # first commit wins, never clobbered
+    assert not os.path.exists(os.path.dirname(p1))
+    assert not os.path.exists(os.path.dirname(p2))
+    p3, nb3 = se._index_path("ivf", sf_dir, k=4, iters=2)
+    assert p3 == f1 and not nb3  # cached for the next invocation
+
+    # crash debris: a staging dir owned by a dead pid is swept
+    dead = os.path.dirname(f1) + ".__stage_pid999999999_deadbeef"
+    os.makedirs(dead)
+    se._index_path("ivf", sf_dir, k=4, iters=2)
+    assert not os.path.exists(dead)
