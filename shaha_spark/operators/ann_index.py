@@ -195,6 +195,135 @@ def _bump_append_state(
     return new_state
 
 
+def _manifest_path(path: str, batch_id: int) -> str:
+    return path.rstrip("/") + f"/_ingest_batch_{int(batch_id)}.manifest.json"
+
+
+def _recover_ingest(spark: SparkSession, path: str, state: dict) -> int:
+    """Pre-commit-manifest recovery (VERDICT r11 #2): every ledgered
+    append stages its files and records the destination list in an
+    ``_ingest_batch_<id>.manifest.json`` sidecar BEFORE any file lands
+    in a live bucket. On entry to any append (or compaction), a
+    leftover manifest means a crash:
+
+    * ``batch_id`` ≤ the committed ``last_batch_id`` — the state
+      commit landed, only the manifest delete was lost: drop the
+      manifest, keep the files.
+    * ``batch_id`` > ``last_batch_id`` — the crash hit between
+      staging/moving and the state commit: delete every destination
+      file the manifest lists (whether or not the move reached it),
+      drop the staging tree, drop the manifest. The replay then
+      re-appends the batch cleanly — exactly-once, no residual window.
+
+    Runs ONLY on the serialized writer path (appends/compaction must
+    not overlap — the module's standing contract); a probe never
+    sweeps, so a live appender's in-flight manifest is never raced.
+    Returns the number of crashed batches swept (for tests/logs).
+    """
+    swept = 0
+    last = int(state.get("last_batch_id", -1))
+    for child in io_util.list_children(spark, path.rstrip("/")):
+        name = child.rsplit("/", 1)[-1]
+        if not (
+            name.startswith("_ingest_batch_")
+            and name.endswith(".manifest.json")
+        ):
+            continue
+        txt = io_util.read_text(spark, child)
+        manifest = json.loads(txt) if txt else {}
+        if int(manifest.get("batch_id", -1)) <= last:
+            io_util.delete(spark, child)  # committed; manifest is stale
+            continue
+        for dest in manifest.get("files", []):
+            io_util.delete(spark, dest)
+        if manifest.get("stage"):
+            io_util.delete(spark, manifest["stage"])
+        io_util.delete(spark, child)
+        swept += 1
+    return swept
+
+
+def _append_staged(
+    assigned: DataFrame, path: str, batch_id: int | None
+) -> None:
+    """Land an encoded/assigned batch in the live buckets.
+
+    ``batch_id is None`` (ad-hoc batch append, no replay possible):
+    plain ``mode("append")`` parquet write — Spark's commit protocol
+    already keeps partial task output invisible.
+
+    Ledgered appends write through a pre-commit manifest so a crash
+    anywhere before the state commit is swept by
+    :func:`_recover_ingest` and the replay lands exactly once:
+
+    1. stage the bucket-partitioned write into a SIBLING directory
+       (outside the index root — same reader-invisibility argument as
+       the compaction backups);
+    2. record the manifest: batch_id, staging dir, and the exact
+       destination path of every staged file (names are prefixed
+       ``b{batch_id}_`` so replays regenerate identical destinations);
+    3. move the files in (one rename per file — ≤ k files, the append
+       is bucket-co-located) and drop the staging tree.
+
+    The caller commits the state sidecar AFTER this returns, then
+    deletes the manifest — the state write is the single commit point.
+    """
+    spark = assigned.sparkSession
+    base = path.rstrip("/")
+    writer = (
+        assigned.repartition("centroid_id")
+        .write.option("compression", "zstd")
+        .partitionBy("centroid_id")
+    )
+    if batch_id is None:
+        writer.mode("append").parquet(path)
+        return
+    stage = base + f".__ingest_b{int(batch_id)}__"
+    io_util.delete(spark, stage)
+    manifest_file = _manifest_path(path, batch_id)
+    io_util.write_text_atomic(
+        spark,
+        manifest_file,
+        json.dumps({"batch_id": int(batch_id), "stage": stage, "files": []}),
+    )
+    writer.mode("overwrite").parquet(stage)
+    moves: list[tuple[str, str]] = []
+    for bucket in io_util.list_children(spark, stage):
+        bname = bucket.rsplit("/", 1)[-1]
+        if not bname.startswith("centroid_id="):
+            continue
+        for f in io_util.list_children(spark, bucket):
+            fname = f.rsplit("/", 1)[-1]
+            if fname.endswith(".parquet"):
+                moves.append(
+                    (f, f"{base}/{bname}/b{int(batch_id)}_{fname}")
+                )
+    # replace v1 with the full file list; the delete→write gap is
+    # safe — nothing has moved yet, and a crash there just leaves the
+    # staging tree for this batch's own replay to overwrite
+    io_util.delete(spark, manifest_file)
+    io_util.write_text_atomic(
+        spark,
+        manifest_file,
+        json.dumps(
+            {
+                "batch_id": int(batch_id),
+                "stage": stage,
+                "files": sorted(d for _, d in moves),
+            }
+        ),
+    )
+    for src, dest in moves:
+        io_util.mkdirs(spark, dest.rsplit("/", 1)[0])
+        if not io_util.rename(spark, src, dest):
+            raise IOError(
+                f"ingest move failed: {src} -> {dest}; manifest "
+                f"{manifest_file} will sweep the partial batch on the "
+                "next append"
+            )
+    io_util.delete(spark, stage)
+
+
 def load_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
     """The k-row centroid table from the sidecar."""
     txt = io_util.read_text(spark, path.rstrip("/") + "/" + CENTROID_SIDECAR)
@@ -327,27 +456,27 @@ def append_to_ivf_index(
     batch id; a batch at or below the last committed ``last_batch_id``
     is skipped whole (``skipped=True``, nothing written), so replaying
     an already-committed batch is a no-op instead of a double append.
-    The commit point is the state-sidecar write AFTER the parquet
-    append: a crash in that gap (parquet committed, sidecar not) still
-    duplicates on replay — the honest residual of an append-only store
-    with no transactional sink; everything outside that gap is
-    idempotent.
+    Ledgered appends are EXACTLY-once end to end (VERDICT r11 #2):
+    files land through a pre-commit manifest
+    (:func:`_append_staged`), so a crash anywhere between staging and
+    the state-sidecar commit is swept by :func:`_recover_ingest` on
+    the next append and the replay re-appends cleanly — no residual
+    duplication window. Until that next writer entry runs, a crashed
+    batch's already-moved files remain probe-visible (probes never
+    sweep — they must not race a live appender).
     """
     spark = batch.sparkSession
     state = load_append_state(spark, path)
+    _recover_ingest(spark, path, state)
     if _already_applied(state, batch_id):
         return _state_summary(path, state, 0, True)
     cents = load_ivf_centroids(spark, path)
     assigned = ivf_assign(batch, cents, vec_col=vec_col, id_col=id_col)
-    (
-        assigned.repartition("centroid_id")
-        .write.mode("append")
-        .option("compression", "zstd")
-        .partitionBy("centroid_id")
-        .parquet(path)
-    )
+    _append_staged(assigned, path, batch_id)
     n_batch = batch.count()  # batch-sized scan, not an index rescan
     state = _bump_append_state(spark, path, state, n_batch, batch_id)
+    if batch_id is not None:
+        io_util.delete(spark, _manifest_path(path, batch_id))
     return _state_summary(path, state, n_batch, False)
 
 
@@ -664,14 +793,17 @@ def append_to_ivf_pq_index(
     append(batch) is bit-identical to indexing base ∪ batch with
     centroids AND codebooks trained on base only.
 
-    Same replay ledger as :func:`append_to_ivf_index`: pass
-    ``batch_id`` to make committed-batch replays a no-op (the residual
-    duplication window is the parquet-commit → state-commit gap).
+    Same replay ledger and exactly-once manifest protocol as
+    :func:`append_to_ivf_index` (VERDICT r11 #2): pass ``batch_id``
+    to make committed-batch replays a no-op AND crashed appends
+    sweepable — the pre-commit manifest closes the old
+    parquet-commit → state-commit duplication gap.
     """
     from .pq import pq_encode
 
     spark = batch.sparkSession
     state = load_append_state(spark, path)
+    _recover_ingest(spark, path, state)
     if _already_applied(state, batch_id):
         return _state_summary(path, state, 0, True)
     cents = load_ivf_centroids(spark, path)
@@ -680,15 +812,11 @@ def append_to_ivf_pq_index(
     coded = pq_encode(batch, books, vec_col=vec_col, id_col=id_col).join(
         assigned.select(id_col, "centroid_id"), id_col
     )
-    (
-        coded.repartition("centroid_id")
-        .write.mode("append")
-        .option("compression", "zstd")
-        .partitionBy("centroid_id")
-        .parquet(path)
-    )
+    _append_staged(coded, path, batch_id)
     n_batch = batch.count()  # batch-sized scan, not an index rescan
     state = _bump_append_state(spark, path, state, n_batch, batch_id)
+    if batch_id is not None:
+        io_util.delete(spark, _manifest_path(path, batch_id))
     return _state_summary(path, state, n_batch, False)
 
 
@@ -784,6 +912,12 @@ def compact_index(
         raise ValueError(f"mode must be 'bucket' or 'snapshot', got {mode!r}")
     base = path.rstrip("/")
     recovered = _recover_compaction(spark, path)
+    # a crashed ledgered append must be swept BEFORE the rewrite: its
+    # uncommitted rows would otherwise be compacted into the buckets,
+    # orphaning the manifest's file list and re-opening the replay-
+    # duplication hole (compaction shares the writers' serialization
+    # contract, so sweeping here never races a live appender)
+    _recover_ingest(spark, path, load_append_state(spark, path))
     live_rows = spark.read.parquet(path).count()
     files_before = len(io_util.list_files(spark, path, ".parquet"))
     tmp = base + ".__compact__"
