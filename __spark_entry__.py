@@ -3587,6 +3587,15 @@ SELECT doc_id, cluster_rep,
        WHEN bucket < 1000 THEN 'test'
        ELSE 'train' END AS split
 FROM bk"""
+    # split-composition audit (r12, VERDICT r11 #3): aggregate the
+    # verified cluster-split assignment — the SAME recursive-CTE chain,
+    # nested as the twin's src — into per-split counts, observed vs
+    # target fractions, skew, and max component size per split
+    from shaha_spark.operators.sampling import split_balance_sql
+
+    sql["docs_split_balance"] = split_balance_sql(
+        sql["docs_cluster_split"], SPLIT_WEIGHTS, cluster_col="cluster_rep"
+    )
     sql["dedup_simhash_pairs"] = f"""WITH {_TOKS_CTE},
 tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
 h AS (SELECT doc_id, {_h32_sql('w')} AS hv FROM tok),
@@ -4239,6 +4248,8 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash-CC recursive CTE (hence registered here, not in
         # queries_r4 — test_oracle_r4 pins r4 queries to r4 oracles)
         "docs_cluster_split": q_docs_cluster_split,
+        # round-12 addition composing the same CC chain (VERDICT r11 #3)
+        "docs_split_balance": q_docs_split_balance,
         # round-10 additions (concept-grep, VERDICT r9 #6)
         "docs_substr_decontaminate": q_docs_substr_decontaminate,
         "docs_substr_decontaminate_screened": (
@@ -6146,6 +6157,31 @@ def q_docs_cluster_split(spark, sf_dir):
         docs.select("doc_id"), edges, SPLIT_WEIGHTS, salt="cs"
     )
     return out.select("doc_id", "cluster_rep", "split")
+
+
+def q_docs_split_balance(spark, sf_dir):
+    """Split-composition audit (round 12, VERDICT r11 #3;
+    operators.sampling.split_balance): cluster-level split assignment
+    preserves leakage-safety by moving whole near-dup components
+    between splits, which distorts split proportions when components
+    are large — this reports, per split, the observed vs target
+    fraction, the skew, and the largest single cluster routed in. The
+    oracle nests the verified docs_cluster_split CTE chain as its
+    source and applies the same grouping + single rounded division."""
+    from shaha_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_similarity,
+    )
+    from shaha_spark.operators.sampling import cluster_split, split_balance
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    edges = minhash_similarity(
+        sigs, lsh_candidate_pairs(sigs)
+    ).where(F.col("est_jaccard") >= 0.7).select("id_a", "id_b")
+    sp = cluster_split(docs.select("doc_id"), edges, SPLIT_WEIGHTS, salt="cs")
+    return split_balance(sp, SPLIT_WEIGHTS, cluster_col="cluster_rep")
 
 
 def q_docs_url_policy(spark, sf_dir):

@@ -124,6 +124,69 @@ def registered_domain(
     )
 
 
+def load_public_suffixes(path: str, strict: bool = True) -> tuple[str, ...]:
+    """Load a Public Suffix List snapshot (the published
+    publicsuffix.org format) into the tuple :func:`registered_domain`
+    and :func:`registered_domain_sql` accept (VERDICT r11 #4:
+    ``suffixes=`` became a parameter in r11 but there was no way to
+    LOAD the real PSL).
+
+    Parsing follows the published format: ``//`` comment lines and
+    blank lines are skipped; an entry is the first whitespace-run of
+    the line. Only TWO-LABEL entries are returned — they are exactly
+    what the engines' last2/last3 rule consumes:
+
+    * single-label entries (``com``, ``uk``) are the engines' implicit
+      default (the plain last-2 rule) — skipped, never an error;
+    * ``*.`` wildcard lines, ``!`` exception lines, and entries with
+      three or more labels need rules the single ``last2 IN (...)``
+      check cannot express — under ``strict=True`` (default) they
+      raise ``ValueError`` naming each offending line and why, so a
+      crawl operator knows the coverage gap instead of silently
+      losing those suffixes; ``strict=False`` skips them (accepting
+      the documented approximation).
+
+    Returns a sorted, deduplicated tuple, lowercased — usable directly
+    as ``suffixes=`` in url_dedup / url_policy_scan and their twins.
+    """
+    kept: set[str] = set()
+    rejected: list[str] = []
+    with open(path, encoding="utf-8") as fh:
+        for lineno, raw in enumerate(fh, 1):
+            line = raw.strip()
+            if not line or line.startswith("//"):
+                continue
+            entry = line.split()[0].lower()
+            if entry.startswith("!"):
+                rejected.append(
+                    f"line {lineno}: {entry!r} — exception rules negate a "
+                    "wildcard, which the last2-lookup cannot express"
+                )
+                continue
+            if "*" in entry:
+                rejected.append(
+                    f"line {lineno}: {entry!r} — wildcard rules need "
+                    "per-host matching, not a literal suffix set"
+                )
+                continue
+            labels = entry.strip(".").split(".")
+            if len(labels) == 1:
+                continue  # the engines' implicit default rule
+            if len(labels) > 2:
+                rejected.append(
+                    f"line {lineno}: {entry!r} — {len(labels)}-label "
+                    "suffixes exceed the engines' last2/last3 rule"
+                )
+                continue
+            kept.add(".".join(labels))
+    if rejected and strict:
+        raise ValueError(
+            "PSL entries unsupported by the 2-label suffix engine "
+            "(pass strict=False to skip them):\n  " + "\n  ".join(rejected)
+        )
+    return tuple(sorted(kept))
+
+
 # ---- DuckDB twins ----------------------------------------------------
 
 

@@ -130,6 +130,114 @@ def cluster_split(
     return hash_split(rep, weights, "cluster_rep", salt, split_col)
 
 
+def split_balance(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    split_col: str = "split",
+    domain_col: str | None = None,
+    cluster_col: str | None = None,
+) -> DataFrame:
+    """Split-composition audit (VERDICT r11 #3): cluster-level
+    assignment (:func:`cluster_split`) preserves leakage-safety by
+    moving WHOLE components between splits — which distorts the split
+    proportions whenever components are large or correlated, and the
+    split operators give no visibility into how much. This reports,
+    per split (and per ``domain_col`` when given):
+
+      ``n_docs`` — rows in the split;
+      ``observed_frac`` — n_docs / total (per-domain total under
+      ``domain_col``), round-9 after one IEEE division of exact longs;
+      ``target_frac`` — the weight the caller asked for (NULL for a
+      split name absent from ``weights``);
+      ``skew`` — observed − target (round 9; NULL when no target);
+      ``max_cluster_docs`` — the largest single cluster routed into
+      the split (``cluster_col``, e.g. ``cluster_rep``; NULL when not
+      given) — the "one giant component ate my eval set" diagnostic.
+
+    Scale shape: one hash-aggregate over the corpus per level (split
+    counts; cluster sizes when requested), partial-aggregated map-side;
+    the window total runs over the handful of (domain, split) rows,
+    never the corpus. Pure built-in expressions; deterministic output
+    (exact counts, single rounded division).
+    """
+    from pyspark.sql import Window
+
+    keys = ([domain_col] if domain_col else []) + [split_col]
+    counts = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w_tot = Window.partitionBy(*([domain_col] if domain_col else []))
+    observed = F.round(
+        F.col("n_docs").cast("double") / F.sum("n_docs").over(w_tot), 9
+    )
+    target = F.lit(None).cast("double")
+    for name, wgt in sorted((weights or {}).items()):
+        target = F.when(
+            F.col(split_col) == name, F.lit(float(wgt))
+        ).otherwise(target)
+    out = counts.select(
+        *keys,
+        "n_docs",
+        observed.alias("observed_frac"),
+        target.alias("target_frac"),
+        F.round(observed - target, 9).alias("skew"),
+    )
+    if cluster_col is None:
+        return out.withColumn(
+            "max_cluster_docs", F.lit(None).cast("bigint")
+        )
+    clusters = (
+        df.groupBy(*keys, cluster_col)
+        .agg(F.count(F.lit(1)).alias("__csz"))
+        .groupBy(*keys)
+        .agg(F.max("__csz").cast("bigint").alias("max_cluster_docs"))
+    )
+    return out.join(clusters, keys)
+
+
+def split_balance_sql(
+    select_stmt: str,
+    weights: dict[str, float] | None = None,
+    split_col: str = "split",
+    domain_col: str | None = None,
+    cluster_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`split_balance` — same grouping, same
+    single rounded division, same CASE for the target."""
+    keys = ", ".join(([domain_col] if domain_col else []) + [split_col])
+    part = f"PARTITION BY {domain_col}" if domain_col else ""
+    target = "CAST(NULL AS DOUBLE)"
+    for name, wgt in sorted((weights or {}).items()):
+        esc = name.replace("'", "''")
+        target = (
+            f"CASE WHEN {split_col} = '{esc}' THEN {float(wgt)} "
+            f"ELSE {target} END"
+        )
+    observed = (
+        f"round(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ({part}), 9)"
+    )
+    cluster_sel = "CAST(NULL AS BIGINT) AS max_cluster_docs"
+    cluster_cte = ""
+    cluster_join = ""
+    if cluster_col is not None:
+        cluster_cte = f""",
+cl AS (SELECT {keys}, {cluster_col}, COUNT(*) AS csz
+       FROM src GROUP BY {keys}, {cluster_col}),
+mx AS (SELECT {keys}, CAST(MAX(csz) AS BIGINT) AS max_cluster_docs
+       FROM cl GROUP BY {keys})"""
+        cluster_sel = "mx.max_cluster_docs"
+        cluster_join = f" JOIN mx USING ({keys})"
+    return f"""WITH src AS ({select_stmt}),
+counts AS (SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM src GROUP BY {keys}){cluster_cte}
+SELECT {keys}, n_docs,
+  {observed} AS observed_frac,
+  {target} AS target_frac,
+  round({observed} - ({target}), 9) AS skew,
+  {cluster_sel}
+FROM counts{cluster_join}"""
+
+
 def h28_sql(expr: str) -> str:
     """DuckDB twin of the membership hash (see functions/text.h28)."""
     return f"CAST(concat('0x', substr(md5({expr}), 1, 7)) AS BIGINT)"

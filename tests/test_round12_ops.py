@@ -247,3 +247,146 @@ def test_ingest_recovery_sweeps_pre_move_crash(spark, sf_dir, tmp_path):
     assert not os.path.exists(
         os.path.join(path, "_ingest_batch_0.manifest.json")
     )
+
+
+# --------------------------------------------- public-suffix loader
+
+
+PSL_SNIPPET = """\
+// ===BEGIN ICANN DOMAINS===
+// ac : https://example.invalid
+com
+
+co.uk
+ORG.UK
+co.uk
+// a wildcard and its exception
+*.ck
+!www.ck
+// a three-label rule
+pvt.k12.ma.us
+ne.jp
+"""
+
+
+def test_load_public_suffixes(tmp_path):
+    """VERDICT r11 #4: parse the published PSL format — comments and
+    blanks skipped, entries lowercased/deduped, single-label entries
+    silently absorbed into the default rule, and wildcard/exception/
+    3-label rules rejected WITH the reason (or skipped under
+    strict=False)."""
+    from shaha_spark.functions.url import (
+        MULTI_LABEL_SUFFIXES,
+        load_public_suffixes,
+    )
+
+    p = tmp_path / "psl.dat"
+    p.write_text(PSL_SNIPPET)
+    with pytest.raises(ValueError) as exc:
+        load_public_suffixes(str(p))
+    msg = str(exc.value)
+    assert "*.ck" in msg and "wildcard" in msg
+    assert "!www.ck" in msg and "exception" in msg
+    assert "pvt.k12.ma.us" in msg and "4-label" in msg
+
+    got = load_public_suffixes(str(p), strict=False)
+    assert got == ("co.uk", "ne.jp", "org.uk")
+    # the shipped default snapshot is untouched by the loader's existence
+    assert "co.uk" in MULTI_LABEL_SUFFIXES and len(MULTI_LABEL_SUFFIXES) == 19
+
+
+def test_loaded_suffixes_thread_into_both_engines(spark, tmp_path):
+    """The loader's tuple drops into registered_domain AND its DuckDB
+    twin unchanged, and both agree on a co.uk-style host."""
+    from shaha_spark.functions.url import (
+        load_public_suffixes,
+        registered_domain,
+        registered_domain_sql,
+    )
+
+    p = tmp_path / "psl.dat"
+    p.write_text("co.uk\nexample-suffix.zz\n")
+    sfx = load_public_suffixes(str(p))
+    df = spark.createDataFrame(
+        [("http://a.b.shop.co.uk/x",), ("http://deep.site.example-suffix.zz/",)],
+        "url string",
+    )
+    got = [r.d for r in df.select(
+        registered_domain(F.col("url"), sfx).alias("d")).collect()]
+    want = [
+        r[0]
+        for r in duckdb.connect().execute(
+            "SELECT " + registered_domain_sql("url", sfx)
+            + " FROM (VALUES ('http://a.b.shop.co.uk/x'),"
+            " ('http://deep.site.example-suffix.zz/')) AS v(url)"
+        ).fetchall()
+    ]
+    assert got == want == ["shop.co.uk", "site.example-suffix.zz"]
+
+
+# ------------------------------------------------ split_balance audit
+
+
+def test_split_balance_pins_giant_component_skew(spark):
+    """VERDICT r11 #3: a giant near-dup component routed into one
+    split distorts the proportions — split_balance must surface the
+    skew and the component size, per split, and agree with its DuckDB
+    twin (incl. the per-domain variant)."""
+    from shaha_spark.operators.sampling import (
+        cluster_split,
+        split_balance,
+        split_balance_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(100)], "doc_id bigint, domain string"
+    )
+    # star graph: one 60-doc component (diameter 2), 40 isolated docs
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 60)], "id_a bigint, id_b bigint"
+    )
+    weights = {"train": 0.5, "eval": 0.5}
+    sp = cluster_split(docs, edges, weights, salt="sb")
+    bal = {r.split: r.asDict() for r in split_balance(
+        sp, weights, cluster_col="cluster_rep").collect()}
+    giant = max(bal.values(), key=lambda r: r["max_cluster_docs"])
+    small = min(bal.values(), key=lambda r: r["max_cluster_docs"])
+    assert giant["max_cluster_docs"] == 60  # the component moved whole
+    assert small["max_cluster_docs"] == 1
+    assert abs(giant["skew"]) >= 0.1  # the distortion is surfaced
+    assert round(
+        abs(giant["observed_frac"] - giant["target_frac"]), 9
+    ) == abs(giant["skew"])
+    assert sum(r["n_docs"] for r in bal.values()) == 100
+
+    got = sorted(tuple(r) for r in split_balance(
+        sp, weights, domain_col="domain", cluster_col="cluster_rep"
+    ).collect())
+    vals = ", ".join(
+        f"({r.doc_id}, '{r.domain}', {r.cluster_rep}, '{r.split}')"
+        for r in sp.collect()
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(
+        split_balance_sql(
+            f"SELECT * FROM (VALUES {vals}) AS v(doc_id, domain, cluster_rep, split)",
+            weights, domain_col="domain", cluster_col="cluster_rep",
+        )
+    ).fetchall())
+    assert got == want
+
+
+def test_split_balance_defaults_null_columns(spark):
+    """No weights → target/skew NULL; no cluster_col → the max-cluster
+    diagnostic is NULL, never a fabricated 1."""
+    from shaha_spark.operators.sampling import hash_split, split_balance
+
+    df = hash_split(
+        spark.range(50).withColumnRenamed("id", "doc_id"),
+        {"train": 0.8, "eval": 0.2},
+        "doc_id",
+    )
+    rows = split_balance(df).collect()
+    assert rows and all(
+        r.target_frac is None and r.skew is None and r.max_cluster_docs is None
+        for r in rows
+    )
