@@ -3940,8 +3940,131 @@ pr AS (SELECT substr(term, i, 2) AS pair, freq
              WHERE len(term) >= 2))
 SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
 FROM pr GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""
+    # ---- round-12 concept ops (VERDICT r11 #6) ----
+    # (a) cross-split contamination invariant: the verified
+    # cluster-split assignment (nested CTE chain) audited pre/post the
+    # verified exact-substring decontamination — post must be all-zero
+    from shaha_spark.operators.terms import (
+        cross_split_contamination_sql,
+        exact_substring_decontaminate_sql,
+    )
+
+    _xs_pre_docs = (
+        "SELECT d.doc_id, d.text, a.split FROM documents d JOIN ("
+        + sql["docs_cluster_split"]
+        + ") a USING (doc_id)"
+    )
+    _xs_train = f"SELECT doc_id, text FROM ({_xs_pre_docs}) WHERE split = 'train'"
+    _xs_held = f"SELECT doc_id, text FROM ({_xs_pre_docs}) WHERE split <> 'train'"
+    _xs_post_docs = f"""SELECT pd.doc_id, pd.text, pd.split
+FROM ({_xs_pre_docs}) pd
+LEFT JOIN ({exact_substring_decontaminate_sql(_xs_train, _xs_held, SUBSTR_DECONTAM_LEN)}) fl
+  USING (doc_id)
+WHERE pd.split <> 'train' OR coalesce(fl.contaminated, FALSE) = FALSE"""
+    sql["docs_cross_split_contamination"] = f"""SELECT 'pre_decontaminate' AS phase, * FROM (
+{cross_split_contamination_sql(_xs_pre_docs, min_len=SUBSTR_DECONTAM_LEN, cte_prefix="xs1")})
+UNION ALL
+SELECT 'post_decontaminate' AS phase, * FROM (
+{cross_split_contamination_sql(_xs_post_docs, min_len=SUBSTR_DECONTAM_LEN, cte_prefix="xs2")})"""
+    # (b) BPE tokenizer fertility: the FULL 8-step training chain in
+    # SQL — per-step pair counts over the evolving vocabulary
+    # segmentation, argmax with bpe_train's exact (cnt DESC, l, r)
+    # tiebreak, and the greedy left-to-right non-overlapping merge as
+    # a list_reduce fold over the space-delimited segmentation (a
+    # merged symbol absorbs its right neighbour WITHOUT the separator,
+    # mirroring _merge_pair_expr). Unlike docs_bpe_encode's
+    # roundtrip-only oracle, this twin predicts SEGMENTATION CONTENT
+    # (piece counts), closing that gap for the fertility signal.
+    sql["docs_bpe_fertility"] = _bpe_fertility_sql()
+    # (c) per-doc quality-signal bundle: the verified text_quality /
+    # text_langid / gopher / licence / URL-policy twins joined on the
+    # doc id — the RedPajama-v2 "corpus ships with its annotations"
+    # artifact shape
+    from shaha_spark.operators.dedup import url_policy_scan_sql
+    from shaha_spark.operators.textops import license_scan_sql
+
+    _qb_url = url_policy_scan_sql(
+        f"SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents",
+        "url",
+        blocked_domains=("shop.co.uk",),
+        blocked_patterns=("/p/3[0-9]",),
+    )
+    sql["docs_quality_bundle"] = f"""WITH qb_q AS ({sql["text_quality"]}),
+qb_l AS ({sql["text_langid"]}),
+qb_g AS ({sql["docs_gopher_filter"]}),
+qb_lic AS ({license_scan_sql("SELECT doc_id, text FROM documents")}),
+qb_u AS ({_qb_url})
+SELECT q.doc_id, q.n_chars, q.n_tokens, q.mean_token_len, q.stopword_ratio,
+  q.quality, l.lang_pred, g.symbol_ratio, g.alpha_ratio,
+  CAST(g.keep AS INTEGER) AS gopher_keep,
+  lic.license, CAST(lic.open_license AS INTEGER) AS open_license,
+  u.registered_domain, u.block_reason, CAST(u.blocked AS INTEGER) AS url_blocked
+FROM qb_q q
+JOIN qb_l l USING (doc_id)
+JOIN qb_g g USING (doc_id)
+JOIN qb_lic lic USING (doc_id)
+JOIN qb_u u USING (doc_id)"""
     sql.update(oracle_sql_r4())
     return sql
+
+
+def _bpe_fertility_sql(num_merges: int = 8, min_count: int = 2,
+                       thresh: float = 1.5) -> str:
+    """The docs_bpe_fertility oracle: in-SQL BPE training + encode +
+    per-doc fertility aggregation (see oracle_sql for the derivation
+    notes; prototype-proved merge-for-merge identical to bpe_train at
+    sf0.001 and sf0.01)."""
+    steps = []
+    for k in range(1, num_merges + 1):
+        prev = f"bf_seg{k - 1}"
+        steps.append(f"""bf_p{k} AS (
+  SELECT l[i] AS lft, l[i+1] AS rgt, SUM(freq) AS cnt
+  FROM (SELECT string_split(seg, ' ') AS l, freq,
+               unnest(range(1, len(string_split(seg, ' ')))) AS i
+        FROM {prev})
+  GROUP BY 1, 2
+),
+bf_m{k} AS (SELECT lft, rgt FROM bf_p{k} WHERE cnt >= {min_count}
+            ORDER BY cnt DESC, lft, rgt LIMIT 1),
+bf_seg{k} AS (
+  SELECT s.term, s.freq,
+    CASE WHEN m.lft IS NULL THEN s.seg
+         ELSE list_reduce(string_split(s.seg, ' '),
+              (a, x) -> CASE WHEN (a = m.lft OR ends_with(a, ' ' || m.lft))
+                              AND x = m.rgt
+                        THEN a || x ELSE a || ' ' || x END)
+    END AS seg
+  FROM {prev} s LEFT JOIN bf_m{k} m ON TRUE
+)""")
+    chain = ",\n".join(steps)
+    return f"""WITH {_WORDS_CTE},
+bf_vocab AS (SELECT word AS term, count(*) AS freq FROM words GROUP BY 1),
+bf_seg0 AS (SELECT term, freq,
+            rtrim(regexp_replace(term, '(.)', '\\1 ', 'g')) AS seg FROM bf_vocab),
+{chain},
+bf_pieces AS (SELECT term, len(string_split(seg, ' ')) AS n_p
+              FROM bf_seg{num_merges}),
+bf_tok AS (SELECT doc_id, word AS term FROM words),
+bf_doc AS (
+  SELECT t.doc_id,
+    CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(p.n_p) AS BIGINT) AS n_pieces,
+    CAST(SUM(len(t.term)) AS BIGINT) AS n_chars
+  FROM bf_tok t JOIN bf_pieces p USING (term) GROUP BY 1
+)
+SELECT d.doc_id,
+  coalesce(b.n_tokens, 0) AS n_tokens,
+  coalesce(b.n_pieces, 0) AS n_pieces,
+  coalesce(b.n_chars, 0) AS n_chars,
+  CASE WHEN coalesce(b.n_tokens, 0) > 0
+       THEN round(CAST(b.n_pieces AS DOUBLE) / b.n_tokens, 9) END AS fertility,
+  CASE WHEN coalesce(b.n_pieces, 0) > 0
+       THEN round(CAST(b.n_chars AS DOUBLE) / b.n_pieces, 9)
+       END AS chars_per_piece,
+  CASE WHEN coalesce(b.n_pieces, 0) > 0
+       THEN CAST(round(CAST(b.n_chars AS DOUBLE) / b.n_pieces, 9) < {thresh}
+                 AS INTEGER) END AS low_compression
+FROM documents d LEFT JOIN bf_doc b USING (doc_id)"""
 
 
 # --------------------------------------------------------------------
@@ -4250,6 +4373,11 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cluster_split": q_docs_cluster_split,
         # round-12 addition composing the same CC chain (VERDICT r11 #3)
         "docs_split_balance": q_docs_split_balance,
+        # round-12 concept ops (VERDICT r11 #6); oracles compose
+        # main-section CTEs, so they register here, not in queries_r4
+        "docs_cross_split_contamination": q_docs_cross_split_contamination,
+        "docs_bpe_fertility": q_docs_bpe_fertility,
+        "docs_quality_bundle": q_docs_quality_bundle,
         # round-10 additions (concept-grep, VERDICT r9 #6)
         "docs_substr_decontaminate": q_docs_substr_decontaminate,
         "docs_substr_decontaminate_screened": (
@@ -6182,6 +6310,111 @@ def q_docs_split_balance(spark, sf_dir):
     ).where(F.col("est_jaccard") >= 0.7).select("id_a", "id_b")
     sp = cluster_split(docs.select("doc_id"), edges, SPLIT_WEIGHTS, salt="cs")
     return split_balance(sp, SPLIT_WEIGHTS, cluster_col="cluster_rep")
+
+
+def q_docs_cross_split_contamination(spark, sf_dir):
+    """Cross-split contamination invariant (round 12, VERDICT r11 #6a;
+    operators.terms.cross_split_contamination): the end-to-end audit
+    the r11 split/provenance operators enable — the leakage-safe
+    cluster split's train half is audited against every held-out
+    split for shared >=32-char windows BEFORE and AFTER
+    exact-substring decontamination. The post phase must be all-zero:
+    removing every flagged train doc removes every shared window by
+    construction, and a nonzero post row means the flag operator and
+    the report disagree — exactly the bug this invariant exists to
+    catch. The oracle nests the verified cluster-split CTE chain and
+    the verified decontamination twin."""
+    from shaha_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_similarity,
+    )
+    from shaha_spark.operators.sampling import cluster_split
+    from shaha_spark.operators.terms import (
+        cross_split_contamination,
+        exact_substring_decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    edges = minhash_similarity(
+        sigs, lsh_candidate_pairs(sigs)
+    ).where(F.col("est_jaccard") >= 0.7).select("id_a", "id_b")
+    sp = cluster_split(docs.select("doc_id"), edges, SPLIT_WEIGHTS, salt="cs")
+    dd = docs.select("doc_id", "text").join(
+        sp.select("doc_id", "split"), "doc_id"
+    )
+    pre = cross_split_contamination(dd, min_len=SUBSTR_DECONTAM_LEN)
+    train = dd.where(F.col("split") == "train")
+    held = dd.where(F.col("split") != "train")
+    flags = exact_substring_decontaminate(
+        train, held, min_len=SUBSTR_DECONTAM_LEN
+    )
+    clean_train = train.join(
+        flags.where(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    post = cross_split_contamination(
+        clean_train.unionByName(held), min_len=SUBSTR_DECONTAM_LEN
+    )
+    return (
+        pre.withColumn("phase", F.lit("pre_decontaminate"))
+        .unionByName(post.withColumn("phase", F.lit("post_decontaminate")))
+        .select(
+            "phase", "split", "n_pairs", "n_shared_windows",
+            "n_eval_docs_hit", "n_train_docs_hit",
+        )
+    )
+
+
+def q_docs_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility / compression-ratio signal (round 12,
+    VERDICT r11 #6b; operators.terms.bpe_fertility): pieces-per-token
+    and chars-per-piece under the 8-merge BPE of docs_bpe_encode, with
+    the RefinedWeb-style low-compression flag. The oracle runs the
+    FULL training chain in SQL (8 chained pair-count/argmax/merge-fold
+    CTEs — bpe_train's exact tiebreak and greedy merge), so unlike
+    docs_bpe_encode's roundtrip-only oracle this one value-hashes the
+    segmentation CONTENT."""
+    from shaha_spark.operators.terms import bpe_fertility, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bpe_fertility(docs, bpe_train(docs, num_merges=8))
+    return out.select(
+        "doc_id", "n_tokens", "n_pieces", "n_chars", "fertility",
+        "chars_per_piece",
+        F.col("low_compression").cast("int").alias("low_compression"),
+    )
+
+
+def q_docs_quality_bundle(spark, sf_dir):
+    """Per-doc quality-signal bundle (round 12, VERDICT r11 #6c;
+    operators.textops.quality_signal_bundle): the RedPajama-v2
+    artifact shape — one wide row per document joining the verified
+    quality_score, lang_id, gopher_rules, license_scan, and
+    url_policy_scan signals, so downstream consumers filter by their
+    own thresholds. The oracle joins the same five verified twins on
+    the doc id."""
+    from shaha_spark.operators.textops import quality_signal_bundle
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", _synth_url_col().alias("url")
+    )
+    out = quality_signal_bundle(
+        docs,
+        url_col="url",
+        blocked_domains=("shop.co.uk",),
+        blocked_patterns=("/p/3[0-9]",),
+    )
+    return out.select(
+        "doc_id", "n_chars", "n_tokens", "mean_token_len",
+        "stopword_ratio", "quality", "lang_pred", "symbol_ratio",
+        "alpha_ratio",
+        F.col("gopher_keep").cast("int").alias("gopher_keep"),
+        "license",
+        F.col("open_license").cast("int").alias("open_license"),
+        "registered_domain", "block_reason",
+        F.col("url_blocked").cast("int").alias("url_blocked"),
+    )
 
 
 def q_docs_url_policy(spark, sf_dir):

@@ -674,6 +674,125 @@ FROM cr_tw t JOIN cr_ew e USING (win)
 GROUP BY 1, 2"""
 
 
+def cross_split_contamination(
+    docs: DataFrame,
+    split_col: str = "split",
+    train_split: str = "train",
+    min_len: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train↔held-out contamination audit ACROSS a split assignment —
+    the end-to-end invariant the split + decontamination operators
+    exist to enable (VERDICT r11 #6a): after cluster_split (or any
+    split) and exact-substring decontamination, every non-train split
+    must share ZERO ≥ ``min_len``-char windows with train. One row per
+    NON-train split (zeros present, never missing — the clean state is
+    a reportable row, not an absent one):
+
+      ``{split_col}``, ``n_pairs`` (contaminated (held-out doc, train
+      doc) pairs), ``n_shared_windows`` (their distinct shared-window
+      total), ``n_eval_docs_hit``, ``n_train_docs_hit``.
+
+    Window semantics are :func:`contamination_report` verbatim
+    (stride-1 min_len-char shingles, per-side per-doc distinct), so
+    ``n_pairs == 0`` for every split ⇔ the decontamination flag
+    operator would flag nothing — the composition is exact, not
+    approximate.
+
+    Scale shape: one contamination_report pass (train side scans once,
+    held-out windows broadcast under the production train≫eval
+    asymmetry; ``broadcast_eval=False`` for huge held-out splits),
+    then a split-cardinality aggregation over the MATCHED pairs only.
+
+    Reference parity: none (extension layer, training-data canon).
+    """
+    eid, tid = "eval_" + id_col, "train_" + id_col
+    train = docs.where(F.col(split_col) == train_split)
+    held_out = docs.where(F.col(split_col) != train_split)
+    rep = contamination_report(
+        train, held_out, min_len, text_col, id_col, broadcast_eval
+    )
+    per_split = (
+        rep.join(
+            held_out.select(F.col(id_col).alias(eid), split_col), eid
+        )
+        .groupBy(split_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("n_shared_windows").cast("bigint").alias("n_shared_windows"),
+            F.countDistinct(eid).cast("bigint").alias("n_eval_docs_hit"),
+            F.countDistinct(tid).cast("bigint").alias("n_train_docs_hit"),
+        )
+    )
+    splits = held_out.select(split_col).distinct()
+    zero = F.lit(0).cast("bigint")
+    return splits.join(per_split, split_col, "left").select(
+        split_col,
+        F.coalesce("n_pairs", zero).alias("n_pairs"),
+        F.coalesce("n_shared_windows", zero).alias("n_shared_windows"),
+        F.coalesce("n_eval_docs_hit", zero).alias("n_eval_docs_hit"),
+        F.coalesce("n_train_docs_hit", zero).alias("n_train_docs_hit"),
+    )
+
+
+def cross_split_contamination_sql(
+    docs_select: str,
+    split_col: str = "split",
+    train_split: str = "train",
+    min_len: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cte_prefix: str = "xs",
+) -> str:
+    """DuckDB oracle twin of :func:`cross_split_contamination` —
+    ``docs_select`` must yield (id, text, split). ``cte_prefix``
+    namespaces the CTEs so two invocations (pre/post phases) can be
+    UNION'd in one statement."""
+    L = min_len
+    p = cte_prefix
+    ts = train_split.replace("'", "''")
+    return f"""WITH {p}_docs AS ({docs_select}),
+{p}_tw AS (
+  SELECT DISTINCT {id_col} AS train_{id_col}, substr({text_col}, g, {L}) AS win
+  FROM (SELECT {id_col}, {text_col},
+               unnest(range(1, len({text_col}) - {L} + 2)) AS g
+        FROM {p}_docs
+        WHERE {split_col} = '{ts}' AND len({text_col}) >= {L})
+),
+{p}_ew AS (
+  SELECT DISTINCT {id_col} AS eval_{id_col}, {split_col},
+         substr({text_col}, g, {L}) AS win
+  FROM (SELECT {id_col}, {text_col}, {split_col},
+               unnest(range(1, len({text_col}) - {L} + 2)) AS g
+        FROM {p}_docs
+        WHERE {split_col} <> '{ts}' AND len({text_col}) >= {L})
+),
+{p}_pairs AS (
+  SELECT e.{split_col}, e.eval_{id_col}, t.train_{id_col}, count(*) AS nw
+  FROM {p}_tw t JOIN {p}_ew e USING (win)
+  GROUP BY 1, 2, 3
+),
+{p}_agg AS (
+  SELECT {split_col},
+    CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(nw) AS BIGINT) AS n_shared_windows,
+    CAST(count(DISTINCT eval_{id_col}) AS BIGINT) AS n_eval_docs_hit,
+    CAST(count(DISTINCT train_{id_col}) AS BIGINT) AS n_train_docs_hit
+  FROM {p}_pairs GROUP BY 1
+),
+{p}_splits AS (
+  SELECT DISTINCT {split_col} FROM {p}_docs WHERE {split_col} <> '{ts}'
+)
+SELECT s.{split_col},
+  coalesce(a.n_pairs, 0) AS n_pairs,
+  coalesce(a.n_shared_windows, 0) AS n_shared_windows,
+  coalesce(a.n_eval_docs_hit, 0) AS n_eval_docs_hit,
+  coalesce(a.n_train_docs_hit, 0) AS n_train_docs_hit
+FROM {p}_splits s LEFT JOIN {p}_agg a USING ({split_col})"""
+
+
 def top_keywords(
     docs: DataFrame,
     k: int = 3,
@@ -1380,6 +1499,71 @@ def bpe_encode(
         if (i + 1) % 10 == 0:
             enc = enc.localCheckpoint(eager=True)
     return toks.join(enc, "term").select(id_col, "term", "pieces")
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars_per_piece: float = 1.5,
+) -> DataFrame:
+    """Per-document tokenizer-fertility / compression-ratio quality
+    signal over the BPE encoding (VERDICT r11 #6b — the
+    Gopher/RefinedWeb canon's compression filter: text a subword
+    tokenizer cannot compress — near one piece per character — is
+    disproportionately gibberish, boilerplate, or the wrong script
+    for the vocabulary). One row per document:
+
+      ``n_tokens`` — whitespace-token occurrences;
+      ``n_pieces`` — total BPE pieces over all occurrences;
+      ``n_chars`` — total characters across tokens (piece-length sum —
+      the decode invariant makes the two identical);
+      ``fertility`` — pieces per token (round 9; NULL when no tokens);
+      ``chars_per_piece`` — the compression ratio (round 9; NULL when
+      no tokens);
+      ``low_compression`` — chars_per_piece < ``min_chars_per_piece``
+      (NULL when undefined), the drop/route flag.
+
+    Built ON :func:`bpe_encode` (same merge application, same
+    vocabulary-side encode-then-join shape — the corpus-sized side
+    never re-encodes), aggregated with exact integer sums; the two
+    ratios are single IEEE divisions of exact longs rounded to 9, so
+    both engines agree bit-for-bit. Documents with no tokens keep a
+    row (zeros + NULL ratios) via the spine left join.
+
+    Reference parity: none (extension layer, training-data canon).
+    """
+    enc = bpe_encode(docs, merges, text_col, id_col)
+    per = enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.size("pieces")).cast("bigint").alias("n_pieces"),
+        F.sum(F.length("term")).cast("bigint").alias("n_chars"),
+    )
+    zero = F.lit(0).cast("bigint")
+    fert = F.when(
+        F.col("n_tokens") > 0,
+        F.round(F.col("n_pieces").cast("double") / F.col("n_tokens"), 9),
+    )
+    cpp = F.when(
+        F.col("n_pieces") > 0,
+        F.round(F.col("n_chars").cast("double") / F.col("n_pieces"), 9),
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", zero).alias("n_tokens"),
+            F.coalesce("n_pieces", zero).alias("n_pieces"),
+            F.coalesce("n_chars", zero).alias("n_chars"),
+            fert.alias("fertility"),
+            cpp.alias("chars_per_piece"),
+            (cpp < F.lit(float(min_chars_per_piece))).alias(
+                "low_compression"
+            ),
+        )
+    )
 
 
 def ppl_pacing_buckets(

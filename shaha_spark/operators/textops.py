@@ -681,3 +681,67 @@ ls AS (
 )
 SELECT {id_col}, license, license IN ({open_list}) AS open_license
 FROM ls"""
+
+
+def quality_signal_bundle(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+    blocked_domains: tuple[str, ...] = (),
+    blocked_patterns: tuple[str, ...] = (),
+    suffixes: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """One wide quality-signal row per document — the RedPajama-v2
+    artifact shape (Together 2023: ship the corpus WITH its quality
+    annotations so downstream consumers filter by their own
+    thresholds, instead of baking one filtering policy into the data).
+    Joins the verified signal family on ``id_col``:
+
+      * :func:`quality_score` — n_chars, n_tokens, mean_token_len,
+        stopword_ratio, quality;
+      * :func:`lang_id` — ``lang_pred``;
+      * :func:`gopher_rules` — ``symbol_ratio``, ``alpha_ratio``,
+        conjunctive decision as ``gopher_keep``;
+      * :func:`license_scan` — ``license``, ``open_license``;
+      * (when ``url_col`` given) ``url_policy_scan`` —
+        ``registered_domain``, ``block_reason``, ``url_blocked``.
+
+    Scale shape: each signal is its own verified single-pass
+    explode/projection; the bundle is four (five with URLs) hash joins
+    on the id, each side one row per document — with AQE these
+    co-partition after the first shuffle. A fused single-pass variant
+    would save the joins but fork every operator's logic; the bundle
+    deliberately COMPOSES the verified implementations so its values
+    are the per-signal entries' values by construction.
+
+    Reference parity: none (extension layer, training-data canon).
+    """
+    q = quality_score(docs, text_col, id_col)
+    lang = lang_id(docs, text_col, id_col).select(id_col, "lang_pred")
+    gopher = gopher_rules(docs, text_col, id_col).select(
+        id_col,
+        "symbol_ratio",
+        "alpha_ratio",
+        F.col("keep").alias("gopher_keep"),
+    )
+    lic = license_scan(docs, text_col, id_col)
+    out = q.join(lang, id_col).join(gopher, id_col).join(lic, id_col)
+    if url_col is None:
+        return out
+    from .dedup import url_policy_scan
+
+    policy = url_policy_scan(
+        docs.select(id_col, url_col),
+        url_col,
+        id_col=id_col,
+        blocked_domains=blocked_domains,
+        blocked_patterns=blocked_patterns,
+        suffixes=suffixes,
+    ).select(
+        id_col,
+        "registered_domain",
+        "block_reason",
+        F.col("blocked").alias("url_blocked"),
+    )
+    return out.join(policy, id_col)

@@ -390,3 +390,95 @@ def test_split_balance_defaults_null_columns(spark):
         r.target_frac is None and r.skew is None and r.max_cluster_docs is None
         for r in rows
     )
+
+
+# ------------------------------------------- round-12 concept ops
+
+
+def test_cross_split_contamination_invariant(spark):
+    """Pre phase surfaces the planted cross-split window; post phase
+    (train filtered by the flag operator) is all-zero — and a clean
+    state is a zero ROW, never a missing one."""
+    from shaha_spark.operators.terms import (
+        cross_split_contamination,
+        exact_substring_decontaminate,
+    )
+
+    shared = "X" * 16 + "Y" * 16  # one exact 32-char window
+    docs = spark.createDataFrame(
+        [
+            (1, "train doc with the window " + shared, "train"),
+            (2, "another train doc, clean entirely padpadpadpadpad", "train"),
+            (3, "eval doc also carrying " + shared + " verbatim", "eval"),
+            (4, "clean eval doc padpadpadpadpadpadpadpadpadpadpad", "eval"),
+            (5, "clean test doc padpadpadpadpadpadpadpadpadpadpad", "test"),
+        ],
+        "doc_id bigint, text string, split string",
+    )
+    pre = {r.split: r for r in cross_split_contamination(docs).collect()}
+    assert set(pre) == {"eval", "test"}
+    assert pre["eval"].n_pairs == 1 and pre["eval"].n_train_docs_hit == 1
+    assert pre["test"].n_pairs == 0  # zero row present, not absent
+
+    train = docs.where(F.col("split") == "train")
+    held = docs.where(F.col("split") != "train")
+    flags = exact_substring_decontaminate(train, held)
+    clean = train.join(
+        flags.where(~F.col("contaminated")).select("doc_id"), "doc_id"
+    ).unionByName(held)
+    post = {r.split: r for r in cross_split_contamination(clean).collect()}
+    assert all(r.n_pairs == 0 and r.n_shared_windows == 0
+               for r in post.values())
+
+
+def test_bpe_fertility_known_answer(spark):
+    """Fertility arithmetic on a corpus whose single learned merge is
+    forced: 'ab' merges, so 'abab' is 2 pieces (fertility 2), 'cd'
+    stays 2 chars/2 pieces, and the empty doc keeps a zero row with
+    NULL ratios."""
+    from shaha_spark.operators.terms import bpe_fertility, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "cd cd"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    merges = bpe_train(docs, num_merges=1)
+    assert [(m[1], m[2]) for m in merges] == [("a", "b")]
+    got = {r.doc_id: r for r in bpe_fertility(docs, merges).collect()}
+    # doc 1: tokens abab, abab, ab -> pieces [ab,ab],[ab,ab],[ab] = 5
+    assert (got[1].n_tokens, got[1].n_pieces, got[1].n_chars) == (3, 5, 10)
+    assert got[1].fertility == round(5 / 3, 9)
+    assert got[1].chars_per_piece == 2.0 and not got[1].low_compression
+    # doc 2: cd, cd -> 2 pieces each (no merge applies) = 4 pieces
+    assert (got[2].n_tokens, got[2].n_pieces, got[2].n_chars) == (2, 4, 4)
+    assert got[2].chars_per_piece == 1.0 and got[2].low_compression
+    # doc 3: spine row, zeros + NULL ratios
+    assert (got[3].n_tokens, got[3].n_pieces) == (0, 0)
+    assert got[3].fertility is None and got[3].low_compression is None
+
+
+def test_quality_bundle_composes_signal_operators(spark, sf_dir):
+    """The bundle's values ARE the per-signal operators' values —
+    byte-for-byte — and every document keeps exactly one row."""
+    from shaha_spark.operators.textops import (
+        gopher_rules,
+        lang_id,
+        quality_score,
+        quality_signal_bundle,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = quality_signal_bundle(docs).localCheckpoint(eager=True)
+    assert out.count() == docs.count()
+    got_q = {r.doc_id: (r.quality, r.n_tokens) for r in out.collect()}
+    want_q = {r.doc_id: (r.quality, r.n_tokens)
+              for r in quality_score(docs).collect()}
+    assert got_q == want_q
+    got_l = {r.doc_id: r.lang_pred for r in out.collect()}
+    want_l = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert got_l == want_l
+    got_g = {r.doc_id: r.gopher_keep for r in out.collect()}
+    want_g = {r.doc_id: r.keep for r in gopher_rules(docs).collect()}
+    assert got_g == want_g
