@@ -4154,19 +4154,43 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Entries allowed to precede the never-driver-verified block in the
 #: registry (tests/test_coverage_guard.py): re-verification anchors
 #: whose current derivation postdates their newest driver row.
-#: Round 11 (all post-r10-green changes): docs_url_dedup's
-#: canonicalizer gained bare-tracking-param dropping + bracketed-IPv6
-#: host/port parsing in BOTH engines (r10 ADVICE; the synthetic URL
-#: fixture exercises neither, so values should hold — the driver row
-#: re-proves it); the two append entries run the new replay-ledger /
-#: versioned-state append code; the two plain index entries rebuild
-#: their cache under the hardened user-owned _index_path + _complete
-#: marker (and the PQ build now emits the quantization-quality
-#: sidecar).
+#: Round 12 (all post-r11-green changes): the five index entries
+#: build/probe through the STAGED atomic cache commit (r11 ADVICE —
+#: per-process staging dir + first-rename-wins) and the two append
+#: entries additionally run the new ingest-recovery sweep +
+#: exactly-once manifest path (VERDICT r11 #2); docs_url_policy's SQL
+#: twin gained literal quote-escaping (byte-identical SQL for the
+#: current quote-free policy — the driver row re-proves it).
 WINDOW_ANCHORS: list[str] = [
-    "docs_url_dedup",
     "emb_ivf_index_append_topk", "emb_ivf_pq_index_append_topk",
     "emb_ivf_index_topk", "emb_ivf_pq_index_topk",
+    "emb_ivf_pq_refine_topk", "docs_url_policy",
+]
+
+R12_WINDOW_ORDER = [
+    # anchors (derivations changed post-r11-green; driver re-proof)
+    "emb_ivf_index_append_topk", "emb_ivf_pq_index_append_topk",
+    "emb_ivf_index_topk", "emb_ivf_pq_index_topk",
+    "emb_ivf_pq_refine_topk", "docs_url_policy",
+    # round-12 additions — never driver-verified, must sit in-window
+    "docs_split_balance", "docs_cross_split_contamination",
+    "docs_bpe_fertility", "docs_quality_bundle",
+    # least-recently-verified backfill (scripts/plan_window.py): the
+    # remaining r07 cohort, then the r08 cohort
+    "events_funnel", "events_transitions", "sample_documents",
+    "sample_weighted", "split_documents", "words_except_all",
+    "text_normalize", "docs_quality_filter", "dedup_minhash_cc",
+    "dedup_incremental", "docs_pagerank", "kmeans_centroids",
+    "similarity_ivf_kmeans", "tpch_q2", "tpch_q11", "tpch_q16",
+    "tpch_q20", "tpch_q21", "embedding_quantize",
+    "embedding_bucket_dedup", "embedding_top_pc",
+    "docs_unigram_logprob", "docs_gopher_filter", "docs_mix_resample",
+    "docs_dup_grams", "docs_bigram_logprob", "docs_bpe_pairs",
+    "build_multi_algo", "query_point_lookup", "append_merge",
+    "events_rolling", "events_hll_distinct",
+    "events_bootstrap_ci", "docs_weighted_reservoir", "events_trend",
+    "events_autocorr", "events_ewma", "docs_mutual_info",
+    "docs_packed", "tpch_q12",
 ]
 
 R11_WINDOW_ORDER = [
@@ -4223,18 +4247,18 @@ R10_WINDOW_ORDER = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness harness checks the FIRST 50
-    # entries only. Round-11 layout: 5 re-verification anchors (see
-    # WINDOW_ANCHORS), 6 never-verified round-11 entries (contamination
-    # provenance, domain-level DSIR, licence scan, URL policy
-    # screening, IVF-PQ refine, leakage-safe cluster split), then the
-    # mechanical
+    # entries only. Round-12 layout: 6 re-verification anchors (see
+    # WINDOW_ANCHORS), 4 never-verified round-12 entries (split-balance
+    # audit, cross-split contamination invariant, BPE fertility,
+    # quality-signal bundle), then the mechanical
     # least-recently-verified backfill from scripts/plan_window.py (the
-    # r06 cohort, then r07); everything else keeps its registry order
-    # after it. tests/test_coverage_guard.py enforces the invariant.
+    # remaining r07 cohort, then r08); everything else keeps its
+    # registry order after it. tests/test_coverage_guard.py enforces
+    # the invariant.
     merged = dict(_queries_prior())
     merged.update(queries_r4())
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in R11_WINDOW_ORDER:
+    for name in R12_WINDOW_ORDER:
         out[name] = merged[name]
     for name, fn in merged.items():
         out.setdefault(name, fn)
