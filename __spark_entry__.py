@@ -6365,9 +6365,14 @@ def q_docs_cross_split_contamination(spark, sf_dir):
         sigs, lsh_candidate_pairs(sigs)
     ).where(F.col("est_jaccard") >= 0.7).select("id_a", "id_b")
     sp = cluster_split(docs.select("doc_id"), edges, SPLIT_WEIGHTS, salt="cs")
+    # stage boundary (plan-lint rescan rule): dd feeds ~10 consumers
+    # (two audit phases x four shingle/spine passes + the flag
+    # operator), each of which would otherwise re-derive the whole
+    # MinHash CC chain — 34 documents scans measured. The lazy
+    # localCheckpoint cuts the lineage once, the curate.py pattern.
     dd = docs.select("doc_id", "text").join(
         sp.select("doc_id", "split"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     pre = cross_split_contamination(dd, min_len=SUBSTR_DECONTAM_LEN)
     train = dd.where(F.col("split") == "train")
     held = dd.where(F.col("split") != "train")

@@ -33,6 +33,10 @@ import __spark_entry__ as entry_mod
 #: query -> why a single-partition window is safe there (the window's
 #: input cardinality is bounded by construction, not by data volume).
 GLOBAL_WINDOW_OK = {
+    "docs_split_balance": "total over per-split counts — one row per "
+                          "(domain, split) after the corpus-side "
+                          "hash-agg (3 splits here; policy-sized, "
+                          "never data-sized — sampling.split_balance)",
     "docs_packed": "running sum over block ids: n/BLOCK rows (distributed "
                    "prefix-sum design, chunking.py pack_sequences)",
     "events_cumulative_users": "running sum over calendar days "
@@ -76,6 +80,17 @@ GLOBAL_WINDOW_OK = {
 #: re-running its upstream 24 times because each stage's keep-set join
 #: consumed the same lineage twice; see pipeline/curate.py).
 SCAN_REPEAT_OK: dict[str, dict[str, int]] = {
+    "docs_quality_bundle": {
+        # Five independent SINGLE passes, one per signal family
+        # (quality_score, lang_id, gopher_rules, license_scan,
+        # url_policy_scan) — the bundle deliberately COMPOSES the five
+        # verified operators so its values are theirs by construction
+        # (textops.quality_signal_bundle docstring); no pass consumes
+        # another's re-executed subtree, nothing compounds. A fused
+        # single-pass variant would save four scans at the cost of
+        # forking every signal's verified logic.
+        "documents": 5,
+    },
     "emb_ivf_pq_topk": {
         # ivf_assign + pq_encode + the query batch are independent
         # single passes (the first two are write-time products in
