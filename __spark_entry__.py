@@ -4004,6 +4004,38 @@ JOIN qb_l l USING (doc_id)
 JOIN qb_g g USING (doc_id)
 JOIN qb_lic lic USING (doc_id)
 JOIN qb_u u USING (doc_id)"""
+    # ---- round-12 widening: charclass scan, vocabulary growth,
+    # cross-source duplication matrix (extension layer) ----
+    from shaha_spark.operators.dedup import near_dup_source_matrix_sql
+    from shaha_spark.operators.terms import vocab_growth_sql
+    from shaha_spark.operators.textops import charclass_scan_sql
+
+    sql["docs_charclass"] = (
+        "SELECT * REPLACE (CAST(suspect AS INTEGER) AS suspect) FROM ("
+        + charclass_scan_sql("SELECT doc_id, text FROM documents")
+        + ")"
+    )
+    sql["docs_vocab_growth"] = vocab_growth_sql(
+        "SELECT doc_id, text FROM documents", salt="vg"
+    )
+    # the matrix's edge list is the verified minhash-sims chain at the
+    # family's 0.7 threshold (same sims CTE as dedup_minhash_survivors)
+    _sm_edges = f"""WITH {_pairs_cte()},
+sims AS (
+  SELECT p.id_a, p.id_b,
+    CAST({match_terms} AS DOUBLE) / {k_perms} AS est_jaccard
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b FROM sims WHERE est_jaccard >= 0.7"""
+    sql["docs_dup_source_matrix"] = (
+        "SELECT * REPLACE (CAST(cross_source AS INTEGER) AS cross_source) FROM ("
+        + near_dup_source_matrix_sql(
+            "SELECT doc_id, source FROM documents", _sm_edges
+        )
+        + ")"
+    )
     sql.update(oracle_sql_r4())
     return sql
 
@@ -4175,6 +4207,7 @@ R12_WINDOW_ORDER = [
     # round-12 additions — never driver-verified, must sit in-window
     "docs_split_balance", "docs_cross_split_contamination",
     "docs_bpe_fertility", "docs_quality_bundle",
+    "docs_charclass", "docs_vocab_growth", "docs_dup_source_matrix",
     # least-recently-verified backfill (scripts/plan_window.py): the
     # remaining r07 cohort, then the r08 cohort
     "events_funnel", "events_transitions", "sample_documents",
@@ -4189,8 +4222,7 @@ R12_WINDOW_ORDER = [
     "build_multi_algo", "query_point_lookup", "append_merge",
     "events_rolling", "events_hll_distinct",
     "events_bootstrap_ci", "docs_weighted_reservoir", "events_trend",
-    "events_autocorr", "events_ewma", "docs_mutual_info",
-    "docs_packed", "tpch_q12",
+    "events_autocorr", "events_ewma",
 ]
 
 R11_WINDOW_ORDER = [
@@ -4402,6 +4434,11 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cross_split_contamination": q_docs_cross_split_contamination,
         "docs_bpe_fertility": q_docs_bpe_fertility,
         "docs_quality_bundle": q_docs_quality_bundle,
+        # round-12 widening (charclass / vocab growth / source matrix);
+        # the matrix oracle composes the main-section sims CTE
+        "docs_charclass": q_docs_charclass,
+        "docs_vocab_growth": q_docs_vocab_growth,
+        "docs_dup_source_matrix": q_docs_dup_source_matrix,
         # round-10 additions (concept-grep, VERDICT r9 #6)
         "docs_substr_decontaminate": q_docs_substr_decontaminate,
         "docs_substr_decontaminate_screened": (
@@ -6443,6 +6480,71 @@ def q_docs_quality_bundle(spark, sf_dir):
         F.col("open_license").cast("int").alias("open_license"),
         "registered_domain", "block_reason",
         F.col("url_blocked").cast("int").alias("url_blocked"),
+    )
+
+
+def q_docs_charclass(spark, sf_dir):
+    """Character-class + encoding-artifact scan (round 12;
+    operators.textops.charclass_scan): per-doc counts of letter/digit/
+    upper/whitespace/punct/control classes, U+FFFD replacement chars,
+    and Windows-1252 mojibake signatures, with the class fractions and
+    the C4/CCNet-style ``suspect`` verdict. One codegen'd projection —
+    the text-cleanliness signal family."""
+    from shaha_spark.operators.textops import charclass_scan
+
+    out = charclass_scan(_t(spark, sf_dir, "documents"))
+    return out.select(
+        *[c for c in out.columns if c != "suspect"],
+        F.col("suspect").cast("int").alias("suspect"),
+    )
+
+
+def q_docs_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary-growth curve (round 12;
+    operators.terms.vocab_growth): cumulative distinct types vs
+    cumulative tokens over 16 hash-ordered document buckets — the
+    corpus-health profile (near-linear growth = unbounded noise
+    vocabulary; too-flat = template duplication). The oracle replays
+    the same h28 bucketing, tokenization, and B-row prefix sums."""
+    from shaha_spark.operators.terms import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"), salt="vg")
+
+
+def q_docs_dup_source_matrix(spark, sf_dir):
+    """Near-duplicate cross-source matrix (round 12;
+    operators.dedup.near_dup_source_matrix): which sources duplicate
+    each other — pair counts per unordered source pair over the
+    verified MinHash est-Jaccard ≥ 0.7 edge list (the mirror-site
+    audit). The oracle nests the same sims CTE chain as the minhash
+    dedup family."""
+    from shaha_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_similarity,
+        near_dup_source_matrix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # same cache/checkpoint discipline as dedup.minhash_dedup: the
+    # signature table serves the band self-join AND both sims sides,
+    # and the pair-sized edge list is checkpointed eagerly so the
+    # matrix plan scans documents only for its two source joins
+    sigs = minhash_signatures(docs).cache()
+    edges = (
+        minhash_similarity(sigs, lsh_candidate_pairs(sigs))
+        .where(F.col("est_jaccard") >= 0.7)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    sigs.unpersist()
+    out = near_dup_source_matrix(docs, edges)
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        F.col("cross_source").cast("int").alias("cross_source"),
+        "pair_frac",
     )
 
 

@@ -980,3 +980,91 @@ SELECT {id_col},
   {reason_sql} AS block_reason,
   ({reason_sql}) <> 'none' AS blocked
 FROM ups"""
+
+
+# --------------------------------------- cross-source duplication map
+
+
+def near_dup_source_matrix(
+    df: DataFrame,
+    edges: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate cross-source matrix: which sources duplicate each
+    other, and how much — the mirror-site audit of the dedup canon
+    (web-crawl duplication is heavily cross-HOST: the same page behind
+    CDN mirrors, www/no-www, scraper re-posts; a matrix row with a
+    large CROSS-source count names the mirror pair, while a large
+    same-source diagonal cell flags template spam within one site).
+
+    ``edges`` is any (id_a, id_b) near-dup pair list (MinHash/SimHash/
+    embedding pairs all compose, same contract as
+    :func:`~shaha_spark.operators.sampling.cluster_split`); both
+    endpoints must come from ``df`` — pairs with an endpoint missing
+    there are dropped by the inner joins, the shared
+    edges-derive-from-df contract of the family. One row per unordered
+    source pair (``source_a`` ≤ ``source_b`` lexicographically):
+    ``n_pairs``, ``cross_source``, and ``pair_frac`` (share of all
+    near-dup pairs — a single IEEE division of exact integers).
+
+    Scale shape: two pairs-sized hash joins attach the endpoint
+    sources (the pair list is LSH-bucketed upstream — never O(n²)),
+    one map-side-combined hash-agg to the matrix, then a global window
+    ONLY over the matrix rows (≤ |sources|² — policy-sized, never
+    data-sized).
+
+    Reference parity: none (extension layer, training-data canon).
+    """
+    from pyspark.sql import Window
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(source_col).alias("__sa"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(source_col).alias("__sb"))
+    canon = (
+        edges.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+    )
+    m = canon.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    total = F.sum("n_pairs").over(Window.partitionBy())
+    return m.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        (F.col("source_a") != F.col("source_b")).alias("cross_source"),
+        (F.col("n_pairs").cast("double") / total.cast("double")).alias("pair_frac"),
+    )
+
+
+def near_dup_source_matrix_sql(
+    docs_stmt: str,
+    edges_stmt: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of :func:`near_dup_source_matrix`.
+    ``edges_stmt`` may itself be a full WITH…SELECT statement (DuckDB
+    accepts a CTE chain inside a parenthesized subquery — the same
+    nesting convention as the split_balance twin)."""
+    return f"""WITH sm_docs AS ({docs_stmt}),
+sm_edges AS ({edges_stmt}),
+sm_lab AS (
+  SELECT least(a.{source_col}, b.{source_col}) AS source_a,
+         greatest(a.{source_col}, b.{source_col}) AS source_b
+  FROM sm_edges e
+  JOIN sm_docs a ON a.{id_col} = e.id_a
+  JOIN sm_docs b ON b.{id_col} = e.id_b
+),
+sm_m AS (
+  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM sm_lab GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_pairs,
+  source_a <> source_b AS cross_source,
+  CAST(n_pairs AS DOUBLE) / CAST(sum(n_pairs) OVER () AS DOUBLE) AS pair_frac
+FROM sm_m"""

@@ -1730,3 +1730,140 @@ def bm25_scores(
         dl,
         tf,
     )
+
+
+# ------------------------------------------------- vocabulary growth
+
+
+def vocab_growth(
+    df: DataFrame,
+    n_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct types vs
+    cumulative tokens over a deterministic random ordering of the
+    corpus (Heaps 1978; the sub-linear type growth V ≈ K·nᵝ is the
+    classic corpus-health profile — a near-LINEAR curve means unbounded
+    novel vocabulary, i.e. noise/IDs/mojibake, and a too-flat curve
+    means heavy template duplication).
+
+    The "ordering" is document-level and hash-derived: each doc lands
+    in bucket ``h28(id ∥ salt) % n_buckets`` (the sampling family's
+    cross-engine membership hash — reproducible everywhere, stable
+    under repartitioning), and the curve reports checkpoints after
+    buckets ``0..b``. Random-order growth curves are the standard
+    formulation; a crawl-order curve would need a timestamp column the
+    corpus does not carry. One row per bucket: per-bucket ``n_tokens``
+    and ``n_new_types`` (types whose FIRST bucket this is), cumulative
+    ``cum_tokens``/``cum_types``, and ``ttr`` (cumulative type/token
+    ratio — a single IEEE division of exact integers).
+
+    Scale shape: explode → two hash-aggs (per-bucket token counts;
+    per-type min-bucket, both map-side combined) → a B-row join and a
+    B-row cumulative window — the distributed prefix-sum shape shared
+    with the bucketed quantile family. Nothing data-sized crosses a
+    single partition: the window input is exactly ``n_buckets`` rows.
+
+    Reference parity: none (extension layer, training-data canon).
+    """
+    from shaha_spark.functions.text import h28
+    from shaha_spark.util import ensure_parallelism
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    bucket = (
+        h28(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+        % F.lit(n_buckets)
+    ).alias("bucket")
+    toks = (
+        ensure_parallelism(df)
+        .select(bucket, F.explode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    first_bucket = toks.groupBy("term").agg(F.min("bucket").alias("bucket"))
+    new_types = first_bucket.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_new_types")
+    )
+    spine = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    joined = (
+        spine.join(per_bucket, "bucket", "left")
+        .join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_new_types", F.lit(0)).cast("long").alias("n_new_types"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    out = joined.select(
+        "bucket",
+        "n_tokens",
+        "n_new_types",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("n_new_types").over(w).cast("long").alias("cum_types"),
+    )
+    return out.select(
+        "*",
+        F.when(
+            F.col("cum_tokens") > 0,
+            F.col("cum_types").cast("double") / F.col("cum_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ttr"),
+    )
+
+
+def vocab_growth_sql(
+    select_stmt: str,
+    n_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> str:
+    """DuckDB oracle twin of :func:`vocab_growth` — same membership
+    hash (sampling.h28_sql), same whitespace tokenization, same B-row
+    prefix sums."""
+    from shaha_spark.operators.sampling import h28_sql
+
+    keyed = f"concat(CAST({id_col} AS VARCHAR), '{salt}')"
+    bucket = f"{h28_sql(keyed)} % {n_buckets}"
+    return f"""WITH vg_src AS ({select_stmt}),
+vg_tok AS (
+  SELECT bucket, term FROM (
+    SELECT {bucket} AS bucket,
+           unnest(regexp_split_to_array({text_col}, '[ \\t\\n\\r]+')) AS term
+    FROM vg_src
+  ) WHERE term <> ''
+),
+vg_bt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens FROM vg_tok GROUP BY 1),
+vg_ft AS (SELECT term, min(bucket) AS bucket FROM vg_tok GROUP BY 1),
+vg_nt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_types FROM vg_ft GROUP BY 1),
+vg_spine AS (SELECT CAST(unnest(range({n_buckets})) AS BIGINT) AS bucket),
+vg_j AS (
+  SELECT s.bucket,
+    CAST(coalesce(bt.n_tokens, 0) AS BIGINT) AS n_tokens,
+    CAST(coalesce(nt.n_new_types, 0) AS BIGINT) AS n_new_types
+  FROM vg_spine s
+  LEFT JOIN vg_bt bt USING (bucket)
+  LEFT JOIN vg_nt nt USING (bucket)
+),
+vg_c AS (
+  SELECT bucket, n_tokens, n_new_types,
+    CAST(sum(n_tokens) OVER (ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+    CAST(sum(n_new_types) OVER (ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+  FROM vg_j
+)
+SELECT bucket, n_tokens, n_new_types, cum_tokens, cum_types,
+  CASE WHEN cum_tokens > 0
+    THEN CAST(cum_types AS DOUBLE) / CAST(cum_tokens AS DOUBLE)
+    ELSE 0.0 END AS ttr
+FROM vg_c"""

@@ -745,3 +745,146 @@ def quality_signal_bundle(
         F.col("blocked").alias("url_blocked"),
     )
     return out.join(policy, id_col)
+
+
+# ------------------------------------------- encoding / char classes
+
+#: character-class count patterns, shared VERBATIM by both engines —
+#: ASCII-only classes and \xNN escapes, constructs on which Java regex
+#: (Spark) and RE2 (DuckDB) agree exactly. Keys are output columns.
+CHARCLASS_PATTERNS = (
+    ("n_alpha", r"[A-Za-z]"),
+    ("n_digit", r"[0-9]"),
+    ("n_upper", r"[A-Z]"),
+    ("n_ws", r"[ \t\n\r]"),
+    ("n_punct", r"[!-/:-@\[-`{-~]"),
+    ("n_ctrl", r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"),
+)
+
+#: classic UTF-8-decoded-as-Latin-1/Windows-1252 artifacts ("mojibake"):
+#: a multi-byte UTF-8 sequence read under a single-byte codec renders as
+#: these literal strings (curly quotes/dashes -> "â€¦"-family, accented
+#: Latin letters -> "Ã"-family, NBSP/guillemets -> "Â"-family). Literal
+#: alternation only — no regex metacharacters — so both engines count
+#: identically.
+MOJIBAKE_SIGNS = (
+    "â€™", "â€œ", "â€“", "â€”", "â€¦",
+    "Ã©", "Ã¨", "Ã¤", "Ã¶", "Ã¼", "Ã±", "Ã§",
+    "Â»", "Â«", "Â ",
+)
+
+#: U+FFFD REPLACEMENT CHARACTER — a decoder already gave up here.
+REPLACEMENT_CHAR = "�"
+
+
+def charclass_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-class + encoding-artifact scan — the
+    text-cleanliness signal family of the C4/CCNet canon (strip pages
+    whose bytes survived a codec mix-up: replacement characters,
+    control bytes, mojibake signatures, or an implausibly low letter
+    fraction).
+
+    One row per input doc: the :data:`CHARCLASS_PATTERNS` counts,
+    ``n_ufffd`` (U+FFFD replacement characters), ``n_mojibake``
+    (:data:`MOJIBAKE_SIGNS` occurrences), the four class fractions
+    (``alpha_frac``/``digit_frac``/``upper_frac``/``ws_frac`` — single
+    IEEE divisions of exact integer operands, bit-reproducible across
+    engines), and ``suspect`` — true when any artifact count is
+    nonzero or fewer than half the characters are letters (empty docs
+    are suspect: no evidence of clean text). This is a SIGNAL row, not
+    a filtering policy — thresholds belong to the consumer
+    (RedPajama-v2 shape, same framing as :func:`quality_signal_bundle`).
+
+    Scale shape: ONE codegen'd projection over the scan — per-pattern
+    ``regexp_count`` runs JVM-side, no UDF, no shuffle, no second
+    pass. At 100 TB this is scan-bound by construction.
+
+    Reference parity: none (extension layer, training-data canon).
+    """
+    n_chars = F.length(F.col(text_col)).cast("bigint")
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(name)
+        for name, pat in CHARCLASS_PATTERNS
+    ]
+    moj_pat = "|".join(MOJIBAKE_SIGNS)
+    counts.append(
+        F.regexp_count(F.col(text_col), F.lit(REPLACEMENT_CHAR))
+        .cast("bigint")
+        .alias("n_ufffd")
+    )
+    counts.append(
+        F.regexp_count(F.col(text_col), F.lit(moj_pat))
+        .cast("bigint")
+        .alias("n_mojibake")
+    )
+    base = df.select(F.col(id_col), n_chars.alias("n_chars"), *counts)
+
+    def frac(num: str):
+        return F.when(
+            F.col("n_chars") > 0,
+            F.col(num).cast("double") / F.col("n_chars").cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return base.select(
+        id_col,
+        "n_chars",
+        *[name for name, _ in CHARCLASS_PATTERNS],
+        "n_ufffd",
+        "n_mojibake",
+        frac("n_alpha").alias("alpha_frac"),
+        frac("n_digit").alias("digit_frac"),
+        frac("n_upper").alias("upper_frac"),
+        frac("n_ws").alias("ws_frac"),
+        (
+            (F.col("n_ctrl") > 0)
+            | (F.col("n_ufffd") > 0)
+            | (F.col("n_mojibake") > 0)
+            | (frac("n_alpha") < 0.5)
+        ).alias("suspect"),
+    )
+
+
+def charclass_scan_sql(
+    select_stmt: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle twin of :func:`charclass_scan` — the same pattern
+    table rendered verbatim; occurrence counts via
+    ``len(regexp_extract_all(...))`` (non-overlapping matches, the same
+    counting rule as Spark's ``regexp_count``)."""
+    moj_pat = "|".join(MOJIBAKE_SIGNS)
+    cnt = [
+        f"CAST(len(regexp_extract_all({text_col}, '{pat}')) AS BIGINT) AS {name}"
+        for name, pat in CHARCLASS_PATTERNS
+    ]
+    cnt.append(
+        f"CAST(len(regexp_extract_all({text_col}, '{REPLACEMENT_CHAR}')) AS BIGINT) AS n_ufffd"
+    )
+    cnt.append(
+        f"CAST(len(regexp_extract_all({text_col}, '{moj_pat}')) AS BIGINT) AS n_mojibake"
+    )
+    counts_sql = ",\n    ".join(cnt)
+
+    def frac(num: str) -> str:
+        return (
+            f"CASE WHEN n_chars > 0 THEN CAST({num} AS DOUBLE) / "
+            f"CAST(n_chars AS DOUBLE) ELSE 0.0 END"
+        )
+
+    names = ", ".join(name for name, _ in CHARCLASS_PATTERNS)
+    return f"""WITH cc_src AS ({select_stmt}),
+cc AS (
+  SELECT {id_col},
+    CAST(length({text_col}) AS BIGINT) AS n_chars,
+    {counts_sql}
+  FROM cc_src
+)
+SELECT {id_col}, n_chars, {names}, n_ufffd, n_mojibake,
+  {frac('n_alpha')} AS alpha_frac,
+  {frac('n_digit')} AS digit_frac,
+  {frac('n_upper')} AS upper_frac,
+  {frac('n_ws')} AS ws_frac,
+  (n_ctrl > 0 OR n_ufffd > 0 OR n_mojibake > 0
+   OR {frac('n_alpha')} < 0.5) AS suspect
+FROM cc"""

@@ -69,6 +69,14 @@ GLOBAL_WINDOW_OK = {
                      "to this lint in r10: the bin-table boundary "
                      "migrated localCheckpoint→persist, so the plan "
                      "no longer truncates above it)",
+    "docs_vocab_growth": "prefix sums over the bucket spine — exactly "
+                         "n_buckets=16 rows at any scale (the "
+                         "distributed prefix-sum shape, "
+                         "terms.vocab_growth)",
+    "docs_dup_source_matrix": "pair-total over the source-pair matrix "
+                              "— ≤ |sources|² rows after the hash-agg "
+                              "(policy-sized, never data-sized; "
+                              "dedup.near_dup_source_matrix)",
 }
 
 

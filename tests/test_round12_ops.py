@@ -482,3 +482,131 @@ def test_quality_bundle_composes_signal_operators(spark, sf_dir):
     got_g = {r.doc_id: r.gopher_keep for r in out.collect()}
     want_g = {r.doc_id: r.keep for r in gopher_rules(docs).collect()}
     assert got_g == want_g
+
+
+# --------------------------------- round-12 widening: charclass scan
+
+
+def test_charclass_scan_detects_artifacts(spark):
+    """Crafted artifacts: mojibake signatures, U+FFFD, control bytes,
+    and the low-letter-fraction rule each trip ``suspect``; clean text
+    does not; both engines agree row-for-row."""
+    from shaha_spark.operators.textops import charclass_scan, charclass_scan_sql
+
+    rows = [
+        (1, "plain clean words here"),
+        (2, "curly quote gone wrong â€™ mid sentence"),
+        (3, "decoder gave up �� twice"),
+        (4, "bell\x07inside"),
+        (5, "12345 67890 000"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.asDict() for r in charclass_scan(df).collect()}
+    assert got[1]["suspect"] is False and got[1]["n_mojibake"] == 0
+    assert got[2]["n_mojibake"] == 1 and got[2]["suspect"] is True
+    assert got[3]["n_ufffd"] == 2 and got[3]["suspect"] is True
+    assert got[4]["n_ctrl"] == 1 and got[4]["suspect"] is True
+    # digits-only: alpha_frac < 0.5 trips the letter-fraction rule
+    assert got[5]["alpha_frac"] == 0.0 and got[5]["suspect"] is True
+    # empty doc: zero counts, zero fractions, suspect by convention
+    assert got[6]["n_chars"] == 0 and got[6]["alpha_frac"] == 0.0
+    assert got[6]["suspect"] is True
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in rows
+    )
+    oracle = con.execute(
+        charclass_scan_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text)"
+        )
+    ).fetchall()
+    cols = [d[0] for d in con.description]
+    for row in oracle:
+        d = dict(zip(cols, row))
+        mine = got[d["doc_id"]]
+        for c in cols:
+            assert mine[c] == pytest.approx(d[c]), (d["doc_id"], c)
+
+
+# ----------------------------------- round-12 widening: vocab growth
+
+
+def test_vocab_growth_curve_properties(spark):
+    """The curve's invariants: one row per bucket, cumulative totals
+    equal the corpus totals, cumulative series are monotone, and both
+    engines agree exactly."""
+    from shaha_spark.operators.terms import vocab_growth, vocab_growth_sql
+
+    rows = [
+        (i, " ".join("w%d" % (j % (3 + i % 5)) for j in range(4 + i)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = sorted(
+        (r.asDict() for r in vocab_growth(df, n_buckets=8, salt="t").collect()),
+        key=lambda d: d["bucket"],
+    )
+    assert [d["bucket"] for d in out] == list(range(8))
+    total_tokens = sum(len(t.split()) for _, t in rows)
+    vocab = {w for _, t in rows for w in t.split()}
+    assert out[-1]["cum_tokens"] == total_tokens
+    assert out[-1]["cum_types"] == len(vocab)
+    for a, b in zip(out, out[1:]):
+        assert b["cum_tokens"] >= a["cum_tokens"]
+        assert b["cum_types"] >= a["cum_types"]
+        assert a["cum_tokens"] == 0 or a["ttr"] > 0.0
+
+    con = duckdb.connect()
+    vals = ", ".join("(%d, '%s')" % (i, t) for i, t in rows)
+    oracle = sorted(
+        con.execute(
+            vocab_growth_sql(
+                f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text)",
+                n_buckets=8,
+                salt="t",
+            )
+        ).fetchall()
+    )
+    cols = [d[0] for d in con.description]
+    for row in oracle:
+        d = dict(zip(cols, row))
+        mine = out[d["bucket"]]
+        for c in cols:
+            assert mine[c] == pytest.approx(d[c]), (d["bucket"], c)
+
+
+# ---------------------------- round-12 widening: source dup matrix
+
+
+def test_near_dup_source_matrix_canonical_and_fractions(spark):
+    """Canonical unordered source pairs, exact counts, fractions
+    summing to 1, and the edges-derive-from-df contract (a pair with a
+    missing endpoint drops)."""
+    from shaha_spark.operators.dedup import near_dup_source_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "mirror-a"), (2, "mirror-b"), (3, "mirror-b"),
+         (4, "spam"), (5, "spam")],
+        "doc_id bigint, source string",
+    )
+    edges = spark.createDataFrame(
+        # (2,1) arrives reversed relative to source order: least/
+        # greatest must still canonicalize to (mirror-a, mirror-b)
+        [(2, 1), (1, 3), (4, 5), (99, 1)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        (r.source_a, r.source_b): r.asDict()
+        for r in near_dup_source_matrix(docs, edges).collect()
+    }
+    assert set(got) == {("mirror-a", "mirror-b"), ("spam", "spam")}
+    ab = got[("mirror-a", "mirror-b")]
+    assert ab["n_pairs"] == 2 and ab["cross_source"] is True
+    ss = got[("spam", "spam")]
+    assert ss["n_pairs"] == 1 and ss["cross_source"] is False
+    # edge (99, 1) dropped: 99 is not in docs
+    assert sum(d["n_pairs"] for d in got.values()) == 3
+    assert sum(d["pair_frac"] for d in got.values()) == pytest.approx(1.0)
+    assert ab["pair_frac"] == pytest.approx(2 / 3)
