@@ -1003,8 +1003,12 @@ def near_dup_source_matrix(
     :func:`~shaha_spark.operators.sampling.cluster_split`); both
     endpoints must come from ``df`` — pairs with an endpoint missing
     there are dropped by the inner joins, the shared
-    edges-derive-from-df contract of the family. One row per unordered
-    source pair (``source_a`` ≤ ``source_b`` lexicographically):
+    edges-derive-from-df contract of the family. A NULL source labels
+    as ``''`` (both engines' least/greatest silently SKIP nulls, which
+    would mislabel a null↔s pair as same-source (s, s) — the coalesce
+    makes "unknown source" an explicit label instead). One row per
+    unordered source pair (``source_a`` ≤ ``source_b``
+    lexicographically):
     ``n_pairs``, ``cross_source``, and ``pair_frac`` (share of all
     near-dup pairs — a single IEEE division of exact integers).
 
@@ -1018,8 +1022,9 @@ def near_dup_source_matrix(
     """
     from pyspark.sql import Window
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(source_col).alias("__sa"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(source_col).alias("__sb"))
+    src = F.coalesce(F.col(source_col), F.lit(""))
+    a = df.select(F.col(id_col).alias("id_a"), src.alias("__sa"))
+    b = df.select(F.col(id_col).alias("id_b"), src.alias("__sb"))
     canon = (
         edges.join(a, "id_a")
         .join(b, "id_b")
@@ -1054,8 +1059,8 @@ def near_dup_source_matrix_sql(
     return f"""WITH sm_docs AS ({docs_stmt}),
 sm_edges AS ({edges_stmt}),
 sm_lab AS (
-  SELECT least(a.{source_col}, b.{source_col}) AS source_a,
-         greatest(a.{source_col}, b.{source_col}) AS source_b
+  SELECT least(coalesce(a.{source_col}, ''), coalesce(b.{source_col}, '')) AS source_a,
+         greatest(coalesce(a.{source_col}, ''), coalesce(b.{source_col}, '')) AS source_b
   FROM sm_edges e
   JOIN sm_docs a ON a.{id_col} = e.id_a
   JOIN sm_docs b ON b.{id_col} = e.id_b

@@ -429,3 +429,48 @@ def test_token_budget_null_text_counts_zero_tokens(spark):
     assert out[2].n_tokens == 0 and out[2].start == 2
     assert out[3].start == 2
     assert set(out) == {1, 2, 3}
+
+
+def test_charclass_scan_null_text_is_suspect(spark):
+    """A NULL text yields NULL counts in BOTH engines (length(NULL) is
+    NULL there too) but a deterministic suspect=true via the
+    letter-fraction rule's 0.0 fallback — no evidence of clean text."""
+    from shaha_spark.operators.textops import charclass_scan
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "ok words")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.asDict() for r in charclass_scan(df).collect()}
+    assert got[1]["n_chars"] is None and got[1]["alpha_frac"] == 0.0
+    assert got[1]["suspect"] is True
+    assert got[2]["suspect"] is False
+
+
+def test_vocab_growth_null_text_contributes_nothing(spark):
+    """NULL-text docs drop at the explode (split(NULL) → no rows), the
+    same convention as the tokens() family; totals count only real
+    tokens."""
+    from shaha_spark.operators.terms import vocab_growth
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b a")], "doc_id bigint, text string"
+    )
+    out = sorted(vocab_growth(df, n_buckets=4).collect(), key=lambda r: r.bucket)
+    assert out[-1].cum_tokens == 3 and out[-1].cum_types == 2
+
+
+def test_source_matrix_null_source_labels_empty(spark):
+    """A NULL source labels as '' instead of vanishing into
+    least/greatest's null-skipping (which would mislabel a null↔s pair
+    as same-source (s, s))."""
+    from shaha_spark.operators.dedup import near_dup_source_matrix
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "s")], "doc_id bigint, source string"
+    )
+    edges = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    rows = near_dup_source_matrix(docs, edges).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert (r["source_a"], r["source_b"]) == ("", "s")
+    assert r["cross_source"] is True
