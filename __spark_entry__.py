@@ -4036,6 +4036,32 @@ SELECT id_a, id_b FROM sims WHERE est_jaccard >= 0.7"""
         )
         + ")"
     )
+    # ---- round-12 widening, second batch: Zipf slope + SSL-prototypes ----
+    from shaha_spark.operators.terms import zipf_slope_sql
+
+    sql["docs_zipf_slope"] = zipf_slope_sql("SELECT doc_id, text FROM documents")
+    # prototypicality: the kmeans CTE chain supplies the centroids; the
+    # assignment argmax (unrounded sim, centroid-id-asc ties) is the
+    # verified fassign recipe of _ivf_kmeans_sql, keeping the rounded
+    # cosine as the signal
+    _pr_ctes = ",\n".join(_kmeans_parts(4, 2))
+    sql["emb_prototypicality"] = f"""WITH {_pr_ctes},
+pr_a AS (
+  SELECT vec_id, centroid_id,
+         round(list_cosine_similarity(CAST(e AS DOUBLE[]), cv), 6) AS proto_cos
+  FROM (
+    SELECT v.vec_id, v.e, c.centroid_id, c.cv,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(CAST(v.e AS DOUBLE[]), c.cv) DESC,
+                      c.centroid_id ASC
+           ) AS r
+    FROM v CROSS JOIN c2 c
+  ) WHERE r = 1
+)
+SELECT vec_id, centroid_id, proto_cos,
+  CAST(proto_cos >= 0.35 AS INTEGER) AS prototypical
+FROM pr_a"""
     sql.update(oracle_sql_r4())
     return sql
 
@@ -4208,6 +4234,7 @@ R12_WINDOW_ORDER = [
     "docs_split_balance", "docs_cross_split_contamination",
     "docs_bpe_fertility", "docs_quality_bundle",
     "docs_charclass", "docs_vocab_growth", "docs_dup_source_matrix",
+    "docs_zipf_slope", "emb_prototypicality",
     # least-recently-verified backfill (scripts/plan_window.py): the
     # remaining r07 cohort, then the r08 cohort
     "events_funnel", "events_transitions", "sample_documents",
@@ -4222,7 +4249,6 @@ R12_WINDOW_ORDER = [
     "build_multi_algo", "query_point_lookup", "append_merge",
     "events_rolling", "events_hll_distinct",
     "events_bootstrap_ci", "docs_weighted_reservoir", "events_trend",
-    "events_autocorr", "events_ewma",
 ]
 
 R11_WINDOW_ORDER = [
@@ -4439,6 +4465,10 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_charclass": q_docs_charclass,
         "docs_vocab_growth": q_docs_vocab_growth,
         "docs_dup_source_matrix": q_docs_dup_source_matrix,
+        # second widening batch (Zipf slope / SSL-prototypes); the
+        # prototypicality oracle composes the main-section kmeans CTEs
+        "docs_zipf_slope": q_docs_zipf_slope,
+        "emb_prototypicality": q_emb_prototypicality,
         # round-10 additions (concept-grep, VERDICT r9 #6)
         "docs_substr_decontaminate": q_docs_substr_decontaminate,
         "docs_substr_decontaminate_screened": (
@@ -6545,6 +6575,39 @@ def q_docs_dup_source_matrix(spark, sf_dir):
         "n_pairs",
         F.col("cross_source").cast("int").alias("cross_source"),
         "pair_frac",
+    )
+
+
+def q_docs_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency fit (round 12; operators.terms.zipf_slope):
+    least-squares slope of ln(count) vs ln(rank) over the corpus's top
+    terms — the dual of the vocab-growth Heaps curve (natural language
+    sits near −1; the synthetic corpus's flat −0.18 at r² 0.06 is
+    exactly the template-heavy profile the signal exists to flag). The
+    oracle reuses ols_fit_sql's exact-decimal moments on the same
+    rounded-ln projection."""
+    from shaha_spark.operators.terms import zipf_slope
+
+    return zipf_slope(_t(spark, sf_dir, "documents"))
+
+
+def q_emb_prototypicality(spark, sf_dir):
+    """SSL-prototypes pruning signal (round 12;
+    operators.kmeans.prototypicality): per-vector cosine to the
+    assigned k-means centroid with a threshold flag (Sorcher et al.
+    2022 data-pruning metric — prune cluster-redundant mass, keep the
+    hard tail). Centroids from the verified kmeans_fit (k=4, iters=2);
+    the oracle chains the same kmeans CTEs into the fassign argmax,
+    keeping the rounded cosine."""
+    from shaha_spark.operators.kmeans import kmeans_fit, prototypicality
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = prototypicality(emb, kmeans_fit(emb, k=4, iters=2), threshold=0.35)
+    return out.select(
+        "vec_id",
+        "centroid_id",
+        "proto_cos",
+        F.col("prototypical").cast("int").alias("prototypical"),
     )
 
 

@@ -118,3 +118,66 @@ def kmeans_fit(
         )
         centroids = merged.localCheckpoint(eager=True)
     return centroids
+
+
+def prototypicality(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector prototypicality signal: the cosine to the assigned
+    (nearest) centroid, with a ``prototypical`` flag at ``threshold`` —
+    the SSL-prototypes data-pruning metric (Sorscher et al. 2022,
+    "Beyond neural scaling laws: beating power law scaling via data
+    pruning" — public method, re-expressed on DataFrame primitives:
+    when data is abundant, prune the MOST prototypical examples —
+    cluster-redundant mass — and keep the hard tail; when data is
+    scarce, prune the least prototypical). This operator reports the
+    SIGNAL; the keep/drop policy belongs to the consumer, composing as
+    ``.where(~F.col("prototypical"))`` or a per-cluster quantile.
+
+    Same scale shape as :func:`assign_nearest`: broadcast centroids
+    (model-sized), ONE shuffle-free corpus scan scoring all k cosines
+    with hoisted norms, a per-vector argmax window (k rows per
+    partition key). The cosine rounds to 6 decimals — the embedding
+    family's cross-engine convention — BEFORE the threshold compare,
+    so both engines take the same branch at the boundary.
+
+    Reference parity: none (extension layer, training-data canon).
+    """
+    c = F.broadcast(
+        centroids.select(
+            "centroid_id", "centroid", norm2(F.col("centroid")).alias("__ctn2")
+        )
+    )
+    scored = (
+        corpus.withColumn("__vn2", norm2(F.col(vec_col)))
+        .crossJoin(c)
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            cosine_sim_hoisted(
+                dot(F.col(vec_col), F.col("centroid")),
+                F.col("__vn2"),
+                F.col("__ctn2"),
+            ).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    best = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(
+            id_col,
+            "centroid_id",
+            F.round(F.col("__sim"), 6).alias("proto_cos"),
+        )
+    )
+    return best.select(
+        "*",
+        (F.col("proto_cos") >= F.lit(threshold)).alias("prototypical"),
+    )

@@ -1867,3 +1867,78 @@ SELECT bucket, n_tokens, n_new_types, cum_tokens, cum_types,
     THEN CAST(cum_types AS DOUBLE) / CAST(cum_tokens AS DOUBLE)
     ELSE 0.0 END AS ttr
 FROM vg_c"""
+
+
+# --------------------------------------------------- Zipf slope
+
+
+def zipf_slope(
+    df: DataFrame,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus's top-``top_k`` terms:
+    least-squares slope of ln(count) against ln(rank) (Zipf 1949; a
+    natural-language corpus sits near slope −1 — the dual of the
+    :func:`vocab_growth` Heaps curve. A too-shallow slope means a
+    flat, template/ID-heavy frequency profile; too-steep means a few
+    boilerplate tokens dominate).
+
+    One row: ``corpus`` (constant key), ``n`` (terms fitted),
+    ``slope``, ``intercept``, ``r2`` — the moments and guards of
+    :func:`~shaha_spark.operators.regression.ols_fit`, with the
+    transcendental step following the LM family's determinism recipe
+    (``round(ln(x), 8)`` before the exact-decimal moments).
+
+    Scale shape: explode → one map-side-combined term hash-agg →
+    TakeOrdered top-k (never a global sort) → a k-row rank window
+    (policy-sized; GLOBAL_WINDOW_OK) → one scalar moment agg.
+
+    Reference parity: none (extension layer, training-data canon).
+    """
+    from shaha_spark.operators.regression import ols_fit
+
+    if top_k < 2:
+        raise ValueError(f"top_k must be >= 2, got {top_k}")
+    counts = (
+        tokens(df, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(top_k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = top.select(
+        F.lit("all").alias("corpus"),
+        F.round(F.log(F.row_number().over(w).cast("double")), 8).alias("__lx"),
+        F.round(F.log(F.col("cnt").cast("double")), 8).alias("__ly"),
+    )
+    return ols_fit(ranked, "corpus", "__lx", "__ly", precision="decimal(18,8)")
+
+
+def zipf_slope_sql(
+    select_stmt: str,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of :func:`zipf_slope` — same tokenization,
+    top-k order, rounded-ln projection, and exact-decimal moments."""
+    from shaha_spark.operators.regression import ols_fit_sql
+
+    inner = f"""(WITH zs_src AS ({select_stmt}),
+zs_tok AS (
+  SELECT term FROM (
+    SELECT unnest(regexp_split_to_array({text_col}, '[ \\t\\n\\r]+')) AS term
+    FROM zs_src
+  ) WHERE term <> ''
+),
+zs_cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM zs_tok GROUP BY 1),
+zs_top AS (SELECT term, cnt FROM zs_cnt ORDER BY cnt DESC, term ASC LIMIT {top_k})
+SELECT 'all' AS corpus,
+  round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS DOUBLE)), 8) AS lx,
+  round(ln(CAST(cnt AS DOUBLE)), 8) AS ly
+FROM zs_top) zs_ranked"""
+    return ols_fit_sql(
+        inner, "corpus", "lx", "ly", precision="DECIMAL(18,8)"
+    )

@@ -115,6 +115,8 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
      "qcodes.select(query_id_col, '__qvec', norm2(F.col('__qvec'))"): _QUERY,
     ("shaha_spark/operators/kmeans.py", "assign_nearest",
      "centroids.select('centroid_id', 'centroid', norm2(F.col('cen"): _MODEL,
+    ("shaha_spark/operators/kmeans.py", "prototypicality",
+     "centroids.select('centroid_id', 'centroid', norm2(F.col('cen"): _MODEL,
     ("shaha_spark/operators/layout.py", "zorder_value", "bounds"): _SCALAR,
     ("shaha_spark/operators/pq.py", "_adc_score", "codebooks"): _MODEL,
     ("shaha_spark/operators/pq.py", "_adc_score", "adc"):

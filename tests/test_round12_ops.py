@@ -610,3 +610,79 @@ def test_near_dup_source_matrix_canonical_and_fractions(spark):
     assert sum(d["n_pairs"] for d in got.values()) == 3
     assert sum(d["pair_frac"] for d in got.values()) == pytest.approx(1.0)
     assert ab["pair_frac"] == pytest.approx(2 / 3)
+
+
+# ------------------------------------ round-12 widening: Zipf slope
+
+
+def test_zipf_slope_recovers_known_exponent(spark):
+    """A corpus built with counts ∝ 1/rank must fit slope ≈ −1 with
+    high r²; top_k caps the fitted population; top_k < 2 raises."""
+    import math
+
+    import numpy as np
+
+    from shaha_spark.operators.terms import zipf_slope
+
+    # term t_r appears round(1200 / r) times, r = 1..20
+    words = []
+    counts = {}
+    for r in range(1, 21):
+        c = round(1200 / r)
+        counts[f"t{r:02d}"] = c
+        words.extend([f"t{r:02d}"] * c)
+    docs = [(i, " ".join(words[i::7])) for i in range(7)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    row = zipf_slope(df, top_k=20).collect()[0]
+    assert row.n == 20
+    # expected fit on the same rounded-ln projection
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    lx = [round(math.log(r), 8) for r in range(1, 21)]
+    ly = [round(math.log(c), 8) for _, c in ordered]
+    exp_slope = np.polyfit(lx, ly, 1)[0]
+    assert row.slope == pytest.approx(exp_slope, abs=1e-6)
+    assert row.slope == pytest.approx(-1.0, abs=0.05)
+    assert row.r2 > 0.999
+
+    assert zipf_slope(df, top_k=5).collect()[0].n == 5
+    with pytest.raises(ValueError, match="top_k"):
+        zipf_slope(df, top_k=1)
+
+
+# ----------------------------- round-12 widening: prototypicality
+
+
+def test_prototypicality_flags_centroid_mass(spark):
+    """A vector lying ON its centroid scores proto_cos 1.0 and flags;
+    an orthogonal vector does not; the rounded cosine compares at the
+    threshold so both engines branch identically."""
+    from shaha_spark.operators.kmeans import prototypicality
+
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    emb = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0, 0.0]),   # == centroid 1 direction
+            (11, [0.0, 0.0, 5.0]),   # orthogonal to both
+            (12, [1.0, 1.0, 0.0]),   # cos √2/2 ≈ 0.707 to both; tie → 1
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.asDict()
+        for r in prototypicality(emb, cents, threshold=0.9).collect()
+    }
+    assert got[10]["centroid_id"] == 1 and got[10]["proto_cos"] == 1.0
+    assert got[10]["prototypical"] is True
+    assert got[11]["proto_cos"] == 0.0 and got[11]["prototypical"] is False
+    assert got[12]["centroid_id"] == 1
+    assert got[12]["proto_cos"] == pytest.approx(0.707107)
+    assert got[12]["prototypical"] is False
+    # >= at the boundary: threshold exactly the rounded cosine flags
+    got2 = {
+        r.vec_id: r.prototypical
+        for r in prototypicality(emb, cents, threshold=0.707107).collect()
+    }
+    assert got2[12] is True
