@@ -21,6 +21,37 @@ SF_DIR = "/root/testdata/sf0.01"
 
 #: query name → what the plan demonstrates (rendered above each plan)
 NOTES = {
+    "docs_charclass": (
+        "Character-class + encoding-artifact scan: ONE codegen'd "
+        "projection — every regexp_count and fraction evaluates inside "
+        "WholeStageCodegen on the parquet scan; no shuffle, no UDF, no "
+        "second pass at any scale."
+    ),
+    "docs_vocab_growth": (
+        "Heaps-law curve: explode feeds TWO map-side-combined hash aggs "
+        "(per-bucket token counts; per-type min-bucket), joined on the "
+        "16-row bucket spine; only the spine crosses the single-partition "
+        "prefix-sum window (GLOBAL_WINDOW_OK cardinality argument)."
+    ),
+    "docs_dup_source_matrix": (
+        "Cross-source duplication matrix: the eagerly-checkpointed "
+        "pair-sized edge list joins the two source projections (the "
+        "minhash sims chain is paid once behind the checkpoint), one "
+        "hash-agg to the <=|sources|^2 matrix, and the pair-total window "
+        "runs over matrix rows only."
+    ),
+    "docs_zipf_slope": (
+        "Zipf fit: term hash-agg -> TakeOrdered top-k (never a global "
+        "sort) -> k-row rank window -> one scalar moment aggregation; "
+        "the only transcendental step is the rounded-ln projection on "
+        "k rows."
+    ),
+    "emb_prototypicality": (
+        "SSL-prototypes signal: model-sized centroid broadcast, one "
+        "shuffle-free corpus scan scoring all k cosines with hoisted "
+        "norms, per-vector argmax window (k rows per key) — "
+        "assign_nearest's shape with the cosine kept as the signal."
+    ),
     "build_multi_algo": (
         "Scan → word dedup (hash agg) → array-struct explode fanout → "
         "hex-keyed hash-agg record dedup. Zero SortAggregate: grouping on "
