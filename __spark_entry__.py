@@ -4062,6 +4062,37 @@ pr_a AS (
 SELECT vec_id, centroid_id, proto_cos,
   CAST(proto_cos >= 0.35 AS INTEGER) AS prototypical
 FROM pr_a"""
+    # cluster-health report: the same chain aggregated to k rows, with
+    # the decimal-exact mean recipe and the empty-cluster spine
+    from shaha_spark.operators.profile import split_cast_double_sql
+
+    _cp_mean = split_cast_double_sql("cp.s", 6)
+    sql["emb_cluster_profile"] = f"""WITH {_pr_ctes},
+pr_a AS (
+  SELECT vec_id, centroid_id,
+         round(list_cosine_similarity(CAST(e AS DOUBLE[]), cv), 6) AS proto_cos
+  FROM (
+    SELECT v.vec_id, v.e, c.centroid_id, c.cv,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(CAST(v.e AS DOUBLE[]), c.cv) DESC,
+                      c.centroid_id ASC
+           ) AS r
+    FROM v CROSS JOIN c2 c
+  ) WHERE r = 1
+),
+cp AS (
+  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(proto_cos AS DECIMAL(20,6))) AS s,
+         CAST(sum(CASE WHEN proto_cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS np
+  FROM pr_a GROUP BY 1
+)
+SELECT c.centroid_id,
+  CAST(coalesce(cp.n, 0) AS BIGINT) AS n_members,
+  CASE WHEN cp.n > 0 THEN {_cp_mean} / CAST(cp.n AS DOUBLE) END AS mean_cos,
+  CASE WHEN cp.n > 0 THEN CAST(cp.np AS DOUBLE) / CAST(cp.n AS DOUBLE) END
+    AS proto_frac
+FROM c2 c LEFT JOIN cp USING (centroid_id)"""
     sql.update(oracle_sql_r4())
     return sql
 
@@ -4234,7 +4265,7 @@ R12_WINDOW_ORDER = [
     "docs_split_balance", "docs_cross_split_contamination",
     "docs_bpe_fertility", "docs_quality_bundle",
     "docs_charclass", "docs_vocab_growth", "docs_dup_source_matrix",
-    "docs_zipf_slope", "emb_prototypicality",
+    "docs_zipf_slope", "emb_prototypicality", "emb_cluster_profile",
     # least-recently-verified backfill (scripts/plan_window.py): the
     # remaining r07 cohort, then the r08 cohort
     "events_funnel", "events_transitions", "sample_documents",
@@ -4248,7 +4279,7 @@ R12_WINDOW_ORDER = [
     "docs_dup_grams", "docs_bigram_logprob", "docs_bpe_pairs",
     "build_multi_algo", "query_point_lookup", "append_merge",
     "events_rolling", "events_hll_distinct",
-    "events_bootstrap_ci", "docs_weighted_reservoir", "events_trend",
+    "events_bootstrap_ci", "docs_weighted_reservoir",
 ]
 
 R11_WINDOW_ORDER = [
@@ -4469,6 +4500,7 @@ def _queries_prior() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prototypicality oracle composes the main-section kmeans CTEs
         "docs_zipf_slope": q_docs_zipf_slope,
         "emb_prototypicality": q_emb_prototypicality,
+        "emb_cluster_profile": q_emb_cluster_profile,
         # round-10 additions (concept-grep, VERDICT r9 #6)
         "docs_substr_decontaminate": q_docs_substr_decontaminate,
         "docs_substr_decontaminate_screened": (
@@ -6608,6 +6640,22 @@ def q_emb_prototypicality(spark, sf_dir):
         "centroid_id",
         "proto_cos",
         F.col("prototypical").cast("int").alias("prototypical"),
+    )
+
+
+def q_emb_cluster_profile(spark, sf_dir):
+    """Per-cluster curation report (round 12;
+    operators.kmeans.cluster_profile): member count, decimal-exact
+    mean cosine-to-centroid, and prototypical fraction per k-means
+    cluster — the audit row cluster-balanced curation reads before
+    setting per-cluster keep rates. Empty clusters are reported rows
+    (spine left join), never absent ones. The oracle aggregates the
+    same prototypicality chain with split_cast_double's exact mean."""
+    from shaha_spark.operators.kmeans import cluster_profile, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_profile(
+        emb, kmeans_fit(emb, k=4, iters=2), threshold=0.35
     )
 
 

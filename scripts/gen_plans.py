@@ -52,6 +52,12 @@ NOTES = {
         "norms, per-vector argmax window (k rows per key) — "
         "assign_nearest's shape with the cosine kept as the signal."
     ),
+    "emb_cluster_profile": (
+        "Cluster-health report: the prototypicality scan feeds ONE "
+        "map-side-combined hash-agg down to k rows (decimal-exact "
+        "cohesion sums), then a k-row spine left join so empty "
+        "clusters are reported rows."
+    ),
     "build_multi_algo": (
         "Scan → word dedup (hash agg) → array-struct explode fanout → "
         "hex-keyed hash-agg record dedup. Zero SortAggregate: grouping on "

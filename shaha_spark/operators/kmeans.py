@@ -181,3 +181,54 @@ def prototypicality(
         "*",
         (F.col("proto_cos") >= F.lit(threshold)).alias("prototypical"),
     )
+
+
+def cluster_profile(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cluster curation report over a fitted k-means model: member
+    count, mean cosine-to-centroid (cohesion), and the prototypical
+    fraction at ``threshold`` — the audit row cluster-balanced
+    curation reads before deciding per-cluster keep rates (the
+    SemDeDup/SSL-prototypes loop works cluster by cluster: a huge,
+    tight, highly-prototypical cluster is redundant mass to prune; a
+    small diffuse one is the hard tail to keep).
+
+    One row per CENTROID — empty clusters are reported rows with
+    ``n_members`` 0 and NULL cohesion, never absent ones (the
+    zero-states-are-rows convention). ``mean_cos`` is a decimal-exact
+    sum of the rounded per-vector cosines divided once
+    (:func:`~shaha_spark.operators.profile.split_cast_double`);
+    ``proto_frac`` is a single IEEE division of exact integers.
+
+    Scale shape: :func:`prototypicality`'s one shuffle-free corpus
+    scan, then ONE map-side-combined hash-agg down to k rows and a
+    k-row spine join. Nothing beyond the signal scan is data-sized.
+
+    Reference parity: none (extension layer, training-data canon).
+    """
+    from shaha_spark.operators.profile import split_cast_double
+
+    pr = prototypicality(corpus, centroids, threshold, vec_col, id_col)
+    agg = pr.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("proto_cos").cast("decimal(20,6)")).alias("__s"),
+        F.sum(F.col("prototypical").cast("long")).alias("__np"),
+    )
+    spine = centroids.select("centroid_id")
+    joined = spine.join(agg, "centroid_id", "left")
+    n = F.coalesce("__n", F.lit(0)).cast("long")
+    return joined.select(
+        "centroid_id",
+        n.alias("n_members"),
+        F.when(
+            n > 0, split_cast_double(F.col("__s"), 6) / n.cast("double")
+        ).alias("mean_cos"),
+        F.when(
+            n > 0, F.col("__np").cast("double") / n.cast("double")
+        ).alias("proto_frac"),
+    )

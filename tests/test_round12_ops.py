@@ -686,3 +686,38 @@ def test_prototypicality_flags_centroid_mass(spark):
         for r in prototypicality(emb, cents, threshold=0.707107).collect()
     }
     assert got2[12] is True
+
+
+# --------------------------- round-12 widening: cluster profile
+
+
+def test_cluster_profile_reports_empty_clusters(spark):
+    """Known two-cluster geometry: exact means and fractions; a
+    centroid with no members is a reported row with NULL cohesion,
+    not an absent one."""
+    from shaha_spark.operators.kmeans import cluster_profile
+
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, -1.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    emb = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),     # on centroid 1: cos 1.0
+            (11, [1.0, 1.0]),     # cos √2/2 to 1 and 2; tie → 1
+            (12, [0.0, 2.0]),     # on centroid 2: cos 1.0
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r.centroid_id: r.asDict()
+        for r in cluster_profile(emb, cents, threshold=0.9).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_members"] == 2
+    assert got[1]["mean_cos"] == pytest.approx((1.0 + 0.707107) / 2)
+    assert got[1]["proto_frac"] == pytest.approx(0.5)
+    assert got[2]["n_members"] == 1 and got[2]["proto_frac"] == 1.0
+    # nothing points at centroid 3: reported, NULL cohesion
+    assert got[3]["n_members"] == 0
+    assert got[3]["mean_cos"] is None and got[3]["proto_frac"] is None
