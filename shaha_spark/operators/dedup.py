@@ -28,6 +28,7 @@ from shaha_spark.util import ensure_parallelism
 from shaha_spark.operators.constants import (
     LSH_BANDS,
     LSH_ROWS_PER_BAND,
+    MERSENNE_P,
     MINHASH_PERMS,
     MINHASH_SENTINEL,
     SHINGLE_N,
@@ -71,14 +72,33 @@ def minhash_signatures(
     a single groupBy with map-side partial aggregation — the only
     shuffle carries k longs per document. Documents with no shingle get
     p (= max sentinel) in every slot via explode_outer + coalesce.
+
+    Two measured per-cost details (optimization round 12):
+      * the token array is materialized as a column BEFORE the shingle
+        transform — ``shingles(tokens(text))`` inlines the tokenizer
+        into every ``element_at`` of the (interpreted) transform
+        lambda, re-splitting the text O(shingles) times per document;
+        with the projection it is split once (sf0.1: pairs pipeline
+        1.05 s → 0.73 s, bit-identical output).
+      * the k permutation aggregates are built as ONE SQL string each
+        (``F.expr``) instead of ~12 chained Column calls — per-Column
+        py4j round trips made plan CONSTRUCTION a driver-side cost of
+        the same order as the query itself (guide §7.3: avoid
+        generating gigantic expression trees in loops). The parsed
+        expression tree is identical.
     """
-    sh = shingles(tokens(F.col(text_col)), shingle_n)
-    hashed = ensure_parallelism(df).select(
+    toked = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    sh = shingles(F.col("__toks"), shingle_n)
+    hashed = toked.select(
         F.col(id_col), F.explode_outer(sh).alias("__shingle")
     ).select(F.col(id_col), h28(F.col("__shingle")).alias("__h"))
-    sentinel = F.lit(MINHASH_SENTINEL).cast("long")
     aggs = [
-        F.coalesce(F.min(perm_hash(F.col("__h"), a, b)), sentinel).alias(f"mh_{i}")
+        F.expr(
+            f"coalesce(min((CAST({a} AS BIGINT) * __h + {b}) % "
+            f"{MERSENNE_P}), CAST({MINHASH_SENTINEL} AS BIGINT))"
+        ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -262,27 +282,31 @@ def simhash(
     and the shuffle carries 32 longs per document. Tokenless documents
     survive via explode_outer (null hash → sums 0 → fingerprint 0,
     matching the reference-free semantics of 'no content').
+
+    The 32 per-bit aggregates and the 32-term fingerprint recombination
+    are built as SQL strings (``F.expr``) — the Column-by-Column form
+    cost ~6,000 py4j round trips (~1.2 s of the 1.7 s sf0.1 wall time)
+    just to CONSTRUCT the plan (optimization round 12; guide §7.3).
+    The parsed trees, and therefore the results, are identical.
     """
     toks = tokens(F.col(text_col))
     hashed = ensure_parallelism(df).select(
         F.col(id_col), F.explode_outer(toks).alias("__tok")
     ).select(F.col(id_col), h32(F.col("__tok")).alias("__h"))
     per_bit = [
-        F.sum(
-            F.when(F.col("__h").isNull(), 0)
-            .when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN __h IS NULL THEN 0 WHEN "
+            f"(shiftright(__h, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"__s_{j}")
         for j in range(bits)
     ]
     sums = hashed.groupBy(id_col).agg(*per_bit)
-    fp = sum(
-        F.when(F.col(f"__s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    fp = " + ".join(
+        f"CASE WHEN __s_{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
         for j in range(bits)
     )
-    return sums.select(F.col(id_col), fp.alias("simhash"))
+    return sums.select(F.col(id_col), F.expr(fp).alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -378,11 +402,15 @@ def ngram_jaccard(
         )
     )
     members = stack.select(id_col).distinct()
+    # tokens materialized as a column before the shingle transform —
+    # inlining the tokenizer re-splits the text per lambda element_at
+    # (see minhash_signatures)
     shingle_rows = (
         ensure_parallelism(df.join(members, id_col, "left_semi"))
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .select(
             F.col(id_col),
-            F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("sh"),
+            F.explode(shingles(F.col("__toks"), shingle_n)).alias("sh"),
         )
     )
     per_shingle = (
@@ -551,9 +579,12 @@ def minhash_eval(
 
     sh_rows = (
         ensure_parallelism(df)
+        # tokens materialized before the shingle transform (see
+        # minhash_signatures): split once per doc, not per element_at
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .select(
             F.col(id_col),
-            F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("sh"),
+            F.explode(shingles(F.col("__toks"), shingle_n)).alias("sh"),
         )
         .distinct()
     )

@@ -421,9 +421,13 @@ def winnow_fingerprints(
     from shaha_spark.functions.text import h28, shingles, tokens
     from shaha_spark.util import ensure_parallelism
 
+    # tokens materialized before the shingle transform (see
+    # dedup.minhash_signatures): split once per doc, not per element_at
     grams = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
         F.col(id_col),
-        F.posexplode(shingles(tokens(F.col(text_col)), k)).alias("pos", "gram"),
+        F.posexplode(shingles(F.col("__toks"), k)).alias("pos", "gram"),
     ).select(id_col, "pos", h28(F.col("gram")).alias("h"))
     win = (
         Window.partitionBy(id_col)

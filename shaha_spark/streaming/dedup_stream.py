@@ -59,22 +59,31 @@ def stream_minhash_signatures(
     document id + event time as the (watermarked) group key so the
     aggregation state is evicted once a document's window passes.
     """
-    from shaha_spark.functions.text import h28, perm_hash, shingles, tokens
+    from shaha_spark.functions.text import h28, shingles, tokens
     from shaha_spark.operators.constants import (
+        MERSENNE_P,
         MINHASH_PERMS,
         MINHASH_SENTINEL,
         SHINGLE_N,
     )
 
-    sh = shingles(tokens(F.col(text_col)), SHINGLE_N)
+    # Same two construction/per-task optimizations as the batch twin
+    # (operators/dedup.minhash_signatures, optimization round 12):
+    # tokens materialized before the shingle transform, and the k
+    # permutation aggregates parsed from ONE SQL string each. Values
+    # are bit-identical, so batch≡stream identity is preserved.
+    sh = shingles(F.col("__toks"), SHINGLE_N)
     hashed = (
         docs.withWatermark(ts_col, horizon)
+        .select(F.col(id_col), F.col(ts_col), tokens(F.col(text_col)).alias("__toks"))
         .select(F.col(id_col), F.col(ts_col), F.explode_outer(sh).alias("__shingle"))
         .select(F.col(id_col), F.col(ts_col), h28(F.col("__shingle")).alias("__h"))
     )
-    sentinel = F.lit(MINHASH_SENTINEL).cast("long")
     aggs = [
-        F.coalesce(F.min(perm_hash(F.col("__h"), a, b)), sentinel).alias(f"mh_{i}")
+        F.expr(
+            f"coalesce(min((CAST({a} AS BIGINT) * __h + {b}) % "
+            f"{MERSENNE_P}), CAST({MINHASH_SENTINEL} AS BIGINT))"
+        ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
     return hashed.groupBy(id_col, ts_col).agg(*aggs)
