@@ -70,6 +70,7 @@ from __future__ import annotations
 import os
 import sys
 from collections.abc import Callable
+from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -126,8 +127,28 @@ def _ensure_pkg(spark: SparkSession) -> None:
     _PKG_SHIPPED.add(key)
 
 
+#: (sf_dir, table) -> inferred StructType. Schema METADATA only — never
+#: rows, never results: every query still scans the parquet afresh.
+#: Each spark.read.parquet() call re-infers the schema from the file
+#: footer (~80 ms per table on this driver); a 6-table join paid ~0.5 s
+#: of its wall time re-reading footers it had already read (guide §7.3
+#: driver-side planning cost; same spirit as Spark's own session-wide
+#: FileStatusCache for listings). `events` is deliberately NOT cached:
+#: its physical ts type is sniffed under the nanosAsLong session conf
+#: (see _events), so its inferred schema is conf-dependent.
+_TABLE_SCHEMAS: dict[tuple[str, str], Any] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        return spark.read.parquet(path)
+    key = (sf_dir, name)
+    schema = _TABLE_SCHEMAS.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _TABLE_SCHEMAS[key] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 def _utc(spark: SparkSession) -> None:

@@ -1,0 +1,144 @@
+"""Focused value-identity pins for the round-12 optimizations.
+
+Each optimization rewrote HOW an operator builds its plan (SQL-string
+expressions, materialized token arrays, two-level decimal aggregation,
+post-shuffle constant attach) with the contract that the VALUES are
+bit-identical. These tests keep the legacy Column-by-Column forms
+in-repo as executable specifications and compare outputs exactly, so a
+future Spark version or edit that breaks the equivalence fails loudly
+here rather than at the driver's oracle gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    return v
+
+
+def _rows(df):
+    return sorted(
+        [tuple(_norm(v) for v in r) for r in df.collect()], key=repr
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_minhash_signatures_match_legacy_column_form(spark, docs):
+    from shaha_spark.functions.text import h28, perm_hash, shingles, tokens
+    from shaha_spark.operators.constants import (
+        MINHASH_PERMS,
+        MINHASH_SENTINEL,
+        SHINGLE_N,
+    )
+    from shaha_spark.operators.dedup import minhash_signatures
+
+    # the pre-r12 builder: tokens inlined into the shingle transform,
+    # permutation aggregates built Column-by-Column
+    sh = shingles(tokens(F.col("text")), SHINGLE_N)
+    hashed = docs.select(
+        F.col("doc_id"), F.explode_outer(sh).alias("__shingle")
+    ).select(F.col("doc_id"), h28(F.col("__shingle")).alias("__h"))
+    sentinel = F.lit(MINHASH_SENTINEL).cast("long")
+    legacy = hashed.groupBy("doc_id").agg(
+        *[
+            F.coalesce(F.min(perm_hash(F.col("__h"), a, b)), sentinel).alias(
+                f"mh_{i}"
+            )
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        ]
+    )
+    assert _rows(minhash_signatures(docs)) == _rows(legacy)
+
+
+def test_simhash_matches_legacy_column_form(spark, docs):
+    from shaha_spark.functions.text import h32, tokens
+    from shaha_spark.operators.constants import SIMHASH_BITS
+    from shaha_spark.operators.dedup import simhash
+
+    bits = SIMHASH_BITS
+    hashed = docs.select(
+        F.col("doc_id"), F.explode_outer(tokens(F.col("text"))).alias("__tok")
+    ).select(F.col("doc_id"), h32(F.col("__tok")).alias("__h"))
+    per_bit = [
+        F.sum(
+            F.when(F.col("__h").isNull(), 0)
+            .when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__s_{j}")
+        for j in range(bits)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*per_bit)
+    fp = sum(
+        F.when(F.col(f"__s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(bits)
+    )
+    legacy = sums.select(F.col("doc_id"), fp.alias("simhash"))
+    assert _rows(simhash(docs)) == _rows(legacy)
+
+
+def test_tpch_q1_two_level_matches_single_level(spark):
+    import __spark_entry__ as entry
+    from shaha_spark.operators.profile import split_cast_double as _sc
+
+    _dec = lambda c, p="decimal(12,2)": F.col(c).cast(p)  # noqa: E731
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    charge = disc_price * (one + _dec("l_tax", "decimal(4,2)"))
+    legacy = li.groupBy("l_returnflag", "l_linestatus").agg(
+        _sc(F.sum(_dec("l_quantity")), 2).alias("sum_qty"),
+        _sc(F.sum(_dec("l_extendedprice")), 2).alias("sum_base_price"),
+        _sc(F.sum(disc_price), 4).alias("sum_disc_price"),
+        _sc(F.sum(charge), 6).alias("sum_charge"),
+        (_sc(F.sum(_dec("l_quantity")), 2) / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    assert _rows(entry.q_tpch_q1(spark, SF_DIR)) == _rows(legacy)
+
+
+def test_build_fresh_attaches_sources_after_sort(spark, tmp_path):
+    """Fresh builds attach the constant sources array post-shuffle;
+    the written rows must still carry it (and stay hash-sorted)."""
+    from shaha_spark.pipeline.build import build, read_hashdb
+
+    words = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("alpha",)], "word string"
+    )
+    out = str(tmp_path / "db")
+    res = build(spark, words, ["sha256", "md5"], out, source_name="srcx")
+    assert res["total_records"] == 6  # 3 unique words x 2 algorithms
+    rows = read_hashdb(spark, out).collect()
+    assert len(rows) == 6
+    assert all(list(r.sources) == ["srcx"] for r in rows)
+    hashes = [bytes(r.hash) for r in rows]
+    # the dataset remains globally hash-sorted (range partitioning is
+    # upstream of the constant projection)
+    df = read_hashdb(spark, out)
+    import pyspark.sql.functions as SF
+
+    per_part = df.select(
+        SF.spark_partition_id().alias("p"), SF.hex("hash").alias("h")
+    ).collect()
+    by_part: dict[int, list[str]] = {}
+    for r in per_part:
+        by_part.setdefault(r.p, []).append(r.h)
+    for hs in by_part.values():
+        assert hs == sorted(hs)
+    assert len(hashes) == 6
