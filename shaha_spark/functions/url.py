@@ -108,20 +108,45 @@ def registered_domain(
     suffix (``a.b.shop.co.uk`` → ``shop.co.uk``); a host with fewer
     labels passes through. ``suffixes`` defaults to the shipped
     snapshot — pass the full Public Suffix List (it is config, not
-    code) for production crawls."""
-    host = F.regexp_replace(_host_of(F.regexp_replace(F.trim(url), "#.*$", "")), "^www\\.", "")
-    parts = F.split(host, "\\.")
-    n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    last3 = F.concat_ws(
-        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    code) for production crawls.
+
+    The host-regex chain and the label split are bound ONCE via
+    single-element ``transform`` lambdas (a let-binding: lambda-variable
+    references are cheap reads). Written naively, every ``parts``/
+    ``host`` reference inside the CASE re-inlined the full regex chain,
+    and because codegen's subexpression elimination skips conditional
+    branches each row re-ran it up to ~20x — measured 5.6 s for a
+    5,000-row url_policy_scan, 0.1 s with the binding. The binding also
+    survives CollapseProject inlining the surrounding aliases, which a
+    staged-projection fix alone does not."""
+    host0 = F.regexp_replace(
+        _host_of(F.regexp_replace(F.trim(url), "#.*$", "")), "^www\\.", ""
     )
-    is_multi = last2.isin(*suffixes)
-    return (
-        F.when(n <= 2, host)
-        .when(is_multi & (n >= 3), last3)
-        .otherwise(last2)
-    )
+
+    def over_host(h: Column) -> Column:
+        def over_parts(parts: Column) -> Column:
+            n = F.size(parts)
+            last2 = F.concat_ws(
+                ".", F.element_at(parts, -2), F.element_at(parts, -1)
+            )
+            last3 = F.concat_ws(
+                ".",
+                F.element_at(parts, -3),
+                F.element_at(parts, -2),
+                F.element_at(parts, -1),
+            )
+            is_multi = last2.isin(*suffixes)
+            return (
+                F.when(n <= 2, h)
+                .when(is_multi & (n >= 3), last3)
+                .otherwise(last2)
+            )
+
+        return F.element_at(
+            F.transform(F.array(F.split(h, "\\.")), over_parts), 1
+        )
+
+    return F.element_at(F.transform(F.array(host0), over_host), 1)
 
 
 def load_public_suffixes(path: str, strict: bool = True) -> tuple[str, ...]:

@@ -950,18 +950,31 @@ def url_policy_scan(
     sfx = MULTI_LABEL_SUFFIXES if suffixes is None else tuple(suffixes)
     url = F.col(url_col)
     dom = F.when(url.isNotNull(), registered_domain(url, sfx))
+    # STAGED projections (r12): the domain expression is materialized
+    # once, then the reason chain once, then both derived outputs read
+    # plain attributes. In one flat select, every `dom`/`reason`
+    # reference re-inlined its whole subtree inside CASE branches,
+    # where codegen's subexpression elimination does not reach
+    # (conditionally-evaluated branches are exempt) — each row paid
+    # the host-regex chain several times over. CollapseProject keeps
+    # these stages separate because each intermediate alias is
+    # non-cheap and referenced more than once downstream.
+    staged = df.select(F.col(id_col), url, dom.alias("__dom"))
     reason = F.lit("none")
     # build the when-chain inside-out so evaluation order is: domain
     # blocklist first, then patterns in declaration order
     for pat in reversed(blocked_patterns):
         reason = F.when(url.isNotNull() & url.rlike(pat), F.lit("pattern")).otherwise(reason)
     if blocked_domains:
-        reason = F.when(dom.isin(*blocked_domains), F.lit("domain")).otherwise(reason)
-    return df.select(
+        reason = F.when(F.col("__dom").isin(*blocked_domains), F.lit("domain")).otherwise(reason)
+    reasoned = staged.select(
+        F.col(id_col), F.col("__dom"), reason.alias("__reason")
+    )
+    return reasoned.select(
         F.col(id_col),
-        dom.alias("registered_domain"),
-        reason.alias("block_reason"),
-        (reason != "none").alias("blocked"),
+        F.col("__dom").alias("registered_domain"),
+        F.col("__reason").alias("block_reason"),
+        (F.col("__reason") != "none").alias("blocked"),
     )
 
 
