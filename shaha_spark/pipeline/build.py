@@ -409,12 +409,27 @@ def build(
         # this is the dataset-level equivalent).
         target = output_path if not swap else output_path.rstrip("/") + ".__tmp_append__"
 
+        # Persist the fanned-out records across the range shuffle
+        # (optimization round 12, guide §2.4/§5): repartitionByRange
+        # runs a separate SAMPLING job over its input to pick range
+        # boundaries, and that job re-evaluates the whole upstream —
+        # here the digest kernels themselves (the build's dominant CPU;
+        # the word-dedup shuffle above is reused as skipped stages, the
+        # hash fanout is not). Materializing the records once means the
+        # sample pass and the shuffle both read stored blocks instead
+        # of hashing every word twice. Measured sf0.1: full
+        # dedup+fanout+sort+write 2.05 → 1.62 s; at scale this removes
+        # one full digest pass per build/append. Unpersisted in the
+        # finally below so no blocks outlive the build (the r11 bench
+        # forensics found exactly this class of leak).
+        records = records.persist()
+        sorted_records = sort_for_write(records, num_files=num_files, dedup=True)
+
         # total_records observed ON the write job itself (CollectMetrics
         # above the final sort) — no post-write read-back pass.
         from pyspark.sql import Observation
 
         obs = Observation("build_total_records")
-        sorted_records = sort_for_write(records, num_files=num_files, dedup=True)
         if not swap:
             # fresh build: constant sources attached post-shuffle (a
             # projection — per-partition order is preserved)
@@ -452,6 +467,10 @@ def build(
             "output_path": output_path,
         }
     finally:
+        try:
+            records.unpersist()
+        except Exception:
+            pass  # never let cleanup mask the build's own error
         if lock_path is not None:
             io_util.delete(spark, lock_path)
 
