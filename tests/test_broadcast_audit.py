@@ -179,8 +179,9 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
      "exact_substring_decontaminate_screened", "eval_full"):
         "distinct min_len-char eval windows for the exact pass — "
         "same bound",
-    ("shaha_spark/operators/similarity.py", "brute_force_topk",
-     "queries.select(F.col(query_id_col), F.col(vec_col).alias('__"): _QUERY,
+    # brute_force_topk no longer broadcasts: its query batch (same
+    # _QUERY bound) is collected driver-side into the mapInArrow
+    # scoring kernel's closure (optimization round 12)
     ("shaha_spark/operators/ann_index.py", "ivf_pq_refine_topk",
      "queries.select(F.col(query_id_col), F.col(vec_col).alias('__"): _QUERY,
     ("shaha_spark/operators/ann_index.py", "ivf_pq_refine_topk", "cands"):

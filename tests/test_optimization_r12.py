@@ -142,3 +142,78 @@ def test_build_fresh_attaches_sources_after_sort(spark, tmp_path):
     for hs in by_part.values():
         assert hs == sorted(hs)
     assert len(hashes) == 6
+
+
+def test_brute_force_topk_numpy_kernel_matches_fold_semantics(spark):
+    """The r12 Arrow/numpy scoring kernel must reproduce the JVM
+    fold's pair semantics: null list, null element, and length
+    mismatch -> null cosine; a literal NaN VALUE -> NaN cosine (not
+    null); valid pairs -> the same 6-decimal-rounded cosine; ids of
+    any type; empty query batches -> empty result with the schema."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    from shaha_spark.operators.similarity import brute_force_topk
+
+    sch = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0]),
+            (1, [3.0, 2.0, 1.0]),
+            (2, None),                      # null list
+            (3, [1.0, None, 2.0]),          # null element
+            (4, [1.0, 2.0]),                # ragged dim
+            (6, [float("nan"), 1.0, 2.0]),  # literal NaN value
+        ],
+        sch,
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 1.0, 1.0]), (12, [2.0, 1.0])], sch
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    rows = {
+        (r.query_id, r.vec_id): (r.cosine, r.rank)
+        for r in brute_force_topk(corpus, queries, k=6).collect()
+    }
+    # NaN sorts first under DESC (Spark treats NaN > any double)
+    c, rank = rows[(10, 6)]
+    assert math.isnan(c) and rank == 1
+    # valid pairs: exact rounded cosines, ranked after NaN
+    assert rows[(10, 0)] == (0.92582, 2)
+    assert rows[(10, 1)] == (0.92582, 3)
+    # null pairs (null list / null element / dim mismatch) rank last,
+    # tie-broken by corpus id
+    assert rows[(10, 2)][0] is None
+    assert rows[(10, 3)][0] is None
+    assert rows[(10, 4)][0] is None
+    # the 2-dim query scores only the 2-dim corpus row
+    assert rows[(12, 4)] == (0.8, 1)
+    assert rows[(12, 0)][0] is None
+    # empty query batch: empty result, full schema intact
+    empty = brute_force_topk(corpus, queries.where(F.lit(False)), k=3)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "vec_id", "cosine", "rank",
+    ]
+
+
+def test_brute_force_topk_numpy_kernel_partitioning_invariant(spark):
+    """A pair's cosine must not depend on how the corpus is batched
+    or partitioned (einsum optimize=False keeps accumulation order
+    fixed per pair)."""
+    from shaha_spark.operators.similarity import brute_force_topk
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = _rows(brute_force_topk(embs, queries, k=5))
+    for parts in (1, 7):
+        again = _rows(
+            brute_force_topk(embs.repartition(parts), queries, k=5)
+        )
+        assert again == base, f"partitioning {parts} changed results"
