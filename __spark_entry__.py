@@ -89,6 +89,9 @@ from shaha_spark.operators.constants import (
 )
 from shaha_spark.operators.profile import split_cast_double as _split_cast
 from shaha_spark.operators.profile import split_cast_double_sql as _split_cast_sql
+from shaha_spark.operators.profile import (
+    split_cast_double_spark_sql as _split_cast_expr_sql,
+)
 from shaha_spark.util import normalize_event_ts
 
 # deterministic full-digest constant for the point-lookup query:
@@ -358,16 +361,33 @@ def q_tpch_q1(spark, sf_dir):
     disc_g = F.col("__se") * (one - dd)
     charge_g = disc_g * (one + tt)
     qty_g = _dec("l_quantity") * F.col("__n").cast("decimal(20,0)")
-    return (
-        g.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _split_cast(F.sum(qty_g), 2).alias("sum_qty"),
-            _split_cast(F.sum("__se"), 2).alias("sum_base_price"),
-            _split_cast(F.sum(disc_g), 4).alias("sum_disc_price"),
-            _split_cast(F.sum(charge_g), 6).alias("sum_charge"),
-            (_split_cast(F.sum(qty_g), 2) / F.sum("__n").cast("double")).alias("avg_qty"),
-            F.sum("__n").alias("count_order"),
-        )
+    # Level-2 sums are aggregated under plain aliases and the
+    # split-casts applied in a projection ON TOP, rendered as SQL text
+    # (one parser call each instead of ~25 py4j Column round trips —
+    # each Column-built split-cast cost ~40 ms of plan construction;
+    # guide §7.3). split_cast_double_spark_sql parses to the IDENTICAL
+    # expression tree (pinned by test_optimization_r12), and Catalyst
+    # splits complex agg result expressions into Aggregate+Project
+    # anyway, so the physical plan is unchanged. avg_qty re-renders the
+    # same sum_qty text (as the Column form re-built the same subtree);
+    # codegen subexpression elimination collapses the duplicate.
+    s = g.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty_g).alias("__sq"),
+        F.sum("__se").alias("__sb"),
+        F.sum(disc_g).alias("__sd"),
+        F.sum(charge_g).alias("__sc"),
+        F.sum("__n").alias("count_order"),
+    )
+    sq_txt = _split_cast_expr_sql("__sq", 2)
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr(sq_txt).alias("sum_qty"),
+        F.expr(_split_cast_expr_sql("__sb", 2)).alias("sum_base_price"),
+        F.expr(_split_cast_expr_sql("__sd", 4)).alias("sum_disc_price"),
+        F.expr(_split_cast_expr_sql("__sc", 6)).alias("sum_charge"),
+        (F.expr(sq_txt) / F.col("count_order").cast("double")).alias("avg_qty"),
+        "count_order",
     )
 
 

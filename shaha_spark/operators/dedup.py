@@ -110,15 +110,25 @@ def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     band_key concatenates the band's minhashes; docs sharing a band key
     are near-dup candidates. Output is LSH_BANDS rows per doc.
     """
-    bands = []
+    # The banded struct array is rendered as ONE SQL string (a single
+    # parser call) instead of ~80 chained Column calls — plan
+    # construction was ~150 ms of py4j chatter (optimization round 12,
+    # guide §7.3). named_struct parses to the same CreateNamedStruct
+    # tree F.struct(...alias...) built; values and schema identical.
+    parts = []
     for band in range(LSH_BANDS):
         lo = band * LSH_ROWS_PER_BAND
-        key = F.concat_ws(
-            "-", *[F.col(f"mh_{i}").cast("string") for i in range(lo, lo + LSH_ROWS_PER_BAND)]
+        keys = ", ".join(
+            f"cast(mh_{i} as string)"
+            for i in range(lo, lo + LSH_ROWS_PER_BAND)
         )
-        bands.append(F.struct(F.lit(band).alias("band_idx"), key.alias("band_key")))
+        parts.append(
+            f"named_struct('band_idx', {band}, "
+            f"'band_key', concat_ws('-', {keys}))"
+        )
     return signatures.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+        F.col(id_col),
+        F.explode(F.expr(f"array({', '.join(parts)})")).alias("band"),
     ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
 
 

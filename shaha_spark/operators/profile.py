@@ -80,6 +80,34 @@ def split_cast_double(col, scale: int):
     return F.when(in_domain & (col < 0), -mag).when(in_domain, mag)
 
 
+def split_cast_double_spark_sql(expr: str, scale: int) -> str:
+    """Spark-SQL text form of :func:`split_cast_double` over a NAMED
+    input (a column or sub-expression already present on the frame) —
+    the same expression tree delivered to Catalyst in ONE parser call
+    instead of ~25 py4j Column round trips (optimization round 12,
+    guide §7.3: plan-construction chatter was ~40 ms per split-cast,
+    6 of them in tpch_q1 alone). Literal forms are chosen so the parsed
+    tree matches the Column builder's exactly: the ``D`` suffix forces
+    DOUBLE (a bare ``1e10`` parses double too, but ``100.0`` would
+    parse DECIMAL), ``BD`` forces the big-decimal literal the domain
+    guard compares against. Tree identity is pinned by
+    tests/test_optimization_r12.py over in-domain, boundary,
+    out-of-domain, negative and null magnitudes."""
+    ten = 10 ** scale
+    u = f"cast((abs({expr}) * {ten}) as decimal(38,0))"
+    lo = f"pmod({u}, cast({_SPLIT_TEN} as decimal(11,0)))"
+    hi = f"cast((({u} - {lo}) / {_SPLIT_TEN}) as decimal(28,0))"
+    mag = (
+        f"((cast({hi} as double) * 1.0E10D + cast({lo} as double)) / "
+        f"{float(ten)!r}D)"
+    )
+    dom = f"({u} < cast({_SPLIT_LIMIT}BD as decimal(38,0)))"
+    return (
+        f"(CASE WHEN {dom} AND ({expr} < 0) THEN -{mag} "
+        f"WHEN {dom} THEN {mag} END)"
+    )
+
+
 def split_cast_double_sql(expr: str, scale: int) -> str:
     """DuckDB twin of :func:`split_cast_double` — the same hi/lo split,
     the same 3-op IEEE recombination, and the same NULL-out-of-domain

@@ -217,3 +217,73 @@ def test_brute_force_topk_numpy_kernel_partitioning_invariant(spark):
             brute_force_topk(embs.repartition(parts), queries, k=5)
         )
         assert again == base, f"partitioning {parts} changed results"
+
+
+def test_split_cast_spark_sql_text_matches_column_form(spark):
+    """The SQL-text renderer (one parser call) must produce the same
+    values as the Column builder across the whole domain structure:
+    in-domain, both sides of the 2^53*10^10 guard boundary, negative,
+    zero, and NULL magnitudes, at several scales."""
+    from decimal import Decimal
+
+    from shaha_spark.operators.profile import (
+        _SPLIT_LIMIT,
+        split_cast_double,
+        split_cast_double_spark_sql,
+    )
+
+    lim = Decimal(_SPLIT_LIMIT)
+    vals = [
+        Decimal("0"),
+        Decimal("1.23"),
+        Decimal("-1.23"),
+        Decimal("12345678901234.56"),       # hi/lo both populated
+        Decimal("-12345678901234.56"),
+        (lim - 1).scaleb(-2),               # u = limit-1 (last in-domain)
+        (lim).scaleb(-2),                   # u = limit (first NULL)
+        (lim + 1).scaleb(-2),
+        -((lim - 1).scaleb(-2)),
+        -((lim).scaleb(-2)),
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "v decimal(38,2)"
+    )
+    for scale in (2, 4, 6):
+        got = df.select(
+            F.expr(split_cast_double_spark_sql("v", scale)).alias("x")
+        )
+        want = df.select(split_cast_double(F.col("v"), scale).alias("x"))
+        assert _rows(got) == _rows(want), f"scale {scale} diverged"
+
+
+def test_lsh_bands_sql_text_matches_column_form(spark, docs):
+    """lsh_bands' single-SQL-string band array must reproduce the
+    legacy Column-by-Column struct array exactly."""
+    from shaha_spark.operators.constants import LSH_BANDS, LSH_ROWS_PER_BAND
+    from shaha_spark.operators.dedup import lsh_bands, minhash_signatures
+
+    sigs = minhash_signatures(docs.limit(200))
+    legacy_bands = []
+    for band in range(LSH_BANDS):
+        lo = band * LSH_ROWS_PER_BAND
+        key = F.concat_ws(
+            "-",
+            *[
+                F.col(f"mh_{i}").cast("string")
+                for i in range(lo, lo + LSH_ROWS_PER_BAND)
+            ],
+        )
+        legacy_bands.append(
+            F.struct(F.lit(band).alias("band_idx"), key.alias("band_key"))
+        )
+    legacy = (
+        sigs.select(
+            F.col("doc_id"), F.explode(F.array(*legacy_bands)).alias("band")
+        ).select(
+            "doc_id",
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.band_key").alias("band_key"),
+        )
+    )
+    assert _rows(lsh_bands(sigs)) == _rows(legacy)
