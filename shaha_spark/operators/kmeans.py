@@ -120,6 +120,88 @@ def kmeans_fit(
     return centroids
 
 
+def kmeans_fit_grouped(
+    data: DataFrame,
+    init: DataFrame,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str = "sub_id",
+) -> DataFrame:
+    """Lloyd iterations for MANY independent k-means problems at once,
+    keyed by ``group_col`` (optimization round 12, guide §2.6: the m
+    sub-quantizer fits of PQ training are independent — running them
+    as one keyed computation turns m sequential corpus passes per
+    iteration into ONE).
+
+    ``data``: [group_col, id_col, vec_col] — every group's points.
+    ``init``: [group_col, centroid_id, centroid, n_members] — per-group
+    seed centroids (caller-provided; seeding strategies differ by use).
+
+    Each group's trajectory is bit-identical to running
+    :func:`kmeans_fit`'s loop on that group's rows alone: the scoring
+    expressions are the same, the per-point argmax window adds
+    ``group_col`` to its partition key (same candidates, same tie
+    order within a group), and the decimal-exact means are order-free
+    so regrouping by the added key changes nothing. Returns
+    [group_col, centroid_id, centroid, n_members].
+    """
+    from shaha_spark.operators.similarity import label_centroids
+
+    centroids = init.localCheckpoint(eager=True)
+    for _ in range(iters):
+        c = F.broadcast(
+            centroids.select(
+                group_col,
+                "centroid_id",
+                "centroid",
+                norm2(F.col("centroid")).alias("__ctn2"),
+            )
+        )
+        scored = data.withColumn("__vn2", norm2(F.col(vec_col))).join(
+            c, group_col
+        ).select(
+            group_col,
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("centroid_id"),
+            cosine_sim_hoisted(
+                dot(F.col(vec_col), F.col("centroid")),
+                F.col("__vn2"),
+                F.col("__ctn2"),
+            ).alias("__sim"),
+        )
+        w = Window.partitionBy(group_col, id_col).orderBy(
+            F.col("__sim").desc(), F.col("centroid_id").asc()
+        )
+        assigned = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select(group_col, id_col, vec_col, "centroid_id")
+        )
+        new = label_centroids(
+            assigned,
+            vec_col,
+            label_col="centroid_id",
+            with_counts=True,
+            group_col=group_col,
+        )
+        merged = (
+            centroids.select(
+                group_col, "centroid_id", F.col("centroid").alias("prev")
+            )
+            .join(new, [group_col, "centroid_id"], "left")
+            .select(
+                group_col,
+                "centroid_id",
+                F.coalesce("centroid", "prev").alias("centroid"),
+                F.coalesce("n_members", F.lit(0)).cast("bigint").alias("n_members"),
+            )
+        )
+        centroids = merged.localCheckpoint(eager=True)
+    return centroids
+
+
 def prototypicality(
     corpus: DataFrame,
     centroids: DataFrame,

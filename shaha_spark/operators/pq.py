@@ -16,11 +16,11 @@ plain function chain.
 
 Execution shapes:
 
-  * ``pq_train`` — per subspace, the deterministic
-    :func:`~shaha_spark.operators.kmeans.kmeans_fit` on the sliced
-    subvectors. The driver loop is over the m subspaces (iteration
-    control only); every data pass is a shuffle-free broadcast-assign
-    scan + partial-agg means, inherited from kmeans.
+  * ``pq_train`` — ONE grouped Lloyd run
+    (:func:`~shaha_spark.operators.kmeans.kmeans_fit_grouped`) over the
+    (sub_id, subvector) explosion: each iteration is a single
+    broadcast-assign scan + partial-agg means covering all m subspaces
+    at once; results are bit-identical to m independent fits.
   * ``pq_encode`` — ONE corpus scan: the m×k codebook broadcasts, each
     row computes its m nearest sub-centroids entirely inside
     higher-order expressions (no explode, no shuffle), and carries its
@@ -42,7 +42,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from shaha_spark.operators.kmeans import kmeans_fit
 from shaha_spark.operators.similarity import dot, norm
 
 
@@ -78,21 +77,60 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_dim = dim // m
-    books = []
-    for sub in range(m):
-        sliced = corpus.select(
-            F.col(id_col), _subvec(F.col(vec_col), sub, sub_dim).alias(vec_col)
-        )
-        cb = kmeans_fit(sliced, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
-        books.append(
-            cb.select(
-                F.lit(sub).alias("sub_id"), "centroid_id", "centroid"
+
+    # ONE grouped Lloyd run instead of m sequential kmeans_fit calls
+    # (optimization round 12, guide §2.6/§1.2-1: the m sub-problems are
+    # independent, and running them sequentially serialized ~7 driver-
+    # synchronized jobs per subspace — worse, each iteration re-scanned
+    # the corpus once PER SUBSPACE; keyed by sub_id it is one scan per
+    # iteration at any m). Bit-identity with the sequential form is
+    # argued step-by-step in kmeans_fit_grouped and pinned by
+    # tests/test_optimization_r12.py against the legacy loop.
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(sub).alias("sub_id"),
+                _subvec(F.col(vec_col), sub, sub_dim).alias("v"),
             )
+            for sub in range(m)
+        ]
+    )
+    data = corpus.select(F.col(id_col), F.explode(slices).alias("s")).select(
+        F.col(id_col),
+        F.col("s.sub_id").alias("sub_id"),
+        F.col("s.v").alias(vec_col),
+    )
+
+    # seeds: kmeans_fit takes the k lowest-id rows of its input; every
+    # subspace slice carries the same id set, so the per-sub seeds are
+    # the k lowest-id corpus vectors, sliced — computed with ONE
+    # TakeOrdered, then fanned out to the m groups
+    seeds = corpus.select(F.col(id_col), F.col(vec_col)).orderBy(
+        F.col(id_col).asc()
+    ).limit(k)
+    from pyspark.sql import Window
+
+    init = (
+        seeds.withColumn(
+            "centroid_id",
+            F.row_number().over(Window.orderBy(F.col(id_col).asc())),
         )
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionByName(b)
-    # m*k rows — pin them so downstream broadcasts don't re-run m kmeans
+        .select("centroid_id", F.explode(slices).alias("s"))
+        .select(
+            F.col("s.sub_id").alias("sub_id"),
+            "centroid_id",
+            F.col("s.v").alias("centroid"),
+        )
+        .withColumn("n_members", F.lit(0).cast("bigint"))
+    )
+
+    from shaha_spark.operators.kmeans import kmeans_fit_grouped
+
+    out = kmeans_fit_grouped(
+        data, init, iters=iters, vec_col=vec_col, id_col=id_col,
+        group_col="sub_id",
+    ).select("sub_id", "centroid_id", "centroid")
+    # m*k rows — pin them so downstream broadcasts don't re-run the fit
     return out.localCheckpoint(eager=True)
 
 

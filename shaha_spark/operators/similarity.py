@@ -246,6 +246,7 @@ def label_centroids(
     vec_col: str = "embedding",
     label_col: str = "label",
     with_counts: bool = False,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Mean vector per label — a cheap stand-in for k-means centroids
     (the IVF structure is identical; swap in real k-means offline).
@@ -259,11 +260,20 @@ def label_centroids(
     recipe — kmeans._means delegates here (``with_counts=True`` adds
     ``n_members``), so a precision or rounding tweak cannot desync the
     two against their shared DuckDB oracle.
+
+    ``group_col`` computes the same per-label means independently
+    inside each group (PQ trains m sub-codebooks in ONE pass this way
+    — optimization round 12). Decimal sums are order-free, so a
+    group's means are bit-identical to running the ungrouped form on
+    that group's rows alone.
     """
+    grp = [group_col] if group_col else []
     exploded = corpus.select(
-        F.col(label_col).alias("centroid_id"), F.posexplode(vec_col).alias("pos", "v")
+        *grp,
+        F.col(label_col).alias("centroid_id"),
+        F.posexplode(vec_col).alias("pos", "v"),
     )
-    per_pos = exploded.groupBy("centroid_id", "pos").agg(
+    per_pos = exploded.groupBy(*grp, "centroid_id", "pos").agg(
         (
             split_cast_double(F.sum(F.col("v").cast("decimal(20,10)")), 10)
             / F.count(F.lit(1))
@@ -274,6 +284,7 @@ def label_centroids(
     if with_counts:
         aggs.append(F.first("n").alias("n_members"))
     out_cols = [
+        *[F.col(g) for g in grp],
         F.col("centroid_id"),
         F.transform("pm", lambda s: s.getField("m").cast("float")).alias(
             "centroid"
@@ -281,7 +292,7 @@ def label_centroids(
     ]
     if with_counts:
         out_cols.append(F.col("n_members"))
-    return per_pos.groupBy("centroid_id").agg(*aggs).select(*out_cols)
+    return per_pos.groupBy(*grp, "centroid_id").agg(*aggs).select(*out_cols)
 
 
 def ivf_topk(

@@ -287,3 +287,39 @@ def test_lsh_bands_sql_text_matches_column_form(spark, docs):
         )
     )
     assert _rows(lsh_bands(sigs)) == _rows(legacy)
+
+
+def test_pq_train_grouped_matches_sequential_fits(spark):
+    """pq_train's single grouped Lloyd run must reproduce the legacy
+    per-subspace kmeans_fit loop exactly (same codebooks, bit-for-bit:
+    decimal means are order-free, the argmax window adds sub_id to its
+    partition key without changing per-group candidates or tie order)."""
+    from shaha_spark.operators.kmeans import kmeans_fit
+    from shaha_spark.operators.pq import _subvec, pq_train
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def legacy(corpus, m=4, k=16, iters=2, vec_col="embedding", id_col="vec_id"):
+        dim = (
+            corpus.where(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("d"))
+            .first()["d"]
+        )
+        sub_dim = dim // m
+        books = []
+        for sub in range(m):
+            sliced = corpus.select(
+                F.col(id_col), _subvec(F.col(vec_col), sub, sub_dim).alias(vec_col)
+            )
+            cb = kmeans_fit(sliced, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+            books.append(
+                cb.select(F.lit(sub).alias("sub_id"), "centroid_id", "centroid")
+            )
+        out = books[0]
+        for b in books[1:]:
+            out = out.unionByName(b)
+        return out
+
+    want = _rows(legacy(emb))
+    got = _rows(pq_train(emb))
+    assert got == want
