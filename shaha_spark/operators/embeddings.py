@@ -145,30 +145,44 @@ def dedup_by_bucket(
 
 def _mean_grid(df: DataFrame, vec_col: str) -> list[float]:
     """Per-dimension decimal-exact mean, rounded to float32 (the same
-    cross-engine determinism recipe as the kmeans centroid means)."""
+    cross-engine determinism recipe as the kmeans centroid means).
+
+    The d split-cast aggregates are rendered as SQL text — one parser
+    call each instead of ~30 py4j Column round trips (optimization
+    round 12, guide §7.3: Column-by-Column construction of the 64-wide
+    aggregate cost 6.8 s of pure driver chatter at d=64). The sums and
+    counts aggregate under plain aliases and the split-cast/divide
+    apply in a projection on top — the same Aggregate+Project split
+    Catalyst performs on agg result expressions; arithmetic and values
+    are identical (pinned by tests/test_optimization_r12.py).
+    """
+    from shaha_spark.operators.profile import split_cast_double_spark_sql
+
     d = _dim(df, vec_col)
     # divide by the NON-NULL element count, not the row count: _dim
     # explicitly supports NULL embeddings (they carry no mass in the
     # sums), so dividing by all rows would deflate the mean and leave
     # centered_grid un-centered. Matches the oracle twin, where
     # unnest() emits no rows for a NULL vector.
-    aggs = [
-        (
-            split_cast_double(
-                F.sum(
-                    F.element_at(F.col(vec_col), p + 1)
-                    .cast("double")
-                    .cast("decimal(25,10)")
-                ),
-                10,
-            )
-            / F.count(F.element_at(F.col(vec_col), p + 1))
-        )
-        .cast("float")
-        .alias(f"m{p}")
+    sums = [
+        F.expr(
+            f"sum(cast(cast(element_at({vec_col}, {p + 1}) as double)"
+            f" as decimal(25,10)))"
+        ).alias(f"__s{p}")
         for p in range(d)
     ]
-    row = df.agg(*aggs).head()
+    counts = [
+        F.expr(f"count(element_at({vec_col}, {p + 1}))").alias(f"__c{p}")
+        for p in range(d)
+    ]
+    outs = [
+        F.expr(
+            f"cast(({split_cast_double_spark_sql(f'__s{p}', 10)}"
+            f" / __c{p}) as float)"
+        ).alias(f"m{p}")
+        for p in range(d)
+    ]
+    row = df.agg(*sums, *counts).select(*outs).head()
     return [float(row[f"m{p}"]) for p in range(d)]
 
 
@@ -200,20 +214,35 @@ def _matvec(df: DataFrame, v: list[int]) -> list[int]:
     and two rounds, |u| ≤ n²·d²·2^63 — inside decimal(38) (~2^126)
     up to ~10^5 rows; more rows or rounds need an interleaved
     renormalization (documented, not needed at test scale).
-    Only d decimals return to the driver."""
-    # string literals: v components can exceed long range mid-iteration
-    varr = F.array(*[F.lit(str(int(c))).cast("decimal(38,0)") for c in v])
+    Only d decimals return to the driver.
+
+    Two optimization-round-12 changes, values identical (guide §7.3):
+    the d per-position aggregates are ONE SQL string each instead of
+    per-Column py4j chains, and v arrives via a broadcast one-row
+    frame rather than inlined literals — v's components change every
+    iteration, so literal plans generated different codegen source
+    per call and janino recompiled the whole wide aggregate each time
+    (measured: iteration 2 cost 14 s at d=64/500 rows, nearly all
+    compile; with the stable source it reuses the cached class).
+    """
+    from decimal import Decimal as _D
+
+    d = len(v)
+    spark = df.sparkSession
+    # decimal-typed payload: v components can exceed long range
+    # mid-iteration; arrives already as the decimal(38,0) the fold uses
+    vrow = spark.createDataFrame(
+        [([_D(int(c)) for c in v],)], "__v array<decimal(38,0)>"
+    )
     dot = F.aggregate(
-        F.zip_with(F.col("__xq"), varr, lambda x, y: x.cast("decimal(38,0)") * y),
+        F.zip_with(F.col("__xq"), F.col("__v"), lambda x, y: x.cast("decimal(38,0)") * y),
         F.lit(0).cast("decimal(38,0)"),
         lambda acc, t: acc + t,
     )
-    d = len(v)
-    with_dot = df.select("__xq", dot.alias("__dot"))
+    with_dot = df.join(F.broadcast(vrow)).select("__xq", dot.alias("__dot"))
     aggs = [
-        F.sum(
-            F.element_at(F.col("__xq"), p + 1).cast("decimal(38,0)")
-            * F.col("__dot")
+        F.expr(
+            f"sum(cast(element_at(__xq, {p + 1}) as decimal(38,0)) * __dot)"
         ).alias(f"u{p}")
         for p in range(d)
     ]

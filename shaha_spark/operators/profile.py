@@ -169,19 +169,40 @@ def table_profile(
     an array-of-structs explode. Same deterministic decimal arithmetic
     as :func:`numeric_profile`.
     """
+    # The two split-cast aggregates per column are rendered as SQL text
+    # (optimization round 12, guide §7.3): the Column-built form cost
+    # ~50 py4j round trips per column of pure plan construction. Sums
+    # aggregate under plain aliases; the split-casts apply in a
+    # projection on top — the same Aggregate+Project split Catalyst
+    # performs on agg result expressions, so plan and values are
+    # identical (tree identity pinned by test_optimization_r12).
     aggs = []
     sc = _dec_scale(precision)
     for c in columns:
-        dec = F.col(c).cast(precision)
+        dec_txt = f"cast(`{c}` as {precision})"
         aggs += [
             F.count(F.col(c)).alias(f"__n_{c}"),
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"),
             F.min(F.col(c)).cast("double").alias(f"__mn_{c}"),
             F.max(F.col(c)).cast("double").alias(f"__mx_{c}"),
-            split_cast_double(F.sum(dec), sc).alias(f"__s_{c}"),
-            split_cast_double(F.sum(dec * dec), 2 * sc).alias(f"__sq_{c}"),
+            F.expr(f"sum({dec_txt})").alias(f"__rs_{c}"),
+            F.expr(f"sum({dec_txt} * {dec_txt})").alias(f"__rsq_{c}"),
         ]
-    one = df.agg(*aggs)
+    one = df.agg(*aggs).select(
+        "*",
+        *[
+            F.expr(split_cast_double_spark_sql(f"`__rs_{c}`", sc)).alias(
+                f"__s_{c}"
+            )
+            for c in columns
+        ],
+        *[
+            F.expr(
+                split_cast_double_spark_sql(f"`__rsq_{c}`", 2 * sc)
+            ).alias(f"__sq_{c}")
+            for c in columns
+        ],
+    )
     structs = []
     for c in columns:
         n = F.col(f"__n_{c}")

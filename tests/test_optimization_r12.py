@@ -323,3 +323,119 @@ def test_pq_train_grouped_matches_sequential_fits(spark):
     want = _rows(legacy(emb))
     got = _rows(pq_train(emb))
     assert got == want
+
+
+def test_table_profile_sql_text_matches_column_form(spark):
+    """table_profile's SQL-text split-cast aggregates must reproduce
+    the legacy Column-built form exactly."""
+    from shaha_spark.operators.profile import (
+        _dec_scale,
+        split_cast_double,
+        table_profile,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    columns = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    precision = "decimal(18,2)"
+    sc = _dec_scale(precision)
+    aggs = []
+    for c in columns:
+        dec = F.col(c).cast(precision)
+        aggs += [
+            F.count(F.col(c)).alias(f"__n_{c}"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"),
+            F.min(F.col(c)).cast("double").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("double").alias(f"__mx_{c}"),
+            split_cast_double(F.sum(dec), sc).alias(f"__s_{c}"),
+            split_cast_double(F.sum(dec * dec), 2 * sc).alias(f"__sq_{c}"),
+        ]
+    one = li.agg(*aggs)
+    structs = []
+    for c in columns:
+        n = F.col(f"__n_{c}")
+        s = F.col(f"__s_{c}")
+        sq = F.col(f"__sq_{c}")
+        mean = s / n
+        var = F.when(
+            n > 1, F.greatest((sq - s * s / n) / (n - F.lit(1)), F.lit(0.0))
+        ).otherwise(F.lit(0.0))
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                n.alias("n"),
+                F.col(f"__nn_{c}").alias("n_null"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+                mean.alias("mean_value"),
+                F.sqrt(var).alias("stddev_value"),
+            )
+        )
+    legacy = one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    assert _rows(table_profile(li, columns, precision)) == _rows(legacy)
+
+
+def test_mean_grid_and_matvec_match_legacy_forms(spark):
+    """_mean_grid's SQL-text aggregates and _matvec's broadcast-v form
+    must reproduce the legacy Column-built / literal-v forms exactly."""
+    from shaha_spark.operators.embeddings import (
+        _dim,
+        _matvec,
+        _mean_grid,
+        centered_grid,
+    )
+    from shaha_spark.operators.profile import split_cast_double
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    d = _dim(emb, "embedding")
+    legacy_aggs = [
+        (
+            split_cast_double(
+                F.sum(
+                    F.element_at(F.col("embedding"), p + 1)
+                    .cast("double")
+                    .cast("decimal(25,10)")
+                ),
+                10,
+            )
+            / F.count(F.element_at(F.col("embedding"), p + 1))
+        )
+        .cast("float")
+        .alias(f"m{p}")
+        for p in range(d)
+    ]
+    row = emb.agg(*legacy_aggs).head()
+    legacy_means = [float(row[f"m{p}"]) for p in range(d)]
+    assert [repr(m) for m in _mean_grid(emb, "embedding")] == [
+        repr(m) for m in legacy_means
+    ]
+
+    grid, _ = centered_grid(emb, "embedding")
+    grid = grid.select("__xq").localCheckpoint(eager=True)
+    v = [1] * d
+    u1 = _matvec(grid, v)
+
+    def matvec_legacy(df, v):
+        varr = F.array(
+            *[F.lit(str(int(c))).cast("decimal(38,0)") for c in v]
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("__xq"), varr, lambda x, y: x.cast("decimal(38,0)") * y
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, t: acc + t,
+        )
+        with_dot = df.select("__xq", dot.alias("__dot"))
+        aggs = [
+            F.sum(
+                F.element_at(F.col("__xq"), p + 1).cast("decimal(38,0)")
+                * F.col("__dot")
+            ).alias(f"u{p}")
+            for p in range(len(v))
+        ]
+        r = with_dot.agg(*aggs).head()
+        return [int(r[f"u{p}"]) for p in range(len(v))]
+
+    assert u1 == matvec_legacy(grid, v)
+    # second round exercises the beyond-long magnitudes
+    assert _matvec(grid, u1) == matvec_legacy(grid, u1)
