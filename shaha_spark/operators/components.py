@@ -54,23 +54,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # propagation is monotone (labels only ever decrease), so
+        # "changed" is computable from the new frame alone: flag rows
+        # whose label strictly dropped, checkpoint WITH the flag, and
+        # count the flags off the local blocks — the old form joined
+        # the new labels back against the previous round's table every
+        # iteration just to find differences (optimization round 12)
+        prop = F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp")))
         new_labels = (
             labels.join(nbr, labels.id == nbr.src, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                ).alias("comp"),
+                prop.alias("comp"),
+                (prop < F.col("comp")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     if changed != 0:

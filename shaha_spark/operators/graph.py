@@ -214,6 +214,11 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # carry the previous round's edge count instead of re-counting the
+    # old checkpoint every iteration (optimization round 12: one count
+    # job per round, not two; pruned ⊆ e, so count equality is set
+    # equality)
+    n_e = e.count()
     for _ in range(max_iters):
         deg = (
             e.select(F.col("a").alias("n"))
@@ -227,10 +232,12 @@ def k_core(
             .join(keep.select(F.col("n").alias("b")), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
-        if pruned.count() == e.count():
+        n_p = pruned.count()
+        if n_p == n_e:
             e = pruned
             break
         e = pruned
+        n_e = n_p
     else:
         # falling through the loop means the last pass still removed
         # edges: the survivor set is NOT a k-core, and returning it as
