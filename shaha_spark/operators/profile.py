@@ -1747,22 +1747,33 @@ def bootstrap_mean_ci(
         F.col(value_col),
         *[F.expr(_w_sql(b)).alias(f"__w_{b}") for b in range(n_reps)],
     )
+    # The n_reps weighted means aggregate under plain aliases with the
+    # split-cast/guard applied in a projection on top, all rendered as
+    # SQL text (optimization round 12, guide §7.3: the Column-built
+    # split-cast per replicate cost ~28 py4j round trips each — ~1,100
+    # for the default 40 replicates; same Aggregate+Project split
+    # Catalyst performs on agg result expressions, values identical).
+    x_txt = f"cast(`{value_col}` as {precision})"
     aggs = [
         F.count(F.lit(1)).alias("n"),
-        (split_cast_double(F.sum(x), sc) / F.count(F.lit(1))).alias(
-            "mean_value"
-        ),
+        F.expr(f"sum({x_txt})").alias("__sx"),
     ]
     for b in range(n_reps):
-        w = F.col(f"__w_{b}")
-        aggs.append(
-            F.when(
-                F.sum(w) > 0,
-                split_cast_double(F.sum(x * w), sc)
-                / F.sum(w).cast("double"),
+        aggs.append(F.expr(f"sum({x_txt} * __w_{b})").alias(f"__sxw_{b}"))
+        aggs.append(F.expr(f"sum(__w_{b})").alias(f"__sw_{b}"))
+    mean_txt = f"({split_cast_double_spark_sql('__sx', sc)} / n)"
+    one = weighted.agg(*aggs).select(
+        "n",
+        F.expr(mean_txt).alias("mean_value"),
+        *[
+            F.expr(
+                f"(CASE WHEN __sw_{b} > 0 THEN "
+                f"({split_cast_double_spark_sql(f'__sxw_{b}', sc)}"
+                f" / cast(__sw_{b} as double)) END)"
             ).alias(f"__m_{b}")
-        )
-    one = weighted.agg(*aggs)
+            for b in range(n_reps)
+        ],
+    )
     # A replicate whose total Poisson weight is 0 (probability e^-n per
     # replicate — only material at tiny n) has an undefined mean; it is
     # coalesced to the overall mean in BOTH engines (ADVICE r6: Spark's

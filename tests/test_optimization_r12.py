@@ -439,3 +439,86 @@ def test_mean_grid_and_matvec_match_legacy_forms(spark):
     assert u1 == matvec_legacy(grid, v)
     # second round exercises the beyond-long magnitudes
     assert _matvec(grid, u1) == matvec_legacy(grid, u1)
+
+
+def test_bootstrap_ci_sql_text_matches_column_form(spark):
+    """bootstrap_mean_ci's SQL-text aggregate/projection split must
+    reproduce the legacy Column-built aggregates exactly."""
+    from shaha_spark.operators.profile import (
+        _dec_scale,
+        bootstrap_mean_ci,
+        split_cast_double,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = _rows(bootstrap_mean_ci(ev, "value", "event_id"))
+
+    # legacy tail: Column-built aggregates over the same staged weights
+    precision = "decimal(12,2)"
+    sc = _dec_scale(precision)
+    n_reps, salt = 40, "boot"
+    x = F.col("value").cast(precision)
+    filtered = ev.where(F.col("value").isNotNull())
+    n_groups = (n_reps + 3) // 4
+    from shaha_spark.operators.profile import _POIS1_CUTS
+
+    digests = filtered.select(
+        F.col("value"),
+        *[
+            F.expr(
+                f"md5(concat(cast(`event_id` as string), '|{g}|{salt}'))"
+            ).alias(f"__d_{g}")
+            for g in range(n_groups)
+        ],
+    )
+    uniforms = digests.select(
+        F.col("value"),
+        *[
+            F.expr(
+                f"cast(conv(substring(__d_{b // 4}, {1 + 7 * (b % 4)}, 7),"
+                " 16, 10) as long)"
+            ).alias(f"__u_{b}")
+            for b in range(n_reps)
+        ],
+    )
+
+    def _w_sql(b):
+        branches = " ".join(
+            f"WHEN __u_{b} < {cut} THEN {k}" for k, cut in enumerate(_POIS1_CUTS)
+        )
+        return f"(CASE {branches} ELSE 5 END)"
+
+    weighted = uniforms.select(
+        F.col("value"),
+        *[F.expr(_w_sql(b)).alias(f"__w_{b}") for b in range(n_reps)],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        (split_cast_double(F.sum(x), sc) / F.count(F.lit(1))).alias("mean_value"),
+    ]
+    for b in range(n_reps):
+        w = F.col(f"__w_{b}")
+        aggs.append(
+            F.when(
+                F.sum(w) > 0,
+                split_cast_double(F.sum(x * w), sc) / F.sum(w).cast("double"),
+            ).alias(f"__m_{b}")
+        )
+    one = weighted.agg(*aggs)
+    reps = F.sort_array(
+        F.array(
+            *[
+                F.coalesce(F.col(f"__m_{b}"), F.col("mean_value"))
+                for b in range(n_reps)
+            ]
+        )
+    )
+    k = int((0.05 / 2.0) * n_reps)
+    legacy = one.select(
+        "n",
+        "mean_value",
+        F.element_at(reps, k + 1).alias("ci_lo"),
+        F.element_at(reps, n_reps - k).alias("ci_hi"),
+        F.lit(n_reps).cast("int").alias("n_reps"),
+    )
+    assert got == _rows(legacy)
