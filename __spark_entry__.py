@@ -4901,11 +4901,18 @@ def q_emb_ivf_pq_topk(spark, sf_dir):
     probe recipe (coarse kmeans chain + argmax assign + nprobe rank),
     restricting ADC scoring to candidate (query, vector) pairs — an
     exact value-hash comparison of the full chain."""
-    from shaha_spark.operators.kmeans import kmeans_fit
-    from shaha_spark.operators.pq import ivf_pq_topk
+    from shaha_spark.operators.pq import ivf_pq_topk, ivf_pq_train
 
-    corpus, cb, _codes, queries = _pq_pieces(spark, sf_dir)
-    coarse = kmeans_fit(corpus, k=PQ_K, iters=PQ_ITERS)
+    # one fused Lloyd run trains the coarse centroids and the m
+    # sub-codebooks together (bit-identical to the sequential
+    # kmeans_fit + pq_train pair — see ivf_pq_train; optimization r12)
+    corpus = _t(spark, sf_dir, "embeddings")
+    coarse, cb = ivf_pq_train(
+        corpus, k_coarse=PQ_K, m=PQ_M, k_sub=PQ_K, iters=PQ_ITERS
+    )
+    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
     return ivf_pq_topk(corpus, queries, coarse, cb, k=PQ_TOPK, nprobe=2)
 
 

@@ -511,11 +511,16 @@ def build_ivf_pq_index(
     asserted in tests and by the driver oracle (the index entry reuses
     the in-plan chain's oracle verbatim).
     """
-    from .pq import pq_encode, pq_train
+    from .pq import ivf_pq_train, pq_encode
 
     spark = df.sparkSession
-    cents = kmeans_fit(df, k=k_coarse, iters=iters, vec_col=vec_col, id_col=id_col)
-    books = pq_train(df, m=m, k=k_sub, iters=iters, vec_col=vec_col, id_col=id_col)
+    # one fused grouped Lloyd run for the coarse fit + m sub-codebooks
+    # (bit-identical to the sequential kmeans_fit + pq_train pair;
+    # optimization r12 — halves the training jobs per index build)
+    cents, books = ivf_pq_train(
+        df, k_coarse=k_coarse, m=m, k_sub=k_sub, iters=iters,
+        vec_col=vec_col, id_col=id_col,
+    )
     cent_rows = [
         {"centroid_id": int(r.centroid_id), "centroid": [float(x) for x in r.centroid]}
         for r in cents.collect()

@@ -134,6 +134,115 @@ def pq_train(
     return out.localCheckpoint(eager=True)
 
 
+def ivf_pq_train(
+    corpus: DataFrame,
+    k_coarse: int = 8,
+    m: int = 4,
+    k_sub: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Train the coarse IVF centroids AND the m PQ sub-codebooks in ONE
+    grouped Lloyd run (optimization round 12, guide §1.2-1/§2.6: the
+    coarse fit and the m sub-fits are m+1 independent k-means problems
+    that :func:`build_ivf_pq_index` / the in-plan IVF-PQ chain ran
+    SEQUENTIALLY — two full sets of driver-synchronized iteration jobs
+    where one suffices). The coarse problem rides along as group −1
+    with the FULL vectors; groups 0..m−1 are the subspace slices, so
+    each iteration is a single broadcast-assign scan + one partial-agg
+    means job covering all m+1 fits.
+
+    Bit-identity: :func:`~shaha_spark.operators.kmeans.kmeans_fit_grouped`
+    runs every group's trajectory exactly as
+    :func:`~shaha_spark.operators.kmeans.kmeans_fit` would on that
+    group's rows alone (same scoring expressions, argmax window keyed
+    by (group, id), order-free decimal means), so the coarse result
+    equals ``kmeans_fit(corpus, k_coarse, iters)`` and the codebooks
+    equal ``pq_train(corpus, m, k_sub, iters)`` — pinned in
+    tests/test_optimization_r12.py against both legacy calls.
+
+    Returns ``(coarse, codebooks)``:
+    ``coarse = [centroid_id, centroid, n_members]``,
+    ``codebooks = [sub_id, centroid_id, centroid]``.
+    """
+    first = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
+    if first is None:
+        raise ValueError("empty corpus (or all-NULL embeddings)")
+    dim = first["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+
+    # group −1 carries the full vector (the coarse problem); 0..m−1 the
+    # subspace slices. Data volume per scan doubles (dim + m·sub_dim),
+    # but the JOB count halves versus the sequential pair of fits.
+    slices = F.array(
+        F.struct(F.lit(-1).alias("sub_id"), F.col(vec_col).alias("v")),
+        *[
+            F.struct(
+                F.lit(sub).alias("sub_id"),
+                _subvec(F.col(vec_col), sub, sub_dim).alias("v"),
+            )
+            for sub in range(m)
+        ],
+    )
+    data = corpus.select(F.col(id_col), F.explode(slices).alias("s")).select(
+        F.col(id_col),
+        F.col("s.sub_id").alias("sub_id"),
+        F.col("s.v").alias(vec_col),
+    )
+
+    # seeds: each fit takes the k lowest-id rows of ITS input — the same
+    # lowest-id corpus rows for every group, so ONE TakeOrdered of
+    # max(k_coarse, k_sub) rows feeds all m+1 groups, trimmed per group
+    # to its own k
+    k_seed = max(k_coarse, k_sub)
+    seeds = corpus.select(F.col(id_col), F.col(vec_col)).orderBy(
+        F.col(id_col).asc()
+    ).limit(k_seed)
+    numbered = seeds.withColumn(
+        "centroid_id",
+        F.row_number().over(Window.orderBy(F.col(id_col).asc())),
+    )
+    init = (
+        numbered.select("centroid_id", F.explode(slices).alias("s"))
+        .select(
+            F.col("s.sub_id").alias("sub_id"),
+            "centroid_id",
+            F.col("s.v").alias("centroid"),
+        )
+        .where(
+            (
+                (F.col("sub_id") == -1)
+                & (F.col("centroid_id") <= F.lit(k_coarse))
+            )
+            | ((F.col("sub_id") >= 0) & (F.col("centroid_id") <= F.lit(k_sub)))
+        )
+        .withColumn("n_members", F.lit(0).cast("bigint"))
+    )
+
+    from shaha_spark.operators.kmeans import kmeans_fit_grouped
+
+    out = kmeans_fit_grouped(
+        data, init, iters=iters, vec_col=vec_col, id_col=id_col,
+        group_col="sub_id",
+    )
+    # model-sized (k_coarse + m*k_sub rows), already checkpointed by the
+    # grouped fit — the splits below filter local blocks, no recompute
+    coarse = out.where(F.col("sub_id") == -1).select(
+        "centroid_id", "centroid", "n_members"
+    )
+    books = out.where(F.col("sub_id") >= 0).select(
+        "sub_id", "centroid_id", "centroid"
+    )
+    return coarse, books
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame,

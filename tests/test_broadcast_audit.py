@@ -108,6 +108,8 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
     ("shaha_spark/operators/classifier.py", "isotonic_fit", "pairs"):
         "interval-average candidates: ≤ bins(bins+1)/2 rows "
         "(≈2k at bins=64), constant in the data size",
+    ("shaha_spark/operators/embeddings.py", "_matvec", "vrow"): _SCALAR
+        + " (the power-iterate: one row holding a d-element decimal array)",
     ("shaha_spark/operators/embeddings.py", "sq_topk", "qcodes"): _QUERY,
     ("shaha_spark/operators/embeddings.py", "sq_topk", "cands"):
         _QUERY + " (k*|queries| candidate ids after stage A)",
@@ -117,6 +119,10 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
      "centroids.select('centroid_id', 'centroid', norm2(F.col('cen"): _MODEL,
     ("shaha_spark/operators/kmeans.py", "prototypicality",
      "centroids.select('centroid_id', 'centroid', norm2(F.col('cen"): _MODEL,
+    ("shaha_spark/operators/kmeans.py", "kmeans_fit_grouped",
+     "centroids.select(group_col, 'centroid_id', 'centroid', norm2"): _MODEL
+        + " (Σ per-group k rows — m×k for PQ training, model-sized at any "
+          "corpus volume)",
     ("shaha_spark/operators/layout.py", "zorder_value", "bounds"): _SCALAR,
     ("shaha_spark/operators/pq.py", "_adc_score", "codebooks"): _MODEL,
     ("shaha_spark/operators/pq.py", "_adc_score", "adc"):

@@ -522,3 +522,24 @@ def test_bootstrap_ci_sql_text_matches_column_form(spark):
         F.lit(n_reps).cast("int").alias("n_reps"),
     )
     assert got == _rows(legacy)
+
+
+def test_ivf_pq_train_matches_sequential_pair(spark):
+    """ivf_pq_train's fused grouped Lloyd run (coarse fit riding along
+    as group -1 beside the m subspace fits) must reproduce the legacy
+    sequential kmeans_fit + pq_train pair exactly — including with
+    k_coarse != k_sub, where the shared seed TakeOrdered is trimmed
+    per group."""
+    from shaha_spark.operators.kmeans import kmeans_fit
+    from shaha_spark.operators.pq import ivf_pq_train, pq_train
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    for k_coarse, k_sub in [(8, 16), (16, 8), (4, 4)]:
+        coarse, books = ivf_pq_train(
+            emb, k_coarse=k_coarse, m=4, k_sub=k_sub, iters=2
+        )
+        want_coarse = _rows(kmeans_fit(emb, k=k_coarse, iters=2))
+        want_books = _rows(pq_train(emb, m=4, k=k_sub, iters=2))
+        assert _rows(coarse) == want_coarse, (k_coarse, k_sub)
+        assert _rows(books) == want_books, (k_coarse, k_sub)
