@@ -6520,6 +6520,7 @@ def q_docs_cross_split_contamination(spark, sf_dir):
     the report disagree — exactly the bug this invariant exists to
     catch. The oracle nests the verified cluster-split CTE chain and
     the verified decontamination twin."""
+    from shaha_spark.caching import registers
     from shaha_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -6527,8 +6528,8 @@ def q_docs_cross_split_contamination(spark, sf_dir):
     )
     from shaha_spark.operators.sampling import cluster_split
     from shaha_spark.operators.terms import (
+        contamination_report,
         cross_split_contamination,
-        exact_substring_decontaminate,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -6545,25 +6546,34 @@ def q_docs_cross_split_contamination(spark, sf_dir):
     dd = docs.select("doc_id", "text").join(
         sp.select("doc_id", "split"), "doc_id"
     ).localCheckpoint(eager=False)
-    pre = cross_split_contamination(dd, min_len=SUBSTR_DECONTAM_LEN)
     train = dd.where(F.col("split") == "train")
     held = dd.where(F.col("split") != "train")
-    flags = exact_substring_decontaminate(
-        train, held, min_len=SUBSTR_DECONTAM_LEN
-    )
+    # ONE contamination_report feeds both the pre-phase aggregation and
+    # the decontamination flag set (optimization r12, guide §1.2-1):
+    # the flag operator's contaminated set is exactly the report's
+    # distinct train ids (pinned in contamination_report's docstring
+    # and test_round11_ops), so the separate exact_substring_
+    # decontaminate pass — a third full window-extraction scan — is
+    # redundant. rep is contamination-sized (matched pairs only), so
+    # persisting it is scale-safe; released via the caching registry.
+    rep = contamination_report(train, held, min_len=SUBSTR_DECONTAM_LEN).persist()
+    pre = cross_split_contamination(dd, min_len=SUBSTR_DECONTAM_LEN, report=rep)
     clean_train = train.join(
-        flags.where(~F.col("contaminated")).select("doc_id"), "doc_id"
+        rep.select(F.col("train_doc_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
     )
     post = cross_split_contamination(
         clean_train.unionByName(held), min_len=SUBSTR_DECONTAM_LEN
     )
-    return (
+    return registers(
         pre.withColumn("phase", F.lit("pre_decontaminate"))
         .unionByName(post.withColumn("phase", F.lit("post_decontaminate")))
         .select(
             "phase", "split", "n_pairs", "n_shared_windows",
             "n_eval_docs_hit", "n_train_docs_hit",
-        )
+        ),
+        rep,
     )
 
 

@@ -682,6 +682,7 @@ def cross_split_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_eval: bool = True,
+    report: DataFrame | None = None,
 ) -> DataFrame:
     """Train↔held-out contamination audit ACROSS a split assignment —
     the end-to-end invariant the split + decontamination operators
@@ -706,12 +707,19 @@ def cross_split_contamination(
     asymmetry; ``broadcast_eval=False`` for huge held-out splits),
     then a split-cardinality aggregation over the MATCHED pairs only.
 
+    ``report`` (optimization r12): a caller that ALREADY holds this
+    split's :func:`contamination_report` output (the cross-split audit
+    computes it for the flag set too) passes it here to skip the
+    report's window-extraction pass — the aggregation below is then
+    the only work. Must be the report of exactly ``docs``'s
+    train/held-out partition under the same ``min_len``.
+
     Reference parity: none (extension layer, training-data canon).
     """
     eid, tid = "eval_" + id_col, "train_" + id_col
     train = docs.where(F.col(split_col) == train_split)
     held_out = docs.where(F.col(split_col) != train_split)
-    rep = contamination_report(
+    rep = report if report is not None else contamination_report(
         train, held_out, min_len, text_col, id_col, broadcast_eval
     )
     per_split = (
