@@ -287,9 +287,10 @@ NOTES = {
     ),
     "docs_decontaminate": (
         "Distinct n-gram inner join (train × eval grams) with the gram "
-        "assembly codegen'd via lead windows; at 100 TB the gram key "
-        "would be xxhash64'd to shrink shuffle width (string kept here "
-        "for the oracle join)."
+        "assembly codegen'd SHUFFLE-FREE via element_at over the staged "
+        "token array (r12: was a lead window that shuffled the whole "
+        "token stream); at 100 TB the gram key would be xxhash64'd to "
+        "shrink shuffle width (string kept here for the oracle join)."
     ),
     "events_salted_agg": (
         "Two-phase skew-resistant aggregate: salted partial, then final "

@@ -13,9 +13,12 @@ Scale shapes:
   tf⨝df join shuffles on the term key (AQE broadcasts the df side
   when the vocabulary is small). The corpus-size scalar joins via a
   1-row broadcast, never a window over a single partition.
-* ``word_ngrams`` — posexplode + per-doc window with ``lead``: the
-  gram assembly is whole-stage-codegen'd, one shuffle on doc id, and
-  the output carries distinct (doc, gram) pairs only.
+* ``word_ngrams`` — staged token array + explode of the gram start
+  positions + ``element_at`` assembly, all whole-stage-codegen'd and
+  SHUFFLE-FREE (optimization r12: the previous posexplode + per-doc
+  ``lead`` window shuffled and sorted the whole token stream by doc id
+  just to pair adjacent tokens); the output carries distinct
+  (doc, gram) pairs only.
 * ``decontaminate`` — distinct eval grams semi-joined against train
   grams on the gram key: one shuffle each side, output bounded by the
   train corpus. At 100 TB you would hash grams to 64-bit before the
@@ -84,6 +87,50 @@ def term_stats(
     )
 
 
+def _tok_arr(text_col):
+    """Non-empty token array of one document — ALWAYS stage this as a
+    projected column before element_at access (an inlined copy is
+    re-split once per element access — measured 20× slower; the r12
+    re-tokenization trap). ``array_remove`` rather than the ``F.filter``
+    higher-order function: HOF lambdas are interpreted (never
+    whole-stage-codegen'd) and measured 20-35% slower end-to-end on the
+    n-gram family."""
+    return F.array_remove(F.split(text_col, TOKEN_SPLIT_RE), "")
+
+
+def _gram_starts(a, n: int):
+    """1-based start positions of the n-grams of token array ``a`` —
+    empty when the document has fewer than n tokens (a bare
+    ``sequence(1, size-n+1)`` would count DOWN when size < n)."""
+    return F.when(
+        F.size(a) >= n, F.sequence(F.lit(1), F.size(a) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _ngram_stream(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Every n-gram occurrence as ``(id, w1..wn)`` — assembled by
+    ``element_at`` lookups over the staged token array, NO shuffle (the
+    lead-window alternative shuffles and sorts the whole token stream
+    by doc id just to pair adjacent tokens). The explode generates only
+    the int start positions; the token array rides alongside within the
+    same codegen stage, so no per-gram array copy and every expression
+    (sequence, explode, element_at) stays in whole-stage codegen — an
+    earlier ``transform``/``slice`` HOF draft of this assembly was
+    interpreted and measured SLOWER than the window it replaced."""
+    staged = docs.select(F.col(id_col), _tok_arr(F.col(text_col)).alias("__toks"))
+    a = F.col("__toks")
+    idx = staged.select(
+        F.col(id_col), a, F.explode(_gram_starts(a, n)).alias("__i")
+    )
+    i = F.col("__i")
+    return idx.select(
+        F.col(id_col),
+        *[F.element_at(a, i + F.lit(j)).alias(f"w{j + 1}") for j in range(n)],
+    )
+
+
 def word_ngrams(
     docs: DataFrame,
     n: int,
@@ -92,34 +139,27 @@ def word_ngrams(
 ) -> DataFrame:
     """Distinct (id, gram) word n-grams, space-joined.
 
-    posexplode keeps token order through the per-doc window; ``lead``
-    assembles each gram inside codegen, and rows whose window runs off
-    the document end (fewer than n tokens remain) are dropped by the
-    null check on the furthest lead.
+    Grams assemble by ``element_at`` lookups over the staged token
+    array — NO shuffle (optimization r12: the previous posexplode +
+    per-doc ``lead`` window form shuffled and sorted the entire token
+    stream by doc id just to pair adjacent tokens; the token order the
+    window reconstructed is already explicit in the array). Documents
+    with fewer than n tokens yield no grams, exactly as the off-end
+    null check did.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("pos", "w"),
-    ).filter(F.col("w") != "")
     if n == 1:
+        toks = docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("w"),
+        ).filter(F.col("w") != "")
         return toks.select(id_col, F.col("w").alias("gram")).distinct()
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
-    # gram and the off-end check must be projected TOGETHER, before any
-    # filter: a later re-projection would re-evaluate the lead windows
-    # on the filtered frame and pair tokens across dropped rows
-    assembled = toks.select(
+    stream = _ngram_stream(docs, n, text_col, id_col)
+    return stream.select(
         F.col(id_col),
-        F.concat_ws(" ", *parts).alias("gram"),
-        parts[-1].alias("_last"),
-    )
-    return (
-        assembled.filter(F.col("_last").isNotNull())
-        .select(id_col, "gram")
-        .distinct()
-    )
+        F.concat_ws(" ", *[f"w{j + 1}" for j in range(n)]).alias("gram"),
+    ).distinct()
 
 
 def top_vocab(
@@ -198,29 +238,23 @@ def ngram_repetition(
 
     Counts every n-gram occurrence (unlike :func:`word_ngrams`, which
     deduplicates) and reports how many occurrences are repeats of a
-    gram already seen in the same document. Same single-lineage shape
-    as word_ngrams: posexplode → per-doc lead window → one hash-agg;
-    count(distinct) expands inside the same aggregation, no second
-    scan. The ratio is one IEEE division of exact counts."""
+    gram already seen in the same document. Same shuffle-free gram
+    assembly as word_ngrams (codegen'd element_at lookups over the
+    staged token array — optimization r12, no token-stream exchange),
+    then one hash-agg; count(distinct) expands inside the same
+    aggregation, no second scan. The ratio is one IEEE division of
+    exact counts."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("pos", "w"),
-    ).filter(F.col("w") != "")
     if n == 1:
-        assembled = toks.select(F.col(id_col), F.col("w").alias("gram"))
+        assembled = docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("gram"),
+        ).filter(F.col("gram") != "")
     else:
-        w = Window.partitionBy(id_col).orderBy("pos")
-        parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
-        assembled = (
-            toks.select(
-                F.col(id_col),
-                F.concat_ws(" ", *parts).alias("gram"),
-                parts[-1].alias("_last"),
-            )
-            .filter(F.col("_last").isNotNull())
-            .select(id_col, "gram")
+        assembled = _ngram_stream(docs, n, text_col, id_col).select(
+            F.col(id_col),
+            F.concat_ws(" ", *[f"w{j + 1}" for j in range(n)]).alias("gram"),
         )
     per_doc = assembled.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
@@ -1003,22 +1037,12 @@ def bigram_logprob(
     average is one correctly-rounded division. The start-count is a sum
     window over the bigram counts (single lineage, no diamond); the LM
     table is bigram-vocabulary-sized and broadcast for the score join.
+    Bigrams assemble shuffle-free by array slicing (optimization r12 —
+    the lead-window form shuffled and sorted the whole token stream).
     """
     from pyspark.sql import Window as W
 
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("pos", "w"),
-    ).filter(F.col("w") != "")
-    wnd = W.partitionBy(id_col).orderBy("pos")
-    pairs = (
-        toks.select(
-            F.col(id_col),
-            F.col("w").alias("w1"),
-            F.lead("w", 1).over(wnd).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
-    )
+    pairs = _ngram_stream(docs, 2, text_col, id_col)
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = F.sum("c2").over(W.partitionBy("w1"))
     lp = c2.withColumn("__c1", c1).select(
@@ -1072,26 +1096,16 @@ def trigram_backoff_logprob(
     join back to the occurrence stream + doc hash-agg. Documents with
     fewer than 3 tokens return ``n_trigrams = 0`` and NULL score.
     """
-    from pyspark.sql import Window as W
-
     def _toks(df):
         return df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("pos", "w"),
+            F.explode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("w"),
         ).filter(F.col("w") != "")
 
     def _tris(df):
-        toks = _toks(df)
-        wnd = W.partitionBy(id_col).orderBy("pos")
-        return (
-            toks.select(
-                F.col(id_col),
-                F.col("w").alias("w1"),
-                F.lead("w", 1).over(wnd).alias("w2"),
-                F.lead("w", 2).over(wnd).alias("w3"),
-            )
-            .filter(F.col("w3").isNotNull())
-        )
+        # shuffle-free array-slice assembly (optimization r12) — the
+        # lead-window form shuffled+sorted the whole token stream
+        return _ngram_stream(df, 3, text_col, id_col)
 
     # The LM count tables are each consumed by several joins below, and
     # Spark re-derives the whole lm_toks subtree (scan + explode [+
@@ -1107,14 +1121,9 @@ def trigram_backoff_logprob(
     c1 = lm_toks.groupBy(F.col("w").alias("u1")).agg(
         F.count(F.lit(1)).alias("c1")
     ).persist()
-    lm_wnd = W.partitionBy(id_col).orderBy("pos")
     lm_bi = (
-        lm_toks.select(
-            F.col(id_col),
-            F.col("w").alias("b1"),
-            F.lead("w", 1).over(lm_wnd).alias("b2"),
-        )
-        .filter(F.col("b2").isNotNull())
+        _ngram_stream(lm_docs, 2, text_col, id_col)
+        .select(F.col("w1").alias("b1"), F.col("w2").alias("b2"))
         .groupBy("b1", "b2")
         .agg(F.count(F.lit(1)).alias("c2"))
     ).persist()

@@ -543,3 +543,78 @@ def test_ivf_pq_train_matches_sequential_pair(spark):
         want_books = _rows(pq_train(emb, m=4, k=k_sub, iters=2))
         assert _rows(coarse) == want_coarse, (k_coarse, k_sub)
         assert _rows(books) == want_books, (k_coarse, k_sub)
+
+
+def _legacy_ngram_grams(docs, n, text_col="text", id_col="doc_id"):
+    """The pre-r12 n-gram occurrence builder: posexplode + per-doc
+    ``lead`` window, off-end rows dropped by the null check on the
+    furthest lead. Kept as the executable specification for the
+    shuffle-free element_at assembly."""
+    from pyspark.sql import Window as W
+
+    from shaha_spark.operators.constants import TOKEN_SPLIT_RE
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    wnd = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(wnd) for i in range(1, n)]
+    return (
+        toks.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "gram")
+    )
+
+
+@pytest.fixture(scope="module")
+def ngram_edge_docs(spark):
+    """Edge cases the off-end null check used to handle: null text,
+    empty text, separator-only text, fewer-than-n tokens, multi-space
+    runs, repeated grams."""
+    return spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b a b a b"),
+            (3, "  leading  and   multi   spaces "),
+            (4, "one"),
+            (5, "two words"),
+            (6, ""),
+            (7, None),
+            (8, "\t tabs\nand newlines \t"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_word_ngrams_matches_legacy_lead_window_form(spark, docs, ngram_edge_docs):
+    from shaha_spark.operators.terms import word_ngrams
+
+    for frame in (docs, ngram_edge_docs):
+        for n in (2, 3, 5):
+            got = _rows(word_ngrams(frame, n))
+            want = _rows(_legacy_ngram_grams(frame, n).distinct())
+            assert got == want, n
+
+
+def test_ngram_stream_occurrences_match_legacy_lead_window_form(
+    spark, docs, ngram_edge_docs
+):
+    """The occurrence stream (ngram_repetition / bigram_logprob /
+    trigram_backoff input) must keep the exact per-document gram
+    MULTISET of the window form, not just the distinct set."""
+    from shaha_spark.operators.terms import _ngram_stream
+
+    for frame in (docs, ngram_edge_docs):
+        for n in (2, 3):
+            stream = _ngram_stream(frame, n, "text", "doc_id").select(
+                F.col("doc_id"),
+                F.concat_ws(" ", *[f"w{j + 1}" for j in range(n)]).alias("gram"),
+            )
+            got = _rows(stream)
+            want = _rows(_legacy_ngram_grams(frame, n))
+            assert got == want, n
