@@ -1,0 +1,45 @@
+"""Dump explain('formatted') for named registry entries to plans/r12/.
+
+Usage: python scripts/dump_plans.py <tag> <name> [name ...]
+Writes plans/r12/<name>_<tag>.txt
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    from shaha_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    spark = get_spark(app_name="shaha-plans", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r12",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as fh:
+            fh.write(txt)
+        print(f"{name}: exchanges={txt.count('Exchange')} -> {name}_{tag}.txt")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -48,7 +48,16 @@ def assign_nearest(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Nearest-centroid (max cosine, id-asc ties) per vector: broadcast
-    centroids, shuffle-free scan, per-vector argmax window."""
+    centroids, one scan, per-vector argmax as a partial-aggregable
+    ``max(struct(...))`` hash aggregate (optimization round 12, guide
+    §2.3/§2.4): the old rank-1 window exchanged and SORTED all k·n
+    scored rows — each carrying the full vector — where the aggregate
+    map-side-combines them back to n rows before the exchange and
+    needs no sort. The struct ordering (sim, −centroid_id) picks the
+    identical winner: max sim first, then the LOWEST centroid id
+    (Spark orders NULL smallest and NaN greatest in both window
+    ``desc``-NULLS-LAST and struct comparisons, so degenerate scores
+    tie-break the same way)."""
     c = F.broadcast(
         centroids.select(
             "centroid_id", "centroid", norm2(F.col("centroid")).alias("__ctn2")
@@ -66,13 +75,20 @@ def assign_nearest(
             F.col("__ctn2"),
         ).alias("__sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__sim").desc(), F.col("centroid_id").asc()
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("__sim").alias("s"),
+                (-F.col("centroid_id")).alias("nc"),
+                F.col("centroid_id").alias("cid"),
+                F.col(vec_col).alias("v"),
+            )
+        ).alias("__b")
     )
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    return best.select(
+        F.col(id_col),
+        F.col("__b.v").alias(vec_col),
+        F.col("__b.cid").alias("centroid_id"),
     )
 
 
@@ -171,13 +187,24 @@ def kmeans_fit_grouped(
                 F.col("__ctn2"),
             ).alias("__sim"),
         )
-        w = Window.partitionBy(group_col, id_col).orderBy(
-            F.col("__sim").desc(), F.col("centroid_id").asc()
+        # argmax as a partial-aggregable max(struct) — same winner as
+        # the rank-1 window, k× fewer exchanged rows, no sort (see
+        # assign_nearest; the group key simply joins the grouping set)
+        best = scored.groupBy(group_col, id_col).agg(
+            F.max(
+                F.struct(
+                    F.col("__sim").alias("s"),
+                    (-F.col("centroid_id")).alias("nc"),
+                    F.col("centroid_id").alias("cid"),
+                    F.col(vec_col).alias("v"),
+                )
+            ).alias("__b")
         )
-        assigned = (
-            scored.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") == 1)
-            .select(group_col, id_col, vec_col, "centroid_id")
+        assigned = best.select(
+            group_col,
+            F.col(id_col),
+            F.col("__b.v").alias(vec_col),
+            F.col("__b.cid").alias("centroid_id"),
         )
         new = label_centroids(
             assigned,
@@ -247,17 +274,20 @@ def prototypicality(
             ).alias("__sim"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__sim").desc(), F.col("centroid_id").asc()
-    )
-    best = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") == 1)
-        .select(
-            id_col,
-            "centroid_id",
-            F.round(F.col("__sim"), 6).alias("proto_cos"),
-        )
+    # argmax as a partial-aggregable max(struct) — same winner as the
+    # rank-1 window, k× fewer exchanged rows, no sort (assign_nearest)
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("__sim").alias("s"),
+                (-F.col("centroid_id")).alias("nc"),
+                F.col("centroid_id").alias("cid"),
+            )
+        ).alias("__b")
+    ).select(
+        F.col(id_col),
+        F.col("__b.cid").alias("centroid_id"),
+        F.round(F.col("__b.s"), 6).alias("proto_cos"),
     )
     return best.select(
         "*",

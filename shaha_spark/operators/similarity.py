@@ -210,9 +210,14 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine).
 
-    Centroids are broadcast; assignment is a shuffle-free scan + a
-    per-vector argmax (window on id). In production the assignment is
-    persisted/bucketed at write time so queries never recompute it.
+    Centroids are broadcast; assignment is one scan + a per-vector
+    argmax as a partial-aggregable ``max(struct(sim, −cid, …))`` hash
+    aggregate (optimization round 12, guide §2.3/§2.4 — the old rank-1
+    window exchanged and sorted all k·n scored rows, vector payload
+    included; the aggregate map-side-combines them to n rows first and
+    picks the identical winner, see kmeans.assign_nearest). In
+    production the assignment is persisted/bucketed at write time so
+    queries never recompute it.
     """
     c = F.broadcast(
         centroids.select(
@@ -233,11 +238,20 @@ def ivf_assign(
             F.col("__ctn2"),
         ).alias("__sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col(centroid_id_col).asc())
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") == 1)
-        .drop("__r", "__sim")
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("__sim").alias("s"),
+                (-F.col(centroid_id_col)).alias("nc"),
+                F.col(centroid_id_col).alias("cid"),
+                F.col(vec_col).alias("v"),
+            )
+        ).alias("__b")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("__b.v").alias(vec_col),
+        F.col("__b.cid").alias(centroid_id_col),
     )
 
 

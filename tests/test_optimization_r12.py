@@ -618,3 +618,95 @@ def test_ngram_stream_occurrences_match_legacy_lead_window_form(
             got = _rows(stream)
             want = _rows(_legacy_ngram_grams(frame, n))
             assert got == want, n
+
+
+def _legacy_window_assign(corpus, centroids, vec_col="embedding", id_col="vec_id"):
+    """The pre-r12 argmax-assignment: rank-1 window over the scored
+    crossJoin (kept as the executable specification for the
+    max(struct) aggregate that replaced it)."""
+    from pyspark.sql import Window
+
+    from shaha_spark.operators.similarity import (
+        cosine_sim_hoisted,
+        dot,
+        norm2,
+    )
+
+    c = F.broadcast(
+        centroids.select(
+            "centroid_id", "centroid", norm2(F.col("centroid")).alias("__ctn2")
+        )
+    )
+    scored = corpus.withColumn("__vn2", norm2(F.col(vec_col))).crossJoin(
+        c
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        cosine_sim_hoisted(
+            dot(F.col(vec_col), F.col("centroid")),
+            F.col("__vn2"),
+            F.col("__ctn2"),
+        ).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def test_argmax_assign_matches_legacy_window_form(spark):
+    """assign_nearest / ivf_assign argmax via max(struct(sim, -cid, …))
+    must pick the identical centroid as the legacy rank-1 window for
+    every degenerate score ordering: NULL sims (null vector, length
+    mismatch), exact ties (duplicated centroid vector → lowest
+    centroid_id wins), and the plain max case. (Zero-norm vectors
+    raise DIVIDE_BY_ZERO under ANSI mode in BOTH forms — the fold
+    path's documented semantics, unchanged by the rewrite.)"""
+    from shaha_spark.operators.kmeans import assign_nearest
+    from shaha_spark.operators.similarity import ivf_assign
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),        # clear winner
+            (2, [0.0, 1.0, 0.0]),        # exact tie between dup centroids
+            (3, None),                    # null vector -> all sims NULL
+            (4, [1.0, 0.0]),             # length mismatch -> all sims NULL
+            (6, [0.6, 0.8, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    cents = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),        # duplicate of 1: tie on sim
+            (3, [1.0, 0.0, 0.0]),
+        ],
+        "centroid_id int, centroid array<double>",
+    )
+    want = _rows(_legacy_window_assign(corpus, cents))
+    assert _rows(assign_nearest(corpus, cents)) == want
+    assert _rows(ivf_assign(corpus, cents)) == want
+
+
+def test_grouped_argmax_and_prototypicality_match_legacy_window_form(spark):
+    """kmeans_fit_grouped's per-iteration argmax and prototypicality's
+    best-cosine pick must match the legacy window on real data (the
+    grouped trajectory is pinned transitively: identical assignment ->
+    identical decimal means -> identical next-round centroids)."""
+    from shaha_spark.operators.kmeans import (
+        kmeans_fit,
+        prototypicality,
+    )
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = kmeans_fit(embs, k=4, iters=1)
+    legacy = _legacy_window_assign(embs, cents).select(
+        "vec_id", "centroid_id"
+    )
+    got = prototypicality(embs, cents).select("vec_id", "centroid_id")
+    assert _rows(got) == _rows(legacy)

@@ -48,8 +48,6 @@ GLOBAL_WINDOW_OK = {
     "docs_temperature_rates": "normalizing constant over strata "
                               "(one row per lang)",
     "docs_temperature_resample": "same strata-cardinality normalization",
-    "emb_ivf_pq_topk": "WindowGroupLimit over the PQ codebook distance "
-                       "table (model-sized, k*256 rows)",
     "docs_token_budget": "running offset over score buckets "
                          "(score_range/bucket_width rows — the "
                          "value-bucketed distributed prefix sum, "
