@@ -154,18 +154,38 @@ def split_balance(
       the split (``cluster_col``, e.g. ``cluster_rep``; NULL when not
       given) — the "one giant component ate my eval set" diagnostic.
 
-    Scale shape: one hash-aggregate over the corpus per level (split
-    counts; cluster sizes when requested), partial-aggregated map-side;
-    the window total runs over the handful of (domain, split) rows,
-    never the corpus. Pure built-in expressions; deterministic output
+    Scale shape: ONE hash-aggregate pass over the corpus (under
+    ``cluster_col`` a two-level aggregation: per-cluster sizes, then
+    sum/max per split — n_docs is the exact sum of the cluster sizes,
+    so the old second counts scan + join is gone), partial-aggregated
+    map-side; the window total runs over the handful of
+    (domain, split) rows, never the corpus. Pure built-in expressions; deterministic output
     (exact counts, single rounded division).
     """
     from pyspark.sql import Window
 
     keys = ([domain_col] if domain_col else []) + [split_col]
-    counts = df.groupBy(*keys).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
+    if cluster_col is None:
+        counts = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.lit(None).cast("bigint").alias("max_cluster_docs"),
+        )
+    else:
+        # ONE corpus pass (optimization round 12, guide §1.2 step 1):
+        # n_docs is the exact-integer sum of the per-cluster sizes, so
+        # both outputs fold into one two-level aggregation — the old
+        # separate counts scan + join re-evaluated the ENTIRE upstream
+        # (for docs_split_balance: the MinHash/LSH/connected-components
+        # chain) a second time just to recount rows it already had.
+        counts = (
+            df.groupBy(*keys, cluster_col)
+            .agg(F.count(F.lit(1)).alias("__csz"))
+            .groupBy(*keys)
+            .agg(
+                F.sum("__csz").cast("bigint").alias("n_docs"),
+                F.max("__csz").cast("bigint").alias("max_cluster_docs"),
+            )
+        )
     w_tot = Window.partitionBy(*([domain_col] if domain_col else []))
     observed = F.round(
         F.col("n_docs").cast("double") / F.sum("n_docs").over(w_tot), 9
@@ -175,24 +195,14 @@ def split_balance(
         target = F.when(
             F.col(split_col) == name, F.lit(float(wgt))
         ).otherwise(target)
-    out = counts.select(
+    return counts.select(
         *keys,
         "n_docs",
         observed.alias("observed_frac"),
         target.alias("target_frac"),
         F.round(observed - target, 9).alias("skew"),
+        "max_cluster_docs",
     )
-    if cluster_col is None:
-        return out.withColumn(
-            "max_cluster_docs", F.lit(None).cast("bigint")
-        )
-    clusters = (
-        df.groupBy(*keys, cluster_col)
-        .agg(F.count(F.lit(1)).alias("__csz"))
-        .groupBy(*keys)
-        .agg(F.max("__csz").cast("bigint").alias("max_cluster_docs"))
-    )
-    return out.join(clusters, keys)
 
 
 def split_balance_sql(
