@@ -218,9 +218,28 @@ def write_hashdb(
     # short-circuits absent keys while the sorted layout's min/max
     # pruning carries the primary skip. (File-count sizing is the
     # caller's job via estimate_num_files / sort_for_write.)
+    # Write-leg knobs (optimization round 12, guide §6; measured by
+    # scripts/ab_write_knobs.py, interleaved over 5 reps at sf0.1,
+    # 541k records):
+    #   * dictionary encoding OFF for `hash` and `preimage` — both are
+    #     (near-)unique per row, so the dictionary always overflows to
+    #     plain after buffering a page's worth of entries; the attempt
+    #     itself is pure CPU+memory per row group. `algorithm` and
+    #     `sources` keep their dictionaries (few distinct values).
+    #   * zstd level 2 instead of the parquet-mr default 3 — the hash
+    #     column (the bulk of the bytes) is incompressible at any
+    #     level, so level 3's extra effort buys nothing there.
+    #   Together: write 1.09 -> 0.98 s median, 31.93 -> 32.12
+    #   bytes/record (+0.6%; still 0.68x the reference's ~47.5).
+    #   Level 1 was 6% faster again but cost +7.8% bytes; dictionary-
+    #   skip WITHOUT lowering the level measured slower (plain pages
+    #   are bigger, and zstd-3 pays proportionally).
     writer = (
         df.write.mode(mode)
         .option("compression", "zstd")
+        .option("parquet.compression.codec.zstd.level", "2")
+        .option("parquet.enable.dictionary#hash", "false")
+        .option("parquet.enable.dictionary#preimage", "false")
         .option("parquet.bloom.filter.enabled#hash", "true")
         .option("parquet.bloom.filter.adaptive.enabled", "true")
     )
