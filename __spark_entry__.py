@@ -4730,11 +4730,16 @@ def q_docs_bpe_encode(spark, sf_dir):
     occurrence, so the DuckDB twin predicts the exact output from the
     token stream alone — any dropped/duplicated/reordered piece or a
     wrong join-back multiplicity breaks the value hash. Segmentation
-    content stays pinned by known-answer tests (tests/test_terms.py)."""
-    from shaha_spark.operators.terms import bpe_encode, bpe_train
+    content stays pinned by known-answer tests (tests/test_terms.py).
+
+    Training runs through bpe_train_local (optimization round 12): ONE
+    distributed vocab aggregation + driver-side merge rounds over the
+    model-sized table, replacing 2·num_merges sequential jobs —
+    bit-identical merge list by the test_terms.py twin pins."""
+    from shaha_spark.operators.terms import bpe_encode, bpe_train_local
 
     docs = _t(spark, sf_dir, "documents")
-    enc = bpe_encode(docs, bpe_train(docs, num_merges=8))
+    enc = bpe_encode(docs, bpe_train_local(docs, num_merges=8))
     return enc.select(
         "doc_id", "term", F.concat_ws("", "pieces").alias("decoded")
     )
@@ -6585,11 +6590,13 @@ def q_docs_bpe_fertility(spark, sf_dir):
     FULL training chain in SQL (8 chained pair-count/argmax/merge-fold
     CTEs — bpe_train's exact tiebreak and greedy merge), so unlike
     docs_bpe_encode's roundtrip-only oracle this one value-hashes the
-    segmentation CONTENT."""
-    from shaha_spark.operators.terms import bpe_fertility, bpe_train
+    segmentation CONTENT. Training runs through bpe_train_local
+    (optimization round 12, see docs_bpe_encode): one distributed job
+    instead of 2·num_merges, bit-identical merge list."""
+    from shaha_spark.operators.terms import bpe_fertility, bpe_train_local
 
     docs = _t(spark, sf_dir, "documents")
-    out = bpe_fertility(docs, bpe_train(docs, num_merges=8))
+    out = bpe_fertility(docs, bpe_train_local(docs, num_merges=8))
     return out.select(
         "doc_id", "n_tokens", "n_pieces", "n_chars", "fertility",
         "chars_per_piece",
