@@ -664,7 +664,11 @@ def isotonic_fit(
     from shaha_spark.caching import registers
 
     return registers(
-        pre.join(iso, "bin")
+        # iso is ≤ bins rows (the same boundedness argument as the
+        # enrolled pairs/k broadcasts); without the hint the equi-join
+        # plans sort-merge — two exchanges + sorts for a ≤64-row join
+        # (optimization round 12)
+        pre.join(F.broadcast(iso), "bin")
         .select(
             F.col("bin").cast("bigint").alias("bin"),
             "n",

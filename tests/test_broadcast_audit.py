@@ -108,6 +108,9 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
     ("shaha_spark/operators/classifier.py", "isotonic_fit", "pairs"):
         "interval-average candidates: ≤ bins(bins+1)/2 rows "
         "(≈2k at bins=64), constant in the data size",
+    ("shaha_spark/operators/classifier.py", "isotonic_fit", "iso"):
+        "per-bin isotonic fit: ≤ bins rows (64 default) — the final "
+        "join-back side, constant in the data size",
     ("shaha_spark/operators/embeddings.py", "_matvec", "vrow"): _SCALAR
         + " (the power-iterate: one row holding a d-element decimal array)",
     ("shaha_spark/operators/embeddings.py", "sq_topk", "qcodes"): _QUERY,
