@@ -332,7 +332,9 @@ def cluster_profile(
         F.sum(F.col("prototypical").cast("long")).alias("__np"),
     )
     spine = centroids.select("centroid_id")
-    joined = spine.join(agg, "centroid_id", "left")
+    # agg is ≤ k rows (one per assigned centroid — model-sized); the
+    # unhinted spine join planned sort-merge (optimization round 12)
+    joined = spine.join(F.broadcast(agg), "centroid_id", "left")
     n = F.coalesce("__n", F.lit(0)).cast("long")
     return joined.select(
         "centroid_id",

@@ -566,7 +566,12 @@ def topk_recall(
     corpus scan that produced them — then a per-query count.
     """
     e = exact.select(query_col, id_col)
-    a = approx.select(query_col, id_col).withColumn("__hit", F.lit(1))
+    # k·|queries| rows by construction (the ANN's top-k output) — the
+    # unhinted equi-join planned sort-merge: two exchanges plus sorts
+    # for a result-set-sized join (optimization round 12)
+    a = F.broadcast(
+        approx.select(query_col, id_col).withColumn("__hit", F.lit(1))
+    )
     return (
         e.join(a, [query_col, id_col], "left")
         .groupBy(query_col)
@@ -741,7 +746,10 @@ def ndcg_at_k(
     a = approx.select(
         F.col(query_col), F.col(id_col), F.col(rank_col).alias("__arank")
     )
-    joined = a.join(e, [query_col, id_col], "left")
+    # e is k·|queries| rows by construction (the exact top-k result
+    # set); unhinted, both query-sized joins here planned sort-merge
+    # (optimization round 12 — same bound as topk_recall's hint)
+    joined = a.join(F.broadcast(e), [query_col, id_col], "left")
     rel = F.when(
         F.col("__erank").isNotNull(),
         F.lit(k + 1).cast("double") - F.col("__erank").cast("double"),
@@ -757,7 +765,7 @@ def ndcg_at_k(
     from shaha_spark.caching import registers
 
     return registers(
-        all_queries.join(per_q, query_col, "left").select(
+        all_queries.join(F.broadcast(per_q), query_col, "left").select(
             F.col(query_col),
             F.coalesce(
                 F.round(F.col("__dcg").cast("double") / F.lit(ideal), 6),

@@ -199,6 +199,15 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
     ("shaha_spark/operators/similarity.py", "ivf_assign",
      "centroids.select(centroid_id_col, centroid_vec_col, norm2(F."): _MODEL,
     ("shaha_spark/operators/similarity.py", "ivf_topk", "centroids"): _MODEL,
+    ("shaha_spark/operators/similarity.py", "topk_recall",
+     "approx.select(query_col, id_col).withColumn('__hit', F.lit(1"):
+        _QUERY + " (k rows per query — the ANN's top-k result set)",
+    ("shaha_spark/operators/similarity.py", "ndcg_at_k", "e"):
+        _QUERY + " (k rows per query — the exact top-k result set)",
+    ("shaha_spark/operators/similarity.py", "ndcg_at_k", "per_q"):
+        _QUERY + " (one DCG row per query)",
+    ("shaha_spark/operators/kmeans.py", "cluster_profile", "agg"):
+        _MODEL + " (≤ k per-centroid aggregate rows)",
     ("shaha_spark/operators/similarity.py", "ivf_topk", "q_probe"):
         _QUERY + " (nprobe rows per query)",
     ("shaha_spark/operators/similarity.py", "prefix_topk",
