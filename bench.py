@@ -9,7 +9,7 @@ oversized line):
     {"metric": "e2e_bench_reps", "reps": {q: [[sec, loadavg], ...]}}
     {"metric": "e2e_bench_seconds", "value": N, "unit": "sec",
      "queries": {...}, "sf": ..., "loadavg_start": ..., "loadavg_end": ...,
-     "idle_gate": "pass ..."|"LOADED ..."}
+     "idle_gate": "pass ..."|"LOADED ...", "cpu_calib_ms": ms}
 
 OUTPUT CONTRACT for consumers: key on the "metric" field of each JSON
 line (or take the LAST line), never "the first JSON line of stdout" —
@@ -70,6 +70,30 @@ def _read_loadavg() -> float:
         return -1.0
 
 
+def _cpu_calibration() -> float:
+    """Single-core CPU micro-calibration: milliseconds for a fixed
+    pure-Python sha256 workload (~13 MB hashed), min of 3 reps,
+    measured BEFORE the JVM starts (optimization round 12, the r12
+    'bench idle-gate hardening' item). loadavg can pass the gate while
+    the machine is still slow (decaying load, cpufreq, a noisy
+    neighbor not yet in the 1-min average — the r12 contaminated run
+    passed at 0.93); this number measures ATTAINABLE single-core speed
+    directly, so a cross-round bench delta attributes to machine vs
+    code from the artifact alone: same calib + slower queries = code,
+    higher calib = machine. Recorded on the final compact line next to
+    the loadavg markers."""
+    import hashlib
+
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b = b"\x00" * 65536
+        for _ in range(200):
+            b = hashlib.sha256(b).digest() * 2048
+        reps.append(time.perf_counter() - t0)
+    return round(min(reps) * 1000, 1)
+
+
 def _idle_gate() -> str:
     """Pre-flight idle gate (VERDICT r7 item 8). Three consecutive
     rounds of bench forensics were spent separating machine load from
@@ -98,8 +122,10 @@ def _idle_gate() -> str:
 
 def main() -> None:
     # Gate BEFORE the JVM spins up, so the measured load is the
-    # machine's, not our own startup.
+    # machine's, not our own startup; calibrate AFTER the gate so the
+    # calib reflects the machine state the queries actually ran under.
     idle_tag = _idle_gate()
+    cpu_calib_ms = _cpu_calibration()
 
     from pyspark.sql import functions as F
 
@@ -125,6 +151,7 @@ def main() -> None:
     extras["host_cpus"] = float(os.cpu_count() or -1)
     extras["loadavg_start"] = _loadavg()
     extras["idle_gate"] = idle_tag
+    extras["cpu_calib_ms"] = cpu_calib_ms
 
     keep_cache = os.environ.get("SPARK_GRAFT_KEEPCACHE") == "1"
 
@@ -763,11 +790,14 @@ def main() -> None:
     # Second-to-last: per-rep self-attribution (VERDICT r11 #1) —
     # every rep's [seconds, loadavg-at-sample-end] for every query, so
     # a cross-round delta is attributable from the artifact alone.
+    # loadavg per rep as an INTEGER: attribution needs "was the
+    # machine loaded", not decimals — the freed ~80 chars pay for the
+    # final line's cpu_calib_ms inside the 2000-char tail capture
     reps_line = json.dumps(
         {
             "metric": "e2e_bench_reps",
             "reps": {
-                n: [[round(t, 2), round(l, 1)] for t, l in v]
+                n: [[round(t, 2), int(round(l))] for t, l in v]
                 for n, v in samples.items()
             },
         },
@@ -783,6 +813,7 @@ def main() -> None:
             "loadavg_start": extras["loadavg_start"],
             "loadavg_end": extras["loadavg_end"],
             "idle_gate": idle_tag,
+            "cpu_calib_ms": cpu_calib_ms,
         },
         separators=(",", ":"),
     )
