@@ -3,8 +3,9 @@
 Replaces the label-derived stand-in centroids (similarity.label_centroids)
 with the real iterative algorithm, shaped for Spark's execution model:
 
-  * each iteration = one broadcast of the k centroids + one shuffle-free
-    corpus scan for the argmax assignment + one partial-agg groupBy for
+  * each iteration = one broadcast of the k centroids + one corpus scan
+    whose argmax assignment is a partial-aggregable max(struct) hash
+    aggregate (optimization round 12) + one partial-agg groupBy for
     the per-dimension means — the corpus is never shuffled by cluster;
   * centroids are materialized (localCheckpoint) between iterations so
     the plan stays one-iteration deep — chaining N lazy iterations would
