@@ -1,7 +1,7 @@
-"""Dump explain('formatted') for named registry entries to plans/r12/.
+"""Dump explain('formatted') for named registry entries to plans/<round>/.
 
 Usage: python scripts/dump_plans.py <tag> <name> [name ...]
-Writes plans/r12/<name>_<tag>.txt
+Writes plans/$SHAHA_PLANS_ROUND/<name>_<tag>.txt (default round: r13)
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("SHAHA_PLANS_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
