@@ -2092,8 +2092,18 @@ def q_tpch_q2(spark, sf_dir):
     """Min-cost-supplier shape (TPC-H Q2, reduced schema: lineitem is
     the part↔supplier bridge): for each 'gear' part, the EUROPE
     supplier quoting the minimum extended price. Correlated scalar
-    subquery re-expressed as a per-part min + join-back; all dims
-    broadcast."""
+    subquery re-expressed as a per-part window min; all dims broadcast.
+
+    Shape (optimization round 13): the per-part MIN was an aggregate
+    joined back to `offers` — the planner gave the join-back a
+    SortMergeJoin, so the gear lineitem rows were scanned twice and
+    exchanged twice (once raw for the SMJ, once partially aggregated).
+    A window MIN over the same p_partkey partitioning computes the
+    identical per-part minimum on ONE scan and ONE exchange, and the
+    final groupBy(p_partkey, ...) reuses that partitioning (guide
+    §2.4). Decimal MIN is order-free, so values are bit-identical."""
+    from pyspark.sql import Window
+
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     nat = _t(spark, sf_dir, "nation").join(
@@ -2111,9 +2121,9 @@ def q_tpch_q2(spark, sf_dir):
         )
         .select("p_partkey", "p_name", "s_name", "n_name", _dec("l_extendedprice").alias("price"))
     )
-    best = offers.groupBy("p_partkey").agg(F.min("price").alias("min_price"))
+    w = Window.partitionBy("p_partkey")
     return (
-        offers.join(best, "p_partkey")
+        offers.withColumn("min_price", F.min("price").over(w))
         .filter(F.col("price") == F.col("min_price"))
         .groupBy("p_partkey", "p_name")
         .agg(
@@ -2205,10 +2215,21 @@ def q_tpch_q20(spark, sf_dir):
         F.col("l_partkey") == F.col("p_partkey"),
     )
     qty = _dec("l_quantity", "decimal(12,2)")
+    # Shape (optimization round 13): the per-part total was a second
+    # full aggregation of the gear lineitem rows, SortMergeJoined back
+    # to the per-(supplier, part) aggregate — two scans of lineitem and
+    # three exchanges of it. Decimal addition is exact and associative,
+    # so part_qty == SUM of the per-supplier sums: a window SUM over
+    # the already-aggregated per_sp rows computes the identical totals
+    # on ONE lineitem scan, exchanging only model-sized aggregate rows
+    # (guide §2.3/§2.4). The semi-join side is bounded by the supplier
+    # dimension, so it broadcasts (guide §3.1).
+    from pyspark.sql import Window
+
     per_sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(qty).alias("supp_qty"))
-    per_p = li.groupBy("l_partkey").agg(F.sum(qty).alias("part_qty"))
+    w = Window.partitionBy("l_partkey")
     dominant = (
-        per_sp.join(per_p, "l_partkey")
+        per_sp.withColumn("part_qty", F.sum("supp_qty").over(w))
         .filter(
             F.col("supp_qty") * F.lit(2).cast("decimal(2,0)") > F.col("part_qty")
         )
@@ -2219,8 +2240,10 @@ def q_tpch_q20(spark, sf_dir):
     supp = _t(spark, sf_dir, "supplier").join(
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
     )
+    # _QUERY boundedness: `dominant` is distinct supplier keys — at most
+    # |supplier| rows (a dimension table), projected to one column.
     return supp.join(
-        dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     ).select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
 
 
@@ -2239,16 +2262,34 @@ def q_tpch_q21(spark, sf_dir):
     lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
         "l_orderkey", "l_suppkey", late.alias("is_late")
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supps"
-        ),
-    )
+    # Shape (optimization round 13): the order-level facts were a
+    # groupBy + join-back — the countDistinct pair expanded lo 2x
+    # through an Expand, and the join-back SortMergeJoined it against a
+    # SECOND scan of the lineitem⋈orders subtree (the two exchange
+    # subtrees differ, so nothing was reused). Distinct counts per
+    # order are now window collect_sets over ONE exchange of lo by
+    # l_orderkey; collect_set drops NULLs exactly as COUNT(DISTINCT ...)
+    # does, and the following distinct on (l_orderkey, l_suppkey) and
+    # the is_late filter reuse the same partitioning (guide §2.4) — one
+    # lineitem scan and one full-table exchange instead of two of each.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
     sole_late = (
-        lo.filter(F.col("is_late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
+        lo.withColumn("n_supps", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supps",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            F.col("is_late")
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_late_supps") == 1)
+        )
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )

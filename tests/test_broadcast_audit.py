@@ -66,6 +66,9 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
     ("__spark_entry__.py", "q_tpch_q16", "part"): _DIM,
     ("__spark_entry__.py", "q_tpch_q20", "part.select('p_partkey')"): _DIM,
     ("__spark_entry__.py", "q_tpch_q20", "nat"): _DIM_FIXED,
+    ("__spark_entry__.py", "q_tpch_q20", "dominant"):
+        "distinct supplier keys — bounded by the supplier dimension "
+        "(one column, ≤|supplier| rows)",
     ("__spark_entry__.py", "q_tpch_q21", "nat"): _DIM_FIXED,
     ("__spark_entry__.py", "q_tpch_q21",
      "supp.select('s_suppkey', 's_name')"): _DIM,
