@@ -50,15 +50,22 @@ def assign_nearest(
 ) -> DataFrame:
     """Nearest-centroid (max cosine, id-asc ties) per vector: broadcast
     centroids, one scan, per-vector argmax as a partial-aggregable
-    ``max(struct(...))`` hash aggregate (optimization round 12, guide
-    §2.3/§2.4): the old rank-1 window exchanged and SORTED all k·n
-    scored rows — each carrying the full vector — where the aggregate
-    map-side-combines them back to n rows before the exchange and
-    needs no sort. The struct ordering (sim, −centroid_id) picks the
-    identical winner: max sim first, then the LOWEST centroid id
-    (Spark orders NULL smallest and NaN greatest in both window
-    ``desc``-NULLS-LAST and struct comparisons, so degenerate scores
-    tie-break the same way)."""
+    ``max(struct(...))`` (optimization round 12, guide §2.3/§2.4).
+    max over a struct compiles to a SortAggregate (struct buffers are
+    not hash-aggregable), so the map-side sort remains — the win over
+    the old rank-1 window is the map-side combine (k·n scored rows,
+    each carrying the full vector, reduce to n before the exchange)
+    and the absence of Window machinery on the reduce side, NOT a
+    sort-free plan (OPTIMIZATION_r12.md §16). The struct ordering
+    (sim, −centroid_id) picks the identical winner: max sim first,
+    then the LOWEST centroid id (Spark orders NULL smallest and NaN
+    greatest in both window ``desc``-NULLS-LAST and struct
+    comparisons, so degenerate scores tie-break the same way).
+    Precondition of the negation tie-break: centroid ids are numeric
+    and non-NULL (true for every in-repo producer — kmeans_fit
+    assigns dense ints; a NULL id would tie-break differently from
+    the legacy window's asc-NULLS-FIRST, and negation overflows at
+    INT64_MIN under ANSI)."""
     c = F.broadcast(
         centroids.select(
             "centroid_id", "centroid", norm2(F.col("centroid")).alias("__ctn2")

@@ -213,7 +213,15 @@ def split_balance_sql(
     cluster_col: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`split_balance` — same grouping, same
-    single rounded division, same CASE for the target."""
+    single rounded division, same CASE for the target.
+
+    Structurally identical to the Spark form under ``cluster_col``:
+    ONE two-level aggregation (per-cluster sizes, then SUM/MAX per
+    key) instead of the old separate counts CTE joined back with
+    ``JOIN mx USING (keys)`` — the join form DROPPED rows whose
+    split/domain key is NULL (SQL joins never match NULLs) while
+    Spark's groupBy keeps NULL groups, a latent twin divergence
+    (ADVICE r12)."""
     keys = ", ".join(([domain_col] if domain_col else []) + [split_col])
     part = f"PARTITION BY {domain_col}" if domain_col else ""
     target = "CAST(NULL AS DOUBLE)"
@@ -226,26 +234,24 @@ def split_balance_sql(
     observed = (
         f"round(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ({part}), 9)"
     )
-    cluster_sel = "CAST(NULL AS BIGINT) AS max_cluster_docs"
-    cluster_cte = ""
-    cluster_join = ""
     if cluster_col is not None:
-        cluster_cte = f""",
-cl AS (SELECT {keys}, {cluster_col}, COUNT(*) AS csz
-       FROM src GROUP BY {keys}, {cluster_col}),
-mx AS (SELECT {keys}, CAST(MAX(csz) AS BIGINT) AS max_cluster_docs
-       FROM cl GROUP BY {keys})"""
-        cluster_sel = "mx.max_cluster_docs"
-        cluster_join = f" JOIN mx USING ({keys})"
+        counts_cte = f"""cl AS (SELECT {keys}, {cluster_col}, COUNT(*) AS csz
+      FROM src GROUP BY {keys}, {cluster_col}),
+counts AS (SELECT {keys}, CAST(SUM(csz) AS BIGINT) AS n_docs,
+                  CAST(MAX(csz) AS BIGINT) AS max_cluster_docs
+           FROM cl GROUP BY {keys})"""
+    else:
+        counts_cte = f"""counts AS (SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(NULL AS BIGINT) AS max_cluster_docs
+           FROM src GROUP BY {keys})"""
     return f"""WITH src AS ({select_stmt}),
-counts AS (SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_docs
-           FROM src GROUP BY {keys}){cluster_cte}
+{counts_cte}
 SELECT {keys}, n_docs,
   {observed} AS observed_frac,
   {target} AS target_frac,
   round({observed} - ({target}), 9) AS skew,
-  {cluster_sel}
-FROM counts{cluster_join}"""
+  max_cluster_docs
+FROM counts"""
 
 
 def h28_sql(expr: str) -> str:

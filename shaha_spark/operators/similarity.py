@@ -211,13 +211,17 @@ def ivf_assign(
     """Assign each vector to its nearest centroid (max cosine).
 
     Centroids are broadcast; assignment is one scan + a per-vector
-    argmax as a partial-aggregable ``max(struct(sim, −cid, …))`` hash
-    aggregate (optimization round 12, guide §2.3/§2.4 — the old rank-1
-    window exchanged and sorted all k·n scored rows, vector payload
-    included; the aggregate map-side-combines them to n rows first and
-    picks the identical winner, see kmeans.assign_nearest). In
-    production the assignment is persisted/bucketed at write time so
-    queries never recompute it.
+    argmax as a partial-aggregable ``max(struct(sim, −cid, …))``
+    (optimization round 12, guide §2.3/§2.4 — a SortAggregate, so the
+    map-side sort remains; the win over the old rank-1 window is the
+    map-side combine of k·n vector-carrying rows to n before the
+    exchange and the leaner reduce side, see kmeans.assign_nearest and
+    OPTIMIZATION_r12.md §16). The −cid tie-break requires the caller's
+    ``centroid_id_col`` to be numeric and non-NULL (all in-repo
+    producers assign dense ints; a NULL id would win differently from
+    the legacy window's asc-NULLS-FIRST ordering, and negation
+    overflows at INT64_MIN under ANSI). In production the assignment
+    is persisted/bucketed at write time so queries never recompute it.
     """
     c = F.broadcast(
         centroids.select(

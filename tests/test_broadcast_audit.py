@@ -204,9 +204,13 @@ BROADCAST_OK: dict[tuple[str, str, str], str] = {
     ("shaha_spark/operators/similarity.py", "ivf_topk", "centroids"): _MODEL,
     ("shaha_spark/operators/similarity.py", "topk_recall",
      "approx.select(query_col, id_col).withColumn('__hit', F.lit(1"):
-        _QUERY + " (k rows per query — the ANN's top-k result set)",
+        _QUERY + " (k·|queries| rows — the ANN's top-k result set; k× "
+        "larger than a plain query batch, so the eval batch must stay "
+        "evaluation-sample-sized: corpus-as-queries at large k belongs "
+        "on a sampled batch, not here)",
     ("shaha_spark/operators/similarity.py", "ndcg_at_k", "e"):
-        _QUERY + " (k rows per query — the exact top-k result set)",
+        _QUERY + " (k·|queries| rows — the exact top-k result set; same "
+        "k× caveat as topk_recall's approx side)",
     ("shaha_spark/operators/similarity.py", "ndcg_at_k", "per_q"):
         _QUERY + " (one DCG row per query)",
     ("shaha_spark/operators/kmeans.py", "cluster_profile", "agg"):

@@ -109,3 +109,63 @@ def test_cc_still_raises_when_budget_truly_exhausted(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=2)
+
+
+# ---------------------------------------------------------------------------
+# split_balance_sql twin: NULL-key groups survive (ADVICE r12)
+# ---------------------------------------------------------------------------
+
+
+def test_split_balance_sql_twin_keeps_null_split_groups(spark):
+    """The old twin joined the max-cluster CTE back with
+    JOIN ... USING (keys), which drops NULL-key rows (SQL joins never
+    match NULLs) while Spark's groupBy keeps NULL groups. The twin is
+    now the same two-level aggregation as the Spark form; a fixture
+    with NULL splits AND NULL domains must agree row-for-row."""
+    import duckdb
+
+    from shaha_spark.operators.sampling import split_balance, split_balance_sql
+
+    rows = [
+        (1, "a", 10, "train"), (2, "a", 10, "train"), (3, "a", 11, "eval"),
+        (4, "b", 12, None), (5, "b", 12, None), (6, None, 13, "train"),
+        (7, None, 14, None), (8, "a", 10, "eval"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, domain string, cluster_rep bigint, split string"
+    )
+    weights = {"train": 0.6, "eval": 0.4}
+    got = sorted(
+        (
+            tuple(r)
+            for r in split_balance(
+                df, weights, domain_col="domain", cluster_col="cluster_rep"
+            ).collect()
+        ),
+        key=repr,
+    )
+    vals = ", ".join(
+        "({}, {}, {}, {})".format(
+            r[0],
+            "NULL" if r[1] is None else f"'{r[1]}'",
+            r[2],
+            "NULL" if r[3] is None else f"'{r[3]}'",
+        )
+        for r in rows
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in duckdb.connect().execute(
+                split_balance_sql(
+                    f"SELECT * FROM (VALUES {vals}) AS v(doc_id, domain, cluster_rep, split)",
+                    weights, domain_col="domain", cluster_col="cluster_rep",
+                )
+            ).fetchall()
+        ),
+        key=repr,
+    )
+    assert got == want
+    # the NULL-split and NULL-domain groups are present on both sides
+    assert any(r[1] is None for r in got), "NULL split group missing"
+    assert any(r[0] is None for r in got), "NULL domain group missing"
