@@ -5,8 +5,14 @@ SF1_DIR ?= /tmp/shaha_sf1
 
 .PHONY: test oracle oracle-big sf1 oracle-sf1 sf4 oracle-sf4 bench plans coverage window clean
 
-test:
+test:  ## default (driver) lane — slow tier excluded via pytest.ini addopts
 	python -m pytest tests/ -x -q
+
+test-slow:  ## the heavy lifecycle/invariance tier (index build/append/compact, CLI e2e, partitioning invariance) — the builder runs this every round
+	python -m pytest tests/ -x -q -m slow
+
+test-all:  ## both lanes in one run (pre-round green check)
+	python -m pytest tests/ -x -q -m ""
 
 oracle:  ## differential correctness vs DuckDB at the driver-gate scale
 	SHAHA_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle.py -q

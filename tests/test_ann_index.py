@@ -20,6 +20,12 @@ from shaha_spark.operators.kmeans import kmeans_fit
 from shaha_spark.operators.similarity import ivf_topk
 
 
+import pytest
+
+# slow tier (pytest.ini): index build/append/compact lifecycle builds real indexes repeatedly (~4.5 min); run via `make test-slow` (VERDICT r12 #2)
+pytestmark = pytest.mark.slow
+
+
 def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 

@@ -55,6 +55,7 @@ def test_build_dry_run_counts(wordlist):
     }
 
 
+@pytest.mark.slow  # heavy lifecycle tier -> `make test-slow` (VERDICT r12 #2)
 def test_build_query_info_append_idempotence(wordlist):
     d, w = wordlist
     db = str(d / "db")
@@ -91,6 +92,7 @@ def test_build_query_info_append_idempotence(wordlist):
     assert meta["sources"] == ["more.txt", "words.txt"]
 
 
+@pytest.mark.slow  # heavy lifecycle tier -> `make test-slow` (VERDICT r12 #2)
 def test_query_output_is_bounded_on_large_db(tmp_path):
     """json/table formats cap an unlimited query at DEFAULT_QUERY_LIMIT
     (the DB here is larger than the cap); plain streams every row
@@ -146,6 +148,7 @@ def test_query_out_writes_distributed(spark, tmp_path):
     assert got == expected and "w7" in got
 
 
+@pytest.mark.slow  # heavy lifecycle tier -> `make test-slow` (VERDICT r12 #2)
 def test_sql_verb_live_and_time_travel(tmp_path):
     """sql verb: ad-hoc SQL over the db view, json/tsv rendering, and
     --at-version pinning — one subprocess per spark-session-paying
@@ -186,6 +189,7 @@ def test_source_dispatch_messages():
     assert "Unknown provider" in proc.stderr
 
 
+@pytest.mark.slow  # heavy lifecycle tier -> `make test-slow` (VERDICT r12 #2)
 def test_cli_error_contract_batch(tmp_path):
     """One subprocess-paying batch over a tiny db: unknown query
     algorithm exits 2 with a clean message (not silent no-match),

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from shaha_spark.pipeline.build import build, read_hashdb, read_sidecar
@@ -66,6 +68,7 @@ def test_compacted_db_still_answers_queries(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["preimage"] == "word0042"
 
 
+@pytest.mark.slow  # heavy lifecycle tier -> `make test-slow` (VERDICT r12 #2)
 def test_compact_cli_verb(spark, tmp_path):
     import json
     import subprocess
@@ -208,6 +211,7 @@ def test_slice_compaction_partitioned_never_merges_across_partitions(spark, tmp_
     assert by_algo == {"md5": 100, "sha256": 100}
 
 
+@pytest.mark.slow  # heavy lifecycle tier -> `make test-slow` (VERDICT r12 #2)
 def test_compact_cli_slices_verb(spark, tmp_path):
     import json
     import subprocess

@@ -337,6 +337,7 @@ def test_pq_roundtrip_on_centroid_vectors(spark):
         assert vid == qid and cos == 1.0, (qid, vid, cos)
 
 
+@pytest.mark.slow  # heavy lifecycle tier -> `make test-slow` (VERDICT r12 #2)
 def test_pq_recall_vs_brute_force(spark, embs):
     from shaha_spark.operators import pq, similarity
 
@@ -371,6 +372,7 @@ def test_pq_encode_shuffle_free(spark, embs):
     assert len(row.codes) == 4 and all(1 <= c <= 8 for c in row.codes)
 
 
+@pytest.mark.slow  # heavy lifecycle tier -> `make test-slow` (VERDICT r12 #2)
 def test_ivf_pq_topk_self_match(spark, embs):
     from shaha_spark.operators import kmeans, pq
 
@@ -395,6 +397,7 @@ def test_ivf_pq_topk_self_match(spark, embs):
         assert top1.vec_id == qid, (qid, top1)
 
 
+@pytest.mark.slow  # heavy lifecycle tier -> `make test-slow` (VERDICT r12 #2)
 def test_ivf_pq_subset_of_pq(spark, embs):
     """IVF-PQ results are PQ results restricted to probed buckets: every
     (query, id, score) IVF-PQ returns must carry the same approx_cosine

@@ -6,6 +6,8 @@ the operation is idempotent.
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from pyspark.sql import functions as F
@@ -99,6 +101,7 @@ def test_forget_whole_file_drops_it(spark, tmp_path):
     assert read_hashdb(spark, out).count() == 0
 
 
+@pytest.mark.slow  # heavy lifecycle tier -> `make test-slow` (VERDICT r12 #2)
 def test_cli_forget_subcommand(spark, tmp_path):
     """One subprocess drives dry-run plan then the real erase."""
     import json as _json

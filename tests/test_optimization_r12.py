@@ -374,6 +374,7 @@ def test_table_profile_sql_text_matches_column_form(spark):
     assert _rows(table_profile(li, columns, precision)) == _rows(legacy)
 
 
+@pytest.mark.slow  # heavy lifecycle tier -> `make test-slow` (VERDICT r12 #2)
 def test_mean_grid_and_matvec_match_legacy_forms(spark):
     """_mean_grid's SQL-text aggregates and _matvec's broadcast-v form
     must reproduce the legacy Column-built / literal-v forms exactly."""
@@ -524,6 +525,7 @@ def test_bootstrap_ci_sql_text_matches_column_form(spark):
     assert got == _rows(legacy)
 
 
+@pytest.mark.slow  # heavy lifecycle tier -> `make test-slow` (VERDICT r12 #2)
 def test_ivf_pq_train_matches_sequential_pair(spark):
     """ivf_pq_train's fused grouped Lloyd run (coarse fit riding along
     as group -1 beside the m subspace fits) must reproduce the legacy

@@ -53,6 +53,10 @@ REGIME_B = {
 }
 
 
+# slow tier (pytest.ini): the full-registry invariance sweep is ~4.5 min of the default lane's budget; run via `make test-slow` (VERDICT r12 #2)
+pytestmark = pytest.mark.slow
+
+
 @contextmanager
 def _conf(spark, overrides):
     old = {}

@@ -190,12 +190,14 @@ def _crash_replay_scenario(spark, sf_dir, tmp_path, monkeypatch, pq):
     assert spark.read.parquet(crashed).count() == n
 
 
+@pytest.mark.slow  # heavy lifecycle tier -> `make test-slow` (VERDICT r12 #2)
 def test_ivf_append_crash_replay_exactly_once(
     spark, sf_dir, tmp_path, monkeypatch
 ):
     _crash_replay_scenario(spark, sf_dir, tmp_path, monkeypatch, pq=False)
 
 
+@pytest.mark.slow  # heavy lifecycle tier -> `make test-slow` (VERDICT r12 #2)
 def test_ivf_pq_append_crash_replay_exactly_once(
     spark, sf_dir, tmp_path, monkeypatch
 ):
