@@ -169,3 +169,57 @@ def test_split_balance_sql_twin_keeps_null_split_groups(spark):
     # the NULL-split and NULL-domain groups are present on both sides
     assert any(r[1] is None for r in got), "NULL split group missing"
     assert any(r[0] is None for r in got), "NULL domain group missing"
+
+
+# ---------------------------------------------------------------------------
+# basket pair expansion: Generates instead of interpreted HOF lambdas
+# ---------------------------------------------------------------------------
+
+
+def _legacy_pairs_from_baskets(baskets):
+    """The pre-r13 nested-transform pair expansion (interpreted HOF
+    lambdas), kept as the executable spec for the pair multiset."""
+    arr = F.col("__items")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+
+
+def test_basket_pair_expansion_matches_legacy_hof_form(spark):
+    """posexplode+slice emits the identical (item_a, item_b, n_pair)
+    set as the nested-transform form — including singleton baskets
+    (no pairs), duplicate items (collapsed upstream by collect_set),
+    and an empty frame."""
+    from shaha_spark.operators.basket import _baskets, _pairs_from_baskets
+
+    rows = (
+        [(1, f"i{k}") for k in range(5)]          # 5-item basket
+        + [(2, "x")]                                 # singleton
+        + [(3, "a"), (3, "b"), (3, "a")]             # dup item
+        + [(4, "m"), (4, "n"), (4, "o"), (4, "p")]
+        + [(None, "ghost")]                          # null basket key
+    )
+    df = spark.createDataFrame(rows, "basket bigint, item string")
+    baskets = _baskets(df, "basket", "item")
+    got = sorted(tuple(r) for r in _pairs_from_baskets(baskets).collect())
+    want = sorted(
+        tuple(r) for r in _legacy_pairs_from_baskets(baskets).collect()
+    )
+    assert got == want
+    assert (5 * 4) // 2 + 1 + (4 * 3) // 2 == sum(n for *_, n in got)
+    empty = _baskets(
+        spark.createDataFrame([], "basket bigint, item string"),
+        "basket", "item",
+    )
+    assert _pairs_from_baskets(empty).count() == 0
