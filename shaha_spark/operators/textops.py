@@ -20,6 +20,14 @@ from shaha_spark.operators.constants import (
 )
 from shaha_spark.util import ensure_parallelism
 
+#: Per-task input appetite for the regex-heavy per-token scorers here:
+#: measured optimum ~0.5 MB/task (optimization round 13 — quality_score
+#: over the 3.5 MB sf0.1 corpus: 0.70 s at 8 tasks vs 0.95 single-task
+#: vs 1.07 at 32 on local[32]); these operators run several regexes per
+#: token, so their per-byte CPU is ~8x the shingle/hash operators'
+#: 4 MiB default in shaha_spark.util.
+_TEXT_CHUNK_BYTES = 512 * 1024
+
 #: BPE-ish word-piece pattern: runs of letters, runs of digits, or a
 #: single non-space symbol — a crude stand-in for subword tokenizers.
 BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
@@ -58,7 +66,7 @@ def quality_score(
     parity at half-ulp boundaries).
     """
     stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
-    base = ensure_parallelism(df).select(
+    base = ensure_parallelism(df, chunk_bytes=_TEXT_CHUNK_BYTES).select(
         F.col(id_col),
         F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
         F.explode_outer(tokens(F.col(text_col))).alias("__tok"),
@@ -104,7 +112,7 @@ def lang_id(
     all per-language membership flags in codegen; the groupBy combines
     map-side (shuffle = one long per language per document)."""
     langs = sorted(LANG_STOPWORDS)
-    base = ensure_parallelism(df).select(
+    base = ensure_parallelism(df, chunk_bytes=_TEXT_CHUNK_BYTES).select(
         F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("__tok")
     )
     aggs = []
@@ -159,7 +167,7 @@ def gopher_rules(
     drift.
     """
     stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
-    base = ensure_parallelism(df).select(
+    base = ensure_parallelism(df, chunk_bytes=_TEXT_CHUNK_BYTES).select(
         F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("__tok")
     )
     agg = base.groupBy(id_col).agg(
@@ -233,7 +241,7 @@ def fingerprint(
     long per document. Each term is < 2^31, so the int64 running sum is
     safe below ~2^32 tokens per document; the final mod p happens once.
     """
-    pos_tok = ensure_parallelism(df).select(
+    pos_tok = ensure_parallelism(df, chunk_bytes=_TEXT_CHUNK_BYTES).select(
         F.col(id_col), F.posexplode_outer(tokens(F.col(text_col))).alias("__pos", "__tok")
     )
     term = (
@@ -270,7 +278,7 @@ def char_entropy(
     """
     from pyspark.sql import Window as W
 
-    chars = ensure_parallelism(df).select(
+    chars = ensure_parallelism(df, chunk_bytes=_TEXT_CHUNK_BYTES).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("__ch")
     ).filter(F.col("__ch") != "")
     counts = chars.groupBy(id_col, "__ch").agg(F.count(F.lit(1)).alias("__c"))
@@ -423,7 +431,7 @@ def winnow_fingerprints(
 
     # tokens materialized before the shingle transform (see
     # dedup.minhash_signatures): split once per doc, not per element_at
-    grams = ensure_parallelism(df).select(
+    grams = ensure_parallelism(df, chunk_bytes=_TEXT_CHUNK_BYTES).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     ).select(
         F.col(id_col),
