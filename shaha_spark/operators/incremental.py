@@ -14,7 +14,7 @@ oracle checks: a two-batch incremental build must hash-match DuckDB's
 single-pass aggregation over all events.
 
 Scale: each increment aggregates ONLY the new batch (one hash-agg with
-map-side partials), and the merge is a full-outer equi-join on the
+map-side partials), and the merge is a union + re-aggregation on the
 bucket key — proportional to the touched buckets, not to history.
 Late-arriving data needs no special case: its bucket either merges
 into an existing row or creates one.
@@ -50,50 +50,32 @@ def rollup_increment(
 
 
 def merge_rollup(existing: DataFrame, increment: DataFrame) -> DataFrame:
-    """Fold an increment into an existing rollup: full-outer on the
-    bucket key, counts and decimal sums add; buckets absent from one
-    side pass through unchanged."""
+    """Fold an increment into an existing rollup: union the two state
+    tables and re-aggregate by the bucket key; counts and decimal sums
+    add, and buckets present on only one side pass through unchanged
+    (summing a single row is the identity).
+
+    This is the same fold the previous full-outer-join form computed —
+    SUM over the union equals COALESCE(a,0)+COALESCE(b,0) per bucket,
+    decimal addition at the widened state precision is associative, and
+    groupBy collapses NULL keys into one bucket exactly as the old
+    null-safe join condition matched them — but it plans as ONE
+    exchange with map-side partial aggregation instead of a
+    two-exchange sort-merge full-outer join (guide §2.3/§2.4: aggregate
+    before you shuffle; at most one state row per bucket per side
+    crosses the wire, pre-combined map-side when both land in one map
+    task).
+    """
     key_cols = [c for c in existing.columns if c not in ("n", "sv")]
-    # NULL-SAFE key equality: groupBy put all NULL-key rows in ONE
-    # bucket on each side, but a null-unsafe full-outer join would
-    # never match them, accumulating duplicate (key, NULL) rows across
-    # increments and breaking the oracle identity. Key columns are
-    # RENAMED per side first — both inputs often share lineage (state
-    # merged with an increment of the same source), where a[k]/b[k]
-    # would resolve to one attribute and degenerate to always-true.
-    a = existing.select(
-        *[F.col(k).alias(f"__ka{i}") for i, k in enumerate(key_cols)],
-        F.col("n").alias("__na"),
-        F.col("sv").alias("__sa"),
-    )
-    b = increment.select(
-        *[F.col(k).alias(f"__kb{i}") for i, k in enumerate(key_cols)],
-        F.col("n").alias("__nb"),
-        F.col("sv").alias("__sb"),
-    )
-    zero = F.lit(0).cast("decimal(38,2)")
-    cond = None
-    for i in range(len(key_cols)):
-        c = F.col(f"__ka{i}").eqNullSafe(F.col(f"__kb{i}"))
-        cond = c if cond is None else cond & c
-    joined = a.join(b, cond, "full_outer").select(
-        *[
-            F.coalesce(F.col(f"__ka{i}"), F.col(f"__kb{i}")).alias(k)
-            for i, k in enumerate(key_cols)
-        ],
-        "__na", "__sa", "__nb", "__sb",
-    )
-    return joined.select(
-        *key_cols,
-        (F.coalesce(F.col("__na"), F.lit(0)) + F.coalesce(F.col("__nb"), F.lit(0)))
-        .cast("bigint")
-        .alias("n"),
+    cols = [*key_cols, "n", "sv"]
+    unioned = existing.select(cols).unionByName(increment.select(cols))
+    return unioned.groupBy(*key_cols).agg(
+        F.sum("n").cast("bigint").alias("n"),
         # keep the partial state at the widened precision end to end —
         # narrowing per merge would corrupt the maintained rollup once
-        # totals exceed the narrow precision
-        (F.coalesce(F.col("__sa"), zero) + F.coalesce(F.col("__sb"), zero))
-        .cast("decimal(38,2)")
-        .alias("sv"),
+        # totals exceed the narrow precision (sum over decimal(38,2)
+        # already yields decimal(38,2); the cast pins the contract)
+        F.sum("sv").cast("decimal(38,2)").alias("sv"),
     )
 
 
