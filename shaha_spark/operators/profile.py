@@ -1738,12 +1738,34 @@ def bootstrap_mean_ci(
             for g in range(n_groups)
         ],
     )
-    uniforms = digests.select(
+    # Each digest's 28 used hex chars parse as TWO 56-bit conv() calls
+    # (chars 1-14 and 15-28; 56 bits fit a signed long) instead of four
+    # 28-bit ones, and each half splits into its two original 28-bit
+    # uniforms with a shift/mask: conv(substring(d,1,14)) ==
+    # u0 * 2^28 + u1 exactly (base-16 positional value), so
+    # shiftright(h,28) == u0 and h & (2^28-1) == u1 bit-for-bit — the
+    # string-parse count per row halves (r13; conv dominates the md5 in
+    # the digest stage's per-row cost) while the replicate weights, and
+    # therefore the oracle contract, are unchanged. Pinned against the
+    # legacy one-conv-per-uniform form in test_optimization_r13.py.
+    n_halves = (n_reps + 1) // 2
+    halves = digests.select(
         F.col(value_col),
         *[
             F.expr(
-                f"cast(conv(substring(__d_{b // 4}, {1 + 7 * (b % 4)}, 7),"
-                " 16, 10) as long)"
+                f"cast(conv(substring(__d_{h // 2}, {1 + 14 * (h % 2)},"
+                " 14), 16, 10) as long)"
+            ).alias(f"__h_{h}")
+            for h in range(n_halves)
+        ],
+    )
+    uniforms = halves.select(
+        F.col(value_col),
+        *[
+            F.expr(
+                f"shiftright(__h_{b // 2}, 28)"
+                if b % 2 == 0
+                else f"(__h_{b // 2} & 268435455)"
             ).alias(f"__u_{b}")
             for b in range(n_reps)
         ],
