@@ -76,42 +76,82 @@ def referential_check(
     [relation, n_child_rows, n_orphans, passed].
 
     ``relations`` is [(name, child_df, child_key, parent_df,
-    parent_key)]. Each check is ONE pass over the child: a LEFT join
-    against the parent's DISTINCT key projection (no fan-out — the
-    build side is distinct; column-pruned at the scan, broadcast by
-    Catalyst when small) feeding a single aggregate that counts rows
-    and unmatched rows together. The previous two-pass form (separate
-    count + anti-join) scanned every child table twice. Results union
-    into one report; each relation's subtree stays independent, so
-    Spark runs them as parallel stages of one job.
+    parent_key)]. Relations sharing the SAME child table (detected via
+    the analyzed plans' ``sameResult`` — exact, not a hash) are checked
+    in ONE pass over that child: the shared scan chains a LEFT join per
+    parent against that parent's DISTINCT key projection (no fan-out —
+    every build side is distinct, so the chained joins never duplicate
+    child rows; column-pruned at the scan, broadcast by Catalyst when
+    small) feeding a single aggregate that counts rows once and each
+    relation's unmatched rows together, exploded back into one report
+    row per relation. Before r13 each relation re-scanned its child
+    (lineitem three times in the TPC-H FK report — guide §1.1: one
+    pass per child table is the floor, and at 100 TB the fact-table
+    scan IS the cost); the two-pass form before THAT scanned every
+    child twice per relation. Results union into one report; each
+    child group's subtree stays independent, so Spark runs the groups
+    as parallel stages of one job.
     """
     if not relations:
         raise ValueError("referential_check requires at least one relation")
-    outs = []
+    # group by shared child: [(child, analyzed_plan, [(name, ckey,
+    # parent, pkey), ...])], preserving first-appearance order
+    groups: list[tuple[DataFrame, object, list]] = []
     for name, child, ckey, parent, pkey in relations:
-        pk = (
-            parent.select(F.col(pkey).alias(ckey))
-            .distinct()
-            .withColumn("__parent", F.lit(1))
-        )
-        joined = child.select(ckey).join(pk, ckey, "left")
-        outs.append(
-            joined.agg(
-                F.count(F.lit(1)).alias("n_child_rows"),
-                # coalesce: SUM over an empty child is NULL, but the
-                # report's contract (and the old anti-join count) is 0
+        plan = child._jdf.queryExecution().analyzed()
+        for _, gplan, rels in groups:
+            if gplan.sameResult(plan):
+                rels.append((name, ckey, parent, pkey))
+                break
+        else:
+            groups.append((child, plan, [(name, ckey, parent, pkey)]))
+    outs = []
+    for child, _, rels in groups:
+        ckeys = list(dict.fromkeys(ckey for _, ckey, _, _ in rels))
+        joined = child.select(*ckeys)
+        for j, (_, ckey, parent, pkey) in enumerate(rels):
+            pk = (
+                parent.select(F.col(pkey).alias(ckey))
+                .distinct()
+                .withColumn(f"__parent_{j}", F.lit(1))
+            )
+            joined = joined.join(pk, ckey, "left")
+        agg = joined.agg(
+            F.count(F.lit(1)).alias("__n"),
+            # coalesce: SUM over an empty child is NULL, but the
+            # report's contract (and the old anti-join count) is 0
+            *[
                 F.coalesce(
                     F.sum(
-                        F.when(F.col("__parent").isNull(), 1).otherwise(0)
+                        F.when(
+                            F.col(f"__parent_{j}").isNull(), 1
+                        ).otherwise(0)
                     ),
                     F.lit(0),
-                ).alias("n_orphans"),
-            ).select(
-                F.lit(name).alias("relation"),
-                F.col("n_child_rows").cast("bigint").alias("n_child_rows"),
-                F.col("n_orphans").cast("bigint").alias("n_orphans"),
-                (F.col("n_orphans") == 0).alias("passed"),
-            )
+                ).alias(f"__o_{j}")
+                for j in range(len(rels))
+            ],
+        )
+        outs.append(
+            agg.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(rels[j][0]).alias("relation"),
+                                F.col("__n")
+                                .cast("bigint")
+                                .alias("n_child_rows"),
+                                F.col(f"__o_{j}")
+                                .cast("bigint")
+                                .alias("n_orphans"),
+                                (F.col(f"__o_{j}") == 0).alias("passed"),
+                            )
+                            for j in range(len(rels))
+                        ]
+                    )
+                ).alias("__r")
+            ).select("__r.*")
         )
     report = outs[0]
     for o in outs[1:]:
