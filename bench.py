@@ -120,6 +120,84 @@ def _idle_gate() -> str:
     return f"pass load={load}" + (f" waited={int(waited)}s" if waited else "")
 
 
+# Scale gates / kernel rates carried on the warm line (third-to-last).
+# Adding a key here grows the tail; tests/test_bench_contract.py renders
+# the three lines at max key population and asserts they stay under the
+# driver's 2000-char capture (VERDICT r12 item 9).
+GATE_KEYS = [
+    "blake3_words_per_sec_best3", "keccak_words_per_sec_best3",
+    "stream_build_words_per_sec",
+    "build_words_per_sec", "db_bytes_per_record",
+    # clustered fixture: PQ recall gate + slope (VERDICT r8 #1),
+    # the sf4 (40x) gate (r9 #5), and the random-fixture IVF gate
+    "ivf_recall_gate", "pq_clus_gate",
+    "sf4_pq_clus_gate", "sf4_pq_clus_topk_ratio",
+    # incremental index append vs rebuild (VERDICT r9 #1; sizes
+    # printed beside the ratio per VERDICT r10 #3)
+    "ivfpq_append_corpus_rows", "ivfpq_append_batch_rows",
+    "ivfpq_append_vs_rebuild",
+    # the build slope; the per-query sf1 ratios stay on the extras
+    # line (quoted in ROUND{N}.md, which is where the judge reads
+    # the slope story)
+    "sf1_build_hashdb_ratio",
+]
+
+
+def render_tail_lines(
+    warm_medians, samples, timings, total, sf, extras, idle_tag,
+    cpu_calib_ms,
+):
+    """Render the three capture-critical tail lines (warm medians +
+    gates, per-rep attribution, headline metric). Split out of main()
+    so the size guard is testable without running the bench.
+
+    Compact separators on all three: every byte spent on ", " is a
+    byte of attribution data clipped from the driver's 2000-char tail
+    capture."""
+    # Third-to-last: per-query warm medians (the headline cross-round
+    # comparison) plus the scale gates — the cold medians on the final
+    # line confound janino compile + machine load.
+    warm_line = json.dumps(
+        {
+            "metric": "e2e_bench_warm",
+            "warm": warm_medians,
+            **{k: extras[k] for k in GATE_KEYS if k in extras},
+        },
+        separators=(",", ":"),
+    )
+    # Second-to-last: per-rep self-attribution (VERDICT r11 #1) —
+    # every rep's [seconds, loadavg-at-sample-end] for every query, so
+    # a cross-round delta is attributable from the artifact alone.
+    # loadavg per rep as an INTEGER: attribution needs "was the
+    # machine loaded", not decimals — the freed ~80 chars pay for the
+    # final line's cpu_calib_ms inside the 2000-char tail capture
+    reps_line = json.dumps(
+        {
+            "metric": "e2e_bench_reps",
+            "reps": {
+                n: [[round(t, 2), int(round(l))] for t, l in v]
+                for n, v in samples.items()
+            },
+        },
+        separators=(",", ":"),
+    )
+    final_line = json.dumps(
+        {
+            "metric": "e2e_bench_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "loadavg_start": extras["loadavg_start"],
+            "loadavg_end": extras["loadavg_end"],
+            "idle_gate": idle_tag,
+            "cpu_calib_ms": cpu_calib_ms,
+        },
+        separators=(",", ":"),
+    )
+    return warm_line, reps_line, final_line
+
+
 def main() -> None:
     # Gate BEFORE the JVM spins up, so the measured load is the
     # machine's, not our own startup; calibrate AFTER the gate so the
@@ -258,7 +336,10 @@ def main() -> None:
             shutil.rmtree(db_path, ignore_errors=True)
 
     times = {n: [t for t, _ in v] for n, v in samples.items()}
-    timings = {n: round(statistics.median(v), 4) for n, v in times.items()}
+    # 3-decimal (millisecond) medians: the 4th decimal was far below
+    # cold-JVM noise and its ~15 chars of tail budget now guard the
+    # capture at max key population (tests/test_bench_contract.py)
+    timings = {n: round(statistics.median(v), 3) for n, v in times.items()}
     # per-query WARM medians — the headline cross-round comparison
     # (VERDICT r11 #1): rep 1 pays janino/codegen compile; the median
     # of the remaining reps is the data-path number machine noise and
@@ -740,7 +821,7 @@ def main() -> None:
 
     extras["loadavg_end"] = _loadavg()
     shutil.rmtree(tmp, ignore_errors=True)
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 3)
     # Two lines, verbose first, compact LAST. The driver records only
     # the trailing 2000 chars of stdout; r6's sf1/cold-warm extras grew
     # the single JSON line past that and pushed the per-query
@@ -757,65 +838,9 @@ def main() -> None:
             }
         )
     )
-    # Third-to-last: per-query warm medians (the headline cross-round
-    # comparison) plus the scale gates — the cold medians on the final
-    # line confound janino compile + machine load.
-    gate_keys = [
-        "blake3_words_per_sec_best3", "keccak_words_per_sec_best3",
-        "stream_build_words_per_sec",
-        "build_words_per_sec", "db_bytes_per_record",
-        # clustered fixture: PQ recall gate + slope (VERDICT r8 #1),
-        # the sf4 (40x) gate (r9 #5), and the random-fixture IVF gate
-        "ivf_recall_gate", "pq_clus_gate",
-        "sf4_pq_clus_gate", "sf4_pq_clus_topk_ratio",
-        # incremental index append vs rebuild (VERDICT r9 #1; sizes
-        # printed beside the ratio per VERDICT r10 #3)
-        "ivfpq_append_corpus_rows", "ivfpq_append_batch_rows",
-        "ivfpq_append_vs_rebuild",
-        # the build slope; the per-query sf1 ratios stay on the extras
-        # line (quoted in ROUND{N}.md, which is where the judge reads
-        # the slope story)
-        "sf1_build_hashdb_ratio",
-    ]
-    # compact separators on the three tail lines: every byte spent on
-    # ", " is a byte of attribution data clipped from the capture
-    warm_line = json.dumps(
-        {
-            "metric": "e2e_bench_warm",
-            "warm": warm_medians,
-            **{k: extras[k] for k in gate_keys if k in extras},
-        },
-        separators=(",", ":"),
-    )
-    # Second-to-last: per-rep self-attribution (VERDICT r11 #1) —
-    # every rep's [seconds, loadavg-at-sample-end] for every query, so
-    # a cross-round delta is attributable from the artifact alone.
-    # loadavg per rep as an INTEGER: attribution needs "was the
-    # machine loaded", not decimals — the freed ~80 chars pay for the
-    # final line's cpu_calib_ms inside the 2000-char tail capture
-    reps_line = json.dumps(
-        {
-            "metric": "e2e_bench_reps",
-            "reps": {
-                n: [[round(t, 2), int(round(l))] for t, l in v]
-                for n, v in samples.items()
-            },
-        },
-        separators=(",", ":"),
-    )
-    final_line = json.dumps(
-        {
-            "metric": "e2e_bench_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "loadavg_start": extras["loadavg_start"],
-            "loadavg_end": extras["loadavg_end"],
-            "idle_gate": idle_tag,
-            "cpu_calib_ms": cpu_calib_ms,
-        },
-        separators=(",", ":"),
+    warm_line, reps_line, final_line = render_tail_lines(
+        warm_medians, samples, timings, total, sf, extras,
+        idle_tag, cpu_calib_ms,
     )
     # The driver keeps only the trailing 2000 chars of stdout; guard
     # the combined size (+3 newlines) before it silently clips the warm
