@@ -4350,17 +4350,49 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Entries allowed to precede the never-driver-verified block in the
 #: registry (tests/test_coverage_guard.py): re-verification anchors
 #: whose current derivation postdates their newest driver row.
-#: Round 12 (all post-r11-green changes): the five index entries
-#: build/probe through the STAGED atomic cache commit (r11 ADVICE —
-#: per-process staging dir + first-rename-wins) and the two append
-#: entries additionally run the new ingest-recovery sweep +
-#: exactly-once manifest path (VERDICT r11 #2); docs_url_policy's SQL
-#: twin gained literal quote-escaping (byte-identical SQL for the
-#: current quote-free policy — the driver row re-proves it).
+#: Round 13 (all post-r12-green optimization-round changes):
+#: tpch_q2/q20/q21 were restructured (window over the agg's
+#: partitioning, 570f1b5); events_bootstrap_ci's uniform derivation
+#: changed (conv halving, bit-identity pinned); docs_split_balance's
+#: SQL TWIN was rewritten (NULL-group fix, e5919f3 — the oracle side
+#: itself changed, so the driver row re-proves the pairing);
+#: dedup_minhash_cc / dedup_cluster_sizes / docs_cluster_split consume
+#: connected_components, which gained pointer doubling (bf2c21d);
+#: events_rollup_incremental's merge became union+re-agg (8e53ab4);
+#: dq_referential groups shared children (cf0050d); orders_basket_rules
+#: / orders_pair_triangles ride the posexplode+slice pair expansion
+#: (add5977).
 WINDOW_ANCHORS: list[str] = [
-    "emb_ivf_index_append_topk", "emb_ivf_pq_index_append_topk",
-    "emb_ivf_index_topk", "emb_ivf_pq_index_topk",
-    "emb_ivf_pq_refine_topk", "docs_url_policy",
+    "tpch_q2", "tpch_q20", "tpch_q21", "events_bootstrap_ci",
+    "docs_split_balance", "dedup_minhash_cc",
+    "events_rollup_incremental", "dq_referential",
+    "orders_basket_rules", "orders_pair_triangles",
+    "dedup_cluster_sizes", "docs_cluster_split",
+]
+
+R13_WINDOW_ORDER = [
+    # anchors (derivations changed post-r12-green; driver re-proof)
+    "tpch_q2", "tpch_q20", "tpch_q21", "events_bootstrap_ci",
+    "docs_split_balance", "dedup_minhash_cc",
+    "events_rollup_incremental", "dq_referential",
+    "orders_basket_rules", "orders_pair_triangles",
+    "dedup_cluster_sizes", "docs_cluster_split",
+    # least-recently-verified backfill (scripts/plan_window.py): the
+    # r08 cohort — the oldest greens in the registry
+    "events_trend", "events_autocorr", "events_ewma",
+    "docs_mutual_info", "docs_packed", "tpch_q12", "similarity_ivf",
+    "emb_sq_topk", "emb_prefix_topk", "events_cube",
+    "events_nearest_join", "events_cdc_snapshot", "emb_prefix_ndcg",
+    "snapshot_time_travel", "multimodal_dedup",
+    "events_cumulative_users", "docs_bm25", "snapshot_row_diff",
+    "docs_clf_report", "docs_calibration", "docs_auc", "docs_overview",
+    "dq_functional", "events_value_percentile",
+    "events_audience_overlap", "docs_hapax_ratio", "emb_silhouette",
+    "docs_freshness", "events_streaks", "events_benford",
+    "words_freq_of_freqs", "events_cohort_value", "users_survival",
+    "docs_rank_fusion", "events_active_time",
+    "lineitem_weighted_median", "events_session_paths",
+    "events_mean_shift",
 ]
 
 R12_WINDOW_ORDER = [
@@ -4443,18 +4475,17 @@ R10_WINDOW_ORDER = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness harness checks the FIRST 50
-    # entries only. Round-12 layout: 6 re-verification anchors (see
-    # WINDOW_ANCHORS), 4 never-verified round-12 entries (split-balance
-    # audit, cross-split contamination invariant, BPE fertility,
-    # quality-signal bundle), then the mechanical
-    # least-recently-verified backfill from scripts/plan_window.py (the
-    # remaining r07 cohort, then r08); everything else keeps its
-    # registry order after it. tests/test_coverage_guard.py enforces
-    # the invariant.
+    # entries only. Round-13 layout: 12 re-verification anchors (see
+    # WINDOW_ANCHORS — every declared query whose derivation, or whose
+    # SQL twin, changed after its newest green driver row in this
+    # optimization round), then the mechanical least-recently-verified
+    # backfill from scripts/plan_window.py (the r08 cohort — oldest
+    # greens in the registry); everything else keeps its registry order
+    # after it. tests/test_coverage_guard.py enforces the invariant.
     merged = dict(_queries_prior())
     merged.update(queries_r4())
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in R12_WINDOW_ORDER:
+    for name in R13_WINDOW_ORDER:
         out[name] = merged[name]
     for name, fn in merged.items():
         out.setdefault(name, fn)
